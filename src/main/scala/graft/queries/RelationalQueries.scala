@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Ids
+import graft.util.Tables
+import graft.util.Tables.dec
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.7) expressed over the
+  * driver's synthetic TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Every query is deterministically ordered and uses the exact-decimal
+  * aggregation convention from [[graft.util.Tables]] so results hash-match
+  * the oracle bit-for-bit.
+  *
+  * Operator IDs in the names refer to SURVEY.md §2 rows, which in turn cite
+  * the reference (impresso-text-acquisition) file:line.
+  */
+object RelationalQueries {
+
+  /** sum of money-like doubles, exact then back to double (see Tables). */
+  private def sumMoney(c: org.apache.spark.sql.Column) =
+    sum(dec(c)).cast("double")
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — alias include/exclude filter (detect.py:159-166)
+    "f1_segment_filter" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F2 — date-range filter (detect.py:12-66 _apply_datefilter)
+    "f2_date_range" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F3/J9 — incremental anti-join: skip already-imported work units
+    // (generic_importer.py:240-249)
+    "f3_incremental_anti" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F4 — empty-issue filter as a semi-join: keep parents with children
+    // (rebuilder.py:182-199)
+    "f4_nonempty_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J1 — issue ⋈ pages: parent joined to aggregated children
+    // (rebuilders/helpers.py:136-173)
+    "j1_order_lines" -> ((s, d) => {
+      val lagg = Tables.lineitem(s, d).groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      Tables.orders(s, d)
+        .join(lagg, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("n_lines"), col("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J2 — ordered collect of child rows per parent
+    // (paper_rebuilders.py:272-323 reconstruct_pages)
+    "j2_collect_sorted" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("line_nos"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // J6 — broadcast join with a small dimension table
+    // (fedgaz/classes.py:175-240 metadata.tsv lookup)
+    "j6_broadcast_dim" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // J8 — multi-hop dimension join (customer→nation→region), revenue per
+    // region (olive/classes.py:397-440 image-info join analog)
+    "j8_region_rollup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sumMoney(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // A1/A2 — per-(alias,year) manifest statistics (core.py:406-415,
+    // 649-653 counts_for_canonical_issue)
+    "a1_yearly_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("yr"))
+    }),
+
+    // A2/A3 — pricing summary: multi-aggregate rollup with derived
+    // averages (rebuilder.py:46 compute_stats_in_rebuilt_bag analog)
+    "a2_pricing_summary" -> ((s, d) => {
+      val one = lit(1).cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) *
+            (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A6 — sorted distinct child keys per parent
+    // (rebuilders/helpers.py:355-358 sorted(set(pp)))
+    "a6_distinct_sorted" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(array_distinct(collect_list(col("l_partkey")))),
+            _.cast("string")), ",").as("part_keys"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A7 — bounding-box style min/max aggregation
+    // (swissinfo/helpers.py:118-131 compute_agg_coords)
+    "a7_minmax_bounds" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          to_date(min(col("ts"))).as("first_day"),
+          to_date(max(col("ts"))).as("last_day"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A8 — majority vote / mode with deterministic tie-break
+    // (ina/classes.py:234-249 Counter(langs).most_common)
+    "a8_mode_per_user" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A9 — boolean consensus over a group (paper_rebuilders.py:315-316
+    // sum(cc)/len(cc) == 1.0)
+    "a9_bool_consensus" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(bool_and(col("l_returnflag") === "N").as("all_n"),
+          bool_or(col("l_linestatus") === "F").as("any_f"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // W1 — reading order: row_number per partition in a total order
+    // (utils.py:139-158 get_reading_order)
+    "w1_reading_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("ro"))
+        .orderBy(col("o_custkey"), col("ro"))
+    }),
+
+    // W5 — largest-area part: arg-max with deterministic tie-break
+    // (rero/classes.py:481-506)
+    "w5_argmax_line" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // W6 — top-k with deterministic tie-break (test_rebuilder.py:92 limit)
+    "w6_topk_customers" -> ((s, d) => {
+      Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // U1 — union distinct (lux/classes.py:558-571 CI list union)
+    "u1_union_nations" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nk"))
+    }),
+
+    // U2 — except / difference (lux/helpers.py:120 remove_section_cis)
+    "u2_except_nations" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy(col("nk"))
+    }),
+
+    // U3 — intersect (utils.py:104-112 id set verification)
+    "u3_intersect_nations" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy(col("nk"))
+    }),
+
+    // U4/J10 — dropDuplicates before a side effect (core.py:434-440)
+    "u4_dedup_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .dropDuplicates("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n_distinct_pairs"))
+    }),
+
+    // C1 — canonical ID minting (docs/architecture.rst:23-46)
+    "c1_id_mint" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("issue_id",
+          Ids.issueId(lit("GDL"), col("o_orderdate"), lit("a")))
+      o.select(col("o_orderkey"), col("issue_id"),
+        Ids.contentItemId(col("issue_id"), col("o_orderkey") % 10000)
+          .as("ci_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // C2 — canonical ID parsing back out (rebuilders/helpers.py:194)
+    "c2_id_parse" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("issue_id",
+          Ids.issueId(lit("GDL"), col("o_orderdate"), lit("a")))
+        .withColumn("ci_id",
+          Ids.contentItemId(col("issue_id"), col("o_orderkey") % 10000))
+      o.select(col("o_orderkey"),
+        Ids.aliasOf(col("ci_id")).as("alias"),
+        Ids.dateOf(col("ci_id")).as("issue_date"),
+        Ids.itemNumberOf(col("ci_id")).as("item_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // C3 — date building/formatting (rebuilders/helpers.py:194-195)
+    "c3_dates" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        last_day(to_date(col("o_orderdate"))).as("eom"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "f1_segment_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f2_date_range" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f3_incremental_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f4_nonempty_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j1_order_lines" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |       n_lines, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, count(*) AS n_lines,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey) la
+        |  ON o_orderkey = la.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_collect_sorted" ->
+      """SELECT l_orderkey,
+        |       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_nos
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "j6_broadcast_dim" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j8_region_rollup" ->
+      """SELECT r_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "a1_yearly_stats" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a2_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) *
+        |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a6_distinct_sorted" ->
+      """SELECT l_orderkey,
+        |       string_agg(CAST(pk AS VARCHAR), ',' ORDER BY pk) AS part_keys
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey AS pk FROM lineitem)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "a7_minmax_bounds" ->
+      """SELECT event_type, min(value) AS min_v, max(value) AS max_v,
+        |       CAST(min(ts) AS DATE) AS first_day,
+        |       CAST(max(ts) AS DATE) AS last_day,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a8_mode_per_user" ->
+      """SELECT user_id, event_type AS top_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY count(*) DESC, event_type) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "a9_bool_consensus" ->
+      """SELECT l_orderkey, bool_and(l_returnflag = 'N') AS all_n,
+        |       bool_or(l_linestatus = 'F') AS any_f
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w1_reading_order" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS ro
+        |FROM orders ORDER BY o_custkey, ro""".stripMargin,
+
+    "w5_argmax_line" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber ASC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "w6_topk_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+
+    "u1_union_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "u2_except_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "u3_intersect_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "u4_dedup_count" ->
+      """SELECT count(*) AS n_distinct_pairs
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)""".stripMargin,
+
+    "c1_id_mint" ->
+      """SELECT o_orderkey,
+        |  'GDL-' || strftime(o_orderdate, '%Y-%m-%d') || '-a' AS issue_id,
+        |  'GDL-' || strftime(o_orderdate, '%Y-%m-%d') || '-a-i' ||
+        |    lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0') AS ci_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c2_id_parse" ->
+      """WITH ids AS (
+        |  SELECT o_orderkey,
+        |    'GDL-' || strftime(o_orderdate, '%Y-%m-%d') || '-a-i' ||
+        |      lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0') AS ci_id
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  regexp_extract(ci_id, '^([A-Za-z0-9]+)-', 1) AS alias,
+        |  CAST(regexp_extract(ci_id, '^[A-Za-z0-9]+-(\d{4}-\d{2}-\d{2})-', 1) AS DATE) AS issue_date,
+        |  CAST(regexp_extract(ci_id, '-i(\d+)$', 1) AS INT) AS item_n
+        |FROM ids ORDER BY o_orderkey""".stripMargin,
+
+    "c3_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

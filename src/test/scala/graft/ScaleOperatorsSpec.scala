@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+class ScaleOperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup groups identical texts under the min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("LSH recovers planted near-duplicates on sf0.001") {
+    val pairs = SparkEntry.queries("d3_lsh_neardup_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty, "expected planted near-dups at jaccard>=0.8")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+    // the known top pair from data inspection must be found
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 474L && r.getAs[Long]("id_b") == 498L))
+  }
+
+  test("simhash of near-identical docs is hamming-close, distinct docs far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words nothing shared here at all today")
+    ).toDF("id", "text")
+    val h = df.select(col("id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+
+  test("cosine of identical vectors is 1.0; topK ranks are dense") {
+    import spark.implicits._
+    val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cos = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") === 1 && col("b.vec_id") === 2)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect()(0).getDouble(0)
+    assert(cos == 1.0)
+    val topk = Similarity.bruteForceTopK(v.filter(col("vec_id") === 1), v,
+      "vec_id", "embedding", 2).collect()
+    assert(topk.map(_.getAs[Int]("rank")).sorted.sameElements(Array(1, 2)))
+    assert(topk.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("n_id") == 2L)
+  }
+
+  test("ANN candidates are a subset of brute-force ordering semantics") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 4)
+    val ann = Similarity.annTopK(q, e, "vec_id", "embedding", 5, 8)
+    // every ANN neighbor shares the query's sign bucket by construction
+    val withBuckets = ann.join(
+      e.select(col("vec_id").as("q_id"),
+        Similarity.signBucket(col("embedding"), 8).as("qb")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"),
+        Similarity.signBucket(col("embedding"), 8).as("nb")), "n_id")
+    assert(withBuckets.filter(col("qb") =!= col("nb")).count() == 0)
+  }
+
+  test("fingerprint is invariant to token order and punctuation") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, world! foo"), (2L, "foo WORLD hello"),
+      (3L, "other text")).toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId picks the language with the most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze und der Vogel"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score stays in [0,1] on real docs") {
+    val q = SparkEntry.queries("t2_quality_score")(spark, sf)
+    val bad = q.filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.model
+
+/** Canonical data model — the engine's typed view of the reference's
+  * canonical JSON schemas (SURVEY.md §1.2).
+  *
+  * Coordinates `c` are `[x, y, w, h]` int vectors; the token hierarchy is
+  * region → paragraph → line → token
+  * (reference: text_preparation/importers/mets_alto/alto.py:74-126).
+  */
+object Canonical {
+
+  /** OCR token (alto.py:40-66; olive/parsers.py:200-253).
+    * @param hy true when the token is the first half of a hyphenated word
+    * @param nf normalized full form carried by the second half
+    * @param gn "glue" flag: no whitespace after (olive/helpers.py:212) */
+  case class CToken(
+      c: Seq[Int],
+      tx: Option[String],
+      s: Option[Int],
+      hy: Option[Boolean],
+      nf: Option[String],
+      gn: Option[Boolean])
+
+  case class CLine(c: Seq[Int], t: Seq[CToken])
+
+  case class CPara(c: Seq[Int], l: Seq[CLine])
+
+  /** Page region; `pOf` links the region to its content item
+    * (mets_alto/classes.py:122-131). */
+  case class CRegion(c: Seq[Int], pOf: Option[String], p: Seq[CPara])
+
+  /** Canonical page (schema per SURVEY.md §1.2; sample:
+    * data/out/pages/FedGazDe-1857-01-03-a-pages.jsonl.bz2). */
+  case class CanonicalPage(id: String, cc: Option[Boolean], r: Seq[CRegion])
+
+  /** Token span in a rebuilt document: start offset `s` and length `l`
+    * into the fulltext, plus the source coordinates
+    * (rebuilders/paper_rebuilders.py:55-71). */
+  case class TokenSpan(
+      c: Seq[Int],
+      s: Int,
+      l: Int,
+      hy1: Option[Boolean],
+      hy2: Option[Boolean])
+
+  /** Rebuilt page element of a solr doc (paper_rebuilders.py:215-224). */
+  case class RebuiltPage(id: String, n: Int, t: Seq[TokenSpan], r: Seq[Seq[Int]])
+
+  /** Rebuilt content item, solr format
+    * (rebuilders/helpers.py:215-259 solr_ci). */
+  case class RebuiltCI(
+      id: String,
+      ts: String,
+      pp: Seq[Int],
+      d: String,
+      cc: Option[Boolean],
+      olr: Boolean,
+      st: String,
+      sm: String,
+      lg: Option[String],
+      tp: Option[String],
+      ro: Int,
+      title: Option[String],
+      iiif_link: Option[String],
+      ppreb: Option[Seq[RebuiltPage]],
+      lb: Option[Seq[Int]],
+      pb: Option[Seq[Int]],
+      rb: Option[Seq[Int]],
+      ft: Option[String])
+
+  /** Passim-format page region (rebuilders/helpers.py:291-311). */
+  case class PassimCoords(x: Int, y: Int, w: Int, h: Int)
+  case class PassimRegion(start: Int, length: Int, coords: PassimCoords)
+  case class PassimPage(id: String, seq: Int, regions: Seq[PassimRegion])
+
+  /** Rebuilt content item, passim format (helpers.py:262-311). */
+  case class PassimDoc(
+      series: String,
+      date: String,
+      id: String,
+      cc: Option[Boolean],
+      tp: Option[String],
+      lg: Option[String],
+      title: Option[String],
+      pages: Seq[PassimPage],
+      text: String)
+
+  /** CI type normalization (rebuilders/helpers.py:36-48 TYPE_MAPPINGS).
+    * Types not in the table pass through unchanged. */
+  val TypeMappings: Map[String, Option[String]] = Map(
+    "article" -> Some("ar"),
+    "ar" -> Some("ar"),
+    "advertisement" -> Some("ad"),
+    "ad" -> Some("ad"),
+    "pg" -> None,
+    "page" -> None,
+    "image" -> Some("img"),
+    "table" -> Some("tb"),
+    "death_notice" -> Some("ob"),
+    "weather" -> Some("w"),
+    "chronicle" -> Some("ch"))
+
+  def mapType(tp: Option[String]): Option[String] =
+    tp match {
+      case Some(t) => TypeMappings.getOrElse(t, Some(t))
+      case None => None
+    }
+}

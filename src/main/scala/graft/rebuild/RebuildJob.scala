@@ -1,0 +1,242 @@
+package graft.rebuild
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Canonical._
+import graft.text.PaperRebuild
+
+/** The rebuild stage: canonical issues + pages → rebuilt (solr-format)
+  * content items.
+  *
+  * Spark-first shape (SURVEY.md §3.2): instead of the reference's
+  * per-issue S3 RPC + in-memory dict joins
+  * (rebuilders/helpers.py:136-361), the whole stage is one declarative
+  * plan —
+  *
+  *   issues --explode CIs--> cis --explode page refs--> (ci, pageNo)
+  *     ⋈ pages on (issueId, pageNo)      [shuffle join on issue/page key]
+  *     | filter regions pOf == ciId       [nested HOF, no shuffle]
+  *     groupBy ci, ordered collect        [single shuffle]
+  *     typed map: text-rebuild fold       [graft.text.PaperRebuild]
+  *
+  * At 100 TB the only shuffles are the CI⋈page join and the per-CI
+  * regroup, both keyed by canonical IDs (uniformly distributed by
+  * construction — alias+date prefixes). A corrupt issue never kills the
+  * job: CIs that reference missing pages are diverted to a quarantine
+  * output, mirroring the reference's `has_problem` path
+  * (paper_rebuilders.py:296-303, core.py:54-88).
+  */
+object RebuildJob {
+
+  /** Declared (never inferred) schema for canonical pages — SURVEY.md §1.2. */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("cc", BooleanType),
+    StructField("r", ArrayType(StructType(Seq(
+      StructField("c", ArrayType(IntegerType)),
+      StructField("pOf", StringType),
+      StructField("p", ArrayType(StructType(Seq(
+        StructField("c", ArrayType(IntegerType)),
+        StructField("l", ArrayType(StructType(Seq(
+          StructField("c", ArrayType(IntegerType)),
+          StructField("t", ArrayType(StructType(Seq(
+            StructField("c", ArrayType(IntegerType)),
+            StructField("tx", StringType),
+            StructField("s", IntegerType),
+            StructField("hy", BooleanType),
+            StructField("nf", StringType),
+            StructField("gn", BooleanType)))))))))))))))))))
+
+  /** Declared schema for canonical issues (fields the rebuild consumes). */
+  val issueSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("st", StringType),
+    StructField("sm", StringType),
+    StructField("i", ArrayType(StructType(Seq(
+      StructField("m", StructType(Seq(
+        StructField("id", StringType),
+        StructField("tp", StringType),
+        StructField("pp", ArrayType(IntegerType)),
+        StructField("lg", StringType),
+        StructField("l", StringType),
+        StructField("t", StringType),
+        StructField("ro", IntegerType),
+        StructField("iiif_link", StringType))))))))))
+
+  /** Read canonical issues JSONL(.bz2); Spark decompresses bz2 natively
+    * and splits multi-file inputs per file (S6 in SURVEY.md §2.1). */
+  def readIssues(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(issueSchema).json(path)
+
+  def readPages(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pageSchema).json(path)
+
+  /** Input row for the typed rebuild fold. */
+  case class CiInput(
+      ci_id: String,
+      st: String,
+      sm: String,
+      lg: Option[String],
+      tp: Option[String],
+      title: Option[String],
+      ro: Option[Int],
+      iiif_link: Option[String],
+      pp: Seq[Int],
+      pages: Seq[PageInput])
+
+  case class PageInput(
+      page_no: Int,
+      page_id: String,
+      cc: Option[Boolean],
+      regions: Seq[CRegion])
+
+  /** Explode issues into content items with inherited issue metadata
+    * (R1 `rejoin_cis`, rebuilders/helpers.py:314-361). Source type/medium
+    * default to newspaper/print when the canonical data predates those
+    * fields (core.py:196-206). */
+  def contentItems(issues: DataFrame): DataFrame =
+    issues
+      .withColumn("st", coalesce(col("st"), lit("newspaper")))
+      .withColumn("sm", coalesce(col("sm"), lit("print")))
+      .select(col("id").as("issue_id"), col("st"), col("sm"),
+        explode(col("i")).as("ci"))
+      .select(
+        col("ci.m.id").as("ci_id"),
+        col("issue_id"), col("st"), col("sm"),
+        coalesce(col("ci.m.lg"), col("ci.m.l")).as("lg"),
+        col("ci.m.tp").as("tp"),
+        col("ci.m.t").as("title"),
+        col("ci.m.ro").as("ro"),
+        col("ci.m.iiif_link").as("iiif_link"),
+        array_sort(array_distinct(col("ci.m.pp"))).as("pp"))
+
+  /** Pages keyed for the join: issue id + numeric page number parsed from
+    * the canonical page id (C2/C25). */
+  def keyedPages(pages: DataFrame): DataFrame =
+    pages.select(
+      regexp_replace(col("id"), "-p\\d+$", "").as("issue_id"),
+      regexp_extract(col("id"), "-p(\\d+)$", 1).cast("int").as("page_no"),
+      col("id").as("page_id"), col("cc"), col("r"))
+
+  /** The joined, per-CI-grouped frame ready for the typed fold. Rows with
+    * `missing_page = true` must be quarantined, not rebuilt (F5). */
+  def joined(issues: DataFrame, pages: DataFrame): DataFrame = {
+    val cis = contentItems(issues)
+    val kp = keyedPages(pages)
+    // explode_outer: a CI with no page refs keeps one null row and lands
+    // in quarantine instead of vanishing (F4, rebuilder.py:182-199)
+    cis.select(col("ci_id"), col("issue_id"),
+      explode_outer(col("pp")).as("page_no"))
+      .join(kp, Seq("issue_id", "page_no"), "left")
+      // region surgery stays inside the row: no shuffle (SURVEY §2.3 J3-J8)
+      .withColumn("regions",
+        filter(col("r"), r => r.getField("pOf") === col("ci_id")))
+      .groupBy(col("ci_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("page_no"), col("page_id"), col("cc"), col("regions"))))
+          .as("pages"),
+        max(col("page_id").isNull.cast("int")).as("missing_page"))
+      .join(cis, Seq("ci_id"))
+  }
+
+  /** Full solr rebuild (R5, rebuilders/helpers.py:176-259).
+    *
+    * @param ts injected run timestamp — parameterized so golden tests are
+    *           reproducible (the reference stamps wall-clock, which its
+    *           own tests must exclude; SURVEY.md §7.4 risk 6).
+    */
+  def rebuildSolr(spark: SparkSession, issues: DataFrame, pages: DataFrame,
+      ts: String): Dataset[RebuiltCI] = {
+    import spark.implicits._
+    joined(issues, pages)
+      .filter(col("missing_page") === 0)
+      .as[CiInput]
+      .map(ci => rebuildOne(ci, ts))
+  }
+
+  /** Passim-format rebuild (R6, rebuilders/helpers.py:262-311). Unlike
+    * solr, images are not skipped (the reference recomposes every CI). */
+  def rebuildPassim(spark: SparkSession, issues: DataFrame,
+      pages: DataFrame): Dataset[PassimDoc] = {
+    import spark.implicits._
+    joined(issues, pages)
+      .filter(col("missing_page") === 0)
+      .as[CiInput]
+      .map { ci =>
+        val alias = ci.ci_id.split("-").head
+        val d = ci.ci_id.split("-").slice(1, 4).mkString("-")
+        val ccs = ci.pages.map(_.cc)
+        val cc = if (ccs.nonEmpty && ccs.forall(_.isDefined))
+          Some(ccs.forall(_.contains(true))) else None
+        var text = ""
+        val pagesOut = ci.pages.map { p =>
+          val fold = PaperRebuild.rebuildPagePassim(p.regions, ci.lg, text)
+          text = fold.text
+          PassimPage(p.page_id, p.page_no, fold.regions)
+        }
+        PassimDoc(alias, d, ci.ci_id, cc, mapType(ci.tp), ci.lg, ci.title,
+          pagesOut, text)
+      }
+  }
+
+  /** CIs whose pages could not be found — the quarantine side-output. */
+  def quarantine(issues: DataFrame, pages: DataFrame): DataFrame =
+    joined(issues, pages)
+      .filter(col("missing_page") > 0)
+      .select(col("ci_id"), lit("missing page").as("error"))
+
+  /** Rebuild a single content item (recompose_ci_from_page_solr,
+    * paper_rebuilders.py:177-230). */
+  def rebuildOne(ci: CiInput, ts: String): RebuiltCI = {
+    val issueId = ci.ci_id.split("-").dropRight(1).mkString("-")
+    val ciNum = ci.ci_id.split("-").last
+    val d = ci.ci_id.split("-").slice(1, 4).mkString("-")
+    val mappedTp = mapType(ci.tp)
+    val ro = ci.ro.getOrElse(ciNum.drop(1).toInt)
+    val olr = mappedTp.isDefined && ci.st != "radio_broadcast"
+    // cc consensus: defined iff every page has cc (A9,
+    // paper_rebuilders.py:314-317)
+    val ccs = ci.pages.map(_.cc)
+    val cc = if (ccs.nonEmpty && ccs.forall(_.isDefined))
+      Some(ccs.forall(_.contains(true))) else None
+
+    if (mappedTp.contains("img")) {
+      RebuiltCI(ci.ci_id, ts, ci.pp, d, cc, olr, ci.st, ci.sm, ci.lg,
+        mappedTp, ro, ci.title, ci.iiif_link,
+        None, None, None, None, None)
+    } else {
+      var ft = ""
+      val lb = Seq.newBuilder[Int]
+      val pb = Seq.newBuilder[Int]
+      val rb = Seq.newBuilder[Int]
+      val ppreb = ci.pages.map { p =>
+        val fold = PaperRebuild.rebuildPage(p.regions, ci.lg, ft)
+        ft = fold.text
+        lb ++= fold.lineOffsets
+        pb ++= fold.paraOffsets
+        rb ++= fold.regionOffsets
+        RebuiltPage(p.page_id, p.page_no, fold.tokens, fold.regions)
+      }
+      RebuiltCI(ci.ci_id, ts, ci.pp, d, cc, olr, ci.st, ci.sm, ci.lg,
+        mappedTp, ro, ci.title, None,
+        Some(ppreb), Some(lb.result()), Some(pb.result()),
+        Some(rb.result()), Some(ft))
+    }
+  }
+
+  /** Write rebuilt CIs as bz2 JSONL partitioned by (alias, year) — the
+    * reference's per-`{alias}-{year}` directory layout re-expressed as a
+    * partitioned write (S9; shuffle-before-write replaces its FileLock +
+    * append, core.py:429-437's own TODO). */
+  def writeSolr(ds: Dataset[RebuiltCI], outPath: String): Unit =
+    ds.withColumn("alias", regexp_extract(col("id"), "^([A-Za-z0-9]+)-", 1))
+      .withColumn("year", regexp_extract(col("id"), "-(\\d{4})-", 1).cast("int"))
+      .repartition(col("alias"), col("year"))
+      .write.mode("overwrite")
+      .partitionBy("alias", "year")
+      .option("compression", "bzip2")
+      .json(outPath)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Canonical._
+import graft.text.{PaperRebuild, Whitespace}
+import graft.rebuild.RebuildJob
+
+class RebuildSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val canonicalDir =
+    "/root/reference/text_preparation/data/out/canonical_out"
+
+  def tok(tx: String, c: Seq[Int] = Seq(0, 0, 10, 10),
+      hy: Option[Boolean] = None, nf: Option[String] = None): CToken =
+    CToken(c, Some(tx), None, hy, nf, None)
+
+  test("whitespace rules: fr punctuation classes") {
+    assert(Whitespace.insertAfter(Some("Au"), Some("revoir"), None, Some("fr")))
+    assert(!Whitespace.insertAfter(Some("x"), Some(","), None, Some("fr")))
+    assert(!Whitespace.insertAfter(Some("("), Some("x"), None, Some("fr")))
+    assert(!Whitespace.insertAfter(Some("'"), Some("Etat"), Some("L"), Some("fr")))
+    assert(!Whitespace.insertAfter(Some(","), Some("5"), Some("1"), Some("fr")))
+    assert(Whitespace.insertAfter(Some(","), Some("x"), Some("1"), Some("fr")))
+    // unknown language inserts whitespace (matches golden rebuilt output)
+    assert(Whitespace.insertAfter(Some(","), Some("x"), None, None))
+  }
+
+  test("rebuild fold: hyphenation, offsets and breaks, hand-computed") {
+    // line 1: "Au re-"  (re- is the first half of a hyphenated word)
+    // line 2: "voir[nf=revoir] , 123"
+    val page = Seq(CRegion(Seq(0, 0, 100, 50), Some("X-i0001"), Seq(
+      CPara(Seq(0, 0, 100, 25), Seq(
+        CLine(Seq(0, 0, 100, 10),
+          Seq(tok("Au"), tok("re-", hy = Some(true)))),
+        CLine(Seq(0, 10, 100, 10),
+          Seq(tok("voir", nf = Some("revoir")), tok(","), tok("123"))))))))
+    val f = PaperRebuild.rebuildPage(page, Some("fr"), "")
+    assert(f.text == "Au revoir, 123 ")
+    assert(f.lineOffsets == Seq(3, 14))
+    assert(f.paraOffsets == Seq.empty)
+    assert(f.regionOffsets == Seq.empty)
+    val spans = f.tokens.map(t => (t.s, t.l, t.hy1.isDefined, t.hy2.isDefined))
+    assert(spans == Seq((0, 2, false, false), (3, 1, true, false),
+      (3, 6, false, true), (9, 1, false, false), (11, 3, false, false)))
+  }
+
+  test("second page appends to the first page's fulltext") {
+    val mk = (txt: String) => Seq(CRegion(Seq(0, 0, 1, 1), None,
+      Seq(CPara(Seq(0, 0, 1, 1), Seq(CLine(Seq(0, 0, 1, 1), Seq(tok(txt))))))))
+    val f1 = PaperRebuild.rebuildPage(mk("one"), None, "")
+    val f2 = PaperRebuild.rebuildPage(mk("two"), None, f1.text)
+    assert(f2.text == "one two ")
+    // second region's offset is recorded because text precedes it
+    assert(f2.regionOffsets == Seq(4))
+    assert(f2.tokens.head.s == 4)
+  }
+
+  test("end-to-end rebuild of LLE-1946 canonical data") {
+    val issues = RebuildJob.readIssues(spark,
+      s"$canonicalDir/LLE-1946-issues.jsonl.bz2")
+    val pages = RebuildJob.readPages(spark,
+      s"$canonicalDir/pages/LLE-1946-09-02-a-pages.jsonl.bz2")
+    val rebuilt = RebuildJob.rebuildSolr(spark, issues, pages, "T")
+      .collect()
+    assert(rebuilt.length > 0)
+    // every CI rebuilt from this title is an article or ad
+    assert(rebuilt.forall(ci => ci.tp.contains("ar") || ci.tp.contains("ad")))
+    rebuilt.filterNot(_.tp.contains("img")).foreach { ci =>
+      val ft = ci.ft.get
+      val allSpans = ci.ppreb.get.flatMap(_.t)
+      // token starts are monotone non-decreasing; spans stay inside ft
+      assert(allSpans.map(_.s) == allSpans.map(_.s).sorted, ci.id)
+      allSpans.filter(_.hy1.isEmpty).foreach { t =>
+        assert(t.s + t.l <= ft.length, s"${ci.id}: span ${t.s}+${t.l} > ${ft.length}")
+      }
+      // break offsets sorted and within bounds
+      Seq(ci.lb.get, ci.pb.get, ci.rb.get).foreach { breaks =>
+        assert(breaks == breaks.sorted, ci.id)
+        breaks.foreach(b => assert(b >= 0 && b <= ft.length, ci.id))
+      }
+      // reading order defaults to the CI number when missing
+      assert(ci.ro > 0)
+      assert(ci.d == "1946-09-02")
+      assert(ci.st == "newspaper" && ci.sm == "print")
+    }
+    // at least some CIs have real text
+    assert(rebuilt.count(_.ft.exists(_.length > 100)) > 10)
+  }
+
+  test("CIs referencing missing pages are quarantined, not dropped or fatal") {
+    import spark.implicits._
+    val issues = RebuildJob.readIssues(spark,
+      s"$canonicalDir/LLE-1946-issues.jsonl.bz2")
+    // withhold all pages: every CI must land in quarantine
+    val noPages = RebuildJob.readPages(spark,
+      s"$canonicalDir/pages/LLE-1946-09-02-a-pages.jsonl.bz2")
+      .filter(lit(false))
+    val q = RebuildJob.quarantine(issues, noPages).collect()
+    val nCis = issues.select(explode(col("i"))).count()
+    assert(q.length == nCis)
+    assert(RebuildJob.rebuildSolr(spark, issues, noPages, "T").count() == 0)
+  }
+
+  test("writeSolr produces partitioned bz2 JSONL that reads back") {
+    val issues = RebuildJob.readIssues(spark,
+      s"$canonicalDir/LLE-1946-issues.jsonl.bz2")
+    val pages = RebuildJob.readPages(spark,
+      s"$canonicalDir/pages/LLE-1946-09-02-a-pages.jsonl.bz2")
+    val out = java.nio.file.Files.createTempDirectory("rebuilt").toString
+    val ds = RebuildJob.rebuildSolr(spark, issues, pages, "T")
+    RebuildJob.writeSolr(ds, out)
+    val back = spark.read.json(s"$out/alias=LLE/year=1946")
+    assert(back.count() == ds.count())
+    // absent optional fields are omitted from the JSON, not null-filled
+    val row = back.filter(col("ft").isNotNull).head()
+    assert(row.schema.fieldNames.contains("ppreb"))
+  }
+}

@@ -35,10 +35,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.q ++ ScaleQueries.q ++ RebuildQueries.q
+    RelationalQueries.q ++ ScaleQueries.q ++ RebuildQueries.q ++ OpsQueries.q
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.sql ++ ScaleQueries.sql ++ RebuildQueries.sql
+    RelationalQueries.sql ++ ScaleQueries.sql ++ RebuildQueries.sql ++
+      OpsQueries.sql
 }

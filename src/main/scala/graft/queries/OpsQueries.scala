@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geometry, Iiif}
+import graft.operators.{EventOps, Stats}
+import graft.rebuild.RebuildJob
+import graft.util.Tables
+
+/** Oracle coverage for event-time operators (tumbling windows,
+  * sessionization), manifest statistics (A2/A3) and the geometry / IIIF
+  * scalar functions (C4–C7, C16–C17).
+  */
+object OpsQueries {
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1 — tumbling-window aggregation (batch form; streaming form in
+    // graft.streaming.EventStream shares the window rule)
+    "e1_window_agg" -> ((s, d) => {
+      EventOps.tumblingAgg(Tables.events(s, d), "1 hour")
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // E2 — gap-based sessionization (30-minute gap)
+    "e2_sessionize" -> ((s, d) => {
+      EventOps.sessionize(Tables.events(s, d), 30)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // A2 — canonical manifest stats per (alias, year)
+    "a2_canonical_stats" -> ((s, d) => {
+      Stats.canonicalStats(RebuildQueries.syntheticIssues(s, d))
+        .orderBy(col("alias"), col("year"))
+    }),
+
+    // A3 — rebuilt manifest stats per (alias, year)
+    "a3_rebuilt_stats" -> ((s, d) => {
+      val rebuilt = RebuildJob.rebuildSolr(s,
+        RebuildQueries.syntheticIssues(s, d),
+        RebuildQueries.syntheticPages(s, d), ts = "T").toDF()
+      Stats.rebuiltStats(rebuilt).orderBy(col("alias"), col("year"))
+    }),
+
+    // C4 — xywh↔xyxy conversions, enclosing box, area, IoU
+    "c4_geometry" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        array((col("p_partkey") % 100).cast("int"), col("p_size"),
+          (col("p_size") * 2 + 1).cast("int"),
+          ((col("p_partkey") % 50) + 1).cast("int")).as("box"))
+      p.select(
+        col("p_partkey"),
+        Geometry.xywhToXyxy(col("box")).as("xyxy"),
+        Geometry.xyxyToXywh(Geometry.xywhToXyxy(col("box"))).as("roundtrip"),
+        Geometry.area(col("box")).as("area"),
+        Geometry.enclosingBox(array(col("box"),
+          Geometry.xywhToXyxy(col("box")))).as("enclosing"),
+        Geometry.iou(col("box"), col("box")).as("self_iou"))
+        .select(col("p_partkey"),
+          concat_ws(",", col("xyxy")).as("xyxy"),
+          concat_ws(",", col("roundtrip")).as("roundtrip"),
+          col("area"),
+          concat_ws(",", col("enclosing")).as("enclosing"),
+          col("self_iou"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // C5 — rescale with truncation (the /254 resolution conversion shape)
+    "c5_rescale" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        array((col("p_partkey") % 100).cast("int"), col("p_size"),
+          (col("p_size") * 2 + 1).cast("int"),
+          ((col("p_partkey") % 50) + 1).cast("int")).as("box"))
+      p.select(col("p_partkey"),
+        concat_ws(",", Geometry.rescale(col("box"), lit(300), lit(254)))
+          .as("rescaled"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // C16/C17 — IIIF link construction with endpoint-specific suffixes
+    "c16_iiif_links" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(expr("doc_id % 3 = 0"),
+          concat(lit("https://ub-sipi.ub.unibas.ch/impresso/"), col("source")))
+          .when(expr("doc_id % 3 = 1"),
+            concat(lit("https://scriptorium.bcu-lausanne.ch/api/"), col("source")))
+          .otherwise(concat(lit("https://example.org/iiif/"), col("source")))
+          .as("base"),
+        array(expr("cast(doc_id % 50 as int)"), lit(10),
+          expr("cast(n_chars % 300 as int)"), lit(40)).as("coords"))
+      docs.select(col("doc_id"),
+        Iiif.imageLink(col("base"), col("coords")).as("img_link"),
+        Iiif.infoLink(col("base")).as("info_link"),
+        Iiif.encodeArk(concat(lit("ark:/70795/"), col("doc_id"))).as("ark"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "e1_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |        THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS session_idx FROM y)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+        |FROM z GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "a2_canonical_stats" ->
+      s"""SELECT 'D' || CAST(doc_id % 20 AS VARCHAR) AS alias,
+         |  CAST(year(DATE '2000-01-01' + CAST(doc_id // 20 AS INT)) AS INT) AS year,
+         |  count(*) AS n_issues,
+         |  CAST(2 * count(*) AS BIGINT) AS n_content_items,
+         |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+         |  CAST(count(*) AS BIGINT) AS n_pages
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a3_rebuilt_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents)
+         |SELECT 'D' || CAST(doc_id % 20 AS VARCHAR) AS alias,
+         |  CAST(year(DATE '2000-01-01' + CAST(doc_id // 20 AS INT)) AS INT) AS year,
+         |  CAST(2 * count(*) AS BIGINT) AS n_cis,
+         |  CAST(SUM(length(array_to_string(tk, ' ')) + 1) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(tk)) AS BIGINT) AS n_tokens
+         |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c4_geometry" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    [CAST(p_partkey % 100 AS INT), p_size,
+        |     CAST(p_size * 2 + 1 AS INT), CAST(p_partkey % 50 + 1 AS INT)] AS box
+        |  FROM part),
+        |x AS (SELECT p_partkey, box,
+        |  [box[1], box[2], box[1] + box[3], box[2] + box[4]] AS xyxy FROM b)
+        |SELECT p_partkey,
+        |  array_to_string(xyxy, ',') AS xyxy,
+        |  array_to_string([xyxy[1], xyxy[2], xyxy[3] - xyxy[1], xyxy[4] - xyxy[2]], ',') AS roundtrip,
+        |  CAST(box[3] * box[4] AS INT) AS area,
+        |  array_to_string([least(box[1], xyxy[1]), least(box[2], xyxy[2]),
+        |    greatest(box[1] + box[3], xyxy[1] + xyxy[3]) - least(box[1], xyxy[1]),
+        |    greatest(box[2] + box[4], xyxy[2] + xyxy[4]) - least(box[2], xyxy[2])], ',') AS enclosing,
+        |  CAST(1.0 AS DOUBLE) AS self_iou
+        |FROM x ORDER BY p_partkey""".stripMargin,
+
+    "c5_rescale" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(
+        |    [CAST(p_partkey % 100 AS INT), p_size,
+        |     CAST(p_size * 2 + 1 AS INT), CAST(p_partkey % 50 + 1 AS INT)],
+        |    v -> CAST(trunc(CAST(v AS DOUBLE) * 300 / 254) AS INT)), ',') AS rescaled
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "c16_iiif_links" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://ub-sipi.ub.unibas.ch/impresso/' || source
+        |         WHEN doc_id % 3 = 1 THEN 'https://scriptorium.bcu-lausanne.ch/api/' || source
+        |         ELSE 'https://example.org/iiif/' || source END AS base
+        |  FROM documents)
+        |SELECT doc_id,
+        |  base || '/' || CAST(doc_id % 50 AS INT) || ',' || 10 || ',' ||
+        |    CAST(n_chars % 300 AS INT) || ',' || 40 || '/' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'max/0/default.jpg'
+        |         WHEN doc_id % 3 = 1 THEN '300,/0/default.jpg'
+        |         ELSE 'full/0/default.jpg' END AS img_link,
+        |  base || '/info.json' AS info_link,
+        |  'ark:%2f70795%2f' || CAST(doc_id AS VARCHAR) AS ark
+        |FROM d ORDER BY doc_id""".stripMargin
+  )
+}

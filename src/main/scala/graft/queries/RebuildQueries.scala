@@ -16,12 +16,27 @@ import graft.util.Tables
   * from `documents`: for a single-line page the rebuilt fulltext is
   * exactly the whitespace tokens joined by single spaces plus a trailing
   * space (solr) or newline (passim).
+  *
+  * Synthetic ID scheme (shared with the DuckDB oracles): 20 aliases
+  * `D0..D19` (doc_id mod 20), one issue per document dated
+  * 2000-01-01 + (doc_id div 20) days, TWO content items per issue —
+  * i0001 a rebuildable article holding the document text, i0002 an image
+  * (every 5th document) or an ad with no regions — so the manifest-stats
+  * queries aggregate non-trivially per (alias, year).
   */
 object RebuildQueries {
 
-  private def issueId: Column =
-    concat(lit("D"), col("doc_id"), lit("-2000-01-01-a"))
-  private def ciId: Column = concat(issueId, lit("-i0001"))
+  private def alias: Column = concat(lit("D"), expr("doc_id % 20"))
+  private def dateStr: Column =
+    date_format(date_add(lit("2000-01-01").cast("date"),
+      expr("cast(doc_id div 20 as int)")), "yyyy-MM-dd")
+  def issueId: Column = concat_ws("-", alias, dateStr, lit("a"))
+  private def ciId(n: Int): Column = concat(issueId, lit(f"-i$n%04d"))
+
+  /** DuckDB fragment for the same issue id. */
+  val issueIdSql: String =
+    "'D' || CAST(doc_id % 20 AS VARCHAR) || '-' || " +
+      "strftime(DATE '2000-01-01' + CAST(doc_id // 20 AS INT), '%Y-%m-%d') || '-a'"
 
   private def box: Column = array(lit(0), lit(0), lit(1), lit(1))
 
@@ -31,25 +46,36 @@ object RebuildQueries {
       issueId.as("id"),
       lit(null).cast("string").as("st"),
       lit(null).cast("string").as("sm"),
-      array(struct(struct(
-        ciId.as("id"),
-        lit("article").as("tp"),
-        array(lit(1)).as("pp"),
-        lit(null).cast("string").as("lg"),
-        lit(null).cast("string").as("l"),
-        lit(null).cast("string").as("t"),
-        lit(null).cast("int").as("ro"),
-        lit(null).cast("string").as("iiif_link")).as("m"))).as("i"))
+      array(concat(issueId, lit("-p0001"))).as("pp"),
+      array(
+        struct(struct(
+          ciId(1).as("id"),
+          lit("article").as("tp"),
+          array(lit(1)).as("pp"),
+          lit(null).cast("string").as("lg"),
+          lit(null).cast("string").as("l"),
+          lit(null).cast("string").as("t"),
+          lit(null).cast("int").as("ro"),
+          lit(null).cast("string").as("iiif_link")).as("m")),
+        struct(struct(
+          ciId(2).as("id"),
+          when(expr("doc_id % 5 = 0"), "image").otherwise("ad").as("tp"),
+          array(lit(1)).as("pp"),
+          lit(null).cast("string").as("lg"),
+          lit(null).cast("string").as("l"),
+          lit(null).cast("string").as("t"),
+          lit(null).cast("int").as("ro"),
+          lit(null).cast("string").as("iiif_link")).as("m"))).as("i"))
 
   /** Canonical-shaped pages frame: one region/para/line holding the
-    * document's whitespace tokens. */
+    * document's whitespace tokens, attributed to content item i0001. */
   def syntheticPages(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       concat(issueId, lit("-p0001")).as("id"),
       lit(true).as("cc"),
       array(struct(
         box.as("c"),
-        ciId.as("pOf"),
+        ciId(1).as("pOf"),
         array(struct(
           box.as("c"),
           array(struct(
@@ -65,11 +91,12 @@ object RebuildQueries {
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1/R2/R3/R5 — full solr rebuild pipeline over synthesized canonical
-    // data (rejoin, region join, fold, assembly)
+    // data (rejoin, region join, fold, assembly); article CIs only
     "r3_rebuild_solr" -> ((s, d) => {
       RebuildJob.rebuildSolr(s, syntheticIssues(s, d), syntheticPages(s, d),
         ts = "2020-01-01T00:00:00Z")
         .toDF()
+        .filter(col("id").endsWith("-i0001"))
         .select(col("id"), col("ft"),
           size(element_at(col("ppreb"), 1).getField("t")).as("n_spans"),
           element_at(col("lb"), -1).as("last_lb"),
@@ -81,6 +108,7 @@ object RebuildQueries {
     "r6_rebuild_passim" -> ((s, d) => {
       RebuildJob.rebuildPassim(s, syntheticIssues(s, d), syntheticPages(s, d))
         .toDF()
+        .filter(col("id").endsWith("-i0001"))
         .select(col("id"), col("series"), col("date"), col("tp"),
           col("text"), size(element_at(col("pages"), 1).getField("regions"))
             .as("n_regions"))
@@ -90,25 +118,28 @@ object RebuildQueries {
 
   val sql: Map[String, String] = Map(
     "r3_rebuild_solr" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents)
-        |SELECT 'D' || CAST(doc_id AS VARCHAR) || '-2000-01-01-a-i0001' AS id,
-        |  array_to_string(tk, ' ') || ' ' AS ft,
-        |  CAST(len(tk) AS INT) AS n_spans,
-        |  CAST(length(array_to_string(tk, ' ')) AS INT) AS last_lb,
-        |  '2000-01-01' AS d, 1 AS ro, true AS olr, true AS cc
-        |FROM toks ORDER BY id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, $issueIdSql AS iid,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents)
+         |SELECT iid || '-i0001' AS id,
+         |  array_to_string(tk, ' ') || ' ' AS ft,
+         |  CAST(len(tk) AS INT) AS n_spans,
+         |  CAST(length(array_to_string(tk, ' ')) AS INT) AS last_lb,
+         |  substr(iid, position('-' IN iid) + 1, 10) AS d,
+         |  1 AS ro, true AS olr, true AS cc
+         |FROM toks ORDER BY id""".stripMargin,
 
     "r6_rebuild_passim" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents)
-        |SELECT 'D' || CAST(doc_id AS VARCHAR) || '-2000-01-01-a-i0001' AS id,
-        |  'D' || CAST(doc_id AS VARCHAR) AS series,
-        |  '2000-01-01' AS date, 'ar' AS tp,
-        |  array_to_string(tk, ' ') || chr(10) AS text,
-        |  CAST(len(tk) AS INT) AS n_regions
-        |FROM toks ORDER BY id""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, $issueIdSql AS iid,
+         |    'D' || CAST(doc_id % 20 AS VARCHAR) AS series,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents)
+         |SELECT iid || '-i0001' AS id, series,
+         |  substr(iid, position('-' IN iid) + 1, 10) AS date, 'ar' AS tp,
+         |  array_to_string(tk, ' ') || chr(10) AS text,
+         |  CAST(len(tk) AS INT) AS n_regions
+         |FROM toks ORDER BY id""".stripMargin
   )
 }

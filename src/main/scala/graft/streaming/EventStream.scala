@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.util.Tables.dec
+
+/** Structured-Streaming forms of the event operators.
+  *
+  * The reference has no streaming (SURVEY.md §2.10); its closest analog —
+  * incremental import — maps to a file stream with checkpointed tracking.
+  * These operators give the engine genuine incremental semantics:
+  * watermarked tumbling windows and stateful sessionization via
+  * `flatMapGroupsWithState`, sharing window/gap rules with the batch
+  * forms in [[graft.operators.EventOps]].
+  */
+object EventStream {
+
+  /** Raw parquet schema of `events` (ts is TIMESTAMP(NANOS), readable
+    * only as long — see graft.util.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream over the events parquet (nanos → micros timestamps). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (same shape as
+    * EventOps.tumblingAgg). */
+  def windowedAgg(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,
+      last_us: Long, closed: Boolean)
+
+  /** Stateful gap sessionization with `flatMapGroupsWithState`: emits an
+    * update per user per micro-batch; a session closes when the gap rule
+    * fires, mirroring EventOps.sessionize. */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionUpdate]
+      var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        if (st.n == 0) st = SessionState(us, us, 1)
+        else if (us - st.last > gapUs) {
+          out ::= SessionUpdate(userId, st.n, st.start, st.last, closed = true)
+          st = SessionState(us, us, 1)
+        } else st = SessionState(st.start, us, st.n + 1)
+      }
+      state.update(st)
+      (SessionUpdate(userId, st.n, st.start, st.last, closed = false) :: out)
+        .reverseIterator
+    }
+
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

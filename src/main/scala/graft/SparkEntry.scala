@@ -35,11 +35,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.q ++ ScaleQueries.q ++ RebuildQueries.q ++ OpsQueries.q
+    RelationalQueries.q ++ ScaleQueries.q ++ RebuildQueries.q ++
+      OpsQueries.q ++ MultimodalQueries.q
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.sql ++ ScaleQueries.sql ++ RebuildQueries.sql ++
-      OpsQueries.sql
+      OpsQueries.sql ++ MultimodalQueries.sql
 }

@@ -1,0 +1,87 @@
+package graft.discover
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source discovery + config-driven selection (SURVEY.md §2.1 S1/S2,
+  * §2.2 F1–F3).
+  *
+  * The reference walks `base_dir/ALIAS/YYYY/MM/DD[/edition]`
+  * (importers/detect.py:127-217) on the driver and filters by a config of
+  * title include/exclude lists and date ranges (:12-124). Here the walk
+  * stays a cheap driver-side listing producing a small descriptor
+  * DataFrame; every filter is a Column predicate so Catalyst folds them
+  * into one pass, and the incremental skip is a left-anti join
+  * (generic_importer.py:240-249).
+  */
+object Discover {
+
+  case class IssueRef(alias: String, date: java.sql.Date, edition: String,
+      path: String)
+
+  /** Walk `base/ALIAS/YYYY/MM/DD[/ed]` into issue descriptors. Detect is
+    * IO-bound listing, not parsing — driver-side like the reference, but
+    * emitting a DataFrame so selection composes with everything else. */
+  def detectIssues(spark: SparkSession, baseDir: String): DataFrame = {
+    def subdirs(f: File): Seq[File] =
+      Option(f.listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).sortBy(_.getName).toSeq
+    val refs = for {
+      alias <- subdirs(new File(baseDir))
+      year <- subdirs(alias) if year.getName.matches("\\d{4}")
+      month <- subdirs(year) if month.getName.matches("\\d{2}")
+      day <- subdirs(month) if day.getName.matches("\\d{2}")
+      (edition, path) <- {
+        val eds = subdirs(day)
+        if (eds.isEmpty) Seq("a" -> day.getPath)
+        else eds.map(e => e.getName -> e.getPath)
+      }
+    } yield IssueRef(alias.getName,
+      java.sql.Date.valueOf(s"${year.getName}-${month.getName}-${day.getName}"),
+      edition, path)
+    import spark.implicits._
+    refs.toDF()
+  }
+
+  /** Selection config (detect.py:69-124): include/exclude aliases and an
+    * optional date spec per included alias — either `"1900/01/01-1910/12/31"`
+    * ranges or year lists when `yearOnly`. */
+  case class SelectConfig(
+      titles: Map[String, Option[String]] = Map.empty,
+      excludeTitles: Set[String] = Set.empty,
+      yearOnly: Boolean = false)
+
+  /** Apply a selection config as Column predicates (F1/F2). */
+  def select(issues: DataFrame, config: SelectConfig): DataFrame = {
+    val excluded = if (config.excludeTitles.isEmpty) lit(true)
+      else !col("alias").isin(config.excludeTitles.toSeq: _*)
+    val included = if (config.titles.isEmpty) lit(true)
+      else config.titles.map { case (alias, spec) =>
+        val aliasMatch = col("alias") === alias
+        spec match {
+          case None => aliasMatch
+          case Some(s) if config.yearOnly =>
+            val years = s.split("\\|").map(_.trim.toInt)
+            aliasMatch && year(col("date")).isin(years.toSeq: _*)
+          case Some(s) =>
+            val ranges = s.split("\\|").map(_.trim.split("-"))
+            val rangePred = ranges.map { r =>
+              col("date").between(
+                lit(r(0).replace('/', '-')).cast("date"),
+                lit(r(1).replace('/', '-')).cast("date"))
+            }.reduce(_ || _)
+            aliasMatch && rangePred
+        }
+      }.reduce(_ || _)
+    issues.filter(excluded && included)
+  }
+
+  /** Incremental skip (F3/J9): drop work units whose (alias, date,
+    * edition) already exist in `done`. Left-anti join — at scale `done`
+    * is a key listing, usually broadcastable. */
+  def incremental(issues: DataFrame, done: DataFrame): DataFrame =
+    issues.join(done.select("alias", "date", "edition"),
+      Seq("alias", "date", "edition"), "left_anti")
+}

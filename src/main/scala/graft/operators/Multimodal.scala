@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: opaque `binary` payload columns + typed metadata, with
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schemas, partition-preserving
+  * per-batch processing, deterministic outputs; the codec itself is a
+  * STUB (`StubCodec`) because image/audio libraries are not available in
+  * this environment. At deployment the stub body is the only thing that
+  * changes: the operator shape (mapPartitions over binary payloads,
+  * bounded batches, metadata struct out) is what has to survive 100 TB,
+  * where payload columns dominate I/O — hence:
+  *  - metadata extraction never shuffles (row-local mapPartitions);
+  *  - payloads are droppable early (`select` the metadata struct only →
+  *    Parquet column pruning skips the blob pages entirely);
+  *  - frame sampling emits rows, not wider blobs, so downstream
+  *    operators see bounded row sizes.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  /** One sampled frame (video/audio window) of a payload. */
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long,
+      feature: Double)
+
+  /** STUB decode: deterministic pseudo-metadata derived from the payload
+    * bytes. Replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
+    * in deployment — signature and determinism contract stay. */
+  object StubCodec {
+    def decode(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+      val sum = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      MediaMeta(id, kind, bytes.length.toLong, hex,
+        width = (sum % 1920).toInt + 1,
+        height = ((sum / 1920) % 1080).toInt + 1,
+        duration_ms = bytes.length.toLong * 7)
+    }
+
+    /** Deterministic per-frame feature (stands in for a decoded frame
+      * embedding/pixel statistic). */
+    def frameFeature(bytes: Array[Byte], idx: Int): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes(idx % bytes.length).toDouble / 128.0
+  }
+
+  /** Decode metadata for a frame of (media_id, kind, payload) rows.
+    * Row-local; partitioning preserved. */
+  def extractMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, bytes) =>
+        StubCodec.decode(id, kind, bytes)
+      })
+      .toDF()
+  }
+
+  /** Sample up to `maxFrames` frames per payload at a fixed stride —
+    * the video path of a multimodal pipeline. Emits narrow rows. */
+  def sampleFrames(media: DataFrame, strideMs: Long, maxFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, _, bytes) =>
+        val durationMs = bytes.length.toLong * 7
+        val n = math.min(maxFrames,
+          math.max(1, (durationMs / math.max(strideMs, 1)).toInt))
+        (0 until n).iterator.map { i =>
+          Frame(id, i, i * strideMs, StubCodec.frameFeature(bytes, i))
+        }
+      })
+      .toDF()
+  }
+
+  /** A synthetic media frame derived from `documents` (text bytes as the
+    * opaque payload) — deterministic input for tests and oracles. */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(expr("doc_id % 3 = 0"), "image")
+        .when(expr("doc_id % 3 = 1"), "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+}

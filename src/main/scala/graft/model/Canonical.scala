@@ -68,6 +68,59 @@ object Canonical {
       rb: Option[Seq[Int]],
       ft: Option[String])
 
+  // ---- audio (radio broadcast) path: time codes replace bounding boxes
+  // (SURVEY.md §1.2; reference ina/helpers.py:30-89) ----
+
+  /** ASR token: `tc = [start, duration]` in seconds. */
+  case class AToken(tc: Seq[Double], tx: Option[String])
+
+  case class SpeechSeg(tc: Seq[Double], t: Seq[AToken])
+
+  case class Utterance(tc: Seq[Double], speaker: Option[String],
+      ss: Seq[SpeechSeg])
+
+  /** Audio section; `pOf` links it to its content item. */
+  case class ASection(tc: Seq[Double], pOf: Option[String], u: Seq[Utterance])
+
+  /** Canonical audio record (one per radio program;
+    * ina/classes.py:52-62). */
+  case class AudioRecord(id: String, cc: Option[Boolean], stt: Option[String],
+      dur: Option[Double], s: Seq[ASection])
+
+  /** Token span in a rebuilt audio doc (audio_rebuilders.py:51-84). */
+  case class AudioTokenSpan(tc: Seq[Double], s: Int, l: Int)
+
+  /** Rebuilt record element of an audio solr doc
+    * (audio_rebuilders.py:204-210; `u` is always empty in the reference —
+    * utterance coords are declared but never filled). */
+  case class RebuiltRecord(id: String, n: Int, t: Seq[AudioTokenSpan],
+      u: Seq[Seq[Double]], s: Seq[Seq[Double]])
+
+  /** Rebuilt audio content item, solr format (helpers.py:215-259 +
+    * audio_rebuilders.py:163-217). */
+  case class RebuiltAudioCI(
+      id: String,
+      ts: String,
+      rr: Seq[Int],
+      d: String,
+      cc: Boolean,
+      olr: Boolean,
+      st: String,
+      sm: String,
+      lg: Option[String],
+      tp: Option[String],
+      ro: Int,
+      title: Option[String],
+      rc: Option[String],
+      rp: Option[String],
+      stt: Option[String],
+      dur: Option[Double],
+      rreb: Seq[RebuiltRecord],
+      ssb: Seq[Int],
+      ub: Seq[Int],
+      sb: Seq[Int],
+      ft: String)
+
   /** Passim-format page region (rebuilders/helpers.py:291-311). */
   case class PassimCoords(x: Int, y: Int, w: Int, h: Int)
   case class PassimRegion(start: Int, length: Int, coords: PassimCoords)

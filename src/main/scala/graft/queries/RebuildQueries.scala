@@ -89,7 +89,57 @@ object RebuildQueries {
               lit(null).cast("boolean").as("gn"))).as("t"))).as("l"))).as("p")))
         .as("r"))
 
+  /** Audio variant: one issue per document, one record holding the
+    * document's tokens as a single section/utterance/speech-segment. */
+  def syntheticAudioIssues(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      issueId.as("id"),
+      lit("radio_broadcast").as("st"),
+      lit("audio").as("sm"),
+      lit("RSR1").as("rc"),
+      lit("News").as("rp"),
+      array(struct(struct(
+        ciId(1).as("id"),
+        lit("radio_episode").as("tp"),
+        array(lit(1)).as("rr"),
+        lit(null).cast("string").as("lg"),
+        lit(null).cast("string").as("t"),
+        lit(null).cast("int").as("ro")).as("m"))).as("i"))
+
+  def syntheticRecords(s: SparkSession, d: String): DataFrame = {
+    val tc = array(lit(0.0), lit(1.0))
+    Tables.documents(s, d).select(
+      concat(issueId, lit("-r0001")).as("id"),
+      lit(true).as("cc"),
+      lit("10:00:00").as("stt"),
+      col("n_chars").cast("double").as("dur"),
+      array(struct(
+        tc.as("tc"),
+        ciId(1).as("pOf"),
+        array(struct(
+          tc.as("tc"),
+          lit("spk1").as("speaker"),
+          array(struct(
+            tc.as("tc"),
+            transform(split(trim(col("text")), "\\s+"), t => struct(
+              tc.as("tc"), t.as("tx"))).as("t"))).as("ss"))).as("u")))
+        .as("s"))
+  }
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R4/R8 — audio solr rebuild over synthesized records (sections →
+    // utterances → speech segments → tokens, time-coded)
+    "r4_rebuild_audio" -> ((s, d) => {
+      RebuildJob.rebuildAudioSolr(s, syntheticAudioIssues(s, d),
+        syntheticRecords(s, d), ts = "2020-01-01T00:00:00Z")
+        .toDF()
+        .select(col("id"), col("ft"),
+          size(element_at(col("rreb"), 1).getField("t")).as("n_spans"),
+          element_at(col("ssb"), -1).as("last_ssb"),
+          col("d"), col("ro"), col("olr"), col("cc"),
+          col("rc"), col("rp"), col("stt"), col("dur"))
+        .orderBy(col("id"))
+    }),
     // R1/R2/R3/R5 — full solr rebuild pipeline over synthesized canonical
     // data (rejoin, region join, fold, assembly); article CIs only
     "r3_rebuild_solr" -> ((s, d) => {
@@ -117,6 +167,20 @@ object RebuildQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "r4_rebuild_audio" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, n_chars, $issueIdSql AS iid,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents)
+         |SELECT iid || '-i0001' AS id,
+         |  array_to_string(tk, ' ') || ' ' AS ft,
+         |  CAST(len(tk) AS INT) AS n_spans,
+         |  CAST(length(array_to_string(tk, ' ')) AS INT) AS last_ssb,
+         |  substr(iid, position('-' IN iid) + 1, 10) AS d,
+         |  1 AS ro, false AS olr, true AS cc,
+         |  'RSR1' AS rc, 'News' AS rp, '10:00:00' AS stt,
+         |  CAST(n_chars AS DOUBLE) AS dur
+         |FROM toks ORDER BY id""".stripMargin,
     "r3_rebuild_solr" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $issueIdSql AS iid,

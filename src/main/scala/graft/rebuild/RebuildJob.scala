@@ -182,6 +182,136 @@ object RebuildJob {
       }
   }
 
+  // ---- audio (radio broadcast) path: records replace pages, time codes
+  // replace boxes (audio_rebuilders.py; SURVEY.md §7.4 risk 8 — the
+  // polymorphism is two typed pipelines sharing the CI assembly) ----
+
+  /** Declared schema for canonical audio records. */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("cc", BooleanType),
+    StructField("stt", StringType),
+    StructField("dur", DoubleType),
+    StructField("s", ArrayType(StructType(Seq(
+      StructField("tc", ArrayType(DoubleType)),
+      StructField("pOf", StringType),
+      StructField("u", ArrayType(StructType(Seq(
+        StructField("tc", ArrayType(DoubleType)),
+        StructField("speaker", StringType),
+        StructField("ss", ArrayType(StructType(Seq(
+          StructField("tc", ArrayType(DoubleType)),
+          StructField("t", ArrayType(StructType(Seq(
+            StructField("tc", ArrayType(DoubleType)),
+            StructField("tx", StringType)))))))))))))))))))
+
+  /** Declared schema for audio issues (radio broadcasts). */
+  val audioIssueSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("st", StringType),
+    StructField("sm", StringType),
+    StructField("rc", StringType),
+    StructField("rp", StringType),
+    StructField("i", ArrayType(StructType(Seq(
+      StructField("m", StructType(Seq(
+        StructField("id", StringType),
+        StructField("tp", StringType),
+        StructField("rr", ArrayType(IntegerType)),
+        StructField("lg", StringType),
+        StructField("t", StringType),
+        StructField("ro", IntegerType))))))))))
+
+  def readAudioIssues(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(audioIssueSchema).json(path)
+
+  def readRecords(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(recordSchema).json(path)
+
+  case class AudioCiInput(
+      ci_id: String,
+      st: String,
+      sm: String,
+      rc: Option[String],
+      rp: Option[String],
+      lg: Option[String],
+      tp: Option[String],
+      title: Option[String],
+      ro: Option[Int],
+      rr: Seq[Int],
+      records: Seq[RecordInput])
+
+  case class RecordInput(
+      rec_no: Int,
+      rec_id: String,
+      stt: Option[String],
+      dur: Option[Double],
+      sections: Seq[ASection])
+
+  /** Audio solr rebuild: same plan shape as the paper path — explode CIs,
+    * join records on (issueId, recNo), in-row section filter by pOf,
+    * ordered group, typed fold (R1/R2/R4/R8 audio variants). */
+  def rebuildAudioSolr(spark: SparkSession, issues: DataFrame,
+      records: DataFrame, ts: String): Dataset[RebuiltAudioCI] = {
+    import spark.implicits._
+    val cis = issues
+      .withColumn("st", coalesce(col("st"), lit("radio_broadcast")))
+      .withColumn("sm", coalesce(col("sm"), lit("audio")))
+      .select(col("id").as("issue_id"), col("st"), col("sm"),
+        col("rc"), col("rp"), explode(col("i")).as("ci"))
+      .select(
+        col("ci.m.id").as("ci_id"),
+        col("issue_id"), col("st"), col("sm"), col("rc"), col("rp"),
+        col("ci.m.lg").as("lg"),
+        col("ci.m.tp").as("tp"),
+        col("ci.m.t").as("title"),
+        col("ci.m.ro").as("ro"),
+        array_sort(array_distinct(col("ci.m.rr"))).as("rr"))
+    val kr = records.select(
+      regexp_replace(col("id"), "-r\\d+$", "").as("issue_id"),
+      regexp_extract(col("id"), "-r(\\d+)$", 1).cast("int").as("rec_no"),
+      col("id").as("rec_id"), col("stt"), col("dur"), col("s"))
+    cis.select(col("ci_id"), col("issue_id"),
+      explode_outer(col("rr")).as("rec_no"))
+      .join(kr, Seq("issue_id", "rec_no"), "left")
+      .withColumn("sections",
+        filter(col("s"), sec => sec.getField("pOf") === col("ci_id")))
+      .groupBy(col("ci_id"))
+      .agg(
+        sort_array(collect_list(struct(col("rec_no"), col("rec_id"),
+          col("stt"), col("dur"), col("sections")))).as("records"),
+        max(col("rec_id").isNull.cast("int")).as("missing_rec"))
+      .join(cis, Seq("ci_id"))
+      .filter(col("missing_rec") === 0)
+      .as[AudioCiInput]
+      .map(ci => rebuildAudioOne(ci, ts))
+  }
+
+  def rebuildAudioOne(ci: AudioCiInput, ts: String): RebuiltAudioCI = {
+    val ciNum = ci.ci_id.split("-").last
+    val d = ci.ci_id.split("-").slice(1, 4).mkString("-")
+    val mappedTp = mapType(ci.tp)
+    val ro = ci.ro.getOrElse(ciNum.drop(1).toInt)
+    // radio broadcasts never have OLR (helpers.py:225)
+    val olr = false
+    // stt/dur come from the CI's first record (helpers.py:341-353)
+    val first = ci.records.headOption
+    var ft = ""
+    val ssb = Seq.newBuilder[Int]
+    val ub = Seq.newBuilder[Int]
+    val sbk = Seq.newBuilder[Int]
+    val rreb = ci.records.map { r =>
+      val fold = graft.text.AudioRebuild.rebuildRecord(r.sections, ci.lg, ft)
+      ft = fold.text
+      ssb ++= fold.speechSegOffsets
+      ub ++= fold.utteranceOffsets
+      sbk ++= fold.sectionOffsets
+      RebuiltRecord(r.rec_id, r.rec_no, fold.tokens, Nil, fold.sections)
+    }
+    RebuiltAudioCI(ci.ci_id, ts, ci.rr, d, cc = true, olr, ci.st, ci.sm,
+      ci.lg, mappedTp, ro, ci.title, ci.rc, ci.rp,
+      first.flatMap(_.stt), first.flatMap(_.dur),
+      rreb, ssb.result(), ub.result(), sbk.result(), ft)
+  }
+
   /** CIs whose pages could not be found — the quarantine side-output. */
   def quarantine(issues: DataFrame, pages: DataFrame): DataFrame =
     joined(issues, pages)

@@ -226,10 +226,12 @@ object LuxImporter {
         (l \\ "div").filter(d => attr(d, "TYPE").contains(t)))
     }.sortBy(d => attr(d, "ID").getOrElse(""))
     for (div <- structDivs) {
+      // canonical full-word type constants (importers/__init__.py):
+      // ad / weather / death_notice — the short codes are rebuild-side
       val tp = attr(div, "TYPE").get.toLowerCase match {
         case "advertisement" => "ad"
-        case "weather" => "w"
-        case "death_notice" => "ob"
+        case "weather" => "weather"
+        case "death_notice" => "death_notice"
       }
       cis += new Ci(f"${ref.issueId}-i$counter%04d", tp,
         attr(div, "LABEL"), None, attr(div, "ID"), parseMetsDiv(div), None)

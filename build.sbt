@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // non-ASCII file names (e.g. BCUL's Courrier_du_Léman) need UTF-8
+  // filesystem-name decoding regardless of the container locale
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the JVM decodes filesystem names with the process locale; force UTF-8
+run / envVars := Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
+Test / envVars := Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")

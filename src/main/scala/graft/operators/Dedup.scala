@@ -97,12 +97,14 @@ object Dedup {
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
+    // signatures via the native codegen'd expression (one tight loop per
+    // row instead of interpreted HOFs — graft.functions.MinHashSignature)
+    graft.functions.MinHashImpl.register(df.sparkSession)
     // Shingle sets ride along through the band join so the pair jaccard
     // needs no join-back (2 fewer shuffles, base computed once per side).
     val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), k))
-      .withColumn("hs", baseHashes(col("sh")))
-      .withColumn("sig", minhashSigFromHashes(col("hs"), numHashes))
+      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
       .select(col("id"), col("sh"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
     // Bucket-expand instead of self-join: group by (band, bandHash) and

@@ -43,10 +43,11 @@ object ScaleQueries {
     }),
 
     "d2_minhash_sig" -> ((s, d) => {
+      graft.functions.MinHashImpl.register(s)
       Tables.documents(s, d)
-        .withColumn("hs", Dedup.baseHashes(Dedup.shingles(col("text"), 3)))
+        .withColumn("sh", Dedup.shingles(col("text"), 3))
         .select(col("doc_id"),
-          array_join(transform(Dedup.minhashSigFromHashes(col("hs"), 16),
+          array_join(transform(expr("minhash_sig(sh, 16)"),
             _.cast("string")), "|").as("sig"))
         .orderBy(col("doc_id"))
     }),

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashImpl
+import graft.operators.Dedup
+
+class MinHashExpressionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("native expression equals the HOF formulation, from SQL and Column API") {
+    import spark.implicits._
+    MinHashImpl.register(spark)
+    val docs = graft.util.Tables.documents(spark, sf).limit(50)
+      .withColumn("sh", Dedup.shingles(col("text"), 3))
+    val both = docs
+      .withColumn("native", expr("minhash_sig(sh, 16)"))
+      .withColumn("hof",
+        Dedup.minhashSigFromHashes(Dedup.baseHashes(col("sh")), 16))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // SQL surface
+    docs.createOrReplaceTempView("docs_sh")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(sh, 16) AS sig FROM docs_sh")
+    assert(viaSql.count() == 50)
+    assert(viaSql.schema("sig").dataType.simpleString == "array<bigint>")
+  }
+
+  test("signature is order-insensitive over shingle multisets") {
+    import spark.implicits._
+    MinHashImpl.register(spark)
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d", "a b c"))).toDF("id", "sh")
+    val sigs = df.select(expr("minhash_sig(sh, 16)")).collect()
+    assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.parse
+
+import java.io.File
+import scala.xml.XML
+
+import graft.util.Json
+import graft.util.Json._
+
+/** ONB (Austrian National Library, ANNO) importer.
+  *
+  * The reference implements ONLY detection for this format
+  * (onb_annop/detect.py; classes.py is empty — SURVEY.md §2.8 "parser
+  * not yet"). Here:
+  *  - [[detectIssues]] handles the documented `ANNO/alias/yyyy/mm/dd`
+  *    layout faithfully, plus the in-repo sample's
+  *    `ANNOP/alias/yyyy/<issueNo>` layout — issue numbers are not dates,
+  *    so those issues get a provisional `yyyy-01-01` date with editions
+  *    assigned by issue-number order (documented beyond-reference
+  *    choice: the reference cannot mint ids for this layout at all);
+  *  - [[parseIssue]] goes beyond the reference: the pages are standard
+  *    ALTO v2, so the generic [[Alto]] core parses them with
+  *    page == content item (no Mets exists, the SWA posture).
+  */
+object OnbImporter {
+
+  case class IssueRef(alias: String, date: String, edition: String,
+      path: String) {
+    def issueId: String = s"$alias-$date-$edition"
+  }
+
+  private def dirs(f: File): Seq[File] =
+    Option(f.listFiles).getOrElse(Array.empty[File]).toSeq
+      .filter(_.isDirectory).sortBy(_.getName)
+
+  def detectIssues(baseDir: String): Seq[IssueRef] = {
+    def walkRoots(root: File): Seq[IssueRef] = {
+      val anno = new File(root, "ANNO")
+      val annop = new File(root, "ANNOP")
+      val documented = if (anno.isDirectory) for {
+        alias <- dirs(anno)
+        year <- dirs(alias) if year.getName.matches("\\d{4}")
+        month <- dirs(year) if month.getName.matches("\\d{2}")
+        day <- dirs(month)
+      } yield IssueRef(alias.getName,
+        s"${year.getName}-${month.getName}-${day.getName}", "a", day.getPath)
+      else Nil
+      val provisional = if (annop.isDirectory) for {
+        alias <- dirs(annop)
+        year <- dirs(alias) if year.getName.matches("\\d{4}")
+        (issueNo, i) <- dirs(year).zipWithIndex
+      } yield IssueRef(alias.getName, s"${year.getName}-01-01",
+        ('a' + i).toChar.toString, issueNo.getPath)
+      else Nil
+      documented ++ provisional
+    }
+    // the sample nests the roots one level down (ONB/anno_sample/ANNOP)
+    val base = new File(baseDir)
+    walkRoots(base) match {
+      case refs if refs.nonEmpty => refs
+      case _ => dirs(base).flatMap(walkRoots)
+    }
+  }
+
+  case class ParsedIssue(issueId: String, issueJson: String,
+      pageJsons: Seq[(String, String)])
+
+  def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
+    val files = Option(new File(ref.path).listFiles)
+      .getOrElse(Array.empty[File])
+      .filter(f => f.getName.endsWith(".xml") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    // page number from the numeric stem; `_2` variants replace the base
+    // only when no base file exists
+    val byNumber = files.groupBy(
+      _.getName.split("\\.")(0).split("_")(0).toInt)
+    val pages = byNumber.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((_, variants), i) => (i + 1, variants.minBy(_.getName.length))
+    }
+    if (pages.isEmpty)
+      throw new IllegalStateException(s"no pages for ${ref.issueId}")
+
+    val cis = pages.map { case (n, _) =>
+      JObj(Seq("m" -> JObj(Seq(
+        "id" -> JStr(f"${ref.issueId}-i$n%04d"),
+        "pp" -> Json.ints(Seq(n)),
+        "tp" -> JStr("page")))))
+    }
+    val pageIds = pages.map(p => f"${ref.issueId}-p${p._1}%04d")
+    val issueJson = JObj(Seq(
+      "id" -> JStr(ref.issueId),
+      "cdt" -> JStr(cdt),
+      "ts" -> JStr(ts),
+      "st" -> JStr("newspaper"),
+      "sm" -> JStr("print"),
+      "i" -> JArr(cis),
+      "pp" -> Json.strs(pageIds)))
+
+    val pageJsons = pages.map { case (n, f) =>
+      val pid = f"${ref.issueId}-p$n%04d"
+      val ciId = f"${ref.issueId}-i$n%04d"
+      val xml = XML.loadFile(f)
+      val ps = (xml \\ "PrintSpace").headOption
+      val mappings = ps.toSeq.flatMap(p => (p \\ "TextBlock"))
+        .flatMap(b => b.attribute("ID").map(_.text -> ciId)).toMap
+      val (regions, notes) = Alto.parsePrintSpace(ps, mappings)
+      val json = JObj(Seq(
+        "id" -> JStr(pid),
+        "cdt" -> JStr(cdt),
+        "ts" -> JStr(ts),
+        "st" -> JStr("newspaper"),
+        "sm" -> JStr("print"),
+        "cc" -> JBool(true),
+        "r" -> JArr(regions.map(regionJson))) ++
+        (if (notes.nonEmpty) Seq("n" -> Json.strs(notes)) else Nil))
+      pid -> Json.render(json)
+    }
+    ParsedIssue(ref.issueId, Json.render(issueJson), pageJsons)
+  }
+
+  import graft.model.Canonical._
+
+  private def tokenJson(t: CToken): JValue =
+    JObj(Seq("c" -> Json.ints(t.c)) ++
+      t.tx.map(v => "tx" -> (JStr(v): JValue)) ++
+      t.hy.map(v => "hy" -> (JBool(v): JValue)) ++
+      t.nf.map(v => "nf" -> (JStr(v): JValue)))
+
+  private def regionJson(r: CRegion): JValue =
+    JObj(Seq("c" -> Json.ints(r.c)) ++
+      r.pOf.map(v => "pOf" -> (JStr(v): JValue)) ++
+      Seq("p" -> JArr(r.p.map(pa => JObj(Seq(
+        "c" -> Json.ints(pa.c),
+        "l" -> JArr(pa.l.map(li => JObj(Seq(
+          "c" -> Json.ints(li.c),
+          "t" -> JArr(li.t.map(tokenJson))))))))))))
+}

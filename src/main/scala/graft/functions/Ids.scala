@@ -39,4 +39,21 @@ object Ids {
   /** Parse the item number out of a `...-iNNNN` content-item ID. */
   def itemNumberOf(id: Column): Column =
     regexp_extract(id, "-i(\\d+)$", 1).cast("int")
+
+  /** Provisional edition letter for the i-th issue of a day/year:
+    * `a..z, aa, ab, ...` (bijective base-26). The reference's
+    * `chr(97+i)` overflows past 'z' for more than 26 issues
+    * (onb_annop/detect.py uses it unguarded); we extend the sequence
+    * instead so IDs stay well-formed. */
+  def editionLetter(i: Int): String = {
+    require(i >= 0, s"edition index must be >= 0, got $i")
+    val sb = new StringBuilder
+    var n = i + 1 // bijective numeration
+    while (n > 0) {
+      n -= 1
+      sb.insert(0, ('a' + n % 26).toChar)
+      n /= 26
+    }
+    sb.toString
+  }
 }

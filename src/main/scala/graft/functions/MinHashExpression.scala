@@ -34,14 +34,27 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      MinHashImpl.signature(input.asInstanceOf[ArrayData], numHashes))
+  // empty shingle array → null signature, matching the HOF form
+  // (array_min over an empty transform yields null)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = MinHashImpl.signature(input.asInstanceOf[ArrayData], numHashes)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.MinHashImpl.signature($c, $numHashes))")
+    nullSafeCodeGen(ctx, ev, { c =>
+      val sig = ctx.freshName("minhashSig")
+      s"""
+         |long[] $sig = graft.functions.MinHashImpl.signature($c, $numHashes);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -56,24 +69,33 @@ object MinHashImpl {
         java.security.MessageDigest.getInstance("MD5")
     })
 
-  /** Seeds identical to Dedup.minhashSeeds. */
-  def seeds(n: Int): (Array[Long], Array[Long]) = {
-    val a = new Array[Long](n)
-    val b = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      a(i) = (1L + i.toLong * 2654435761L) % P
-      b(i) = (7L + i.toLong * 40503L) % P
-      i += 1
-    }
-    (a, b)
-  }
+  /** Seeds identical to Dedup.minhashSeeds, cached per numHashes — the
+    * arrays are immutable after construction so sharing across threads
+    * is safe, and the hot loop no longer rebuilds them per row. */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
+  def seeds(n: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(n, { k =>
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        a(i) = (1L + i.toLong * 2654435761L) % P
+        b(i) = (7L + i.toLong * 40503L) % P
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** Returns null for an empty shingle array (the HOF form's
+    * `array_min(transform(empty))` is null). */
   def signature(shingles: ArrayData, numHashes: Int): Array[Long] = {
+    val n = shingles.numElements()
+    if (n == 0) return null
     val (a, b) = seeds(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val md = digests.get()
-    val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
@@ -92,10 +114,6 @@ object MinHashImpl {
       }
       i += 1
     }
-    // empty input: align with array_min over empty (null) → use 0s? The
-    // HOF form yields null mins; shingle arrays are never empty upstream
-    // (short docs contribute one whole-text shingle), so MaxValue stays
-    // only for genuinely empty arrays.
     sig
   }
 

@@ -97,8 +97,8 @@ object BculImporter {
                 // edition from position among sibling issue dirs
                 val siblings = listFiles(d.getParentFile)
                   .filter(_.isDirectory).map(_.getName).sorted
-                val ed = ('a' + math.max(siblings.indexOf(d.getName), 0))
-                  .toChar.toString
+                val ed = graft.functions.Ids.editionLetter(
+                  math.max(siblings.indexOf(d.getName), 0))
                 out += IssueRef(alias, s"$y-$m-$dd", ed, d.getPath, fileType)
               }
             }
@@ -229,8 +229,13 @@ object BculImporter {
               case Some(pf) =>
                 val src = mapper.readTree(exif).get(0).get("SourceFile")
                   .asText.split("/").last
-                val no = src.split("\\.")(0).split("_").last.toInt
-                Some((no, pf, fileId))
+                val seg = src.split("\\.")(0).split("_").last
+                if (seg.nonEmpty && seg.forall(_.isDigit))
+                  Some((seg.toInt, pf, fileId))
+                else {
+                  notes += s"Page $src has no numeric page number; skipped."
+                  None
+                }
             }
           }
       } else {

@@ -71,8 +71,13 @@ object BlImporter {
       .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml") &&
         !f.getName.toLowerCase.contains("mets"))
       .sortBy(_.getName)
-    val pages = pageFiles.map { f =>
-      (f.getName.split("\\.")(0).split("_").last.toInt, f)
+    // page number from the trailing numeric segment of the stem; files
+    // without one (stray sidecar XML) are skipped rather than failing
+    // the whole issue
+    val pages = pageFiles.flatMap { f =>
+      val seg = f.getName.split("\\.")(0).split("_").last
+      if (seg.nonEmpty && seg.forall(_.isDigit)) Some((seg.toInt, f))
+      else None
     }.toSeq.sortBy(_._1)
 
     val structMaps = doc \\ "structMap"

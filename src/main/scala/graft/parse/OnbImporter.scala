@@ -49,7 +49,7 @@ object OnbImporter {
         year <- dirs(alias) if year.getName.matches("\\d{4}")
         (issueNo, i) <- dirs(year).zipWithIndex
       } yield IssueRef(alias.getName, s"${year.getName}-01-01",
-        ('a' + i).toChar.toString, issueNo.getPath)
+        graft.functions.Ids.editionLetter(i), issueNo.getPath)
       else Nil
       documented ++ provisional
     }
@@ -65,13 +65,21 @@ object OnbImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
+    val issueNotes = scala.collection.mutable.ArrayBuffer.empty[String]
     val files = Option(new File(ref.path).listFiles)
       .getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".xml") && !f.getName.startsWith("."))
       .sortBy(_.getName)
-    // page number from the numeric stem; `_2` variants replace the base
-    // only when no base file exists
-    val byNumber = files.groupBy(
+    // page number from the numeric stem; non-numeric stems (mets files,
+    // stray XML) are diverted to a note instead of failing the issue
+    val (numbered, unnumbered) = files.partition { f =>
+      val stem = f.getName.split("\\.")(0).split("_")(0)
+      stem.nonEmpty && stem.forall(_.isDigit)
+    }
+    unnumbered.foreach(f =>
+      issueNotes += s"${ref.issueId} - skipping non-page xml ${f.getName}")
+    // `_2` variants replace the base only when no base file exists
+    val byNumber = numbered.groupBy(
       _.getName.split("\\.")(0).split("_")(0).toInt)
     val pages = byNumber.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((_, variants), i) => (i + 1, variants.minBy(_.getName.length))
@@ -93,7 +101,9 @@ object OnbImporter {
       "st" -> JStr("newspaper"),
       "sm" -> JStr("print"),
       "i" -> JArr(cis),
-      "pp" -> Json.strs(pageIds)))
+      "pp" -> Json.strs(pageIds)) ++
+      (if (issueNotes.nonEmpty) Seq("n" -> Json.strs(issueNotes.toSeq))
+       else Nil))
 
     val pageJsons = pages.map { case (n, f) =>
       val pid = f"${ref.issueId}-p$n%04d"

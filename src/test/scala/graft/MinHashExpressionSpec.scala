@@ -27,6 +27,26 @@ class MinHashExpressionSpec extends AnyFunSuite {
     assert(viaSql.schema("sig").dataType.simpleString == "array<bigint>")
   }
 
+  test("empty shingle array yields null, matching the HOF form") {
+    import spark.implicits._
+    MinHashImpl.register(spark)
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq("a b c"))).toDF("id", "sh")
+    val out = df.select(col("id"), expr("minhash_sig(sh, 16)").as("sig"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1))
+    assert(!out(1).isNullAt(1))
+  }
+
+  test("edition letters extend past z (bijective base-26)") {
+    import graft.functions.Ids
+    assert(Ids.editionLetter(0) == "a")
+    assert(Ids.editionLetter(25) == "z")
+    assert(Ids.editionLetter(26) == "aa")
+    assert(Ids.editionLetter(27) == "ab")
+    assert(Ids.editionLetter(51) == "az")
+    assert(Ids.editionLetter(52) == "ba")
+  }
+
   test("signature is order-insensitive over shingle multisets") {
     import spark.implicits._
     MinHashImpl.register(spark)

@@ -35,4 +35,45 @@ object Iiif {
   /** `info.json` descriptor link for a page. */
   def infoLink(baseUri: Column): Column =
     concat(baseUri, lit("/info.json"))
+
+  /** Reconstruct the IIIF image link for an img-type content item from
+    * its canonical `iiif_link` + coordinates — a faithful port of
+    * `reconstruct_iiif_link` (rebuilders/helpers.py:441-485, incl. the
+    * get_iiif_and_coords precedence of helpers.py:417-437):
+    *
+    *  - the stored link may end in `info.json` (the common case: strip
+    *    it and append `x,y,w,h/<endpoint suffix>`),
+    *  - or in `default.jpg` (already an image request: keep it verbatim
+    *    when it embeds the right coords+suffix, else strip the last
+    *    three path segments and rebuild),
+    *  - any other suffix is treated as a base segment to drop (the
+    *    reference warns and rebuilds the same way).
+    *
+    * Endpoint-specific suffixes (SWA/BCUL) are chosen by substring
+    * containment on the base, as in the reference. Returns None when
+    * either the link or the coords are absent/empty. Used from the
+    * rebuild's typed fold; plain Scala, no UDF registration needed. */
+  def reconstructImageLink(iiif: Option[String],
+      coords: Option[Seq[Int]]): Option[String] =
+    for {
+      link <- iiif if link.nonEmpty
+      cs <- coords if cs.nonEmpty
+    } yield {
+      val coordStr = cs.mkString(",")
+      val cut = link.lastIndexOf('/')
+      val uriBase0 = if (cut >= 0) link.substring(0, cut) else ""
+      val oldSuffix = link.substring(cut + 1)
+      val imgSuffix = EndpointSuffixes.collectFirst {
+        case (base, sfx) if uriBase0.contains(base) => sfx
+      }.getOrElse("full/0/default.jpg")
+      if (oldSuffix == "default.jpg") {
+        if (link.contains(coordStr) && link.contains(imgSuffix)) link
+        else {
+          // image request with wrong coords/suffix: drop region/size/
+          // rotation segments back to the identifier base
+          val uriBase = uriBase0.split("/").dropRight(3).mkString("/")
+          s"$uriBase/$coordStr/$imgSuffix"
+        }
+      } else s"$uriBase0/$coordStr/$imgSuffix"
+    }
 }

@@ -40,32 +40,50 @@ object RebuildQueries {
 
   private def box: Column = array(lit(0), lit(0), lit(1), lit(1))
 
-  /** Canonical-shaped issues frame derived from `documents`. */
-  def syntheticIssues(s: SparkSession, d: String): DataFrame =
+  /** Canonical-shaped issues frame derived from `documents`. The img CI
+    * (every 5th document) carries a page-level `info.json` IIIF link in
+    * `m` plus image coords in `m.c`, exercising the reconstruction path
+    * of reconstruct_iiif_link (helpers.py:441-485). */
+  def syntheticIssues(s: SparkSession, d: String): DataFrame = {
+    val noCoords = lit(null).cast("array<int>")
+    val imgLink = when(expr("doc_id % 5 = 0"),
+      concat(lit("https://iiif.example.org/img/"), issueId,
+        lit("-p0001/info.json")))
+    val imgCoords = when(expr("doc_id % 5 = 0"),
+      array(lit(10), lit(20), expr("cast(100 + doc_id % 50 as int)"), lit(80)))
     Tables.documents(s, d).select(
       issueId.as("id"),
       lit(null).cast("string").as("st"),
       lit(null).cast("string").as("sm"),
       array(concat(issueId, lit("-p0001"))).as("pp"),
       array(
-        struct(struct(
-          ciId(1).as("id"),
-          lit("article").as("tp"),
-          array(lit(1)).as("pp"),
-          lit(null).cast("string").as("lg"),
-          lit(null).cast("string").as("l"),
-          lit(null).cast("string").as("t"),
-          lit(null).cast("int").as("ro"),
-          lit(null).cast("string").as("iiif_link")).as("m")),
-        struct(struct(
-          ciId(2).as("id"),
-          when(expr("doc_id % 5 = 0"), "image").otherwise("ad").as("tp"),
-          array(lit(1)).as("pp"),
-          lit(null).cast("string").as("lg"),
-          lit(null).cast("string").as("l"),
-          lit(null).cast("string").as("t"),
-          lit(null).cast("int").as("ro"),
-          lit(null).cast("string").as("iiif_link")).as("m"))).as("i"))
+        struct(
+          struct(
+            ciId(1).as("id"),
+            lit("article").as("tp"),
+            array(lit(1)).as("pp"),
+            lit(null).cast("string").as("lg"),
+            lit(null).cast("string").as("l"),
+            lit(null).cast("string").as("t"),
+            lit(null).cast("int").as("ro"),
+            lit(null).cast("string").as("iiif_link"),
+            noCoords.as("c")).as("m"),
+          noCoords.as("c"),
+          lit(null).cast("string").as("iiif_link")),
+        struct(
+          struct(
+            ciId(2).as("id"),
+            when(expr("doc_id % 5 = 0"), "image").otherwise("ad").as("tp"),
+            array(lit(1)).as("pp"),
+            lit(null).cast("string").as("lg"),
+            lit(null).cast("string").as("l"),
+            lit(null).cast("string").as("t"),
+            lit(null).cast("int").as("ro"),
+            imgLink.as("iiif_link"),
+            imgCoords.as("c")).as("m"),
+          noCoords.as("c"),
+          lit(null).cast("string").as("iiif_link"))).as("i"))
+  }
 
   /** Canonical-shaped pages frame: one region/para/line holding the
     * document's whitespace tokens, attributed to content item i0001. */
@@ -154,6 +172,17 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // C16/R5 — img CIs get their iiif_link reconstructed from the
+    // canonical info.json link + m.c coords (helpers.py:441-485)
+    "r7_img_iiif" -> ((s, d) => {
+      RebuildJob.rebuildSolr(s, syntheticIssues(s, d), syntheticPages(s, d),
+        ts = "2020-01-01T00:00:00Z")
+        .toDF()
+        .filter(col("tp") === "img")
+        .select(col("id"), col("iiif_link"), col("d"), col("olr"))
+        .orderBy(col("id"))
+    }),
+
     // R6/R7 — passim-format rebuild (newline line ends)
     "r6_rebuild_passim" -> ((s, d) => {
       RebuildJob.rebuildPassim(s, syntheticIssues(s, d), syntheticPages(s, d))
@@ -193,6 +222,15 @@ object RebuildQueries {
          |  substr(iid, position('-' IN iid) + 1, 10) AS d,
          |  1 AS ro, true AS olr, true AS cc
          |FROM toks ORDER BY id""".stripMargin,
+
+    "r7_img_iiif" ->
+      s"""SELECT $issueIdSql || '-i0002' AS id,
+         |  'https://iiif.example.org/img/' || $issueIdSql ||
+         |    '-p0001/10,20,' || CAST(100 + doc_id % 50 AS VARCHAR) ||
+         |    ',80/full/0/default.jpg' AS iiif_link,
+         |  substr($issueIdSql, position('-' IN $issueIdSql) + 1, 10) AS d,
+         |  true AS olr
+         |FROM documents WHERE doc_id % 5 = 0 ORDER BY id""".stripMargin,
 
     "r6_rebuild_passim" ->
       s"""WITH toks AS (

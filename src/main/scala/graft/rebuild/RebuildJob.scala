@@ -49,7 +49,9 @@ object RebuildJob {
             StructField("nf", StringType),
             StructField("gn", BooleanType)))))))))))))))))))
 
-  /** Declared schema for canonical issues (fields the rebuild consumes). */
+  /** Declared schema for canonical issues (fields the rebuild consumes).
+    * `iiif_link` and image coords `c` live in `m` or at the CI top level
+    * depending on importer vintage (helpers.py:417-437) — both are read. */
   val issueSchema: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("st", StringType),
@@ -63,7 +65,10 @@ object RebuildJob {
         StructField("l", StringType),
         StructField("t", StringType),
         StructField("ro", IntegerType),
-        StructField("iiif_link", StringType))))))))))
+        StructField("iiif_link", StringType),
+        StructField("c", ArrayType(IntegerType))))),
+      StructField("c", ArrayType(IntegerType)),
+      StructField("iiif_link", StringType)))))))
 
   /** Read canonical issues JSONL(.bz2); Spark decompresses bz2 natively
     * and splits multi-file inputs per file (S6 in SURVEY.md §2.1). */
@@ -83,6 +88,7 @@ object RebuildJob {
       title: Option[String],
       ro: Option[Int],
       iiif_link: Option[String],
+      coords: Option[Seq[Int]],
       pp: Seq[Int],
       pages: Seq[PageInput])
 
@@ -109,7 +115,10 @@ object RebuildJob {
         col("ci.m.tp").as("tp"),
         col("ci.m.t").as("title"),
         col("ci.m.ro").as("ro"),
-        col("ci.m.iiif_link").as("iiif_link"),
+        // m takes precedence for the link, the CI top level for coords
+        // (get_iiif_and_coords, helpers.py:430-434)
+        coalesce(col("ci.m.iiif_link"), col("ci.iiif_link")).as("iiif_link"),
+        coalesce(col("ci.c"), col("ci.m.c")).as("coords"),
         array_sort(array_distinct(col("ci.m.pp"))).as("pp"))
 
   /** Pages keyed for the join: issue id + numeric page number parsed from
@@ -334,8 +343,12 @@ object RebuildJob {
       Some(ccs.forall(_.contains(true))) else None
 
     if (mappedTp.contains("img")) {
+      // the canonical link points at the page's info.json (or a stale
+      // image request) — reconstruct the CI's own image-area request
+      // (helpers.py:231, reconstruct_iiif_link)
       RebuiltCI(ci.ci_id, ts, ci.pp, d, cc, olr, ci.st, ci.sm, ci.lg,
-        mappedTp, ro, ci.title, ci.iiif_link,
+        mappedTp, ro, ci.title,
+        graft.functions.Iiif.reconstructImageLink(ci.iiif_link, ci.coords),
         None, None, None, None, None)
     } else {
       var ft = ""

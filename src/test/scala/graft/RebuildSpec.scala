@@ -90,6 +90,56 @@ class RebuildSpec extends AnyFunSuite {
     assert(rebuilt.count(_.ft.exists(_.length > 100)) > 10)
   }
 
+  test("reconstructImageLink ports reconstruct_iiif_link faithfully") {
+    import graft.functions.Iiif.reconstructImageLink
+    val cs = Some(Seq(10, 20, 30, 40))
+    // info.json link: strip descriptor, append coords + default suffix
+    assert(reconstructImageLink(
+      Some("https://x.org/iiif/ABC-p0001/info.json"), cs)
+      .contains("https://x.org/iiif/ABC-p0001/10,20,30,40/full/0/default.jpg"))
+    // already-correct image request is kept verbatim
+    val ok = "https://x.org/iiif/ABC-p0001/10,20,30,40/full/0/default.jpg"
+    assert(reconstructImageLink(Some(ok), cs).contains(ok))
+    // image request with stale coords: drop region/size/rotation and rebuild
+    assert(reconstructImageLink(
+      Some("https://x.org/iiif/ABC-p0001/1,2,3,4/full/0/default.jpg"), cs)
+      .contains("https://x.org/iiif/ABC-p0001/10,20,30,40/full/0/default.jpg"))
+    // endpoint-specific suffixes (SWA / BCUL) chosen by base containment
+    assert(reconstructImageLink(
+      Some("https://ub-sipi.ub.unibas.ch/impresso/ABC/info.json"), cs)
+      .contains("https://ub-sipi.ub.unibas.ch/impresso/ABC/10,20,30,40/max/0/default.jpg"))
+    assert(reconstructImageLink(
+      Some("https://scriptorium.bcu-lausanne.ch/api/ABC/info.json"), cs)
+      .contains("https://scriptorium.bcu-lausanne.ch/api/ABC/10,20,30,40/300,/0/default.jpg"))
+    // missing link or coords → None (get_iiif_and_coords guard)
+    assert(reconstructImageLink(None, cs).isEmpty)
+    assert(reconstructImageLink(Some("https://x.org/i/info.json"), None).isEmpty)
+    assert(reconstructImageLink(Some("https://x.org/i/info.json"), Some(Nil)).isEmpty)
+  }
+
+  test("golden: FZG-1972 img CI keeps its canonical image link verbatim") {
+    val issues = RebuildJob.readIssues(spark,
+      s"$canonicalDir/FZG-1972-issues.jsonl.bz2")
+    val pages = RebuildJob.readPages(spark,
+      s"$canonicalDir/pages/FZG-1972-03-02-a-pages.jsonl.bz2")
+    val rebuilt = RebuildJob.rebuildSolr(spark, issues, pages, "T").collect()
+    val img = rebuilt.find(_.id == "FZG-1972-03-02-a-i0076").get
+    assert(img.tp.contains("img"))
+    // top-level iiif_link + m.c coords; the link already embeds the right
+    // coords and suffix so reconstruct_iiif_link returns it unchanged
+    assert(img.iiif_link.contains(
+      "https://impresso-project.ch/api/proxy/iiif/FZG-1972-03-02-a-p0008/" +
+        "3180,1223,548,375/full/0/default.jpg"))
+    assert(img.ft.isEmpty && img.ppreb.isEmpty)
+    // FAM-style img CI (m.c but no link anywhere) must yield no link
+    val fam = RebuildJob.rebuildSolr(spark,
+      RebuildJob.readIssues(spark, s"$canonicalDir/FAM-1937-issues.jsonl.bz2"),
+      RebuildJob.readPages(spark,
+        s"$canonicalDir/pages/FAM-1937-01-30-a-pages.jsonl.bz2"), "T")
+      .collect().find(_.id == "FAM-1937-01-30-a-i0005").get
+    assert(fam.tp.contains("img") && fam.iiif_link.isEmpty)
+  }
+
   test("CIs referencing missing pages are quarantined, not dropped or fatal") {
     import spark.implicits._
     val issues = RebuildJob.readIssues(spark,

@@ -95,7 +95,10 @@ object FedgazImporter {
     case class Art(docid: String, ciId: String, var title: String,
         var lang: String, var pp: Seq[Int],
         var pages: mutable.ArrayBuffer[mutable.ArrayBuffer[RegionT]],
-        pruned: Boolean)
+        pruned: Boolean,
+        // set when the shared last page was actually handed to a follower
+        // — a trailing pruned article has no follower, keeps its page
+        var lastPageDropped: Boolean = false)
     val arts = files.zipWithIndex.map { case (f, i) =>
       val parsed = TetmlImporter.parseArticle(f)
       val docid = f.getName.split("\\.")(0)
@@ -130,21 +133,42 @@ object FedgazImporter {
         FuzzyMatch.find(text, title,
           Some(math.max(2, title.length / 5))) match {
           case Some((offset, _)) =>
-            val tokIdx = text.substring(0, offset).count(_ == ' ')
-            val (_, ri, pi) = tokens(math.min(tokIdx, tokens.length - 1))
-            if (pi > 0 && page0.nonEmpty) {
+            // boundary token = the token whose span contains the match
+            // offset, derived from token positions in the joined text
+            // (space-counting miscounts when a token itself contains a
+            // space — the reference's count(" ") remap has that flaw)
+            val starts = new Array[Int](tokens.length)
+            var acc = 0
+            for (k <- tokens.indices) {
+              starts(k) = acc
+              acc += tokens(k)._1.length + 1
+            }
+            val tokIdx = math.max(0, starts.lastIndexWhere(_ <= offset))
+            val (_, ri, pi) = tokens(tokIdx)
+            // everything before the boundary belongs to the pruned
+            // article: whole regions before ri, plus the paragraphs
+            // before pi within region ri (the reference only moves the
+            // in-region paragraphs, stranding earlier regions with the
+            // follower — classes.py:349-401's TODO acknowledges the
+            // partial reassignment; we move both)
+            for (r <- 0 until ri) page0(r).pOfOverride = Some(prev.ciId)
+            if (pi > 0) {
               val reg = page0(ri)
               val moved = reg.paras.take(pi)
               reg.paras.remove(0, pi)
               if (moved.nonEmpty) {
                 val newRegion = new RegionT(mutable.ArrayBuffer.from(moved))
                 newRegion.pOfOverride = Some(prev.ciId)
-                page0.insert(0, newRegion)
+                page0.insert(ri, newRegion)
               }
             }
             prev.pages.dropRightInPlace(1)
+            prev.lastPageDropped = true
           case None =>
+            // page dropped regardless of matching, else the relation to
+            // the corresponding scan is broken (classes.py:330-333)
             prev.pages.dropRightInPlace(1)
+            prev.lastPageDropped = true
         }
       }
     }
@@ -158,11 +182,12 @@ object FedgazImporter {
         "pp" -> Json.ints(a.pp)))))
     }
 
-    // pages: pruned articles contribute one page fewer (their last page
-    // is parsed with the follower)
+    // pages: a pruned article contributes one page fewer only when a
+    // follower actually consumed its last page — a trailing pruned
+    // article keeps its final parsed page
     val pageJsonsAcc = mutable.ArrayBuffer.empty[(String, String)]
     for (a <- arts) {
-      val canPages = if (a.pruned) a.pp.dropRight(1) else a.pp
+      val canPages = if (a.lastPageDropped) a.pp.dropRight(1) else a.pp
       for ((pageNo, regions) <- canPages.zip(a.pages)) {
         val pid = f"${ref.issueId}-p$pageNo%04d"
         val rJson = regions.toSeq.map(r => r.json(a.ciId))

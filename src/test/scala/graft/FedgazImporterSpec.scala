@@ -92,6 +92,38 @@ class FedgazImporterSpec extends AnyFunSuite {
     assert(ids.size == 12)
   }
 
+  test("trailing pruned article keeps its last page (no follower consumed it)") {
+    // same issue, but the LAST article is flagged pruned: there is no
+    // follower to hand the shared page to, so all its pages must survive
+    val base = Files.createTempDirectory("fedgaz-trail")
+    val issueDir = base.resolve("FedGazDe/1857/09/26")
+    Files.createDirectories(issueDir)
+    Files.list(srcIssue).forEach { f =>
+      if (f.toString.endsWith(".tetml"))
+        Files.copy(f, issueDir.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    val plainRef = TetmlImporter.detectIssues(base.toString).head
+    val plain = TetmlImporter.parseIssue(plainRef, "C", "T")
+    val t1 = tokensOf(plain, "FedGazDe-1857-09-26-a-p0001", 0, 4)
+    val t5 = tokensOf(plain, "FedGazDe-1857-09-26-a-p0008", 0, 4)
+    val rows = Seq(
+      "article_docid\tarticle_title\tvolume_language\tcanonical_page_first\tcanonical_page_last\tpruned\tissue_date",
+      s"10002300\t$t1\tde\t1\t2\tFalse\t1857-09-26",
+      s"10002301\tx\tde\t3\t3\tFalse\t1857-09-26",
+      s"10002302\ty\tfr\t4\t4\tFalse\t1857-09-26",
+      s"10002303\tz\tde\t5\t6\tFalse\t1857-09-26",
+      s"10002304\t$t5\tde\t7\t12\tTrue\t1857-09-26")
+    Files.writeString(base.resolve("FedGazDe/metadata.tsv"),
+      rows.mkString("\n"))
+    val parsedTrail = FedgazImporter.parseIssue(
+      FedgazImporter.detectIssues(base.toString).head, "C", "T")
+    val ids = parsedTrail.pageJsons.map(_._1)
+    assert(ids.distinct.size == ids.size)
+    // the trailing pruned article's full span survives, incl. p0012
+    assert(ids.contains("FedGazDe-1857-09-26-a-p0012"))
+  }
+
   test("fuzzy boundary reassigns leading paragraphs to the pruned article") {
     // the follower's first page: its first region must now belong to the
     // pruned article i0002

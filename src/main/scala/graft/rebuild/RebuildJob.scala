@@ -130,13 +130,22 @@ object RebuildJob {
       col("id").as("page_id"), col("cc"), col("r"))
 
   /** The joined, per-CI-grouped frame ready for the typed fold. Rows with
-    * `missing_page = true` must be quarantined, not rebuilt (F5). */
+    * `missing_page = true` must be quarantined, not rebuilt (F5).
+    *
+    * CI metadata rides through the page-ref explode and is regrouped
+    * with `first()` — one scan of the issues and two shuffles total
+    * (the page join and the per-CI regroup). The alternative join-back
+    * against the CI frame costs a third shuffle plus a second scan of
+    * the issues at 100 TB. The duplicated metadata per exploded row is
+    * bounded: `pp` arrays are a handful of page refs. */
   def joined(issues: DataFrame, pages: DataFrame): DataFrame = {
     val cis = contentItems(issues)
     val kp = keyedPages(pages)
     // explode_outer: a CI with no page refs keeps one null row and lands
     // in quarantine instead of vanishing (F4, rebuilder.py:182-199)
-    cis.select(col("ci_id"), col("issue_id"),
+    cis.select(col("ci_id"), col("issue_id"), col("st"), col("sm"),
+      col("lg"), col("tp"), col("title"), col("ro"), col("iiif_link"),
+      col("coords"), col("pp"),
       explode_outer(col("pp")).as("page_no"))
       .join(kp, Seq("issue_id", "page_no"), "left")
       // region surgery stays inside the row: no shuffle (SURVEY §2.3 J3-J8)
@@ -147,8 +156,13 @@ object RebuildJob {
         sort_array(collect_list(struct(
           col("page_no"), col("page_id"), col("cc"), col("regions"))))
           .as("pages"),
-        max(col("page_id").isNull.cast("int")).as("missing_page"))
-      .join(cis, Seq("ci_id"))
+        max(col("page_id").isNull.cast("int")).as("missing_page"),
+        first(col("st")).as("st"), first(col("sm")).as("sm"),
+        first(col("lg")).as("lg"), first(col("tp")).as("tp"),
+        first(col("title")).as("title"), first(col("ro")).as("ro"),
+        first(col("iiif_link")).as("iiif_link"),
+        first(col("coords")).as("coords"),
+        first(col("pp")).as("pp"))
   }
 
   /** Full solr rebuild (R5, rebuilders/helpers.py:176-259).
@@ -278,7 +292,11 @@ object RebuildJob {
       regexp_replace(col("id"), "-r\\d+$", "").as("issue_id"),
       regexp_extract(col("id"), "-r(\\d+)$", 1).cast("int").as("rec_no"),
       col("id").as("rec_id"), col("stt"), col("dur"), col("s"))
-    cis.select(col("ci_id"), col("issue_id"),
+    // same two-shuffle shape as the paper path: metadata rides through
+    // the record-ref explode, no join-back
+    cis.select(col("ci_id"), col("issue_id"), col("st"), col("sm"),
+      col("rc"), col("rp"), col("lg"), col("tp"), col("title"), col("ro"),
+      col("rr"),
       explode_outer(col("rr")).as("rec_no"))
       .join(kr, Seq("issue_id", "rec_no"), "left")
       .withColumn("sections",
@@ -287,8 +305,12 @@ object RebuildJob {
       .agg(
         sort_array(collect_list(struct(col("rec_no"), col("rec_id"),
           col("stt"), col("dur"), col("sections")))).as("records"),
-        max(col("rec_id").isNull.cast("int")).as("missing_rec"))
-      .join(cis, Seq("ci_id"))
+        max(col("rec_id").isNull.cast("int")).as("missing_rec"),
+        first(col("st")).as("st"), first(col("sm")).as("sm"),
+        first(col("rc")).as("rc"), first(col("rp")).as("rp"),
+        first(col("lg")).as("lg"), first(col("tp")).as("tp"),
+        first(col("title")).as("title"), first(col("ro")).as("ro"),
+        first(col("rr")).as("rr"))
       .filter(col("missing_rec") === 0)
       .as[AudioCiInput]
       .map(ci => rebuildAudioOne(ci, ts))

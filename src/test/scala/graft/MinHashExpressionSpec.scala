@@ -27,6 +27,24 @@ class MinHashExpressionSpec extends AnyFunSuite {
     assert(viaSql.schema("sig").dataType.simpleString == "array<bigint>")
   }
 
+  test("native word_shingles equals the HOF formulation") {
+    import spark.implicits._
+    graft.functions.ShinglesImpl.register(spark)
+    val docs = graft.util.Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"))
+    // plus edge cases: empty, blank, single token, k-1 tokens
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "one two"), (9005L, " padded  with   runs  "))
+      .toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val both = docs.unionByName(edge)
+        .withColumn("native", expr(s"word_shingles(text, $k)"))
+        .withColumn("hof", Dedup.shingles(col("text"), k))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0,
+        s"k=$k mismatch")
+    }
+  }
+
   test("empty shingle array yields null, matching the HOF form") {
     import spark.implicits._
     MinHashImpl.register(spark)

@@ -138,6 +138,29 @@ object Canonical {
       pages: Seq[PassimPage],
       text: String)
 
+  /** Passim-format audio token region: time coords replace boxes. The
+    * reference's audio passim path is unfinished (audio_rebuilders.py:87
+    * "TODO adapt to radio data" — it indexes page-shaped keys and the
+    * `pprr` key its rejoin never sets); this is the working completion
+    * of its declared intent: per-token regions with `tc` coords inside
+    * an `audios` array (helpers.py:300-303 picks `audios` over
+    * `pages` for audio CIs). */
+  case class PassimAudioRegion(start: Int, length: Int, tc: Seq[Double])
+  case class PassimAudio(id: String, seq: Int,
+      sections: Seq[PassimAudioRegion])
+
+  /** Rebuilt audio content item, passim format. */
+  case class PassimAudioDoc(
+      series: String,
+      date: String,
+      id: String,
+      cc: Option[Boolean],
+      tp: Option[String],
+      lg: Option[String],
+      title: Option[String],
+      audios: Seq[PassimAudio],
+      text: String)
+
   /** CI type normalization (rebuilders/helpers.py:36-48 TYPE_MAPPINGS).
     * Types not in the table pass through unchanged. */
   val TypeMappings: Map[String, Option[String]] = Map(

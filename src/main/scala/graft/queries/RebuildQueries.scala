@@ -172,6 +172,21 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // R6/R7 audio variant — passim rebuild over audio records (time-coded
+    // token regions inside an `audios` array)
+    "r5_audio_passim" -> ((s, d) => {
+      RebuildJob.rebuildAudioPassim(s, syntheticAudioIssues(s, d),
+        syntheticRecords(s, d))
+        .toDF()
+        .select(col("id"), col("series"), col("date"), col("tp"), col("lg"),
+          col("text"),
+          size(element_at(col("audios"), 1).getField("sections"))
+            .as("n_regions"),
+          element_at(element_at(col("audios"), 1).getField("sections"), -1)
+            .getField("start").as("last_start"))
+        .orderBy(col("id"))
+    }),
+
     // C16/R5 — img CIs get their iiif_link reconstructed from the
     // canonical info.json link + m.c coords (helpers.py:441-485)
     "r7_img_iiif" -> ((s, d) => {
@@ -221,6 +236,22 @@ object RebuildQueries {
          |  CAST(length(array_to_string(tk, ' ')) AS INT) AS last_lb,
          |  substr(iid, position('-' IN iid) + 1, 10) AS d,
          |  1 AS ro, true AS olr, true AS cc
+         |FROM toks ORDER BY id""".stripMargin,
+
+    "r5_audio_passim" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $issueIdSql AS iid,
+         |    'D' || CAST(doc_id % 20 AS VARCHAR) AS series,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents)
+         |SELECT iid || '-i0001' AS id, series,
+         |  substr(iid, position('-' IN iid) + 1, 10) AS date,
+         |  'radio_episode' AS tp, CAST(NULL AS VARCHAR) AS lg,
+         |  array_to_string(tk, ' ') || chr(10) AS text,
+         |  CAST(len(tk) AS INT) AS n_regions,
+         |  CAST(CASE WHEN len(tk) = 1 THEN 0
+         |    ELSE length(array_to_string(tk[1:len(tk)-1], ' ')) + 1
+         |    END AS INT) AS last_start
          |FROM toks ORDER BY id""".stripMargin,
 
     "r7_img_iiif" ->

@@ -275,6 +275,35 @@ object RebuildJob {
   def rebuildAudioSolr(spark: SparkSession, issues: DataFrame,
       records: DataFrame, ts: String): Dataset[RebuiltAudioCI] = {
     import spark.implicits._
+    joinedAudio(spark, issues, records).map(ci => rebuildAudioOne(ci, ts))
+  }
+
+  /** Audio passim rebuild — the working completion of the reference's
+    * TODO audio passim path (see [[graft.model.Canonical.PassimAudio]]):
+    * passim docs with an `audios` array of per-token time-coded regions.
+    */
+  def rebuildAudioPassim(spark: SparkSession, issues: DataFrame,
+      records: DataFrame): Dataset[PassimAudioDoc] = {
+    import spark.implicits._
+    joinedAudio(spark, issues, records).map { ci =>
+      val alias = ci.ci_id.split("-").head
+      val d = ci.ci_id.split("-").slice(1, 4).mkString("-")
+      var text = ""
+      val audios = ci.records.map { r =>
+        val fold = graft.text.AudioRebuild
+          .rebuildRecordPassim(r.sections, ci.lg, text)
+        text = fold.text
+        PassimAudio(r.rec_id, r.rec_no, fold.regions)
+      }
+      // audio cc is true by default (helpers.py:221)
+      PassimAudioDoc(alias, d, ci.ci_id, Some(true), mapType(ci.tp), ci.lg,
+        ci.title, audios, text)
+    }
+  }
+
+  private def joinedAudio(spark: SparkSession, issues: DataFrame,
+      records: DataFrame): Dataset[AudioCiInput] = {
+    import spark.implicits._
     val cis = issues
       .withColumn("st", coalesce(col("st"), lit("radio_broadcast")))
       .withColumn("sm", coalesce(col("sm"), lit("audio")))
@@ -313,7 +342,6 @@ object RebuildJob {
         first(col("rr")).as("rr"))
       .filter(col("missing_rec") === 0)
       .as[AudioCiInput]
-      .map(ci => rebuildAudioOne(ci, ts))
   }
 
   def rebuildAudioOne(ci: AudioCiInput, ts: String): RebuiltAudioCI = {

@@ -62,4 +62,41 @@ object AudioRebuild {
     RecordFold(sb.toString, tokens.toSeq, secCoords.toSeq,
       ssOff.toSeq, utOff.toSeq, secOff.toSeq)
   }
+
+  case class PassimRecordFold(text: String, regions: Seq[PassimAudioRegion])
+
+  /** Passim variant of the audio fold: per-token regions with time
+    * coords; a speech segment's last token ends with a newline (the
+    * audio analog of the paper fold's line ends,
+    * paper passim rebuild paper_rebuilders.py:100-174), other tokens
+    * follow the whitespace rules. Region length includes the trailing
+    * separator, exactly like the paper variant. */
+  def rebuildRecordPassim(
+      sections: Seq[ASection],
+      lang: Option[String],
+      start: String): PassimRecordFold = {
+    val sb = new StringBuilder(start)
+    val out = mutable.ArrayBuffer.empty[PassimAudioRegion]
+    for (sec <- sections; utt <- Option(sec.u).getOrElse(Nil);
+         seg <- Option(utt.ss).getOrElse(Nil)) {
+      val ts = Option(seg.t).getOrElse(Nil)
+      val last = ts.length - 1
+      for ((token, n) <- ts.zipWithIndex) {
+        if (token.tc != null && token.tc.nonEmpty) {
+          val s = sb.length
+          val tx = token.tx.getOrElse("")
+          val piece =
+            if (n == last) tx + "\n"
+            else {
+              val ws = Whitespace.insertAfter(token.tx, ts(n + 1).tx,
+                if (n != 0) ts(n - 1).tx else None, lang)
+              if (ws) tx + " " else tx
+            }
+          sb.append(piece)
+          out += PassimAudioRegion(s, piece.length, token.tc)
+        }
+      }
+    }
+    PassimRecordFold(sb.toString, out.toSeq)
+  }
 }

@@ -35,6 +35,28 @@ class AudioRebuildSpec extends AnyFunSuite {
     assert(f.tokens.head.tc == Seq(0.0, 1.0))
   }
 
+  test("passim audio fold: newline-terminated speech segments, tc regions") {
+    val sections = Seq(
+      ASection(Seq(0.0, 10.0), Some("X-i0001"), Seq(
+        Utterance(Seq(0.0, 10.0), Some("spk1"), Seq(
+          SpeechSeg(Seq(0.0, 5.0), Seq(tok("Bonjour", 0.0, 1.0),
+            tok("tout", 1.0, 0.5))),
+          SpeechSeg(Seq(5.0, 5.0), Seq(tok("le", 5.0, 0.3),
+            tok("monde", 5.3, 0.7))))))))
+    val f = AudioRebuild.rebuildRecordPassim(sections, None, "")
+    // each speech segment ends with a newline (line analog)
+    assert(f.text == "Bonjour tout\nle monde\n")
+    val rs = f.regions.map(r => (r.start, r.length, r.tc))
+    assert(rs == Seq(
+      (0, 8, Seq(0.0, 1.0)), (8, 5, Seq(1.0, 0.5)),
+      (13, 3, Seq(5.0, 0.3)), (16, 6, Seq(5.3, 0.7))))
+    // region lengths tile the text exactly
+    assert(f.regions.map(_.length).sum == f.text.length)
+    // appending across records continues offsets
+    val f2 = AudioRebuild.rebuildRecordPassim(sections, None, f.text)
+    assert(f2.regions.head.start == f.text.length)
+  }
+
   test("audio fold appends across records like the paper fold") {
     val sec = Seq(ASection(Seq(0.0, 1.0), None, Seq(
       Utterance(Seq(0.0, 1.0), None, Seq(

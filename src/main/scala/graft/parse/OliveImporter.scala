@@ -338,7 +338,23 @@ object OliveImporter {
   case class ParsedIssue(issueId: String, issueJson: String,
       pageJsons: Seq[(String, String)])
 
-  def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
+  /** Per-page image-info enrichment record (`image-info.json` entries:
+    * {pg, strat, s} — olive/classes.py:449-468). */
+  case class ImageInfo(strat: String, source: String)
+
+  def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue =
+    parseIssue(ref, cdt, ts, _ => None, _ => None)
+
+  /** Full parse with the optional image-info enrichment: `imageInfo`
+    * maps a page number to its image-info record, `readImage` supplies
+    * raw image bytes by name (jpg_uniq strategy; falls back to the
+    * issue archive). With the enrichment present, page and picture
+    * coordinates are converted via [[OliveBoxes]] (C8) and `cc` flips
+    * to true; without it the source coordinates are kept with
+    * `cc: false`, exactly like the reference without image dirs. */
+  def parseIssue(ref: IssueRef, cdt: String, ts: String,
+      imageInfo: Int => Option[ImageInfo],
+      readImage: String => Option[Array[Byte]]): ParsedIssue = {
     val issueDir = new File(ref.path)
     val archive: Archive = {
       val zip = new File(issueDir, "Document.zip")
@@ -375,14 +391,36 @@ object OliveImporter {
       .filter(n => n.contains(".xml") && !n.startsWith("._") && n.contains("/Pg"))
       .map(n => n.split("/")(0).toInt -> n).toMap
 
+    // C8: per-page scale factor from the image-info enrichment
+    def archiveRead(n: String): Option[Array[Byte]] =
+      readImage(n).orElse(
+        try Some(archive.read(n)) catch { case _: Exception => None })
+    val sfCache = mutable.Map.empty[Int, Option[Double]]
+    def pageScale(no: Int): Option[Double] = sfCache.getOrElseUpdate(no,
+      imageInfo(no).flatMap { info =>
+        pageXmlFiles.get(no).flatMap { name =>
+          try OliveBoxes.scaleFactor(
+            XML.loadString(stripProlog(
+              new String(archive.read(name), "windows-1252"))),
+            info.strat, info.source, archiveRead)
+          catch { case _: Exception => None }
+        }
+      })
+
     val pageIds = tocData.keys.toSeq.map(n => f"${ref.issueId}-p$n%04d")
+
+    // picture CIs on pages WITH an image-info record become `image` CIs
+    // with converted coords and a CI-level cc flag (classes.py:470-500,
+    // convert_image_coordinates); conversion failure → cc=false
+    val finalCis = contentItems.map(ci =>
+      convertPictureCi(ci, imageInfo, pageScale))
 
     val issueJson = JObj(Seq(
       "id" -> JStr(ref.issueId),
       "cdt" -> JStr(cdt),
       "ts" -> JStr(ts),
       "s" -> JArr(styles),
-      "i" -> JArr(contentItems.map(_.json)),
+      "i" -> JArr(finalCis.map(_.json)),
       "pp" -> Json.strs(pageIds)))
 
     // page recomposition (J5, helpers.py:359-417); coordinates stay in
@@ -407,15 +445,22 @@ object OliveImporter {
           }
         }
       }
+      // C8: convert region/line/token boxes when the enrichment gives a
+      // scale factor (convert_page_coordinates, helpers.py:605-648)
+      val sf = pageScale(pageNo)
+      val finalRegions = sf match {
+        case Some(f) => regions.toSeq.map(r => scaleRegionJson(r, f))
+        case None => regions.toSeq
+      }
       val json = JObj(Seq(
         "id" -> JStr(pid),
         "cdt" -> JStr(cdt),
         "ts" -> JStr(ts),
         "st" -> JStr("newspaper"),
         "sm" -> JStr("print"),
-        "r" -> JArr(regions.toSeq),
+        "r" -> JArr(finalRegions),
         "iiif_img_base_uri" -> JStr(s"$IiifEndpoint$pid"),
-        "cc" -> JBool(false)))
+        "cc" -> JBool(sf.isDefined)))
       pid -> Json.render(json)
     }
 
@@ -545,4 +590,80 @@ object OliveImporter {
           "c" -> Json.ints(li.c),
           "t" -> JArr(li.t.toSeq.map(tokenJson)))))))))),
       "pOf" -> pOf.map(JStr).getOrElse(JNull)))
+
+  // ---- C8 coordinate conversion over built JSON ----
+
+  private def intsOf(v: JValue): Seq[Int] = v match {
+    case JArr(xs) => xs.collect { case JInt(i) => i.toInt }
+    case _ => Nil
+  }
+
+  /** Convert `c` boxes at region, line and token level (paragraphs have
+    * no own box in the Olive format) — convert_page_coordinates
+    * converts exactly these three (helpers.py:634-641). */
+  private def scaleRegionJson(region: JValue, sf: Double): JValue = {
+    def conv(c: JValue): JValue =
+      Json.ints(OliveBoxes.convertBox(intsOf(c), sf))
+    region match {
+      case JObj(fields) => JObj(fields.map {
+        case ("c", c) => "c" -> conv(c)
+        case ("p", JArr(paras)) => "p" -> JArr(paras.map {
+          case JObj(pf) => JObj(pf.map {
+            case ("l", JArr(lines)) => "l" -> JArr(lines.map {
+              case JObj(lf) => JObj(lf.map {
+                case ("c", c) => "c" -> conv(c)
+                case ("t", JArr(toks)) => "t" -> JArr(toks.map {
+                  case JObj(tf) => JObj(tf.map {
+                    case ("c", c) => "c" -> conv(c)
+                    case other => other
+                  })
+                  case other => other
+                })
+                case other => other
+              })
+              case other => other
+            })
+            case other => other
+          })
+          case other => other
+        })
+        case other => other
+      })
+      case other => other
+    }
+  }
+
+  /** Picture CIs on a page with an image-info record: convert the
+    * CI-level `c` box, set `cc`, and retype picture → image
+    * (classes.py:470-500 + convert_image_coordinates). CIs on pages
+    * without a record are left untouched. */
+  private def convertPictureCi(item: ContentItem,
+      imageInfo: Int => Option[ImageInfo],
+      pageScale: Int => Option[Double]): ContentItem = item.json match {
+    case JObj(fields) =>
+      val mFields = fields.collectFirst { case ("m", JObj(mf)) => mf }
+        .getOrElse(Nil)
+      val isPicture = mFields.contains(("tp", JStr("picture")))
+      val pageNo = mFields.collectFirst { case ("pp", JArr(xs)) => xs }
+        .getOrElse(Nil).collectFirst { case JInt(v) => v.toInt }
+      (isPicture, pageNo.filter(p => imageInfo(p).isDefined)) match {
+        case (true, Some(pn)) =>
+          val newM = JObj(mFields.map {
+            case ("tp", _) => "tp" -> (JStr("image"): JValue)
+            case other => other
+          })
+          val rest = fields.filterNot(_._1 == "m")
+          val converted = pageScale(pn) match {
+            case Some(sf) => rest.map {
+              case ("c", c) => "c" -> (Json.ints(
+                OliveBoxes.convertBox(intsOf(c), sf)): JValue)
+              case other => other
+            } :+ ("cc" -> (JBool(true): JValue))
+            case None => rest :+ ("cc" -> (JBool(false): JValue))
+          }
+          ContentItem(JObj(("m" -> (newM: JValue)) +: converted))
+        case _ => item
+      }
+    case _ => item
+  }
 }

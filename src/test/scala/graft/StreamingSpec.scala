@@ -43,6 +43,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental import drains each file exactly once across runs") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("inc-in").toString
+    val cp = Files.createTempDirectory("inc-cp").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", IntegerType)))
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        rows.mkString("\n").getBytes)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit =
+      graft.streaming.IncrementalImport.runAvailableNow(
+        spark, in, schema, cp,
+        (df, _) => seen.synchronized {
+          seen ++= df.collect().map(_.getString(0))
+        })
+    writeFile("a.jsonl", Seq("""{"id":"A-1900-01-01-a","v":1}""",
+      """{"id":"A-1900-01-02-a","v":2}"""))
+    writeFile("b.jsonl", Seq("""{"id":"B-1900-01-01-a","v":3}"""))
+    drain()
+    assert(seen.sorted == Seq("A-1900-01-01-a", "A-1900-01-02-a",
+      "B-1900-01-01-a"))
+    // second run with a new file: ONLY the new file's rows arrive
+    seen.clear()
+    writeFile("c.jsonl", Seq("""{"id":"C-1900-01-01-a","v":4}"""))
+    drain()
+    assert(seen.toSeq == Seq("C-1900-01-01-a"))
+    // third run with nothing new: no rows
+    seen.clear()
+    drain()
+    assert(seen.isEmpty)
+  }
+
   test("stateful streaming sessionization agrees with batch sessionize") {
     val stream = EventStream.readEvents(spark, eventsPath)
     val updates = EventStream.sessionize(stream, 30)

@@ -172,6 +172,15 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // Patch reprocessing — reading-order stamp over nested CI arrays
+    // (canonical_patch_5_rero add_ro_to_items as a pure Column transform)
+    "p1_patch_ro" -> ((s, d) => {
+      graft.jobs.PatchJob.patchAddReadingOrder(syntheticIssues(s, d))
+        .select(explode(col("i")).as("ci"))
+        .select(col("ci.m.id").as("id"), col("ci.m.ro").as("ro"))
+        .orderBy(col("id"))
+    }),
+
     // R6/R7 audio variant — passim rebuild over audio records (time-coded
     // token regions inside an `audios` array)
     "r5_audio_passim" -> ((s, d) => {
@@ -237,6 +246,14 @@ object RebuildQueries {
          |  substr(iid, position('-' IN iid) + 1, 10) AS d,
          |  1 AS ro, true AS olr, true AS cc
          |FROM toks ORDER BY id""".stripMargin,
+
+    "p1_patch_ro" ->
+      s"""WITH ids AS (
+         |  SELECT $issueIdSql AS iid FROM documents)
+         |SELECT iid || '-i0001' AS id, 1 AS ro FROM ids
+         |UNION ALL
+         |SELECT iid || '-i0002' AS id, 2 AS ro FROM ids
+         |ORDER BY id""".stripMargin,
 
     "r5_audio_passim" ->
       s"""WITH toks AS (

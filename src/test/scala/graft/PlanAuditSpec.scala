@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.RebuildQueries
+import graft.rebuild.RebuildJob
+
+/** Automated physical-plan audit: the scale properties the engine
+  * depends on at 100 TB, asserted on executed plans so regressions
+  * fail CI instead of showing up as cluster bills.
+  *
+  * Uses `queryExecution.executedPlan` BEFORE adaptive re-planning (the
+  * initial plan's exchange count is the upper bound; AQE only removes
+  * or localizes exchanges at runtime).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    needle.r.findAllIn(p).length
+
+  test("rebuild plan: two shuffles max, no join-back, typed fold present") {
+    val p = plan(RebuildJob.rebuildSolr(spark,
+      RebuildQueries.syntheticIssues(spark, sf),
+      RebuildQueries.syntheticPages(spark, sf), "T").toDF())
+    // one hash-partition exchange (per-CI regroup); the page join may
+    // broadcast at this scale (BroadcastExchange) or shuffle at real
+    // scale — but never a third exchange for a metadata join-back
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapElements"), "typed rebuild fold missing")
+    // the issues frame is scanned once: a join-back would scan documents
+    // parquet 3+ times (issues ×2 + pages)
+    assert(count(p, "FileScan parquet") <= 2, "issues scanned more than once")
+  }
+
+  test("LSH dedup plan: bucket-expand, no self-join, no cartesian") {
+    val p = plan(graft.operators.Dedup.lshNearDupPairs(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text",
+      3, 16, 4, 0.8))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "pair generation must not self-join")
+    assert(!p.contains("BroadcastHashJoin"), "pair generation must not self-join")
+    // exactly one corpus scan feeds candidate generation
+    assert(count(p, "FileScan parquet") == 1, "documents scanned more than once")
+    // native expressions on the hot path, not interpreted HOF shingles
+    assert(p.contains("word_shingles") && p.contains("minhash_sig"))
+  }
+
+  test("filters are pushed down to the parquet scans") {
+    val p = plan(SparkEntry.queries("f2_date_range")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(1500))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan.*") ||
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull.*"))
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan(SparkEntry.queries("j6_broadcast_dim")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val p = plan(SparkEntry.queries("a1_yearly_stats")(spark, sf))
+    assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
+    assert(p.contains("Exchange hashpartitioning"))
+  }
+}

@@ -172,6 +172,18 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // S12 manifest — canonical stats nested per title with totals
+    "s12_manifest" -> ((s, d) => {
+      graft.operators.Manifest.byTitle(
+        graft.operators.Stats.canonicalStats(syntheticIssues(s, d)))
+        .select(col("alias"),
+          size(col("media_stats")).as("n_years"),
+          element_at(col("media_stats"), 1).getField("year").as("first_year"),
+          col("total_n_issues"), col("total_n_content_items"),
+          col("total_n_images"), col("total_n_pages"))
+        .orderBy(col("alias"))
+    }),
+
     // Patch reprocessing — reading-order stamp over nested CI arrays
     // (canonical_patch_5_rero add_ro_to_items as a pure Column transform)
     "p1_patch_ro" -> ((s, d) => {
@@ -246,6 +258,24 @@ object RebuildQueries {
          |  substr(iid, position('-' IN iid) + 1, 10) AS d,
          |  1 AS ro, true AS olr, true AS cc
          |FROM toks ORDER BY id""".stripMargin,
+
+    "s12_manifest" ->
+      s"""WITH yearly AS (
+         |  SELECT 'D' || CAST(doc_id % 20 AS VARCHAR) AS alias,
+         |    CAST(year(DATE '2000-01-01' + CAST(doc_id // 20 AS INT)) AS INT) AS year,
+         |    count(*) AS n_issues,
+         |    CAST(2 * count(*) AS BIGINT) AS n_content_items,
+         |    CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+         |    CAST(count(*) AS BIGINT) AS n_pages
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT alias,
+         |  CAST(count(*) AS INT) AS n_years,
+         |  CAST(min(year) AS INT) AS first_year,
+         |  SUM(n_issues) AS total_n_issues,
+         |  SUM(n_content_items) AS total_n_content_items,
+         |  SUM(n_images) AS total_n_images,
+         |  SUM(n_pages) AS total_n_pages
+         |FROM yearly GROUP BY alias ORDER BY alias""".stripMargin,
 
     "p1_patch_ro" ->
       s"""WITH ids AS (

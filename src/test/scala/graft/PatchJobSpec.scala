@@ -48,6 +48,24 @@ class PatchJobSpec extends AnyFunSuite {
       s"https://impresso-project.ch/api/proxy/iiif/${row.getString(0)}")
   }
 
+  test("manifest write produces per-title JSON that reads back") {
+    val stats = graft.operators.Stats.canonicalStats(
+      graft.queries.RebuildQueries.syntheticIssues(spark, sf))
+    val out = java.nio.file.Files.createTempDirectory("manifest").toString
+    graft.operators.Manifest.write(stats, out)
+    val back = spark.read.json(s"$out/alias=D0")
+    assert(back.count() == 1)
+    val row = back.head()
+    assert(row.schema.fieldNames.contains("media_stats"))
+    assert(row.schema.fieldNames.contains("total_n_issues"))
+    // yearly rows nest sorted by year (access by name: JSON read-back
+    // re-orders struct fields alphabetically)
+    val years = row.getSeq[org.apache.spark.sql.Row](
+      row.fieldIndex("media_stats"))
+      .map(r => r.getLong(r.fieldIndex("year")))
+    assert(years == years.sorted && years.nonEmpty)
+  }
+
   test("patchContentItems applies a generic nested fix") {
     import spark.implicits._
     val issues = Seq(("A-1900-01-01-a", Seq("x"))).toDF("id", "raw")

@@ -45,6 +45,42 @@ object BlImporter {
     }
   }
 
+  /** Zip-shaped dump (bl/detect.py:113-196): extract every `*.zip` in
+    * `baseDir` into `tmpDir`, then walk the extracted BLIP tree. Kept as
+    * a driver-side staging step exactly like the reference — per-entry
+    * streaming from [[graft.sources.ZipSource]] is preferable when the
+    * archives are per ISSUE (Olive), but BL zips span whole BLIP batches
+    * whose members are re-read many times during parse. */
+  def detectIssuesFromZips(baseDir: String, tmpDir: String): Seq[IssueRef] = {
+    val zips = Option(new File(baseDir).listFiles)
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".zip")).sortBy(_.getName)
+    for (z <- zips) {
+      val zf = new java.util.zip.ZipFile(z)
+      try {
+        val entries = zf.entries()
+        while (entries.hasMoreElements) {
+          val e = entries.nextElement()
+          val target = new File(tmpDir, e.getName)
+          // zip-slip guard: refuse entries escaping the destination
+          if (!target.getCanonicalPath.startsWith(
+              new File(tmpDir).getCanonicalPath + File.separator))
+            throw new IllegalArgumentException(
+              s"zip entry escapes destination: ${e.getName}")
+          if (e.isDirectory) target.mkdirs()
+          else {
+            target.getParentFile.mkdirs()
+            val in = zf.getInputStream(e)
+            try java.nio.file.Files.copy(in, target.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            finally in.close()
+          }
+        }
+      } finally zf.close()
+    }
+    detectIssues(tmpDir)
+  }
+
   private def attr(n: Node, name: String): Option[String] = {
     // BL attributes include namespace-prefixed xlink:href; scala-xml keys
     // prefixed attributes by local name, so match either form

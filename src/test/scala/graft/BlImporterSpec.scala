@@ -25,6 +25,18 @@ class BlImporterSpec extends AnyFunSuite {
       Set("0002088-1832-11-23-a", "0002244-1855-09-22-a"))
   }
 
+  test("zip-shaped dump extracts then detects, matching the dir walk") {
+    val tmp = java.nio.file.Files.createTempDirectory("bl-zips").toString
+    val fromZips = BlImporter.detectIssuesFromZips(sampleDir, tmp)
+    val fromDirs = BlImporter.detectIssues(sampleDir)
+    assert(fromZips.map(_.issueId).sorted == fromDirs.map(_.issueId).sorted)
+    // extracted issues parse identically to the pre-extracted tree
+    val z = fromZips.sortBy(_.issueId).head
+    val d = fromDirs.sortBy(_.issueId).head
+    assert(BlImporter.parseIssue(z, "C", "T").issueJson ==
+      BlImporter.parseIssue(d, "C", "T").issueJson)
+  }
+
   test("content items resolve parts through structLink into pages") {
     val issue = mapper.readTree(parsed.head.issueJson)
     val cis = issue.get("i")

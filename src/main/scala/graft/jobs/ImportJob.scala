@@ -1,0 +1,80 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Generic distributed import: any format's (detect, parse) pair runs
+  * as one Spark pipeline — the role of the reference's
+  * `generic_importer.main(issue_class, detect_func, select_func)`
+  * (generic_importer.py:162).
+  *
+  * Shape (SURVEY.md §3.1): detect is a cheap driver-side listing; the
+  * refs ship to executors (broadcast of the descriptor list, an index
+  * Dataset for partitioning) and each issue parses in a task. A corrupt
+  * issue becomes a quarantine row, never a job failure (core.py:110-146
+  * dir2issue's per-item try/except). Format-specific jobs
+  * ([[LuxImportJob]] etc.) remain for their extra surfaces; new formats
+  * need only this.
+  */
+object ImportJob {
+
+  case class ImportResult(
+      issueId: String,
+      issueJson: Option[String],
+      pages: Seq[(String, String)],
+      error: Option[String])
+
+  /** @param refs   driver-detected issue descriptors (any type).
+    * @param idOf   canonical issue id of a descriptor (for quarantine).
+    * @param parse  ref → (issueId, issueJson, page/record JSONs);
+    *               exceptions quarantine the single issue.
+    */
+  def run[R](spark: SparkSession, refs: Seq[R], idOf: R => String,
+      parse: R => (String, String, Seq[(String, String)])): Dataset[ImportResult] = {
+    import spark.implicits._
+    val refsB = spark.sparkContext.broadcast(refs.toIndexedSeq)
+    val parallelism = math.max(1, math.min(refs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(refs.indices.toList)
+      .repartition(parallelism)
+      .map { i =>
+        val ref = refsB.value(i)
+        try {
+          val (id, issueJson, pages) = parse(ref)
+          ImportResult(id, Some(issueJson), pages, None)
+        } catch {
+          case e: Exception =>
+            ImportResult(idOf(ref), None, Nil,
+              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+  }
+
+  def quarantine(results: Dataset[ImportResult]): DataFrame = {
+    import results.sparkSession.implicits._
+    results.flatMap(r => r.error.map(e => (r.issueId, e)))
+      .toDF("issue_id", "error")
+  }
+
+  /** Write imported issues and pages as bz2 JSONL partitioned by
+    * (alias, year) — S7/S8's partitioned-write replacement for the
+    * reference's FileLock + append. */
+  def write(results: Dataset[ImportResult], outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import results.sparkSession.implicits._
+    val ok = results.filter(_.error.isEmpty)
+    def partitioned(df: DataFrame): DataFrame = df
+      .withColumn("alias",
+        regexp_extract(col("issue_id"), "^([A-Za-z0-9]+)-", 1))
+      .withColumn("year", regexp_extract(col("issue_id"), "-(\\d{4})-", 1))
+      .repartition(col("alias"), col("year"))
+      .select(col("json").as("value"), col("alias"), col("year"))
+    partitioned(ok.flatMap(r => r.issueJson.map(j => (r.issueId, j)))
+      .toDF("issue_id", "json"))
+      .write.mode("overwrite").partitionBy("alias", "year")
+      .option("compression", "bzip2").text(s"$outPath/issues")
+    partitioned(ok.flatMap(r => r.pages.map { case (_, j) => (r.issueId, j) })
+      .toDF("issue_id", "json"))
+      .write.mode("overwrite").partitionBy("alias", "year")
+      .option("compression", "bzip2").text(s"$outPath/pages")
+  }
+}

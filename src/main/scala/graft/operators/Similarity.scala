@@ -92,6 +92,64 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest centroid cell; a query probes
+    * only its `nprobe` nearest cells and brute-forces those.
+    *
+    * The quantizer here is DETERMINISTIC — centroids are the first
+    * `nlist` corpus vectors by id — so results are engine-reproducible
+    * (the DuckDB oracle recomputes them exactly); production would swap
+    * in k-means centroids without touching the plan shape. Scale story:
+    * assignment is a map over the corpus against broadcast centroid
+    * literals (constant-folded norms, no shuffle); the candidate join
+    * is keyed by cell, so `nlist` sizes the shuffle — pick
+    * nlist ≈ √corpus so cells stay bounded, and raise `nprobe` to trade
+    * recall for scan cost. Ties break like [[bruteForceTopK]]:
+    * descending cosine, ascending id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic coarse quantizer: first nlist corpus vectors by id
+    val centroids: Seq[(Int, Seq[Float])] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+
+    // per-centroid cosine scores as (cos, -cellId) structs: array_max /
+    // reverse(array_sort) then give (cos desc, cell asc) ordering
+    def centroidScores(v: Column): Column = array(centroids.map {
+      case (i, c) =>
+        val cl = typedlit(c)
+        struct((dot(v, cl) / (norm(v) * norm(cl))).as("cos"),
+          lit(-i).as("negid"))
+    }: _*)
+    def cellOf(v: Column): Column =
+      (-array_max(centroidScores(v)).getField("negid")).cast("int")
+    def probedCells(v: Column): Column =
+      transform(slice(reverse(array_sort(centroidScores(v))), 1, nprobe),
+        s => -s.getField("negid"))
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("cell", cellOf(col("n_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(probedCells(col("q_vec"))).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
   /** Blocked near-duplicate pairs by embedding cosine: candidates are
     * restricted to equal blocking keys (e.g. a label or coarse cluster
     * id), so the pair space is per-block quadratic, not global. */

@@ -90,6 +90,13 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    "s3_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- text analysis ----
     "t1_token_stats" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
@@ -209,6 +216,39 @@ object ScaleQueries {
          |SELECT q_id, n_id, rank, cos FROM (
          |  SELECT q_id, n_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s3_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT vec_id AS n_id, embedding AS n_vec, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 4),
+         |sc AS (
+         |  SELECT p.q_id, a.n_id, ${cosSql("p.q_vec", "a.n_vec")} AS cos
+         |  FROM probe p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.n_id <> p.q_id)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS INT) AS rank
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 

@@ -68,6 +68,25 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(withBuckets.filter(col("qb") =!= col("nb")).count() == 0)
   }
 
+  test("IVF probes recover most of the true neighbors (recall vs exact)") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing 4 of 16 cells keeps useful recall on this data
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    // widening the probe set can only add candidates: nprobe = nlist
+    // degenerates to exact brute-force
+    val full = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("fingerprint is invariant to token order and punctuation") {
     import spark.implicits._
     val df = Seq((1L, "Hello, world! foo"), (2L, "foo WORLD hello"),

@@ -89,6 +89,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fixed-dimension feature vector per payload — the multimodal →
+    * embedding bridge (decoded-frame embeddings in deployment; the stub
+    * derives each component from payload bytes deterministically, so
+    * the DuckDB oracle recomputes it). Output feeds [[Similarity]]
+    * directly. Row-local, payload dropped on output. */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fs = Array.tabulate(dim) { i =>
+          if (bytes.isEmpty) 0.0
+          else (bytes((i * 7) % bytes.length) & 0xFF) / 128.0
+        }
+        (id, fs)
+      })
+      .toDF("media_id", "features")
+  }
+
+  /** Payload → payload resize stage (image/video rescale in deployment;
+    * the stub truncates to the target pixel budget). The shape is what
+    * matters at scale: blob-in/blob-out stays inside one task, no
+    * shuffle, and emits refreshed metadata columns so downstream stages
+    * never re-decode. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, bytes) =>
+        val budget = math.max(1, targetW * targetH / 100)
+        val out = bytes.take(budget)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(out).map(b => f"$b%02x").mkString
+        (id, kind, out, targetW, targetH, out.length.toLong, hex)
+      })
+      .toDF("media_id", "kind", "payload", "width", "height",
+        "n_bytes", "checksum")
+  }
+
   /** A synthetic media frame derived from `documents` (text bytes as the
     * opaque payload) — deterministic input for tests and oracles. */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {

@@ -24,6 +24,25 @@ object MultimodalQueries {
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d),
         strideMs = 1000, maxFrames = 5)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // M3 — payload → fixed-dim feature vector (embedding bridge).
+    // Features are exact multiples of 1/128; compare ×128 as ints so no
+    // decimal formatting can diverge between engines.
+    "m3_media_features" -> ((s, d) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d), dim = 8)
+        .select(col("media_id"),
+          array_join(transform(col("features"),
+            f => (f * 128).cast("int")), "|").as("features"))
+        .orderBy(col("media_id"))
+    }),
+
+    // M4 — payload → payload resize with refreshed metadata
+    "m4_media_resize" -> ((s, d) => {
+      Multimodal.resize(Multimodal.syntheticMedia(s, d), 320, 240)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_bytes"), col("checksum"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -59,6 +78,26 @@ object MultimodalQueries {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  CAST(i AS BIGINT) * 1000 AS offset_ms,
         |  ascii(substr(text, CAST(i % len AS INT) + 1, 1)) / 128.0 AS feature
-        |FROM g ORDER BY media_id, frame_idx""".stripMargin
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m3_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents)
+        |SELECT media_id,
+        |  array_to_string(list_transform(generate_series(0, 7), i ->
+        |    CAST(ascii(substr(text, CAST((i * 7) % len AS INT) + 1, 1)) AS VARCHAR)),
+        |    '|') AS features
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "m4_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  320 AS width, 240 AS height,
+        |  CAST(least(octet_length(encode(text)), 768) AS BIGINT) AS n_bytes,
+        |  md5(substr(text, 1, 768)) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

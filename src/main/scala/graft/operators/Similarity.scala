@@ -111,20 +111,22 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // deterministic coarse quantizer: first nlist corpus vectors by id
-    val centroids: Seq[(Int, Seq[Float])] = corpus
+    val centroids: Array[Array[Float]] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(col("id")).limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+      .collect().map(_.getSeq[Float](1).toArray)
 
-    // per-centroid cosine scores as (cos, -cellId) structs: array_max /
-    // reverse(array_sort) then give (cos desc, cell asc) ordering
-    def centroidScores(v: Column): Column = array(centroids.map {
-      case (i, c) =>
-        val cl = typedlit(c)
-        struct((dot(v, cl) / (norm(v) * norm(cl))).as("cos"),
-          lit(-i).as("negid"))
-    }: _*)
+    // per-centroid cosines via the native expression (one JVM loop per
+    // row; the HOF form runs nlist interpreted folds —
+    // graft.functions.CosinesAgainst), then (cos, -cellId) structs so
+    // array_max / reverse(array_sort) give (cos desc, cell asc) order
+    import org.apache.spark.sql.GraftColumns
+    def centroidScores(v: Column): Column = {
+      val cs = GraftColumns.column(
+        graft.functions.CosinesAgainst(GraftColumns.expression(v), centroids))
+      transform(sequence(lit(0), lit(centroids.length - 1)),
+        i => struct(element_at(cs, i + 1).as("cos"), (-i).as("negid")))
+    }
     def cellOf(v: Column): Column =
       (-array_max(centroidScores(v)).getField("negid")).cast("int")
     def probedCells(v: Column): Column =

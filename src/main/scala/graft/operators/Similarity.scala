@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact dot product of two float-array columns, accumulated in
-    * index order as doubles. */
+    * index order as doubles — the native fused loop
+    * ([[graft.functions.FloatDotProduct]]); arithmetic identical to the
+    * HOF `aggregate(zip_with(...))` form it replaced (interpreted HOFs
+    * cost a zip allocation + fold dispatch per pair, and are
+    * re-evaluated per output row under a Generate). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.FloatDotProduct(
+        org.apache.spark.sql.GraftColumns.expression(a),
+        org.apache.spark.sql.GraftColumns.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

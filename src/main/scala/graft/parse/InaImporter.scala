@@ -61,7 +61,15 @@ object InaImporter {
     n.attribute(name).map(_.text)
 
   /** Utterance construction: runs of same-speaker speech segments
-    * (ina/helpers.py:30-89). Returns JSON utterance values. */
+    * (ina/helpers.py:30-89). Returns JSON utterance values.
+    *
+    * Faithful quirks: segments MISSING a speaker id group together
+    * (`None == None` is the reference's same-speaker case, so an
+    * initial missing-speaker run keeps the 0.0 start time), mid-stream
+    * missing-speaker runs are dropped at the next speaker change (the
+    * save is guarded on `last_speaker is not None`), but the FINAL run
+    * is always emitted — with `"speaker": null` when it had no id
+    * (helpers.py:79-88 saves unconditionally on the last segment). */
   def utterances(doc: Elem): Seq[JValue] = {
     val segs = (doc \\ "SpeechSegment")
     val out = mutable.ArrayBuffer.empty[JValue]
@@ -82,26 +90,28 @@ object InaImporter {
         "tc" -> JArr(Seq(JDouble(stime), JDouble(etime - stime))),
         "t" -> JArr(tokens)))
     }
-    def flush(): Unit = lastSpeaker.foreach { spk =>
+    def emit(): Unit =
       out += JObj(Seq(
         "tc" -> JArr(Seq(JDouble(uttStime), JDouble(uttEtime - uttStime))),
-        "speaker" -> JStr(spk),
+        "speaker" -> lastSpeaker.map(JStr).getOrElse(JNull),
         "ss" -> JArr(run.toSeq)))
-    }
-    for (ss <- segs) {
+    for ((ss, idx) <- segs.zipWithIndex) {
       val spk = attr(ss, "spkid")
-      if (lastSpeaker.isDefined && spk == lastSpeaker) {
+      if (spk == lastSpeaker) {
+        // same speaker (or both missing) — extend the current run
         run += segJson(ss)
         uttEtime = attr(ss, "etime").get.toDouble
       } else {
-        flush()
+        // new speaker: save the previous run only if it had a speaker
+        if (lastSpeaker.isDefined) emit()
         uttStime = attr(ss, "stime").get.toDouble
         uttEtime = attr(ss, "etime").get.toDouble
         lastSpeaker = spk
         run = mutable.ArrayBuffer(segJson(ss))
       }
+      // the last segment always saves the current run
+      if (idx == segs.length - 1) emit()
     }
-    flush()
     out.toSeq
   }
 

@@ -87,6 +87,18 @@ object BenchScratch {
     time("full")(jac.count())
     time("full-again")(Dedup.lshNearDupPairs(docs, "doc_id", "text",
       3, 16, 4, 0.8).count())
+
+    // rebuild stage decomposition
+    import graft.queries.RebuildQueries
+    import graft.rebuild.RebuildJob
+    val si = RebuildQueries.syntheticIssues(spark, d)
+    val sp = RebuildQueries.syntheticPages(spark, d)
+    time("rb-issues-scan")(si.count())
+    time("rb-pages-scan")(sp.count())
+    time("rb-cis")(RebuildJob.contentItems(si).count())
+    time("rb-joined")(RebuildJob.joined(si, sp).count())
+    time("rb-full")(RebuildJob.rebuildSolr(spark, si, sp, "T").count())
+    time("rb-full-again")(RebuildJob.rebuildSolr(spark, si, sp, "T").count())
     spark.stop()
   }
 }

@@ -47,6 +47,46 @@ class InaImporterSpec extends AnyFunSuite {
     }
   }
 
+  test("utterance runs: missing speakers group; final run always saved") {
+    import graft.parse.InaImporter
+    def seg(spk: Option[String], s: Double, e: Double) = {
+      val spkAttr = spk.map(v => s"""spkid="$v" """).getOrElse("")
+      s"""<SpeechSegment $spkAttr stime="$s" etime="$e">
+         |  <Word stime="$s" dur="0.5">w</Word>
+         |</SpeechSegment>""".stripMargin
+    }
+    def parse(segs: String*): Seq[(Option[String], Double, Double)] = {
+      val doc = scala.xml.XML.loadString(
+        s"<AudioDoc>${segs.mkString("\n")}</AudioDoc>")
+      InaImporter.utterances(doc).map { u =>
+        val f = u.asInstanceOf[graft.util.Json.JObj].fields.toMap
+        val spk = f("speaker") match {
+          case graft.util.Json.JStr(v) => Some(v)
+          case _ => None
+        }
+        val tc = f("tc").asInstanceOf[graft.util.Json.JArr].vs
+          .map(_.asInstanceOf[graft.util.Json.JDouble].v)
+        (spk, tc.head, tc(1))
+      }
+    }
+    // plain same-speaker run then a new speaker
+    assert(parse(seg(Some("S1"), 0, 2), seg(Some("S1"), 2, 4),
+      seg(Some("S2"), 4, 6)) ==
+      Seq((Some("S1"), 0.0, 4.0), (Some("S2"), 4.0, 2.0)))
+    // a FINAL missing-speaker run is emitted with speaker null and
+    // groups consecutive missing ids (helpers.py None == None case)
+    assert(parse(seg(Some("S1"), 0, 2), seg(None, 2, 4), seg(None, 4, 6)) ==
+      Seq((Some("S1"), 0.0, 2.0), (None, 2.0, 4.0)))
+    // a MID-stream missing-speaker run is dropped at the next change
+    assert(parse(seg(Some("S1"), 0, 2), seg(None, 2, 4),
+      seg(Some("S2"), 4, 6)) ==
+      Seq((Some("S1"), 0.0, 2.0), (Some("S2"), 4.0, 2.0)))
+    // an INITIAL missing-speaker run keeps the 0.0 start time quirk
+    // (last_utt_stime never set before the first same-speaker branch)
+    assert(parse(seg(None, 1, 2), seg(None, 2, 3)) ==
+      Seq((None, 0.0, 3.0)))
+  }
+
   test("issue carries the episode CI with language, rr refs, rc/rp") {
     val issue = mapper.readTree(
       parsed.find(_.issueId == "RDN-1950-01-12-a")

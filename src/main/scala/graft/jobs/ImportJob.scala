@@ -61,7 +61,12 @@ object ImportJob {
   def write(results: Dataset[ImportResult], outPath: String): Unit = {
     import org.apache.spark.sql.functions._
     import results.sparkSession.implicits._
+    // two write actions follow; without a persist each would re-run the
+    // full XML parse of every issue (the dominant cost at scale) — the
+    // same reuse point the reference persists its issue bag at
+    // (core.py:402)
     val ok = results.filter(_.error.isEmpty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def partitioned(df: DataFrame): DataFrame = df
       .withColumn("alias",
         regexp_extract(col("issue_id"), "^([A-Za-z0-9]+)-", 1))
@@ -76,5 +81,6 @@ object ImportJob {
       .toDF("issue_id", "json"))
       .write.mode("overwrite").partitionBy("alias", "year")
       .option("compression", "bzip2").text(s"$outPath/pages")
+    ok.unpersist()
   }
 }

@@ -119,13 +119,18 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, kind, bytes) =>
-        val budget = math.max(1, targetW * targetH / 100)
-        val out = bytes.take(budget)
+      .mapPartitions { it =>
+        // one digest per partition, reset per row (provider lookup is
+        // not per-row-cheap — same pattern as MinHashImpl.digests)
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(out).map(b => f"$b%02x").mkString
-        (id, kind, out, targetW, targetH, out.length.toLong, hex)
-      })
+        it.map { case (id, kind, bytes) =>
+          val budget = math.max(1, targetW * targetH / 100)
+          val out = bytes.take(budget)
+          md.reset()
+          val hex = md.digest(out).map(b => f"$b%02x").mkString
+          (id, kind, out, targetW, targetH, out.length.toLong, hex)
+        }
+      }
       .toDF("media_id", "kind", "payload", "width", "height",
         "n_bytes", "checksum")
   }

@@ -70,7 +70,10 @@ object BnfEnImporter {
           if (parts.length < 2) None
           else {
             val raw = parts(0)
-            if (!raw.matches("\\d{8}")) None
+            // non-conforming dir names are skipped, not fatal: detect
+            // runs driver-side, outside the per-issue quarantine
+            if (!raw.matches("\\d{8}") ||
+              !parts(1).forall(_.isDigit) || parts(1).isEmpty) None
             else {
               val date = s"${raw.take(4)}-${raw.slice(4, 6)}-${raw.slice(6, 8)}"
               // "<date>_1" → edition a; "<date>_02_1" → second edition
@@ -145,8 +148,12 @@ object BnfEnImporter {
     val pageFiles = Option(altoDir.listFiles).getOrElse(Array.empty[File])
       .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml"))
       .sortBy(_.getName)
-    val pages: Seq[(Int, File)] = pageFiles.map { f =>
-      (f.getName.split("\\.")(0).split("-").last.toInt, f)
+    // page number from the trailing numeric segment; stray non-page XML
+    // is skipped instead of failing the issue (same guard as BL/ONB)
+    val pages: Seq[(Int, File)] = pageFiles.flatMap { f =>
+      val seg = f.getName.split("\\.")(0).split("-").last
+      if (seg.nonEmpty && seg.forall(_.isDigit)) Some((seg.toInt, f))
+      else None
     }.toSeq
     lazy val pageXml: Map[Int, Elem] =
       pages.map { case (no, f) => no -> XML.loadFile(f) }.toMap
@@ -248,7 +255,7 @@ object BnfEnImporter {
         "cc" -> JBool(true),
         "iiif_img_base_uri" ->
           JStr(s"$IiifEndpoint${ref.arkLink}/f$no"),
-        "r" -> JArr(regions.map(regionJson))) ++
+        "r" -> JArr(regions.map(CanonicalJson.regionJson))) ++
         (if (notes.nonEmpty) Seq("n" -> Json.strs(notes)) else Nil))
       pid -> Json.render(json)
     }
@@ -258,20 +265,6 @@ object BnfEnImporter {
 
   // ---- JSON ----
 
-  private def tokenJson(t: CToken): JValue =
-    JObj(Seq("c" -> Json.ints(t.c)) ++
-      t.tx.map(v => "tx" -> (JStr(v): JValue)) ++
-      t.hy.map(v => "hy" -> (JBool(v): JValue)) ++
-      t.nf.map(v => "nf" -> (JStr(v): JValue)))
-
-  private def regionJson(r: CRegion): JValue =
-    JObj(Seq("c" -> Json.ints(r.c)) ++
-      r.pOf.map(v => "pOf" -> (JStr(v): JValue)) ++
-      Seq("p" -> JArr(r.p.map(pa => JObj(Seq(
-        "c" -> Json.ints(pa.c),
-        "l" -> JArr(pa.l.map(li => JObj(Seq(
-          "c" -> Json.ints(li.c),
-          "t" -> JArr(li.t.map(tokenJson))))))))))))
 
   private def ciJson(ci: Ci): JValue = {
     val m = JObj(Seq(

@@ -119,8 +119,16 @@ object FedgazImporter {
     // there and move preceding paragraphs back (classes.py:242-401)
     for (i <- 1 until arts.length) {
       val prev = arts(i - 1)
-      if (prev.pruned && arts(i).pages.nonEmpty &&
-        arts(i).pages.head.nonEmpty) {
+      if (prev.pruned) {
+        // the shared page is dropped from the pruned article regardless
+        // of whether the boundary search can run or succeed — otherwise
+        // the relation to the corresponding scan breaks and the page id
+        // would be emitted twice (classes.py:330-333 deletes it in the
+        // failure path too)
+        if (arts(i).pages.isEmpty || arts(i).pages.head.isEmpty) {
+          prev.pages.dropRightInPlace(1)
+          prev.lastPageDropped = true
+        } else {
         val page0 = arts(i).pages.head
         // flatten tokens of the follower's first page with para positions
         val tokens = mutable.ArrayBuffer.empty[(String, Int, Int)] // tx, region, para
@@ -169,6 +177,7 @@ object FedgazImporter {
             // the corresponding scan is broken (classes.py:330-333)
             prev.pages.dropRightInPlace(1)
             prev.lastPageDropped = true
+        }
         }
       }
     }

@@ -159,25 +159,11 @@ object SwaImporter {
       "cc" -> JBool(true),
       "iiif_img_base_uri" ->
         JStr(s"$IiifImgBase/${filename.split("\\.").head}"),
-      "r" -> JArr(regions.map(regionJson))) ++
+      "r" -> JArr(regions.map(CanonicalJson.regionJson))) ++
       (if (pageNotes.nonEmpty) Seq("n" -> Json.strs(pageNotes)) else Nil))
     pageId -> Json.render(json)
   }
 
   import graft.model.Canonical._
 
-  private def tokenJson(t: CToken): JValue =
-    JObj(Seq("c" -> Json.ints(t.c)) ++
-      t.tx.map(v => "tx" -> (JStr(v): JValue)) ++
-      t.hy.map(v => "hy" -> (JBool(v): JValue)) ++
-      t.nf.map(v => "nf" -> (JStr(v): JValue)))
-
-  private def regionJson(r: CRegion): JValue =
-    JObj(Seq("c" -> Json.ints(r.c)) ++
-      r.pOf.map(v => "pOf" -> (JStr(v): JValue)) ++
-      Seq("p" -> JArr(r.p.map(pa => JObj(Seq(
-        "c" -> Json.ints(pa.c),
-        "l" -> JArr(pa.l.map(li => JObj(Seq(
-          "c" -> Json.ints(li.c),
-          "t" -> JArr(li.t.map(tokenJson))))))))))))
 }

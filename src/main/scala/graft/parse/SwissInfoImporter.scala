@@ -271,6 +271,9 @@ object SwissInfoImporter {
         "id" -> JStr(pageId),
         "ts" -> JStr(ts),
         "r" -> JArr(regions),
+        // NB: unlike other importers, SwissInfo's base URI INCLUDES the
+        // info.json descriptor — faithful to the reference
+        // (swissinfo/classes.py:44 joins IIIF_SUFFIX into iiif_base_uri)
         "iiif_img_base_uri" -> JStr(s"$IiifEndpoint$pageId/info.json"),
         "st" -> JStr(St),
         "sm" -> JStr(Sm),

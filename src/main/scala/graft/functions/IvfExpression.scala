@@ -4,37 +4,45 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
-/** Native cosine scores of a float-vector column against a fixed
+/** Native centroid scores of a float-vector column against a fixed
   * centroid matrix — the hot inner loop of the IVF coarse quantizer
-  * ([[graft.operators.Similarity.ivfTopK]]).
+  * ([[graft.operators.Similarity.ivfTopK]]). Emits the FINISHED
+  * `array<struct<cos: double, negid: int>>` the quantizer sorts/maxes
+  * over, so the expression appears exactly once per consumer tree and
+  * the per-row cost is one O(nlist·dim) loop. (An earlier formulation
+  * returned a bare cosine array that callers re-assembled with a
+  * `transform` lambda — interpreted lambdas re-evaluate their body per
+  * element, which silently made the quantizer O(nlist²·dim) per row.)
   *
-  * Semantics match the HOF formulation exactly (dot folds left-to-right
-  * in index order over doubles, cosine = dot / (|v|·|c|)) — verified by
-  * the s3_ann_ivf DuckDB oracle. The HOF form costs `nlist` interpreted
-  * `aggregate(zip_with(...))` folds per row; this is one tight JVM loop
-  * with the matrix shipped via a codegen reference object.
+  * Cosine arithmetic matches the HOF formulation exactly (dot folds
+  * left-to-right in index order over doubles) — verified by the
+  * s3_ann_ivf DuckDB oracle. negid = -centroidIndex, so max/sort by
+  * struct order give (cos desc, cell asc) tie-breaking.
   */
-case class CosinesAgainst(child: Expression,
+case class CentroidScores(child: Expression,
     centroids: Array[Array[Float]]) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"cosines_against needs array<float>, got $other")
+        s"centroid_scores needs array<float>, got $other")
     }
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "cosines_against"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("negid", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "centroid_scores"
 
   override def nullSafeEval(input: Any): Any =
-    IvfImpl.cosines(input.asInstanceOf[ArrayData], centroids)
+    IvfImpl.scores(input.asInstanceOf[ArrayData], centroids)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.IvfImpl.cosines($c, $ref)")
+      s"graft.functions.IvfImpl.scores($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -71,13 +79,26 @@ case class FloatDotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // mismatched lengths / null elements produce null (HOF parity)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     IvfImpl.dot(a.asInstanceOf[ArrayData], leftIsFloat,
       b.asInstanceOf[ArrayData], rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.IvfImpl.dot($a, $leftIsFloat, $b, $rightIsFloat)")
+    nullSafeCodeGen(ctx, ev, { (a, b) =>
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.functions.IvfImpl.dot(
+         |  $a, $leftIsFloat, $b, $rightIsFloat);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -85,14 +106,21 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 object IvfImpl {
 
-  /** Index-order double-accumulated dot product; length = min(|a|,|b|)
-    * (zip_with would null-pad, but callers only pair equal-dim
-    * vectors). */
-  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Index-order double-accumulated dot product, with the NULL
+    * semantics of the HOF form it replaced (`aggregate(zip_with(a, b,
+    * _*_), 0.0, _+_)`): a length mismatch or a null element poisons the
+    * whole result to null (zip_with null-pads the shorter side and the
+    * fold propagates), so malformed vectors sort last under `cos DESC`
+    * instead of scoring a silently-partial dot. Returns a boxed Double
+    * (null-able). */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData,
+      bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -100,9 +128,10 @@ object IvfImpl {
     }
     acc
   }
-  /** Cosine of `v` against each centroid, index-order double folds —
-    * identical arithmetic to `aggregate(zip_with(...))` + sqrt norms. */
-  def cosines(v: ArrayData, centroids: Array[Array[Float]]): GenericArrayData = {
+  /** (cosine, -centroidIndex) structs of `v` against each centroid,
+    * index-order double folds — identical arithmetic to
+    * `aggregate(zip_with(...))` + sqrt norms. */
+  def scores(v: ArrayData, centroids: Array[Array[Float]]): GenericArrayData = {
     val n = v.numElements()
     var vNorm = 0.0
     var i = 0
@@ -127,7 +156,8 @@ object IvfImpl {
         cNorm += y * y
         j += 1
       }
-      out(c) = dot / (vNorm * math.sqrt(cNorm))
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(
+        dot / (vNorm * math.sqrt(cNorm)), -c)
       c += 1
     }
     new GenericArrayData(out)

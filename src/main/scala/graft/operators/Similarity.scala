@@ -121,17 +121,14 @@ object Similarity {
       .orderBy(col("id")).limit(nlist)
       .collect().map(_.getSeq[Float](1).toArray)
 
-    // per-centroid cosines via the native expression (one JVM loop per
-    // row; the HOF form runs nlist interpreted folds —
-    // graft.functions.CosinesAgainst), then (cos, -cellId) structs so
-    // array_max / reverse(array_sort) give (cos desc, cell asc) order
+    // per-centroid (cos, -cellId) structs via the native expression —
+    // ONE O(nlist·dim) loop per row emitting the finished struct array
+    // (graft.functions.CentroidScores; assembling the structs with a
+    // transform lambda would re-run the whole scorer per element).
+    // array_max / reverse(array_sort) then give (cos desc, cell asc).
     import org.apache.spark.sql.GraftColumns
-    def centroidScores(v: Column): Column = {
-      val cs = GraftColumns.column(
-        graft.functions.CosinesAgainst(GraftColumns.expression(v), centroids))
-      transform(sequence(lit(0), lit(centroids.length - 1)),
-        i => struct(element_at(cs, i + 1).as("cos"), (-i).as("negid")))
-    }
+    def centroidScores(v: Column): Column = GraftColumns.column(
+      graft.functions.CentroidScores(GraftColumns.expression(v), centroids))
     def cellOf(v: Column): Column =
       (-array_max(centroidScores(v)).getField("negid")).cast("int")
     def probedCells(v: Column): Column =

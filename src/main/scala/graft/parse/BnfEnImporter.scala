@@ -72,8 +72,8 @@ object BnfEnImporter {
             val raw = parts(0)
             // non-conforming dir names are skipped, not fatal: detect
             // runs driver-side, outside the per-issue quarantine
-            if (!raw.matches("\\d{8}") ||
-              !parts(1).forall(_.isDigit) || parts(1).isEmpty) None
+            // (length cap keeps toInt from overflowing)
+            if (!raw.matches("\\d{8}") || !parts(1).matches("\\d{1,9}")) None
             else {
               val date = s"${raw.take(4)}-${raw.slice(4, 6)}-${raw.slice(6, 8)}"
               // "<date>_1" → edition a; "<date>_02_1" → second edition

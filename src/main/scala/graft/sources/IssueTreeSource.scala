@@ -39,8 +39,13 @@ class IssueTreeSource extends TableProvider {
     IssueTreeSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new IssueTreeTable(properties.get("path"))
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "IssueTreeSource requires exactly one path: " +
+        "spark.read.format(...).load(<base dir>)")
+    new IssueTreeTable(path)
+  }
 }
 
 object IssueTreeSource {
@@ -141,8 +146,10 @@ private class IssueTreeScan(base: String, aliasFilters: Array[Filter],
         yearOk(year.getName.toInt)
       month <- subdirs(year) if month.getName.matches("\\d{2}")
       day <- subdirs(month) if day.getName.matches("\\d{2}")
-      epoch = java.time.LocalDate.of(year.getName.toInt,
-        month.getName.toInt, day.getName.toInt).toEpochDay.toInt
+      // a malformed vendor dir (month 13, day 32) skips, not fails:
+      // one stray directory must not kill every read of the tree
+      epoch <- scala.util.Try(java.time.LocalDate.of(year.getName.toInt,
+        month.getName.toInt, day.getName.toInt).toEpochDay.toInt).toOption.toSeq
       if lo.forall(_ <= epoch) && hi.forall(_ >= epoch)
       (edition, path) <- {
         val eds = subdirs(day)

@@ -68,6 +68,25 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(withBuckets.filter(col("qb") =!= col("nb")).count() == 0)
   }
 
+  test("dot of length-mismatched or null-element vectors is null (HOF parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f))).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 11.0)
+    assert(out(1).isNullAt(1), "mismatched lengths must yield null")
+    // a malformed vector sorts last under cos DESC instead of scoring
+    // a silently-partial dot (nulls last in descending order)
+    val mixed = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      mixed.filter(col("vec_id") === 1), mixed, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(topk.head.getAs[Long]("n_id") == 2L)
+  }
+
   test("IVF probes recover most of the true neighbors (recall vs exact)") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

@@ -2,6 +2,8 @@ package graft.discover
 
 import java.io.File
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,4 +86,35 @@ object Discover {
   def incremental(issues: DataFrame, done: DataFrame): DataFrame =
     issues.join(done.select("alias", "date", "edition"),
       Seq("alias", "date", "edition"), "left_anti")
+
+  /** Parse the reference's `--config_file` JSON into a [[SelectConfig]]
+    * (docs/importers.rst:64-105). Both key spellings are accepted —
+    * the docs say `aliases`/`exclude_aliases`, the shipped production
+    * configs (text_preparation/config/importer_config) use
+    * `titles`/`exclude_titles`. An empty string or array as an alias's
+    * date spec means "everything". */
+  def parseConfig(json: String): SelectConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    def field(names: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+      names.flatMap(n => Option(root.get(n))).headOption
+    val titles = field("titles", "aliases").map { t =>
+      t.properties().iterator().asScala.map { e =>
+        val spec = e.getValue
+        val s =
+          if (spec == null || spec.isNull) None
+          else if (spec.isTextual && spec.asText.nonEmpty) Some(spec.asText)
+          else if (spec.isArray && spec.size > 0)
+            // year lists: [1950, 1960] → "1950|1960"
+            Some((0 until spec.size).map(spec.get(_).asText).mkString("|"))
+          else None
+        e.getKey -> s
+      }.toMap
+    }.getOrElse(Map.empty[String, Option[String]])
+    val exclude = field("exclude_titles", "exclude_aliases").map { x =>
+      (0 until x.size).map(x.get(_).asText).toSet
+    }.getOrElse(Set.empty[String])
+    val yearOnly = field("year_only").exists(_.asBoolean(false))
+    SelectConfig(titles, exclude, yearOnly)
+  }
 }

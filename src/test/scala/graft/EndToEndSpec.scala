@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.discover.Discover
+import graft.jobs.ImportJob
+import graft.operators.{Manifest, Stats}
+import graft.parse.LuxImporter
+import graft.rebuild.RebuildJob
+
+/** The full "switch path" a reference user follows, as one pipeline:
+  * config-driven detect → distributed import → partitioned canonical
+  * write → read back with declared schemas → solr + passim rebuild →
+  * stats → manifest. Real Lux sample data end to end. */
+class EndToEndSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val luxSample =
+    "/root/reference/text_preparation/data/sample_data/Luxembourg"
+
+  test("config file → detect → import → write → rebuild → manifest") {
+    // 1. the reference's config-file format drives selection
+    val config = Discover.parseConfig(
+      """{"titles": {"armeteufel": "1904/01/01-1904/12/31"},
+        |"exclude_titles": [], "year_only": false}""".stripMargin)
+    assert(config.titles.contains("armeteufel"))
+
+    val refs = LuxImporter.detectIssues(luxSample)
+      .filter(r => r.alias == "armeteufel" && r.date.startsWith("1904"))
+    assert(refs.nonEmpty, "sample has the 1904 armeteufel issue")
+
+    // 2. distributed import through the generic job with quarantine
+    val results = ImportJob.run[LuxImporter.IssueRef](spark, refs,
+      _.issueId,
+      r => { val p = LuxImporter.parseIssue(r, "C", "T")
+        (p.issueId, p.issueJson, p.pageJsons) })
+    assert(ImportJob.quarantine(results).count() == 0)
+
+    // 3. partitioned canonical write, read back with declared schemas
+    val out = java.nio.file.Files.createTempDirectory("e2e").toString
+    ImportJob.write(results, out)
+    val issues = RebuildJob.readIssues(spark, s"$out/issues/alias=armeteufel/*")
+    val pages = RebuildJob.readPages(spark, s"$out/pages/alias=armeteufel/*")
+    assert(issues.count() == refs.size)
+    assert(pages.count() > 0)
+
+    // 4. both rebuild formats over the round-tripped canonical data
+    val solr = RebuildJob.rebuildSolr(spark, issues, pages, "T")
+    val solrRows = solr.collect()
+    assert(solrRows.nonEmpty)
+    assert(solrRows.exists(_.ft.exists(_.length > 100)))
+    val passim = RebuildJob.rebuildPassim(spark, issues, pages)
+    assert(passim.count() == solrRows.length)
+
+    // 5. stats + manifest close the loop
+    val stats = Stats.rebuiltStats(solr.toDF())
+    val mrow = Manifest.byTitle(stats).collect()
+    assert(mrow.length == 1)
+    assert(mrow.head.getAs[Long]("total_n_cis") == solrRows.length)
+  }
+
+  test("parseConfig accepts both documented and shipped key spellings") {
+    val a = Discover.parseConfig(
+      """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")
+    assert(a.titles == Map("GDL" -> None))
+    assert(a.excludeTitles == Set("IMP") && a.yearOnly)
+    val b = Discover.parseConfig(
+      """{"titles": {"GDL": [1950, 1960]}, "exclude_titles": []}""")
+    assert(b.titles == Map("GDL" -> Some("1950|1960")))
+    assert(!b.yearOnly)
+  }
+}

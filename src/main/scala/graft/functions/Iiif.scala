@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object Iiif {
 
   /** Endpoint base → image-request suffix
-    * (rebuilders/helpers.py:29-34 IIIF_ENDPOINT_BASE_2_SUFFIX). */
-  val EndpointSuffixes: Map[String, String] = Map(
+    * (rebuilders/helpers.py:29-34 IIIF_ENDPOINT_BASE_2_SUFFIX). Kept as an
+    * ordered Seq: the reference's dict loop lets the LAST matching base
+    * win, so all lookups below fold left with last-match-wins. */
+  val EndpointSuffixes: Seq[(String, String)] = Seq(
     "https://ub-sipi.ub.unibas.ch/impresso" -> "max/0/default.jpg",
     "https://scriptorium.bcu-lausanne.ch/api" -> "300,/0/default.jpg")
 
@@ -22,8 +24,8 @@ object Iiif {
   /** Full IIIF image URL: `base/x,y,w,h/suffix` with the endpoint-specific
     * suffix, defaulting to `full/0/default.jpg`. */
   def imageLink(baseUri: Column, coords: Column): Column = {
-    val suffix = EndpointSuffixes.foldRight(lit("full/0/default.jpg")) {
-      case ((endpoint, sfx), acc) =>
+    val suffix = EndpointSuffixes.foldLeft(lit("full/0/default.jpg")) {
+      case (acc, (endpoint, sfx)) =>
         when(baseUri.startsWith(endpoint), lit(sfx)).otherwise(acc)
     }
     concat_ws("/", baseUri,
@@ -63,9 +65,9 @@ object Iiif {
       val cut = link.lastIndexOf('/')
       val uriBase0 = if (cut >= 0) link.substring(0, cut) else ""
       val oldSuffix = link.substring(cut + 1)
-      val imgSuffix = EndpointSuffixes.collectFirst {
-        case (base, sfx) if uriBase0.contains(base) => sfx
-      }.getOrElse("full/0/default.jpg")
+      val imgSuffix = EndpointSuffixes.foldLeft("full/0/default.jpg") {
+        case (acc, (base, sfx)) => if (uriBase0.contains(base)) sfx else acc
+      }
       if (oldSuffix == "default.jpg") {
         if (link.contains(coordStr) && link.contains(imgSuffix)) link
         else {

@@ -145,19 +145,25 @@ object IvfImpl {
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val m = math.min(n, cent.length)
-      var dot = 0.0
-      var cNorm = 0.0
-      var j = 0
-      while (j < m) {
-        val x = v.getFloat(j).toDouble
-        val y = cent(j).toDouble
-        dot += x * y
-        cNorm += y * y
-        j += 1
+      // length mismatch = malformed vector: poison with -Inf so it can
+      // never win a cell, matching FloatDotProduct's null-poisoning
+      if (cent.length != n) {
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(
+          Double.NegativeInfinity, -c)
+      } else {
+        var dot = 0.0
+        var cNorm = 0.0
+        var j = 0
+        while (j < n) {
+          val x = v.getFloat(j).toDouble
+          val y = cent(j).toDouble
+          dot += x * y
+          cNorm += y * y
+          j += 1
+        }
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(
+          dot / (vNorm * math.sqrt(cNorm)), -c)
       }
-      out(c) = org.apache.spark.sql.catalyst.InternalRow(
-        dot / (vNorm * math.sqrt(cNorm)), -c)
       c += 1
     }
     new GenericArrayData(out)

@@ -68,8 +68,10 @@ object ImportJob {
     val ok = results.filter(_.error.isEmpty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def partitioned(df: DataFrame): DataFrame = df
+      // aliases never contain '-' (the canonical id separator) but may
+      // contain '_' (e.g. SwissInfo's SOC_CJ) — match up to the first '-'
       .withColumn("alias",
-        regexp_extract(col("issue_id"), "^([A-Za-z0-9]+)-", 1))
+        regexp_extract(col("issue_id"), "^([^-]+)-", 1))
       .withColumn("year", regexp_extract(col("issue_id"), "-(\\d{4})-", 1))
       .repartition(col("alias"), col("year"))
       .select(col("json").as("value"), col("alias"), col("year"))

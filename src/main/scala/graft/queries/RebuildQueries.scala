@@ -271,10 +271,10 @@ object RebuildQueries {
          |SELECT alias,
          |  CAST(count(*) AS INT) AS n_years,
          |  CAST(min(year) AS INT) AS first_year,
-         |  SUM(n_issues) AS total_n_issues,
-         |  SUM(n_content_items) AS total_n_content_items,
-         |  SUM(n_images) AS total_n_images,
-         |  SUM(n_pages) AS total_n_pages
+         |  CAST(SUM(n_issues) AS BIGINT) AS total_n_issues,
+         |  CAST(SUM(n_content_items) AS BIGINT) AS total_n_content_items,
+         |  CAST(SUM(n_images) AS BIGINT) AS total_n_images,
+         |  CAST(SUM(n_pages) AS BIGINT) AS total_n_pages
          |FROM yearly GROUP BY alias ORDER BY alias""".stripMargin,
 
     "p1_patch_ro" ->

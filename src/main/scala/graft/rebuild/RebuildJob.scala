@@ -143,9 +143,11 @@ object RebuildJob {
     val kp = keyedPages(pages)
     // explode_outer: a CI with no page refs keeps one null row and lands
     // in quarantine instead of vanishing (F4, rebuilder.py:182-199)
-    cis.select(col("ci_id"), col("issue_id"), col("st"), col("sm"),
-      col("lg"), col("tp"), col("title"), col("ro"), col("iiif_link"),
-      col("coords"), col("pp"),
+    cis.select(col("ci_id"), col("issue_id"),
+      // CI metadata rides the explode packed in ONE struct so the regroup
+      // pays a single first() buffer instead of ten
+      struct(col("st"), col("sm"), col("lg"), col("tp"), col("title"),
+        col("ro"), col("iiif_link"), col("coords"), col("pp")).as("meta"),
       explode_outer(col("pp")).as("page_no"))
       .join(kp, Seq("issue_id", "page_no"), "left")
       // region surgery stays inside the row: no shuffle (SURVEY §2.3 J3-J8)
@@ -157,12 +159,9 @@ object RebuildJob {
           col("page_no"), col("page_id"), col("cc"), col("regions"))))
           .as("pages"),
         max(col("page_id").isNull.cast("int")).as("missing_page"),
-        first(col("st")).as("st"), first(col("sm")).as("sm"),
-        first(col("lg")).as("lg"), first(col("tp")).as("tp"),
-        first(col("title")).as("title"), first(col("ro")).as("ro"),
-        first(col("iiif_link")).as("iiif_link"),
-        first(col("coords")).as("coords"),
-        first(col("pp")).as("pp"))
+        first(col("meta")).as("meta"))
+      .select(col("ci_id"), col("pages"), col("missing_page"),
+        col("meta.*"))
   }
 
   /** Full solr rebuild (R5, rebuilders/helpers.py:176-259).

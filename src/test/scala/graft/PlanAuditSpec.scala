@@ -68,4 +68,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
     assert(p.contains("Exchange hashpartitioning"))
   }
+
+  test("similarity top-k: bounded-heap aggregate, no per-query window") {
+    // A row_number window over q_id funnels every scored candidate of a
+    // query into ONE reducer partition — corpus-sized sort per query at
+    // 10^9 rows. The bounded_topk aggregate keeps O(k) state per query
+    // at every stage: partial heaps map-side, k-entry merge reduce-side.
+    for (name <- Seq("s1_knn_bruteforce", "s2_ann_signlsh", "s3_ann_ivf")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("Window"), s"$name: window in top-k path\n" + p.take(2000))
+      assert(p.contains("bounded_topk"), s"$name: bounded_topk aggregate missing")
+      assert(count(p, "ObjectHashAggregate") >= 2,
+        s"$name: top-k aggregate is not partial/final")
+    }
+  }
 }

@@ -97,11 +97,25 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
+    * Skew contract: LSH keeps buckets small for NEAR-duplicates, but
+    * EXACT duplicates collide in every band — a corpus with 10k copies
+    * of one document would put all 10k in a single bucket and make the
+    * pair expansion quadratic in one task. Run [[exact]] first and feed
+    * only canonical documents here (the intended pipeline for
+    * duplicate-heavy corpora); as a backstop, buckets larger than
+    * `maxBucket` are dropped rather than expanded, and the drop is
+    * surfaced as a named observed metric `lsh_bucket_overflow`
+    * (columns `overflow_buckets`, `overflow_docs` — readable from a
+    * `QueryExecutionListener` / `Observation`, zero extra scan). A
+    * dropped bucket loses only pairs whose members co-occur in NO other
+    * sub-`maxBucket` band bucket — overwhelmingly mass-duplicates that
+    * exact-dedup-first already collapses.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
     val rows = numHashes / bands
     // shingles + signatures via the native codegen'd expressions (tight
     // JVM loops; interpreted HOFs here would be re-evaluated per explode
@@ -122,10 +136,27 @@ object Dedup {
     // Spark cannot reuse exchanges under lambda expressions (their
     // canonicalized plans never compare equal). Bucket sizes are small by
     // LSH construction, so the per-group pair expansion is bounded.
+    // The bucket collection is BOUNDED, not just the expansion: a plain
+    // collect_list would buffer a mass-duplicate bucket in full (10M
+    // copies of one doc = one 10 GB aggregation buffer) before any size
+    // filter could drop it. BoundedTopK with a constant score keeps the
+    // first maxBucket+1 members by id — O(maxBucket) state per bucket at
+    // every stage including the map-side partial — and the exact member
+    // count rides along separately for overflow accounting.
+    val bucketCap = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BoundedTopK(
+        org.apache.spark.sql.GraftColumns.expression(
+          struct(lit(0.0).as("s"), col("id"), col("sh"))),
+        maxBucket + 1).toAggregateExpression())
     val pairs = banded
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .agg(bucketCap.as("xs"), count(lit(1)).as("n"))
+      .observe("lsh_bucket_overflow",
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_docs"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
           struct(

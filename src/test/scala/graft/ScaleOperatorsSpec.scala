@@ -27,6 +27,39 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       r.getAs[Long]("id_a") == 474L && r.getAs[Long]("id_b") == 498L))
   }
 
+  test("LSH bucket cap drops mass-duplicate buckets instead of going quadratic") {
+    import spark.implicits._
+    // 10k EXACT duplicates: they collide in every band, so an uncapped
+    // expansion would emit ~4 * C(10k, 2) = 200M pairs from single
+    // tasks. With the cap the buckets are dropped (exact-dedup-first is
+    // the documented contract for recovering those pairs) and the drop
+    // is observable as the lsh_bucket_overflow metric.
+    @volatile var observed: Map[String, org.apache.spark.sql.Row] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.observedMetrics.nonEmpty) observed ++= qe.observedMetrics
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = (1 to 10000).map(i =>
+        (i.toLong, "same mass duplicated body of text for every document"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", maxBucket = 100)
+      assert(pairs.count() == 0L, "overflowing buckets must be dropped")
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!observed.contains("lsh_bucket_overflow") &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val m = observed("lsh_bucket_overflow")
+      assert(m.getAs[Long]("overflow_buckets") == 4L, m.toString)
+      assert(m.getAs[Long]("overflow_docs") == 40000L, m.toString)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("simhash of near-identical docs is hamming-close, distinct docs far") {
     import spark.implicits._
     val df = Seq(

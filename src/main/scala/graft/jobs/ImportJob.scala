@@ -57,16 +57,30 @@ object ImportJob {
 
   /** Write imported issues and pages as bz2 JSONL partitioned by
     * (alias, year) — S7/S8's partitioned-write replacement for the
-    * reference's FileLock + append. */
+    * reference's FileLock + append.
+    *
+    * Every document is schema-validated before it is written
+    * ([[Validate]], the reference's write-time guard at
+    * core.py:285-291/617-618): documents with violations are diverted
+    * to a `failed/` quarantine sink (issue_id, doc_id, violations,
+    * json) and excluded from the canonical outputs — the job never
+    * dies on an invalid document, mirroring write_error + failed_log. */
   def write(results: Dataset[ImportResult], outPath: String): Unit = {
     import org.apache.spark.sql.functions._
     import results.sparkSession.implicits._
-    // two write actions follow; without a persist each would re-run the
-    // full XML parse of every issue (the dominant cost at scale) — the
-    // same reuse point the reference persists its issue bag at
+    // three write actions follow; without a persist each would re-run
+    // the full XML parse of every issue (the dominant cost at scale) —
+    // the same reuse point the reference persists its issue bag at
     // (core.py:402)
     val ok = results.filter(_.error.isEmpty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val issues = ok.flatMap(r => r.issueJson.map(j => (r.issueId, j)))
+      .toDF("issue_id", "json")
+      .withColumn("violations", Validate.issueViolations(col("json")))
+    val pages = ok.flatMap(r => r.pages.map { case (pid, j) => (r.issueId, pid, j) })
+      .toDF("issue_id", "doc_id", "json")
+      .withColumn("violations",
+        Validate.pageViolations(col("json"), col("issue_id")))
     def partitioned(df: DataFrame): DataFrame = df
       // aliases never contain '-' (the canonical id separator) but may
       // contain '_' (e.g. SwissInfo's SOC_CJ) — match up to the first '-'
@@ -75,12 +89,18 @@ object ImportJob {
       .withColumn("year", regexp_extract(col("issue_id"), "-(\\d{4})-", 1))
       .repartition(col("alias"), col("year"))
       .select(col("json").as("value"), col("alias"), col("year"))
-    partitioned(ok.flatMap(r => r.issueJson.map(j => (r.issueId, j)))
-      .toDF("issue_id", "json"))
+    issues.filter(size(col("violations")) > 0)
+      .select(col("issue_id"), col("issue_id").as("doc_id"),
+        col("violations"), col("json"))
+      .unionByName(pages.filter(size(col("violations")) > 0)
+        .select(col("issue_id"), col("doc_id"), col("violations"), col("json")))
+      .write.mode("overwrite").json(s"$outPath/failed")
+    partitioned(issues.filter(size(col("violations")) === 0)
+      .select(col("issue_id"), col("json")))
       .write.mode("overwrite").partitionBy("alias", "year")
       .option("compression", "bzip2").text(s"$outPath/issues")
-    partitioned(ok.flatMap(r => r.pages.map { case (_, j) => (r.issueId, j) })
-      .toDF("issue_id", "json"))
+    partitioned(pages.filter(size(col("violations")) === 0)
+      .select(col("issue_id"), col("json")))
       .write.mode("overwrite").partitionBy("alias", "year")
       .option("compression", "bzip2").text(s"$outPath/pages")
     ok.unpersist()

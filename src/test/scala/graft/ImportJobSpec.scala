@@ -45,6 +45,44 @@ class ImportJobSpec extends AnyFunSuite {
     assert(q.length == 1 && q.head.getString(0) == "kbX-1900-01-01-a")
   }
 
+  test("write-time validation quarantines malformed documents") {
+    import spark.implicits._
+    val goodIssue = """{"id":"kbx-1900-01-01-a","cdt":"2020-01-01 00:00:00",""" +
+      """"pp":["kbx-1900-01-01-a-p0001"],""" +
+      """"i":[{"m":{"id":"kbx-1900-01-01-a-i0001","tp":"article","pp":[1]}}]}"""
+    val goodPage = """{"id":"kbx-1900-01-01-a-p0001","cc":true,"r":[]}"""
+    // missing cdt, CI id of ANOTHER issue, CI pp pointing past the page list
+    val badIssue = """{"id":"kbx-1900-01-02-a",""" +
+      """"pp":["kbx-1900-01-02-a-p0001"],""" +
+      """"i":[{"m":{"id":"other-1900-01-02-a-i0001","tp":"article","pp":[2]}}]}"""
+    // token coords must be 4 ints
+    val badPage = """{"id":"kbx-1900-01-02-a-p0001","cc":true,""" +
+      """"r":[{"c":[1,2,3,4],"pOf":"kbx-1900-01-02-a-i0001",""" +
+      """"p":[{"l":[{"t":[{"c":[1,2,3],"tx":"x"}]}]}]}]}"""
+    val results = spark.createDataset(Seq(
+      ImportJob.ImportResult("kbx-1900-01-01-a", Some(goodIssue),
+        Seq(("kbx-1900-01-01-a-p0001", goodPage)), None),
+      ImportJob.ImportResult("kbx-1900-01-02-a", Some(badIssue),
+        Seq(("kbx-1900-01-02-a-p0001", badPage)), None)))
+    val out = java.nio.file.Files.createTempDirectory("val-out").toString
+    ImportJob.write(results, out)
+    val failed = spark.read.json(s"$out/failed").collect()
+    assert(failed.length == 2, failed.mkString("\n"))
+    val issueViols = failed.find(_.getAs[String]("doc_id") == "kbx-1900-01-02-a")
+      .get.getAs[scala.collection.Seq[String]]("violations")
+    assert(issueViols.contains("missing_cdt"))
+    assert(issueViols.contains("ci_id_not_of_issue"))
+    assert(issueViols.contains("ci_pp_not_in_issue"))
+    val pageViols = failed.find(_.getAs[String]("doc_id") == "kbx-1900-01-02-a-p0001")
+      .get.getAs[scala.collection.Seq[String]]("violations")
+    assert(pageViols.contains("bad_token_coords"))
+    // the valid issue+page are written; the invalid ones are excluded
+    val issues = spark.read.text(s"$out/issues").collect().map(_.getString(0))
+    assert(issues.length == 1 && issues.head.contains("kbx-1900-01-01-a"))
+    val pages = spark.read.text(s"$out/pages").collect().map(_.getString(0))
+    assert(pages.length == 1 && pages.head.contains("-p0001"))
+  }
+
   test("BNF-EN runs through the same generic job") {
     val refs = BnfEnImporter.detectIssues(
       "/root/reference/text_preparation/data/sample_data/BNF-EN",

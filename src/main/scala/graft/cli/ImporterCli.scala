@@ -76,16 +76,30 @@ object ImporterCli {
       handles.zipWithIndex.collect { case (h, i) if keep(i) => h }
     }.getOrElse(handles)
 
-    // incremental skip: ids already present in the output's issue JSONL
-    // (generic_importer.py:240-249); new issues append as new part files
-    val done: Set[String] =
-      if (!args.incremental) Set.empty
+    // incremental skip (generic_importer.py:240-249): left-anti join the
+    // detected descriptors against the output's (alias, date, edition)
+    // keys via Discover.incremental — the prior output is scanned on
+    // executors, never materialized on the driver; only the surviving
+    // descriptor indices (the new work, by definition small) come back
+    val todo: Seq[Formats.IssueHandle] =
+      if (!args.incremental) selected
       else scala.util.Try {
-        spark.read.text(s"${args.outputDir}/issues")
-          .select(regexp_extract(col("value"), "\"id\":\"([^\"]+)\"", 1))
-          .as[String].collect().toSet
-      }.getOrElse(Set.empty)
-    val todo = selected.filterNot(h => done(h.issueId))
+        val descr = selected.zipWithIndex
+          .map { case (h, i) =>
+            (i, h.alias, java.sql.Date.valueOf(h.date), h.edition) }
+          .toDF("idx", "alias", "date", "edition")
+        val done = spark.read.text(s"${args.outputDir}/issues")
+          .select(get_json_object(col("value"), "$.id").as("id"))
+          .select(
+            regexp_extract(col("id"), "^([^-]+)-", 1).as("alias"),
+            to_date(regexp_extract(col("id"), "-(\\d{4}-\\d{2}-\\d{2})-", 1))
+              .as("date"),
+            regexp_extract(col("id"), "-([^-]+)$", 1).as("edition"))
+        val keep = Discover.incremental(descr, done)
+          .select("idx").collect().map(_.getInt(0)).toSet
+        selected.zipWithIndex.collect { case (h, i) if keep(i) => h }
+      }.getOrElse(selected)
+    val anySkipped = todo.size < selected.size
 
     val now = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -97,7 +111,7 @@ object ImporterCli {
       _.issueId, h => h.parse(cdt, ts))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ImportJob.write(results, args.outputDir,
-      mode = if (args.incremental && done.nonEmpty) "append" else "overwrite")
+      writeMode = if (args.incremental && anySkipped) "append" else "overwrite")
     val quarantined = ImportJob.quarantine(results)
     val nQuarantined = quarantined.count()
     if (nQuarantined > 0)

@@ -64,8 +64,15 @@ object ImportJob {
     * core.py:285-291/617-618): documents with violations are diverted
     * to a `failed/` quarantine sink (issue_id, doc_id, violations,
     * json) and excluded from the canonical outputs — the job never
-    * dies on an invalid document, mirroring write_error + failed_log. */
-  def write(results: Dataset[ImportResult], outPath: String): Unit = {
+    * dies on an invalid document, mirroring write_error + failed_log.
+    *
+    * @param writeMode "overwrite" (full re-import) or "append" (incremental
+    *             run adds new part files). Overwrites are dynamic —
+    *             only the (alias, year) partitions actually written are
+    *             replaced, so re-importing one alias never wipes the
+    *             others' output. */
+  def write(results: Dataset[ImportResult], outPath: String,
+      writeMode: String = "overwrite"): Unit = {
     import org.apache.spark.sql.functions._
     import results.sparkSession.implicits._
     // three write actions follow; without a persist each would re-run
@@ -94,14 +101,16 @@ object ImportJob {
         col("violations"), col("json"))
       .unionByName(pages.filter(size(col("violations")) > 0)
         .select(col("issue_id"), col("doc_id"), col("violations"), col("json")))
-      .write.mode("overwrite").json(s"$outPath/failed")
+      .write.mode(writeMode).json(s"$outPath/failed")
     partitioned(issues.filter(size(col("violations")) === 0)
       .select(col("issue_id"), col("json")))
-      .write.mode("overwrite").partitionBy("alias", "year")
+      .write.mode(writeMode).partitionBy("alias", "year")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "bzip2").text(s"$outPath/issues")
     partitioned(pages.filter(size(col("violations")) === 0)
       .select(col("issue_id"), col("json")))
-      .write.mode("overwrite").partitionBy("alias", "year")
+      .write.mode(writeMode).partitionBy("alias", "year")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "bzip2").text(s"$outPath/pages")
     ok.unpersist()
   }

@@ -30,11 +30,11 @@ object Ids {
   /** Parse the alias (title) back out of a canonical ID.
     * reference: rebuilders/helpers.py:194 (`ci["id"].split("-")`). */
   def aliasOf(id: Column): Column =
-    regexp_extract(id, "^([A-Za-z0-9]+)-", 1)
+    regexp_extract(id, "^([^-]+)-", 1)
 
   /** Parse the ISO date out of a canonical ID. */
   def dateOf(id: Column): Column =
-    to_date(regexp_extract(id, "^[A-Za-z0-9]+-(\\d{4}-\\d{2}-\\d{2})-", 1))
+    to_date(regexp_extract(id, "^[^-]+-(\\d{4}-\\d{2}-\\d{2})-", 1))
 
   /** Parse the item number out of a `...-iNNNN` content-item ID. */
   def itemNumberOf(id: Column): Column =

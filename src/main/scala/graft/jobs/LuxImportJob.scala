@@ -73,7 +73,7 @@ object LuxImportJob {
     val spark = results.sparkSession
     import spark.implicits._
     issues(results)
-      .withColumn("alias", regexp_extract(col("value"), "\"id\":\"([A-Za-z0-9]+)-", 1))
+      .withColumn("alias", regexp_extract(col("value"), "\"id\":\"([^-]+)-", 1))
       .withColumn("year", regexp_extract(col("value"), "-(\\d{4})-", 1))
       .repartition(col("alias"), col("year"))
       .write.mode("overwrite").partitionBy("alias", "year")

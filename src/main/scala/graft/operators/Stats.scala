@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   private def aliasOf(id: Column): Column =
-    regexp_extract(id, "^([A-Za-z0-9]+)-", 1)
+    regexp_extract(id, "^([^-]+)-", 1)
   private def yearOf(id: Column): Column =
     regexp_extract(id, "-(\\d{4})-", 1).cast("int")
 

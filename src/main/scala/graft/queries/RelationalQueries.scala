@@ -436,8 +436,8 @@ object RelationalQueries {
         |      lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0') AS ci_id
         |  FROM orders)
         |SELECT o_orderkey,
-        |  regexp_extract(ci_id, '^([A-Za-z0-9]+)-', 1) AS alias,
-        |  CAST(regexp_extract(ci_id, '^[A-Za-z0-9]+-(\d{4}-\d{2}-\d{2})-', 1) AS DATE) AS issue_date,
+        |  regexp_extract(ci_id, '^([^-]+)-', 1) AS alias,
+        |  CAST(regexp_extract(ci_id, '^[^-]+-(\d{4}-\d{2}-\d{2})-', 1) AS DATE) AS issue_date,
         |  CAST(regexp_extract(ci_id, '-i(\d+)$', 1) AS INT) AS item_n
         |FROM ids ORDER BY o_orderkey""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.rebuild
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -164,17 +164,27 @@ object RebuildJob {
         col("meta.*"))
   }
 
+  /** Language filter (rebuilder.py:272-274 `ci["lg"] in filter_language`)
+    * applied BEFORE the rebuild fold — `lg` passes through the fold
+    * unchanged, so filtering early is semantics-preserving and skips the
+    * expensive recompose for excluded languages. A null `lg` is excluded
+    * when a filter is set, matching Python `in`. */
+  private def langFilter(languages: Option[Seq[String]]): Column =
+    languages.filter(_.nonEmpty)
+      .map(ls => col("lg").isin(ls: _*)).getOrElse(lit(true))
+
   /** Full solr rebuild (R5, rebuilders/helpers.py:176-259).
     *
     * @param ts injected run timestamp — parameterized so golden tests are
     *           reproducible (the reference stamps wall-clock, which its
     *           own tests must exclude; SURVEY.md §7.4 risk 6).
+    * @param languages optional language allow-list (rebuilder.py:272).
     */
   def rebuildSolr(spark: SparkSession, issues: DataFrame, pages: DataFrame,
-      ts: String): Dataset[RebuiltCI] = {
+      ts: String, languages: Option[Seq[String]] = None): Dataset[RebuiltCI] = {
     import spark.implicits._
     joined(issues, pages)
-      .filter(col("missing_page") === 0)
+      .filter(col("missing_page") === 0 && langFilter(languages))
       .as[CiInput]
       .map(ci => rebuildOne(ci, ts))
   }
@@ -182,10 +192,11 @@ object RebuildJob {
   /** Passim-format rebuild (R6, rebuilders/helpers.py:262-311). Unlike
     * solr, images are not skipped (the reference recomposes every CI). */
   def rebuildPassim(spark: SparkSession, issues: DataFrame,
-      pages: DataFrame): Dataset[PassimDoc] = {
+      pages: DataFrame,
+      languages: Option[Seq[String]] = None): Dataset[PassimDoc] = {
     import spark.implicits._
     joined(issues, pages)
-      .filter(col("missing_page") === 0)
+      .filter(col("missing_page") === 0 && langFilter(languages))
       .as[CiInput]
       .map { ci =>
         val alias = ci.ci_id.split("-").head
@@ -272,9 +283,11 @@ object RebuildJob {
     * join records on (issueId, recNo), in-row section filter by pOf,
     * ordered group, typed fold (R1/R2/R4/R8 audio variants). */
   def rebuildAudioSolr(spark: SparkSession, issues: DataFrame,
-      records: DataFrame, ts: String): Dataset[RebuiltAudioCI] = {
+      records: DataFrame, ts: String,
+      languages: Option[Seq[String]] = None): Dataset[RebuiltAudioCI] = {
     import spark.implicits._
-    joinedAudio(spark, issues, records).map(ci => rebuildAudioOne(ci, ts))
+    joinedAudio(spark, issues, records, languages)
+      .map(ci => rebuildAudioOne(ci, ts))
   }
 
   /** Audio passim rebuild — the working completion of the reference's
@@ -282,9 +295,10 @@ object RebuildJob {
     * passim docs with an `audios` array of per-token time-coded regions.
     */
   def rebuildAudioPassim(spark: SparkSession, issues: DataFrame,
-      records: DataFrame): Dataset[PassimAudioDoc] = {
+      records: DataFrame,
+      languages: Option[Seq[String]] = None): Dataset[PassimAudioDoc] = {
     import spark.implicits._
-    joinedAudio(spark, issues, records).map { ci =>
+    joinedAudio(spark, issues, records, languages).map { ci =>
       val alias = ci.ci_id.split("-").head
       val d = ci.ci_id.split("-").slice(1, 4).mkString("-")
       var text = ""
@@ -301,7 +315,8 @@ object RebuildJob {
   }
 
   private def joinedAudio(spark: SparkSession, issues: DataFrame,
-      records: DataFrame): Dataset[AudioCiInput] = {
+      records: DataFrame,
+      languages: Option[Seq[String]] = None): Dataset[AudioCiInput] = {
     import spark.implicits._
     val cis = issues
       .withColumn("st", coalesce(col("st"), lit("radio_broadcast")))
@@ -424,11 +439,21 @@ object RebuildJob {
     * partitioned write (S9; shuffle-before-write replaces its FileLock +
     * append, core.py:429-437's own TODO). */
   def writeSolr(ds: Dataset[RebuiltCI], outPath: String): Unit =
-    ds.withColumn("alias", regexp_extract(col("id"), "^([A-Za-z0-9]+)-", 1))
+    writeJsonl(ds.toDF(), outPath)
+
+  /** Write any rebuilt frame carrying a canonical `id` column (solr,
+    * passim, audio) as bz2 JSONL partitioned by (alias, year) — the
+    * shared sink behind [[writeSolr]] and [[graft.cli.RebuilderCli]].
+    * Overwrites are dynamic: only the partitions actually written are
+    * replaced (see [[graft.jobs.ImportJob.write]]). */
+  def writeJsonl(df: DataFrame, outPath: String,
+      writeMode: String = "overwrite"): Unit =
+    df.withColumn("alias", regexp_extract(col("id"), "^([^-]+)-", 1))
       .withColumn("year", regexp_extract(col("id"), "-(\\d{4})-", 1).cast("int"))
       .repartition(col("alias"), col("year"))
-      .write.mode("overwrite")
+      .write.mode(writeMode)
       .partitionBy("alias", "year")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "bzip2")
       .json(outPath)
 }

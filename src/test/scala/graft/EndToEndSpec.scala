@@ -60,6 +60,58 @@ class EndToEndSpec extends AnyFunSuite {
     assert(mrow.head.getAs[Long]("total_n_cis") == solrRows.length)
   }
 
+  test("import CLI → rebuild CLI drives both stages on sample data") {
+    import graft.cli.{ImporterCli, RebuilderCli}
+    val out = java.nio.file.Files.createTempDirectory("e2e-cli").toString
+
+    // stage 1: the import CLI (generic_importer.py:162-200 surface)
+    val s1 = ImporterCli.run(spark, ImporterCli.parseArgs(Array(
+      "--format=lux", s"--input-dir=$luxSample", s"--output-dir=$out/canonical",
+      "--cdt=C", "--ts=T")))
+    assert(s1.imported > 0 && s1.quarantined == 0)
+
+    // incremental re-run: the anti-join (Discover.incremental) sees every
+    // issue already imported and skips them all
+    val s2 = ImporterCli.run(spark, ImporterCli.parseArgs(Array(
+      "--format=lux", s"--input-dir=$luxSample", s"--output-dir=$out/canonical",
+      "--incremental", "--cdt=C", "--ts=T")))
+    assert(s2.skipped == s2.selected, "incremental run skips everything")
+    assert(s2.imported == 0)
+
+    // stage 2: the rebuild CLI (rebuilder.py:295-344 surface) with a
+    // reference-shaped filter config batch
+    val cfg = java.nio.file.Files.createTempFile("rebuilt-cfg", ".json")
+    java.nio.file.Files.write(cfg,
+      """[{"armeteufel": [1904, 1905]}]""".getBytes("UTF-8"))
+    val r = RebuilderCli.run(spark, RebuilderCli.parseArgs(Array(
+      s"--input-dir=$out/canonical", s"--output-dir=$out/rebuilt",
+      s"--filter-config=$cfg", "--format=solr", "--ts=T",
+      s"--stats-dir=$out/stats")))
+    assert(r.rebuilt > 0)
+
+    // the batch predicate pruned to armeteufel-1904 only, and the output
+    // reads back as (alias, year)-partitioned rebuilt docs
+    val rebuilt = spark.read.json(s"$out/rebuilt/solr")
+    assert(rebuilt.select("alias").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("armeteufel"))
+    assert(rebuilt.filter(col("ft").isNotNull).count() > 0)
+    val stats = spark.read.json(s"$out/stats")
+    assert(stats.count() == 1)
+
+    // passim format through the same CLI
+    val p = RebuilderCli.run(spark, RebuilderCli.parseArgs(Array(
+      s"--input-dir=$out/canonical", s"--output-dir=$out/rebuilt",
+      s"--filter-config=$cfg", "--format=passim")))
+    assert(p.rebuilt == r.rebuilt)
+
+    // language filter: the armeteufel batch is German-only sample data,
+    // so filtering it to French rebuilds nothing
+    val fr = RebuilderCli.run(spark, RebuilderCli.parseArgs(Array(
+      s"--input-dir=$out/canonical", s"--output-dir=$out/rebuilt-fr",
+      s"--filter-config=$cfg", "--format=solr", "--ts=T", "--languages=fr")))
+    assert(fr.rebuilt == 0)
+  }
+
   test("parseConfig accepts both documented and shipped key spellings") {
     val a = Discover.parseConfig(
       """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")

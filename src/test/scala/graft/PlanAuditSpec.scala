@@ -51,6 +51,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("word_shingles") && p.contains("minhash_sig"))
   }
 
+  test("rebuild CLI batch config prunes canonical partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    Seq("A1-1900-01-01-a", "A1-1950-01-01-a", "B2-1900-01-01-a")
+      .toDF("id")
+      .withColumn("alias", regexp_extract(col("id"), "^([^-]+)-", 1))
+      .withColumn("year",
+        regexp_extract(col("id"), "-(\\d{4})-", 1).cast("int"))
+      .write.mode("overwrite").partitionBy("alias", "year").json(out)
+    val issues = RebuildJob.readIssues(spark, out)
+    val selected = graft.cli.RebuilderCli.selectBatches(issues,
+      Seq(graft.cli.RebuilderCli.Batch("A1", 1890, 1910)))
+    val p = plan(selected)
+    // the batch predicate must reach the scan as PartitionFilters —
+    // directory-level pruning, zero data read outside the batch — not a
+    // post-scan Filter over the whole corpus
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*alias[^\\]]*\\].*"),
+      p.take(2000))
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*year[^\\]]*\\].*"),
+      p.take(2000))
+    assert(selected.count() == 1)
+  }
+
   test("filters are pushed down to the parquet scans") {
     val p = plan(SparkEntry.queries("f2_date_range")(spark, sf))
     assert(p.contains("PushedFilters: ["), p.take(1500))

@@ -52,4 +52,71 @@ object PatchJob {
     * field, leave everything else untouched). */
   def patchContentItems(issues: DataFrame, fix: Column => Column): DataFrame =
     issues.withColumn("i", transform(col("i"), fix))
+
+  // ---- patch 7: Olive/RERO coordinate rescale ----
+  // (canonical_patch_7_rero_olive.py: scale_coords / convert_issue_coords
+  // / convert_page_coords). The resolution table — one row per issue to
+  // patch, (issue_id, curr_res, dest_res) — is the output of the patch-7
+  // audit (the reference's find_issues listing + notebook triage). It is
+  // tiny relative to the canonical data, so both patches broadcast it:
+  // the 100 TB side never shuffles, and untouched issues pass through
+  // unchanged (left join, null curr_res → identity).
+
+  /** `int(c * dest / curr)` as a Column (scale_coords,
+    * canonical_patch_7_rero_olive.py:38-51): Python `int()` truncates,
+    * so the double product is cast straight to int. */
+  private def scaleCoords(c: Column, curr: Column, dest: Column): Column =
+    when(c.isNull || curr.isNull, c).otherwise(
+      transform(c, x =>
+        (x.cast("double") * dest.cast("double") / curr.cast("double"))
+          .cast("int")))
+
+  /** Rescale CI-level image coordinates inside issues
+    * (convert_issue_coords: `m.c` takes precedence over top-level `c`,
+    * only one of the two is scaled). Adds a `patched` flag column the
+    * caller can split the patch-info report on. */
+  def patch7RescaleIssues(issues: DataFrame, resolutions: DataFrame): DataFrame = {
+    val res = broadcast(resolutions
+      .select(col("issue_id"), col("curr_res"), col("dest_res")))
+    issues.join(res, issues("id") === res("issue_id"), "left")
+      .withColumn("i", transform(col("i"), ci =>
+        when(ci.getField("m").getField("c").isNotNull,
+          ci.withField("m.c", scaleCoords(ci.getField("m").getField("c"),
+            col("curr_res"), col("dest_res"))))
+          .otherwise(
+            ci.withField("c", scaleCoords(ci.getField("c"),
+              col("curr_res"), col("dest_res"))))))
+      .withColumn("patched", col("curr_res").isNotNull &&
+        exists(col("i"), ci => ci.getField("m").getField("c").isNotNull ||
+          ci.getField("c").isNotNull))
+      .drop("issue_id", "curr_res", "dest_res")
+  }
+
+  /** Rescale every region/line/token coordinate inside pages
+    * (convert_page_coords: regions, lines and tokens are scaled;
+    * paragraph boxes are not — the reference's sanity count covers
+    * exactly those three levels). Pure nested `transform`, no shuffle:
+    * the only wide op is the broadcast of the resolution table. */
+  def patch7RescalePages(pages: DataFrame, resolutions: DataFrame): DataFrame = {
+    val res = broadcast(resolutions
+      .select(col("issue_id"), col("curr_res"), col("dest_res")))
+    val keyed = pages.withColumn("__issue_id",
+      regexp_replace(col("id"), "-p\\d+$", ""))
+    val curr = col("curr_res")
+    val dest = col("dest_res")
+    keyed.join(res, keyed("__issue_id") === res("issue_id"), "left")
+      .withColumn("r", when(curr.isNull, col("r")).otherwise(
+        transform(col("r"), region =>
+          region
+            .withField("c", scaleCoords(region.getField("c"), curr, dest))
+            .withField("p", transform(region.getField("p"), para =>
+              para.withField("l", transform(para.getField("l"), line =>
+                line
+                  .withField("c", scaleCoords(line.getField("c"), curr, dest))
+                  .withField("t", transform(line.getField("t"), tok =>
+                    tok.withField("c",
+                      scaleCoords(tok.getField("c"), curr, dest)))))))))))
+      .withColumn("patched", curr.isNotNull)
+      .drop("__issue_id", "issue_id", "curr_res", "dest_res")
+  }
 }

@@ -193,6 +193,24 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // Patch 7 — coordinate rescale via a broadcast resolution table
+    // (canonical_patch_7_rero_olive scale_coords/convert_issue_coords):
+    // issues with doc_id % 3 = 0 rescale 300→150; only img CIs
+    // (doc_id % 5 = 0) carry coords, so `patched` is true on the
+    // intersection and coords halve with Python-int truncation
+    "p7_patch_scale" -> ((s, d) => {
+      val res = Tables.documents(s, d).filter(expr("doc_id % 3 = 0"))
+        .select(issueId.as("issue_id"),
+          lit(300).as("curr_res"), lit(150).as("dest_res"))
+      graft.jobs.PatchJob.patch7RescaleIssues(syntheticIssues(s, d), res)
+        .select(col("id"), col("patched"),
+          element_at(col("i"), 2).getField("m").getField("c").as("c"))
+        .select(col("id"), col("patched"),
+          element_at(col("c"), 1).as("x0"), element_at(col("c"), 2).as("y0"),
+          element_at(col("c"), 3).as("x1"), element_at(col("c"), 4).as("y1"))
+        .orderBy(col("id"))
+    }),
+
     // R6/R7 audio variant — passim rebuild over audio records (time-coded
     // token regions inside an `audios` array)
     "r5_audio_passim" -> ((s, d) => {
@@ -284,6 +302,20 @@ object RebuildQueries {
          |UNION ALL
          |SELECT iid || '-i0002' AS id, 2 AS ro FROM ids
          |ORDER BY id""".stripMargin,
+
+    "p7_patch_scale" ->
+      s"""SELECT $issueIdSql AS id,
+         |  (doc_id % 3 = 0 AND doc_id % 5 = 0) AS patched,
+         |  CASE WHEN doc_id % 5 = 0 THEN
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 10 END AS INT) END AS x0,
+         |  CASE WHEN doc_id % 5 = 0 THEN
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 20 END AS INT) END AS y0,
+         |  CASE WHEN doc_id % 5 = 0 THEN
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN (100 + doc_id % 50) // 2
+         |      ELSE 100 + doc_id % 50 END AS INT) END AS x1,
+         |  CASE WHEN doc_id % 5 = 0 THEN
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 80 END AS INT) END AS y1
+         |FROM documents ORDER BY id""".stripMargin,
 
     "r5_audio_passim" ->
       s"""WITH toks AS (

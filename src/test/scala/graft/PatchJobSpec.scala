@@ -37,6 +37,100 @@ class PatchJobSpec extends AnyFunSuite {
       "X-1900-01-01-a-i0003" -> 2))
   }
 
+  test("patch7 rescales issue image coords via the resolution table") {
+    import spark.implicits._
+    // two issues: one in the table (scale 300→150, i.e. halve), one not
+    val issues = Seq(
+      ("LCG-1900-01-05-a", Seq((Seq(100, 200, 301, 401), true)),
+        Seq.empty[Int]),
+      ("LCG-1900-01-06-a", Seq((Seq(10, 20, 30, 40), true)), Seq.empty[Int]))
+      .toDF("id", "raw", "unused")
+      .withColumn("i", transform(col("raw"), r => struct(
+        struct(lit("x").as("id"), r.getField("_1").as("c")).as("m"),
+        lit(null).cast("array<int>").as("c"))))
+      .drop("raw", "unused")
+    val res = Seq(("LCG-1900-01-05-a", 300, 150))
+      .toDF("issue_id", "curr_res", "dest_res")
+    val out = PatchJob.patch7RescaleIssues(issues, res)
+      .select(col("id"), col("patched"), col("i")(0).getField("m").getField("c"))
+      .as[(String, Boolean, Seq[Int])].collect()
+      .map { case (k, v, c) => k -> ((v, c)) }.toMap
+    // int(c * 150 / 300): truncation like Python int()
+    assert(out("LCG-1900-01-05-a") == ((true, Seq(50, 100, 150, 200))))
+    assert(out("LCG-1900-01-06-a") == ((false, Seq(10, 20, 30, 40))))
+  }
+
+  test("patch7 rescales page region/line/token coords, not paragraphs") {
+    import spark.implicits._
+    val pages = spark.read.schema(RebuildJob.pageSchema).json(Seq(
+      """{"id":"LCG-1900-01-05-a-p0001","cc":true,"r":[
+        |{"c":[10,10,21,21],"pOf":"x","p":[
+        |  {"c":[99,99,99,99],"l":[
+        |    {"c":[11,11,15,15],"t":[{"c":[12,12,13,13],"tx":"w"}]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")).toDS())
+    val res = Seq(("LCG-1900-01-05-a", 300, 600))
+      .toDF("issue_id", "curr_res", "dest_res")
+    val out = PatchJob.patch7RescalePages(pages, res)
+    val r0 = out.select(col("r")(0)).first().getStruct(0)
+    assert(r0.getAs[scala.collection.Seq[Int]]("c").toSeq == Seq(20, 20, 42, 42))
+    val p0 = r0.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p").head
+    // paragraph boxes are untouched (convert_page_coords counts only
+    // regions + lines + tokens)
+    assert(p0.getAs[scala.collection.Seq[Int]]("c").toSeq == Seq(99, 99, 99, 99))
+    val l0 = p0.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("l").head
+    assert(l0.getAs[scala.collection.Seq[Int]]("c").toSeq == Seq(22, 22, 30, 30))
+    val t0 = l0.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("t").head
+    assert(t0.getAs[scala.collection.Seq[Int]]("c").toSeq == Seq(24, 24, 26, 26))
+    // an unlisted page passes through identically
+    val other = spark.read.schema(RebuildJob.pageSchema).json(Seq(
+      """{"id":"LCG-1900-01-06-a-p0001","cc":true,"r":[
+        |{"c":[10,10,21,21],"pOf":"x","p":[]}]}""".stripMargin
+        .replaceAll("\n", "")).toDS())
+    val o0 = PatchJob.patch7RescalePages(other, res)
+    assert(o0.filter(col("patched")).count() == 0)
+    assert(o0.select(col("r")(0).getField("c")).first()
+      .getAs[scala.collection.Seq[Int]](0).toSeq == Seq(10, 10, 21, 21))
+  }
+
+  test("patch7 audit reports image-info and zip resolutions per issue") {
+    import graft.jobs.Patch7Audit
+    val base = java.nio.file.Files.createTempDirectory("p7audit")
+    val img = base.resolve("img"); val og = base.resolve("og")
+    // converted tree: LCG/1900/01/05/a with image-info.json
+    val issueDir = img.resolve("LCG/1900/01/05/a")
+    java.nio.file.Files.createDirectories(issueDir)
+    java.nio.file.Files.write(issueDir.resolve("LCG-image-info.json"),
+      """[{"s":"Pg001_300.png","strat":"resize","s_dim":[100,200],
+        |"d_dim":[50,100]}]""".stripMargin.replaceAll("\n", "")
+        .getBytes("UTF-8"))
+    // a second issue missing its info file
+    val issueDir2 = img.resolve("LCG/1900/01/06/a")
+    java.nio.file.Files.createDirectories(issueDir2)
+    // original tree (no edition leaf): Document.zip with image entries
+    val ogDir = og.resolve("LCG/1900/01/05")
+    java.nio.file.Files.createDirectories(ogDir)
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(ogDir.resolve("Document.zip")))
+    Seq("1/Img/Pg001_300.png", "1/Img/Pg001.png", "1/Txt/Pg001.xml")
+      .foreach { n =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.closeEntry() }
+    zos.close()
+
+    val rows = Patch7Audit.run(spark, img.toString, og.toString)
+      .collect().map(r => r.issue_id -> r).toMap
+    assert(rows.keySet == Set("LCG-1900-01-05-a", "LCG-1900-01-06-a"))
+    val ok = rows("LCG-1900-01-05-a")
+    assert(ok.info_file_present && ok.zip_doc_present)
+    assert(ok.conv.head.strat.contains("resize"))
+    assert(ok.conv.head.s_dim.contains("[100,200]"))
+    assert(ok.zip_img_contents.toSet ==
+      Set("1/Img/Pg001_300.png", "1/Img/Pg001.png"))
+    assert(ok.resolutions == Seq("1/Img/Pg001_300.png"))
+    val missing = rows("LCG-1900-01-06-a")
+    assert(!missing.info_file_present && !missing.zip_doc_present)
+    assert(missing.zip_error.isEmpty)
+  }
+
   test("patchPageIiifBase rewrites page iiif bases to the proxy") {
     val pages = RebuildJob.readPages(spark,
         s"$canonicalDir/pages/LLE-1946-09-02-a-pages.jsonl.bz2")

@@ -1,6 +1,5 @@
 package graft.discover
 
-import java.io.File
 
 import scala.jdk.CollectionConverters._
 
@@ -25,23 +24,23 @@ object Discover {
 
   /** Walk `base/ALIAS/YYYY/MM/DD[/ed]` into issue descriptors. Detect is
     * IO-bound listing, not parsing — driver-side like the reference, but
-    * emitting a DataFrame so selection composes with everything else. */
+    * emitting a DataFrame so selection composes with everything else.
+    * The walk goes through Hadoop's FileSystem ([[graft.util.FsWalk]]),
+    * so the same code lists a local mount or an object store. */
   def detectIssues(spark: SparkSession, baseDir: String): DataFrame = {
-    def subdirs(f: File): Seq[File] =
-      Option(f.listFiles).getOrElse(Array.empty)
-        .filter(_.isDirectory).sortBy(_.getName).toSeq
+    import graft.util.FsWalk.subdirs
     val refs = for {
-      alias <- subdirs(new File(baseDir))
-      year <- subdirs(alias) if year.getName.matches("\\d{4}")
-      month <- subdirs(year) if month.getName.matches("\\d{2}")
-      day <- subdirs(month) if day.getName.matches("\\d{2}")
+      alias <- subdirs(baseDir)
+      year <- subdirs(alias.path) if year.name.matches("\\d{4}")
+      month <- subdirs(year.path) if month.name.matches("\\d{2}")
+      day <- subdirs(month.path) if day.name.matches("\\d{2}")
       (edition, path) <- {
-        val eds = subdirs(day)
-        if (eds.isEmpty) Seq("a" -> day.getPath)
-        else eds.map(e => e.getName -> e.getPath)
+        val eds = subdirs(day.path)
+        if (eds.isEmpty) Seq("a" -> day.path)
+        else eds.map(e => e.name -> e.path)
       }
-    } yield IssueRef(alias.getName,
-      java.sql.Date.valueOf(s"${year.getName}-${month.getName}-${day.getName}"),
+    } yield IssueRef(alias.name,
+      java.sql.Date.valueOf(s"${year.name}-${month.name}-${day.name}"),
       edition, path)
     import spark.implicits._
     refs.toDF()

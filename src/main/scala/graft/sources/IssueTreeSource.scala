@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.File
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -55,9 +54,10 @@ object IssueTreeSource {
     StructField("edition", StringType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
-  private[sources] def subdirs(f: File): Seq[File] =
-    Option(f.listFiles).getOrElse(Array.empty[File])
-      .filter(_.isDirectory).sortBy(_.getName).toSeq
+  // Hadoop-FS listing: the pruned walk works over local disk, HDFS or
+  // object stores alike (graft.util.FsWalk)
+  private[sources] def subdirs(path: String): Seq[graft.util.FsWalk.Dir] =
+    graft.util.FsWalk.subdirs(path)
 }
 
 private class IssueTreeTable(base: String) extends Table with SupportsRead {
@@ -141,22 +141,22 @@ private class IssueTreeScan(base: String, aliasFilters: Array[Filter],
       lo.forall(_ <= last) && hi.forall(_ >= first)
     }
     for {
-      alias <- subdirs(new File(base)) if aliasAccepted(alias.getName)
-      year <- subdirs(alias) if year.getName.matches("\\d{4}") &&
-        yearOk(year.getName.toInt)
-      month <- subdirs(year) if month.getName.matches("\\d{2}")
-      day <- subdirs(month) if day.getName.matches("\\d{2}")
+      alias <- subdirs(base) if aliasAccepted(alias.name)
+      year <- subdirs(alias.path) if year.name.matches("\\d{4}") &&
+        yearOk(year.name.toInt)
+      month <- subdirs(year.path) if month.name.matches("\\d{2}")
+      day <- subdirs(month.path) if day.name.matches("\\d{2}")
       // a malformed vendor dir (month 13, day 32) skips, not fails:
       // one stray directory must not kill every read of the tree
-      epoch <- scala.util.Try(java.time.LocalDate.of(year.getName.toInt,
-        month.getName.toInt, day.getName.toInt).toEpochDay.toInt).toOption.toSeq
+      epoch <- scala.util.Try(java.time.LocalDate.of(year.name.toInt,
+        month.name.toInt, day.name.toInt).toEpochDay.toInt).toOption.toSeq
       if lo.forall(_ <= epoch) && hi.forall(_ >= epoch)
       (edition, path) <- {
-        val eds = subdirs(day)
-        if (eds.isEmpty) Seq("a" -> day.getPath)
-        else eds.map(e => e.getName -> e.getPath)
+        val eds = subdirs(day.path)
+        if (eds.isEmpty) Seq("a" -> day.path)
+        else eds.map(e => e.name -> e.path)
       }
-    } yield (alias.getName, epoch, edition, path)
+    } yield (alias.name, epoch, edition, path)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

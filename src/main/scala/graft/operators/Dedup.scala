@@ -129,29 +129,65 @@ object Dedup {
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
       .select(col("id"), col("sh"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-    // Bucket-expand instead of self-join: group by (band, bandHash) and
-    // emit in-bucket pairs with a nested-array comprehension. One pass
-    // over the corpus and one shuffle keyed by band bucket — a self-join
-    // would run the whole shingle/minhash pipeline once per side because
-    // Spark cannot reuse exchanges under lambda expressions (their
-    // canonicalized plans never compare equal). Bucket sizes are small by
-    // LSH construction, so the per-group pair expansion is bounded.
-    // The bucket collection is BOUNDED, not just the expansion: a plain
-    // collect_list would buffer a mass-duplicate bucket in full (10M
-    // copies of one doc = one 10 GB aggregation buffer) before any size
-    // filter could drop it. BoundedTopK with a constant score keeps the
-    // first maxBucket+1 members by id — O(maxBucket) state per bucket at
-    // every stage including the map-side partial — and the exact member
-    // count rides along separately for overflow accounting.
+    boundedBucketPairs(banded, Seq(col("band"), col("bh")), maxBucket,
+      "lsh_bucket_overflow")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram Jaccard near-duplicate pairs (d5): candidates block on the
+    * MINIMUM shingle hash — a single-hash MinHash, so two documents
+    * with Jaccard J share their block with probability J, which at the
+    * high thresholds this operator targets (0.7+) makes collision all
+    * but certain — then each candidate pair verifies with the exact
+    * shingle-set Jaccard. Cheaper than full MinHash+LSH (no signature
+    * computation, one block per document instead of `bands`) at the
+    * cost of recall for lower thresholds; [[lshNearDupPairs]] is the
+    * tool there. Same scale shape: one corpus pass, one shuffle keyed
+    * by block, bounded buckets with an observed overflow metric, no
+    * self-join. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.7,
+      maxBucket: Int = 1024): DataFrame = {
+    graft.functions.ShinglesImpl.register(df.sparkSession)
+    val blocked = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", expr(s"word_shingles(text, $k)"))
+      .withColumn("bh", array_min(baseHashes(col("sh"))))
+    boundedBucketPairs(blocked, Seq(col("bh")), maxBucket,
+      "jaccard_bucket_overflow")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Bucket-expand instead of self-join: group (id, sh) rows by the
+    * bucket key and emit in-bucket pairs with a nested-array
+    * comprehension. One pass over the corpus and one shuffle keyed by
+    * bucket — a self-join would run the whole upstream pipeline once
+    * per side because Spark cannot reuse exchanges under lambda
+    * expressions (their canonicalized plans never compare equal).
+    * The bucket collection is BOUNDED, not just the expansion: a plain
+    * collect_list would buffer a mass-duplicate bucket in full (10M
+    * copies of one doc = one 10 GB aggregation buffer) before any size
+    * filter could drop it. BoundedTopK with a constant score keeps the
+    * first maxBucket+1 members by id — O(maxBucket) state per bucket at
+    * every stage including the map-side partial — and the exact member
+    * count rides along separately for overflow accounting, surfaced as
+    * the named observed metric `metricName` (columns `overflow_buckets`,
+    * `overflow_docs`). Returns (id_a, id_b, sh_a, sh_b), id_a < id_b,
+    * deduplicated across buckets. */
+  private def boundedBucketPairs(buckets: DataFrame, keys: Seq[Column],
+      maxBucket: Int, metricName: String): DataFrame = {
     val bucketCap = org.apache.spark.sql.GraftColumns.column(
       graft.functions.BoundedTopK(
         org.apache.spark.sql.GraftColumns.expression(
           struct(lit(0.0).as("s"), col("id"), col("sh"))),
         maxBucket + 1).toAggregateExpression())
-    val pairs = banded
-      .groupBy(col("band"), col("bh"))
+    buckets
+      .groupBy(keys: _*)
       .agg(bucketCap.as("xs"), count(lit(1)).as("n"))
-      .observe("lsh_bucket_overflow",
+      .observe(metricName,
         sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
           .as("overflow_buckets"),
         sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
@@ -167,10 +203,6 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 32-bit token hash used by SimHash: first 8 md5 hex digits as a long.

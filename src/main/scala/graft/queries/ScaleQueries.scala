@@ -67,6 +67,12 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "d5_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d6_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .withColumn("blk", concat(col("label").cast("string"), lit("|"),
@@ -177,8 +183,25 @@ object ScaleQueries {
         |       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "d5_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |blocked AS (
+         |  SELECT id, sh,
+         |    list_min(list_transform(sh,
+         |      s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS bh
+         |  FROM base),
+         |cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM blocked a JOIN blocked b ON a.bh = b.bh AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sh_a, sh_b))::DOUBLE
+         |      / len(list_distinct(sh_a || sh_b)) AS jaccard
+         |  FROM cand)
+         |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
     "d6_embed_neardup" ->
-      s"""WITH e AS (
+s"""WITH e AS (
          |  SELECT vec_id, embedding,
          |    CAST(label AS VARCHAR) || '|' ||
          |    array_to_string(list_transform(generate_series(1,6),

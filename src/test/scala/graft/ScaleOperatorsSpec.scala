@@ -60,6 +60,29 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("ngram Jaccard blocks on min shingle hash and verifies exactly") {
+    import spark.implicits._
+    // two near-identical docs (one token changed late in the text share
+    // their min shingle with high probability), one unrelated doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "completely different words everywhere nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // 8 shingles each; only the final window covers the changed token,
+    // so 7 shared of 9 distinct → jaccard 7/9
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 7.0 / 9) < 1e-9)
+    // mass-duplicate corpus: the single min-hash block overflows and is
+    // dropped, never expanded quadratically
+    val mass = (1 to 5000).map(i => (i.toLong, "same text for everyone"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(mass, "doc_id", "text",
+      maxBucket = 100).count() == 0L)
+  }
+
   test("simhash of near-identical docs is hamming-close, distinct docs far") {
     import spark.implicits._
     val df = Seq(

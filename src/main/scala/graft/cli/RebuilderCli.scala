@@ -135,6 +135,10 @@ object RebuilderCli {
           RebuildJob.readAudioIssues(spark, issuesPath), batches)
         val records = selectBatches(
           RebuildJob.readRecords(spark, supportsPath), batches)
+        val q = RebuildJob.quarantineAudio(issues, records)
+        val nq = q.count()
+        if (nq > 0)
+          q.write.mode("overwrite").json(s"${args.outputDir}/quarantine")
         val df =
           if (args.format == "solr")
             RebuildJob.rebuildAudioSolr(spark, issues, records, ts,
@@ -142,7 +146,7 @@ object RebuilderCli {
           else
             RebuildJob.rebuildAudioPassim(spark, issues, records,
               args.languages).toDF()
-        (df, 0L)
+        (df, nq)
       } else {
         val issues = selectBatches(
           RebuildJob.readIssues(spark, issuesPath), batches)

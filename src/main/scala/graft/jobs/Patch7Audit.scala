@@ -1,8 +1,12 @@
 package graft.jobs
 
-import java.io.File
+import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.util.FsWalk
 
 /** The patch-7 discovery audit
   * (importer_scripts/patching/canonical_patch_7_find_issues.py): for
@@ -19,9 +23,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * collection. Here the walk stays a cheap driver-side listing of issue
   * directories (same posture as [[graft.discover.Discover]]); the
   * per-issue IO — JSON parse + zip directory read — fans out over
-  * executors, and the report is a DataFrame that writes partitioned by
-  * title. Checkpoint/resume comes free from rerunning: the audit is a
-  * pure function of the input trees.
+  * executors through Hadoop's FileSystem API (local disk, HDFS or
+  * object stores; the driver's Hadoop conf ships to tasks as key/value
+  * pairs so credentials follow). Checkpoint/resume comes free from
+  * rerunning: the audit is a pure function of the input trees.
   */
 object Patch7Audit {
 
@@ -45,13 +50,12 @@ object Patch7Audit {
   private case class IssueDirRef(issueId: String, title: String,
       imgDir: String, ogDir: String)
 
-  /** Leaf directories (no subdirectories) under `base/title/...` — the
+  /** Leaf directories (no subdirectories) under `base` — the
     * reference's `len(sub_dirs) == 0` walk condition. */
-  private def leafDirs(base: File): Seq[File] = {
-    def walk(f: File): Seq[File] = {
-      val subs = Option(f.listFiles).getOrElse(Array.empty)
-        .filter(_.isDirectory).sortBy(_.getName)
-      if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(walk)
+  private def leafDirs(base: String): Seq[String] = {
+    def walk(p: String): Seq[String] = {
+      val subs = FsWalk.subdirs(p)
+      if (subs.isEmpty) Seq(p) else subs.flatMap(d => walk(d.path))
     }
     walk(base)
   }
@@ -63,54 +67,66 @@ object Patch7Audit {
   def run(spark: SparkSession, imgBasePath: String, ogBasePath: String,
       titles: Seq[String] = Nil): Dataset[AuditRow] = {
     import spark.implicits._
-    val imgBase = new File(imgBasePath)
-    val wanted = Option(imgBase.listFiles).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).sorted
-      .filter(t => titles.isEmpty || titles.contains(t))
+    val imgBase = stripTrailing(imgBasePath)
+    val ogBase = stripTrailing(ogBasePath)
+    val wanted = FsWalk.subdirs(imgBase)
+      .filter(t => titles.isEmpty || titles.contains(t.name))
     val refs = wanted.flatMap { title =>
-      leafDirs(new File(imgBase, title)).map { dir =>
-        val sub = dir.getPath.stripPrefix(imgBase.getPath)
-          .stripPrefix(File.separator)
-        val issueId = sub.replace(File.separatorChar, '-')
+      leafDirs(title.path).map { dir =>
+        val sub = dir.stripPrefix(imgBase).stripPrefix("/")
+        val issueId = sub.replace('/', '-')
         // original tree has no edition leaf: drop the final '/ed'
         // (find_issues.py:155 `[:-2]`)
-        val ogDir = new File(ogBasePath,
-          sub.split(File.separatorChar).dropRight(1).mkString(File.separator))
-        IssueDirRef(issueId, title, dir.getPath, ogDir.getPath)
+        val ogDir = s"$ogBase/${sub.split('/').dropRight(1).mkString("/")}"
+        IssueDirRef(issueId, title.name, dir, ogDir)
       }
     }.toIndexedSeq
+    // ship the driver's Hadoop conf (fs credentials) to tasks
+    val confKv = FsWalk.hadoopConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
     val refsB = spark.sparkContext.broadcast(refs)
     val parallelism = math.max(1, math.min(refs.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(refs.indices.toList)
       .repartition(parallelism)
-      .map(i => audit(refsB.value(i)))
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        it.map(i => audit(refsB.value(i), conf))
+      }
   }
 
-  private def audit(ref: IssueDirRef): AuditRow = {
-    val files = Option(new File(ref.imgDir).listFiles)
-      .getOrElse(Array.empty).filter(_.isFile)
+  private def stripTrailing(p: String): String =
+    if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
+
+  private def audit(ref: IssueDirRef, conf: Configuration): AuditRow = {
+    val imgPath = new Path(ref.imgDir)
+    val fs = imgPath.getFileSystem(conf)
+    val files =
+      if (!fs.exists(imgPath)) Array.empty[Path]
+      else fs.listStatus(imgPath).filter(_.isFile).map(_.getPath)
     val infoFiles = files.filter(_.getName.endsWith("image-info.json"))
     val conv: Seq[PageConv] =
-      if (infoFiles.length == 1) parseImageInfo(infoFiles.head)
+      if (infoFiles.length == 1) parseImageInfo(fs, infoFiles.head)
       else Nil
 
-    val zipFile = new File(ref.ogDir, "Document.zip")
+    val zipPath = new Path(ref.ogDir, "Document.zip")
+    val zipFs = zipPath.getFileSystem(conf)
+    val zipExists = zipFs.exists(zipPath)
     val (contents, resolutions, zipErr) =
-      if (!zipFile.exists()) (Nil, Nil, None)
+      if (!zipExists) (Nil, Nil, None)
       else try {
-        val zf = new java.util.zip.ZipFile(zipFile)
+        val zis = new java.util.zip.ZipInputStream(zipFs.open(zipPath))
         try {
-          val names = {
-            val e = zf.entries(); val b = Seq.newBuilder[String]
-            while (e.hasMoreElements) b += e.nextElement().getName
-            b.result()
-          }
+          val b = Seq.newBuilder[String]
+          var e = zis.getNextEntry
+          while (e != null) { b += e.getName; e = zis.getNextEntry }
+          val names = b.result()
           // image page files, and the subset whose basename embeds a
           // resolution (`Pg001_300.png`, find_issues.py:46-48)
           val pgRes = names.filter(n => n.contains("Img") && n.contains("Pg"))
           (pgRes, pgRes.filter(_.contains("_")), None)
-        } finally zf.close()
+        } finally zis.close()
       } catch {
         case e: Exception => (Nil, Nil,
           Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -120,15 +136,16 @@ object Patch7Audit {
       info_file_present = infoFiles.length == 1,
       n_info_files = infoFiles.length,
       conv = conv,
-      zip_doc_present = zipFile.exists(),
+      zip_doc_present = zipExists,
       zip_img_contents = contents,
       resolutions = resolutions,
       zip_error = zipErr)
   }
 
-  private def parseImageInfo(f: File): Seq[PageConv] = try {
+  private def parseImageInfo(fs: FileSystem, f: Path): Seq[PageConv] = try {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(f)
+    val in = fs.open(f)
+    val root = try mapper.readTree(in) finally in.close()
     if (!root.isArray) Nil
     else (0 until root.size).map { p =>
       val n = root.get(p)

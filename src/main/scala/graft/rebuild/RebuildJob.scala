@@ -318,6 +318,13 @@ object RebuildJob {
       records: DataFrame,
       languages: Option[Seq[String]] = None): Dataset[AudioCiInput] = {
     import spark.implicits._
+    joinedAudioRaw(issues, records)
+      .filter(col("missing_rec") === 0 && langFilter(languages))
+      .as[AudioCiInput]
+  }
+
+  private def joinedAudioRaw(issues: DataFrame,
+      records: DataFrame): DataFrame = {
     val cis = issues
       .withColumn("st", coalesce(col("st"), lit("radio_broadcast")))
       .withColumn("sm", coalesce(col("sm"), lit("audio")))
@@ -354,8 +361,6 @@ object RebuildJob {
         first(col("lg")).as("lg"), first(col("tp")).as("tp"),
         first(col("title")).as("title"), first(col("ro")).as("ro"),
         first(col("rr")).as("rr"))
-      .filter(col("missing_rec") === 0)
-      .as[AudioCiInput]
   }
 
   def rebuildAudioOne(ci: AudioCiInput, ts: String): RebuiltAudioCI = {
@@ -390,6 +395,14 @@ object RebuildJob {
     joined(issues, pages)
       .filter(col("missing_page") > 0)
       .select(col("ci_id"), lit("missing page").as("error"))
+
+  /** Audio CIs whose records could not be found — the audio twin of
+    * [[quarantine]] (joinedAudio drops them from the rebuild; this
+    * surfaces what was dropped). */
+  def quarantineAudio(issues: DataFrame, records: DataFrame): DataFrame =
+    joinedAudioRaw(issues, records)
+      .filter(col("missing_rec") > 0)
+      .select(col("ci_id"), lit("missing record").as("error"))
 
   /** Rebuild a single content item (recompose_ci_from_page_solr,
     * paper_rebuilders.py:177-230). */

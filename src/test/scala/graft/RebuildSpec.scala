@@ -154,6 +154,37 @@ class RebuildSpec extends AnyFunSuite {
     assert(RebuildJob.rebuildSolr(spark, issues, noPages, "T").count() == 0)
   }
 
+  test("audio CIs with missing records quarantine; language filter applies") {
+    import spark.implicits._
+    val issues = spark.read.schema(RebuildJob.audioIssueSchema).json(Seq(
+      """{"id":"RSR-1950-01-01-a","st":"radio_broadcast","sm":"audio",
+        |"rc":"RSR","rp":"News","i":[
+        |{"m":{"id":"RSR-1950-01-01-a-i0001","tp":"radio_episode",
+        |"rr":[1],"lg":"fr","t":"t1","ro":1}},
+        |{"m":{"id":"RSR-1950-01-01-a-i0002","tp":"radio_episode",
+        |"rr":[9],"lg":"de","t":"t2","ro":2}}]}""".stripMargin
+        .replaceAll("\n", "")).toDS())
+    val records = spark.read.schema(RebuildJob.recordSchema).json(Seq(
+      """{"id":"RSR-1950-01-01-a-r0001","cc":true,"stt":"10:00:00",
+        |"dur":60.0,"s":[{"tc":[0.0,60.0],"pOf":"RSR-1950-01-01-a-i0001",
+        |"u":[{"tc":[0.0,60.0],"speaker":"sp","ss":[{"tc":[0.0,60.0],
+        |"t":[{"tc":[0.0,1.0],"tx":"bonjour"}]}]}]}]}""".stripMargin
+        .replaceAll("\n", "")).toDS())
+    // i0002 references record r0009 which does not exist → quarantined
+    val q = RebuildJob.quarantineAudio(issues, records).collect()
+    assert(q.map(_.getString(0)).toSeq == Seq("RSR-1950-01-01-a-i0002"))
+    assert(q.head.getString(1) == "missing record")
+    // and excluded from the rebuild, which keeps the resolvable CI
+    val all = RebuildJob.rebuildAudioSolr(spark, issues, records, "T")
+      .collect().map(_.id).toSeq
+    assert(all == Seq("RSR-1950-01-01-a-i0001"))
+    // the audio language filter matches the paper path's semantics
+    assert(RebuildJob.rebuildAudioSolr(spark, issues, records, "T",
+      Some(Seq("de"))).count() == 0)
+    assert(RebuildJob.rebuildAudioPassim(spark, issues, records,
+      Some(Seq("fr"))).count() == 1)
+  }
+
   test("writeSolr produces partitioned bz2 JSONL that reads back") {
     val issues = RebuildJob.readIssues(spark,
       s"$canonicalDir/LLE-1946-issues.jsonl.bz2")

@@ -205,6 +205,58 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components of the pair graph, labeling every member with the
+    * minimum id of its component (the canonical survivor a dedup
+    * pipeline keeps). This is the missing last step between
+    * [[lshNearDupPairs]] / [[ngramJaccardPairs]] and an actual
+    * keep/drop decision — pairs alone over-delete (A~B, B~C must
+    * collapse to ONE canonical doc, not two independent pair picks).
+    *
+    * Algorithm: iterative min-label propagation over the symmetrized
+    * edge list — each round every node takes the min of its own and
+    * its neighbors' labels (2 shuffles/round: one groupBy, one join),
+    * until a round changes no label. Rounds needed = graph diameter;
+    * near-duplicate components are near-cliques (every member is
+    * similar to most others), so diameter is 1-2 and the loop
+    * converges in 2-3 rounds even at corpus scale. For adversarially
+    * chained graphs (diameter ~n) a large-star/small-star rewrite
+    * would be the tool; near-dup graphs never look like that.
+    * `localCheckpoint` truncates the per-round lineage so the plan
+    * does not grow with iterations (the classic iterative-DataFrame
+    * trap).
+    *
+    * @param pairs near-dup pairs, one row per undirected edge
+    * @return (member_id, cluster_id): one row per distinct node,
+    *         cluster_id = min member id of its component.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(aCol).as("id"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+    var labels = sym.groupBy("id")
+      .agg(least(min(col("nbr")), first(col("id"))).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: edge (id, nbr) carries label(nbr) to id
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "nbr")
+          .withColumnRenamed("label", "nbr_label"), "nbr")
+        .groupBy("id").agg(min(col("nbr_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"),
+          least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit token hash used by SimHash: first 8 md5 hex digits as a long.
     * Reproducible in any engine with md5 + hex parsing. */
   def tokenHash32(t: Column): Column =

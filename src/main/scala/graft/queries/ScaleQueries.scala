@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import graft.util.Tables
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -73,6 +73,22 @@ object ScaleQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d7_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, threshold = 0.7)
+      Dedup.dupClusters(pairs, "id_a", "id_b")
+        .orderBy(col("member_id"))
+    }),
+
+    "d8_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "d6_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .withColumn("blk", concat(col("label").cast("string"), lit("|"),
@@ -130,6 +146,25 @@ object ScaleQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    "t5_top_ngrams" -> ((s, d) => {
+      Curation.topNgrams(Tables.documents(s, d), "text", k = 2, topN = 50)
+    }),
+
+    // ---- corpus curation ----
+    "x1_stratified_sample" -> ((s, d) => {
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        defaultRate = 0.1, seed = "42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x2_shuffle_shards" -> ((s, d) => {
+      Curation.shuffleShards(Tables.documents(s, d), "doc_id",
+        nShards = 8, seed = "42")
+        .orderBy(col("shard"), col("pos"))
     })
   )
 
@@ -199,6 +234,42 @@ object ScaleQueries {
          |      / len(list_distinct(sh_a || sh_b)) AS jaccard
          |  FROM cand)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |blocked AS (
+         |  SELECT id, sh,
+         |    list_min(list_transform(sh,
+         |      s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS bh
+         |  FROM base),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |    FROM blocked a JOIN blocked b ON a.bh = b.bh AND a.id < b.id)
+         |  WHERE jaccard >= 0.7),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nbr FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, nbr) AS (
+         |  SELECT id, nbr FROM sym
+         |  UNION
+         |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id)
+         |SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY member_id""".stripMargin,
+
+    "d8_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |ev AS (
+         |  SELECT DISTINCT md5(u.s) AS h
+         |  FROM (SELECT unnest(sh) AS s FROM base WHERE id % 10 = 0) u),
+         |tr AS (
+         |  SELECT DISTINCT id, md5(u.s) AS h
+         |  FROM (SELECT id, unnest(sh) AS s FROM base WHERE id % 10 <> 0) u)
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_embed_neardup" ->
 s"""WITH e AS (
@@ -337,6 +408,32 @@ s"""WITH e AS (
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'))),
         |    ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_top_ngrams" ->
+      """WITH grams AS (
+        |  SELECT list_transform(generate_series(1, greatest(len(toks)-1, 1)),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS sh
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(sh) AS s FROM grams)
+        |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "x1_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('42:' || doc_id), 1, 8) AS BIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+        |              WHEN 'fr' THEN 2000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x2_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin
   )
 }

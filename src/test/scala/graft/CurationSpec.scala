@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- duplicate-cluster resolution (connected components) ----
+
+  test("dupClusters merges transitive chains into one component") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters converges on a long chain (worst-case diameter)") {
+    import spark.implicits._
+    // path graph 0-1-...-9: diameter 9, forces several propagation rounds
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("dupClusters labels every pair member exactly once") {
+    val pairs = Dedup.ngramJaccardPairs(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text",
+      k = 3, threshold = 0.7)
+    val members = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b"))).distinct().count()
+    val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+    assert(clusters.count() == members)
+    assert(clusters.select("member_id").distinct().count() == members)
+    // every cluster id is itself a member of the cluster
+    assert(clusters.filter(col("member_id") === col("cluster_id"))
+      .select("cluster_id").distinct().count()
+      == clusters.select("cluster_id").distinct().count())
+  }
+
+  // ---- stratified sampling ----
+
+  test("stratified sample is deterministic and rate-proportional") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val sample = Curation.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 0.1, seed = "42")
+    val a = sample.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Curation.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 0.1, seed = "42")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "same seed must select the same rows")
+    val total = docs.filter(col("lang") === "en").count()
+    val kept = sample.filter(col("lang") === "en").count()
+    // binomial(total, 0.5): allow 4 sigma
+    val sigma = math.sqrt(total * 0.25)
+    assert(math.abs(kept - total * 0.5) < 4 * sigma + 1,
+      s"en keep rate off: $kept of $total")
+    val differentSeed = Curation.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 0.1, seed = "43")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(!a.sameElements(differentSeed), "a new seed must re-draw")
+  }
+
+  // ---- shuffle sharding ----
+
+  test("shuffleShards covers every row once with dense in-shard positions") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val n = docs.count()
+    val shards = Curation.shuffleShards(docs, "doc_id", nShards = 8,
+      seed = "42").cache()
+    try {
+      assert(shards.count() == n)
+      assert(shards.select("doc_id").distinct().count() == n)
+      // positions within each shard are 1..size (dense, no gaps)
+      val bad = shards.groupBy("shard")
+        .agg(count(lit(1)).as("sz"), max(col("pos")).as("mx"),
+          min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("sz") || col("mn") =!= 1)
+      assert(bad.isEmpty)
+      // balanced in expectation: no shard more than 2x the mean
+      val sizes = shards.groupBy("shard").count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length == 8)
+      assert(sizes.max < 2.0 * n / 8, s"skewed shards: ${sizes.toList}")
+    } finally shards.unpersist()
+  }
+
+  test("shuffleShards order is a function of the seed, not the input order") {
+    import spark.implicits._
+    val df = Seq(3L, 1L, 2L).toDF("doc_id")
+    val shuffled = Seq(2L, 3L, 1L).toDF("doc_id").repartition(3)
+    val a = Curation.shuffleShards(df, "doc_id", 2, "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val b = Curation.shuffleShards(shuffled, "doc_id", 2, "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  // ---- decontamination ----
+
+  test("contamination counts distinct shared shingles, only for overlapping docs") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown" and "quick brown fox" (2 distinct 3-grams)
+      (1L, "the quick brown fox"),
+      // repeats a shared shingle — still counts once
+      (2L, "the quick brown cat saw the quick brown fox"),
+      (3L, "completely unrelated text here")).toDF("doc_id", "text")
+    val out = Curation.contamination(train, eval, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L)
+    // doc 2 shares {the quick brown, quick brown fox} — the repeat of
+    // "the quick brown" counts once
+    assert(out(2L) == 2L)
+    assert(!out.contains(3L))
+  }
+
+  test("topNgrams ranks by count with deterministic ties") {
+    import spark.implicits._
+    val df = Seq("a b a b", "a b c", "z z").toDF("text")
+    // 2-grams: (a b):3  (b a):1  (b c):1  (z z):1
+    val out = Curation.topNgrams(df, "text", k = 2, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == ("a b", 3L))
+    assert(out.drop(1).map(_._1).sameElements(Array("b a", "b c")))
+  }
+}

@@ -232,26 +232,38 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col(aCol).as("id"), col(bCol).as("nbr"))
-      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+    // Materialize the PAIRS before symmetrizing: the union references
+    // the pair plan twice, and Spark executes self-unioned plans once
+    // per branch (exchange reuse does not apply across union branches
+    // of lambda-bearing plans) — without the checkpoint the entire
+    // upstream pair pipeline (shingling + bucket join) would run twice
+    // here and then again in every propagation round. The pairs are
+    // tiny relative to the corpus that produced them; the pipeline is
+    // not.
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val sym = edges.select(col("a").as("id"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("id"), col("a").as("nbr")))
     var labels = sym.groupBy("id")
       .agg(least(min(col("nbr")), first(col("id"))).as("label"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: edge (id, nbr) carries label(nbr) to id
+      // neighbor labels: edge (id, nbr) carries label(nbr) to id;
+      // `changed` rides along so convergence costs one cheap filter
+      // over the already-checkpointed result, not another join
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "nbr")
           .withColumnRenamed("label", "nbr_label"), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_label"))
       val next = labels.join(nbrMin, "id")
         .select(col("id"),
-          least(col("label"), col("nbr_label")).as("label"))
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))

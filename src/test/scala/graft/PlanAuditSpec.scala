@@ -93,6 +93,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning"))
   }
 
+  test("stratified sample is a pure narrow filter — no shuffle, no window") {
+    val p = plan(graft.operators.Curation.stratifiedSample(
+      graft.util.Tables.documents(spark, sf), "doc_id", "lang",
+      Map("en" -> 0.5), 0.1, "42"))
+    assert(!p.contains("Exchange"), "sampling must not shuffle\n" + p.take(2000))
+    assert(!p.contains("Window"))
+    assert(count(p, "FileScan parquet") == 1)
+  }
+
+  test("shuffle-shard plan: exactly one exchange (by shard), in-shard sort") {
+    val p = plan(graft.operators.Curation.shuffleShards(
+      graft.util.Tables.documents(spark, sf), "doc_id", 8, "42"))
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "sharding is one hash shuffle\n" + p.take(2000))
+    assert(p.contains("Window"), "in-shard rank missing")
+    assert(count(p, "FileScan parquet") == 1)
+  }
+
+  test("decontamination joins broadcast eval-side md5 keys, scans each corpus once") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Curation.contamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(count(p, "FileScan parquet") == 2,
+      "train + eval = two scans, no join-back")
+  }
+
+  test("top-ngrams plan: partial agg + TakeOrdered, never a global sort") {
+    val p = plan(graft.operators.Curation.topNgrams(
+      graft.util.Tables.documents(spark, sf), "text", 2, 50))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N cut must be TakeOrdered\n" + p.take(2000))
+    assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
+  }
+
   test("similarity top-k: bounded-heap aggregate, no per-query window") {
     // A row_number window over q_id funnels every scored candidate of a
     // query into ONE reducer partition — corpus-sized sort per query at

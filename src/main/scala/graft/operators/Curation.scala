@@ -99,6 +99,43 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Pack documents into fixed-token-budget bins ("sequences") for
+    * training: documents stream through their shard in seeded-shuffle
+    * order and fall into consecutive bins of `budget` tokens — bin =
+    * floor(tokens-before-this-doc / budget). A document straddling a
+    * boundary stays in the earlier bin (bins overflow by at most one
+    * document; the trailing bin of a shard may run short) — the
+    * standard contiguous-packing policy, chosen because it needs ONE
+    * windowed pass. True first-fit/best-fit packing is a sequential
+    * fold per shard and buys only the boundary documents.
+    *
+    * Plan shape: one hash shuffle (by shard) + one in-shard sort
+    * shared by both window functions — the same single-exchange shape
+    * as [[shuffleShards]], and the window state is a running sum, O(1)
+    * per row. Returns (idCol, n_tokens, shard, bin, pos) where pos is
+    * the document's rank inside its bin. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Long, seed: String): DataFrame = {
+    val h = Dedup.tokenHash32(
+      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col(idCol))
+    val before = sum(col("n_tokens")).over(
+      byShard.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(idCol),
+        graft.functions.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("bin",
+        floor(coalesce(before, lit(0L)) / budget).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"), col("bin"))
+          .orderBy(col("h"), col(idCol))).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("shard"), col("bin"),
+        col("pos"))
+  }
+
   /** Corpus-level top-N word k-grams by frequency (vocabulary /
     * boilerplate analysis; also the building block for n-gram LM
     * filtering). Counting is a partial-aggregated groupBy on the

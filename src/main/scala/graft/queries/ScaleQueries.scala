@@ -165,6 +165,12 @@ object ScaleQueries {
       Curation.shuffleShards(Tables.documents(s, d), "doc_id",
         nShards = 8, seed = "42")
         .orderBy(col("shard"), col("pos"))
+    }),
+
+    "x3_pack_sequences" -> ((s, d) => {
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "text",
+        nShards = 8, budget = 2048L, seed = "42")
+        .orderBy(col("shard"), col("bin"), col("pos"))
     })
   )
 
@@ -434,6 +440,22 @@ s"""WITH e AS (
         |  FROM documents)
         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
-        |FROM h ORDER BY shard, pos""".stripMargin
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "x3_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS shard,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8
+        |      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / 2048.0) AS INT) AS bin
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, bin,
+        |  CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY h, doc_id) AS INT) AS pos
+        |FROM b ORDER BY shard, bin, pos""".stripMargin
   )
 }

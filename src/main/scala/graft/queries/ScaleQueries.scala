@@ -119,6 +119,12 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    "s4_kmeans" -> ((s, d) => {
+      Similarity.kmeansSums(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 2)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     // ---- text analysis ----
     "t1_token_stats" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
@@ -351,6 +357,46 @@ s"""WITH e AS (
          |      ORDER BY cos DESC, n_id) AS INT) AS rank
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s4_kmeans" ->
+      s"""WITH cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 8)),
+         |a1 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |s1 AS (
+         |  SELECT cell, CAST(d.i - 1 AS INT) AS dim,
+         |    CAST(SUM(CAST(trunc(embedding[d.i]::DOUBLE * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a1 CROSS JOIN generate_series(1, 64) AS d(i)
+         |  GROUP BY 1, 2),
+         |cent1 AS (
+         |  SELECT c0.cell, coalesce(m.cv, c0.cv) AS cv
+         |  FROM cent0 c0 LEFT JOIN (
+         |    SELECT cell,
+         |      list(CAST(sum_scaled / 1000000.0 / n AS FLOAT) ORDER BY dim) AS cv
+         |    FROM s1 GROUP BY cell) m ON c0.cell = m.cell),
+         |a2 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent1 c)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(d.i - 1 AS INT) AS dim,
+         |  CAST(SUM(CAST(trunc(embedding[d.i]::DOUBLE * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM a2 CROSS JOIN generate_series(1, 64) AS d(i)
+         |GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,

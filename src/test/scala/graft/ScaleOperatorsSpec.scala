@@ -162,6 +162,37 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("kmeans recovers well-separated clusters and keeps empty cells' centroids") {
+    import spark.implicits._
+    // two tight clusters on opposite axes; ids 0,1 (one per cluster)
+    // seed the init so both cells survive
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f)
+                 else Array(0f, 0f, 1f, 0f)
+      (i.toLong, base.map(_ + 0.01f * (i / 2)).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sums = Similarity.kmeansSums(df, "vec_id", "embedding",
+      k = 2, iters = 3, scale = 1e6)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // both cells keep their 10 members; centroid dominant dim matches
+    assert(sums((0, 0))._2 == 10L && sums((1, 0))._2 == 10L)
+    assert(sums((0, 0))._1 > sums((0, 2))._1, "cell 0 should point at dim 0")
+    assert(sums((1, 2))._1 > sums((1, 0))._1, "cell 1 should point at dim 2")
+
+    // k=3 with only two distinct directions: init centroids are vectors
+    // 0,1,2; vector 2 = cluster-0 direction, so after round 1 some cell
+    // may go empty — the operator must not crash and must return k or
+    // fewer cells with all 20 vectors accounted for
+    val sums3 = Similarity.kmeansSums(df, "vec_id", "embedding",
+      k = 3, iters = 3, scale = 1e6)
+    val byCell = sums3.filter(col("dim") === 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(byCell.values.sum == 20L)
+    assert(byCell.keys.forall(c => c >= 0 && c < 3))
+  }
+
   test("fingerprint is invariant to token order and punctuation") {
     import spark.implicits._
     val df = Seq((1L, "Hello, world! foo"), (2L, "foo WORLD hello"),

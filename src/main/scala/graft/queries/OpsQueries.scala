@@ -28,6 +28,17 @@ object OpsQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // E3 — idempotent-ingestion dedup by event id (batch form of the
+    // streaming EventStream.dedupEvents; the doubled input simulates an
+    // at-least-once source re-delivering every event)
+    "e3_event_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      e.union(e).dropDuplicates("event_id")
+        .orderBy(col("event_id"))
+    }),
+
     // A2 — canonical manifest stats per (alias, year)
     "a2_canonical_stats" -> ((s, d) => {
       Stats.canonicalStats(RebuildQueries.syntheticIssues(s, d))
@@ -102,6 +113,10 @@ object OpsQueries {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e3_event_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "e2_sessionize" ->
       """WITH x AS (

@@ -44,6 +44,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
 
+  /** Streaming idempotent-ingestion dedup: drop re-delivered events by
+    * id, keeping state only within the watermark (late duplicates past
+    * the watermark are the source's exactly-once contract, not ours —
+    * unbounded `dropDuplicates` state would grow forever on a 100 TB
+    * stream; `dropDuplicatesWithinWatermark` ages keys out with the
+    * event-time watermark). Batch form: e3_event_dedup. */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,

@@ -43,6 +43,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup collapses an at-least-once re-delivery to the batch distinct") {
+    // stage the SAME events file twice: a source re-delivering every event
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"))
+    val deduped = EventStream.dedupEvents(
+      EventStream.readEvents(spark, dir.toString), "10 minutes")
+      .select("event_id", "user_id", "event_type", "value")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("evdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("evdedup").orderBy("event_id").collect()
+    val batch = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length, "duplicates survived the stream")
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("incremental import drains each file exactly once across runs") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._

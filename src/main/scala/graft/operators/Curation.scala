@@ -136,6 +136,90 @@ object Curation {
         col("pos"))
   }
 
+  /** Per-document token-repetition statistics (the Gopher-rule family
+    * of repetition signals): distinct-token ratio and the mass of the
+    * single most frequent token. Formulated RELATIONALLY — explode to
+    * (doc, token), partial-agg counts, re-agg per doc — rather than as
+    * per-row lambda folds: both aggregations map-side-combine, and the
+    * shuffle carries (doc, token, count) triples whose cardinality the
+    * vocabulary bounds, so one mega-document cannot blow a task the
+    * way building its in-memory token histogram would.
+    *
+    * Returns (idCol, n_tokens, n_distinct, dup_frac, top_n, top_frac):
+    * dup_frac = 1 − n_distinct/n_tokens, top_n = multiplicity of the
+    * most repeated token, top_frac = top_n/n_tokens. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        col("top_n"),
+        (col("top_n").cast("double") / col("n_tokens")).as("top_frac"))
+
+  /** Temperature-based source-mixing weights: the sampling rate per
+    * stratum (source, language, domain) that reshapes the corpus
+    * toward share^alpha — alpha = 1 keeps natural proportions,
+    * alpha → 0 approaches uniform; 0.3–0.7 is the standard range for
+    * up-weighting low-resource strata. Rates are normalized so the
+    * most up-weighted stratum samples at 1.0 (no up-sampling, only
+    * relative down-sampling); feed them to [[stratifiedSample]].
+    *
+    * Determinism: the cross-stratum weight sum is FIXED-POINT
+    * (sqrt-share scaled to a long) — a floating sum over strata would
+    * depend on aggregation order, which differs between engines and
+    * between partitionings ([[graft.operators.Similarity.kmeansSums]]
+    * uses the same trick). Token totals are exact longs throughout.
+    *
+    * Plan shape: one narrow projection + stratum groupBy (partial
+    * aggregated), a single-row global aggregate broadcast back, and
+    * pure per-row arithmetic — two tiny shuffles regardless of corpus
+    * size. Returns (strataCol, n_docs, n_tokens, share, rate). */
+  def mixtureWeights(df: DataFrame, strataCol: String, textCol: String,
+      alpha: Double = 0.5, scale: Double = 1e9): DataFrame = {
+    // one corpus scan: the totals and max self-joins below would each
+    // re-run the scan+agg per branch on the un-materialized plan
+    val perStratum = df
+      .select(col(strataCol),
+        graft.functions.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("tk"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      .localCheckpoint()
+    // sqrt is IEEE-exact everywhere; pow(x, a) may differ by an ulp
+    // between libm implementations, so the default temperature gets
+    // the exact path (the fixed-point floor then absorbs sub-ulp
+    // noise for other alphas)
+    def weight(share: Column): Column = {
+      val raw = if (alpha == 0.5) sqrt(share) else pow(share, alpha)
+      floor(raw * scale).cast("long")
+    }
+    val withTotal = perStratum
+      .join(broadcast(perStratum.select(
+        sum(col("n_tokens")).as("total"))))
+      .withColumn("share", col("n_tokens").cast("double") / col("total"))
+      .withColumn("w", weight(col("share")))
+    // rate_raw = (w/sumW)/share; normalizing by its max cancels sumW,
+    // so no cross-stratum floating SUM is ever taken — max is
+    // order-independent. Keep the arithmetic EXACTLY mirrored in the
+    // oracle SQL.
+    withTotal
+      .join(broadcast(withTotal.select(
+        max(col("w").cast("double") / col("share")).as("max_ws"))))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("share"),
+        ((col("w").cast("double") / col("share")) / col("max_ws"))
+          .as("rate"))
+  }
+
   /** Corpus-level top-N word k-grams by frequency (vocabulary /
     * boilerplate analysis; also the building block for n-gram LM
     * filtering). Counting is a partial-aggregated groupBy on the

@@ -158,6 +158,11 @@ object ScaleQueries {
       Curation.topNgrams(Tables.documents(s, d), "text", k = 2, topN = 50)
     }),
 
+    "t6_repetition" -> ((s, d) => {
+      Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus curation ----
     "x1_stratified_sample" -> ((s, d) => {
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
@@ -177,6 +182,12 @@ object ScaleQueries {
       Curation.packSequences(Tables.documents(s, d), "doc_id", "text",
         nShards = 8, budget = 2048L, seed = "42")
         .orderBy(col("shard"), col("bin"), col("pos"))
+    }),
+
+    "x4_mix_weights" -> ((s, d) => {
+      Curation.mixtureWeights(Tables.documents(s, d), "source", "text",
+        alpha = 0.5)
+        .orderBy(col("source"))
     })
   )
 
@@ -471,6 +482,36 @@ s"""WITH e AS (
         |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(sh) AS s FROM grams)
         |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "t6_repetition" ->
+      """WITH c AS (
+        |  SELECT doc_id, t, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |    FROM documents) GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(MAX(n) AS BIGINT) AS top_n
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  1.0 - n_distinct::DOUBLE / n_tokens AS dup_frac,
+        |  top_n, top_n::DOUBLE / n_tokens AS top_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x4_mix_weights" ->
+      """WITH p AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM p),
+        |w AS (
+        |  SELECT p.*, n_tokens::DOUBLE / total AS share,
+        |    CAST(floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0) AS BIGINT) AS w
+        |  FROM p CROSS JOIN t),
+        |m AS (SELECT MAX(w::DOUBLE / share) AS max_ws FROM w)
+        |SELECT source, n_docs, n_tokens, share,
+        |  (w::DOUBLE / share) / max_ws AS rate
+        |FROM w CROSS JOIN m ORDER BY source""".stripMargin,
 
     "x1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -151,6 +151,36 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("repetitionStats flags repeated-token documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct
+      (2L, "all words are different")) // 4 tokens, 4 distinct
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(1L) == ((4L, 1L, 0.75, 4L, 1.0)))
+    assert(out(2L) == ((4L, 4L, 0.0, 1L, 0.25)))
+  }
+
+  test("mixtureWeights up-weights small strata, never samples above 1") {
+    import spark.implicits._
+    // stratum a: ~4x the tokens of stratum b
+    val df = (1 to 40).map(i => ("a", s"tok$i w x y"))
+      .++((1 to 10).map(i => ("b", s"tok$i w x y")))
+      .toDF("source", "text")
+    val out = Curation.mixtureWeights(df, "source", "text", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(out("a")._2 == 160L && out("b")._2 == 40L)
+    // the smallest stratum keeps rate 1.0; the big one is down-sampled
+    // by sqrt(share_b/share_a) = sqrt(1/4) = 1/2
+    assert(out("b")._3 == 1.0)
+    assert(math.abs(out("a")._3 - 0.5) < 1e-6, out("a").toString)
+  }
+
   test("topNgrams ranks by count with deterministic ties") {
     import spark.implicits._
     val df = Seq("a b a b", "a b c", "z z").toDF("text")

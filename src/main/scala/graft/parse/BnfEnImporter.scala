@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** BNF-Europeana (Gallica) Mets/Alto importer.
@@ -59,14 +58,11 @@ object BnfEnImporter {
     * offline enrichment input keyed by canonical issue id; issues
     * without an ark are dropped (dir2issue returning None). */
   def detectIssues(baseDir: String, arkTable: Map[String, String]): Seq[IssueRef] = {
-    val base = new File(baseDir)
-    val journalDirs = Option(base.listFiles).getOrElse(Array.empty[File])
-      .filter(_.isDirectory).sortBy(_.getName)
+    val journalDirs = FsWalk.subdirs(baseDir)
     journalDirs.flatMap { j =>
-      val alias = j.getName.toLowerCase.replace("-", "").trim
-      Option(j.listFiles).getOrElse(Array.empty[File])
-        .filter(_.isDirectory).sortBy(_.getName).flatMap { issueDir =>
-          val parts = issueDir.getName.split("_")
+      val alias = j.name.toLowerCase.replace("-", "").trim
+      FsWalk.subdirs(j.path).flatMap { issueDir =>
+          val parts = issueDir.name.split("_")
           if (parts.length < 2) None
           else {
             val raw = parts(0)
@@ -80,7 +76,7 @@ object BnfEnImporter {
               val edition = EditionsMappings.getOrElse(parts(1).toInt, "a")
               val id = s"$alias-$date-$edition"
               arkTable.get(id).map(ark =>
-                IssueRef(alias, date, edition, issueDir.getPath, ark))
+                IssueRef(alias, date, edition, issueDir.path, ark))
             }
           }
         }
@@ -132,31 +128,29 @@ object BnfEnImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val metsFile = Option(new File(ref.path).listFiles)
-      .getOrElse(Array.empty[File])
-      .find(_.getName.toLowerCase.endsWith("mets.xml"))
+    val metsFile = FsWalk.files(ref.path)
+      .find(_.name.toLowerCase.endsWith("mets.xml"))
       .getOrElse(throw new IllegalStateException(
         s"Could not find METS file in ${ref.path}"))
-    val doc = XML.loadFile(metsFile)
+    val doc = Xml.load(metsFile.path)
 
     // pages from the ALTO dir (classes.py:108-141); sorted for
     // determinism where the reference keeps listdir order
-    val altoDir = new File(ref.path, "ALTO")
-    if (!altoDir.isDirectory)
+    val altoDir = FsWalk.child(ref.path, "ALTO")
+    if (!FsWalk.isDir(altoDir))
       throw new IllegalStateException(
         s"Could not find pages for ${ref.issueId}, non-existing path: $altoDir")
-    val pageFiles = Option(altoDir.listFiles).getOrElse(Array.empty[File])
-      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml"))
-      .sortBy(_.getName)
+    val pageFiles = FsWalk.files(altoDir)
+      .filter(f => !f.name.startsWith(".") && f.name.contains(".xml"))
     // page number from the trailing numeric segment; stray non-page XML
     // is skipped instead of failing the issue (same guard as BL/ONB)
-    val pages: Seq[(Int, File)] = pageFiles.flatMap { f =>
-      val seg = f.getName.split("\\.")(0).split("-").last
+    val pages: Seq[(Int, FsWalk.Dir)] = pageFiles.flatMap { f =>
+      val seg = f.name.split("\\.")(0).split("-").last
       if (seg.nonEmpty && seg.forall(_.isDigit)) Some((seg.toInt, f))
       else None
     }.toSeq
     lazy val pageXml: Map[Int, Elem] =
-      pages.map { case (no, f) => no -> XML.loadFile(f) }.toMap
+      pages.map { case (no, f) => no -> Xml.load(f.path) }.toMap
 
     // content items: dmdSecs sorted by lowercased ID → CONTENT divs
     // (classes.py:285-339)

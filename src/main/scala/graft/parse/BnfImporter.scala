@@ -1,12 +1,11 @@
 package graft.parse
 
-import java.io.{File, FileInputStream}
 import java.util.zip.GZIPInputStream
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** BNF (Gallica) Mets/Alto importer.
@@ -83,25 +82,22 @@ object BnfImporter {
   }
 
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
-    val journalDirs = Option(base.listFiles).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !d.getName.startsWith("2"))
-      .sortBy(_.getName)
+    val journalDirs = FsWalk.subdirs(baseDir)
+      .filterNot(_.name.startsWith("2"))
     val raw = journalDirs.flatMap { j =>
-      Option(j.listFiles).getOrElse(Array.empty)
-        .filter(_.isDirectory).sortBy(_.getName).flatMap { issueDir =>
-          val manifest = new File(issueDir, "manifest.xml")
-          if (!manifest.isFile) None
+      FsWalk.subdirs(j.path).flatMap { issueDir =>
+          val manifest = FsWalk.child(issueDir.path, "manifest.xml")
+          if (!FsWalk.exists(manifest) || FsWalk.isDir(manifest)) None
           else {
-            val doc = XML.loadFile(manifest)
+            val doc = Xml.load(manifest)
             val dmd2 = (doc \\ "dmdSec")
               .find(s => attr(s, "ID").contains("DMD.2"))
             for {
               d <- dmd2
               dateEl <- (d \\ "date").headOption
               (date, secondary) <- parseDate(dateEl.text.trim)
-            } yield IssueRef(journalAlias(issueDir.getPath), date, "a",
-              issueDir.getPath, secondary)
+            } yield IssueRef(journalAlias(issueDir.path), date, "a",
+              issueDir.path, secondary)
           }
         }
     }.toSeq
@@ -148,21 +144,18 @@ object BnfImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val uid = new File(ref.path).getName
-    val metsFile = Option(new File(ref.path, "toc").listFiles)
-      .getOrElse(Array.empty)
-      .find(_.getName.endsWith(s"$uid.xml"))
+    val uid = FsWalk.baseName(ref.path)
+    val metsFile = FsWalk.files(FsWalk.child(ref.path, "toc"))
+      .find(_.name.endsWith(s"$uid.xml"))
       .getOrElse(throw new IllegalStateException(
         s"Could not find METS file in ${ref.path}"))
-    val doc = XML.loadFile(metsFile)
+    val doc = Xml.load(metsFile.path)
 
     // pages: ocr/X<number>.xml[.gz] (classes.py:171-201)
-    val ocrDir = new File(ref.path, "ocr")
-    val pageFiles = Option(ocrDir.listFiles).getOrElse(Array.empty)
-      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml"))
-      .sortBy(_.getName)
-    val pagesByNo: Map[Int, (File, Elem)] = pageFiles.map { f =>
-      val no = f.getName.split("\\.")(0).drop(1).toInt
+    val pageFiles = FsWalk.files(FsWalk.child(ref.path, "ocr"))
+      .filter(f => !f.name.startsWith(".") && f.name.contains(".xml"))
+    val pagesByNo: Map[Int, (FsWalk.Dir, Elem)] = pageFiles.map { f =>
+      val no = f.name.split("\\.")(0).drop(1).toInt
       no -> (f, loadPageXml(f))
     }.toMap
     def pageArk(no: Int): String =
@@ -315,10 +308,11 @@ object BnfImporter {
     ParsedIssue(ref.issueId, Json.render(issueJson), pageJsons)
   }
 
-  private def loadPageXml(f: File): Elem =
-    if (f.getName.endsWith("gz"))
-      XML.load(new GZIPInputStream(new FileInputStream(f)))
-    else XML.loadFile(f)
+  private def loadPageXml(f: FsWalk.Dir): Elem =
+    if (f.name.endsWith("gz")) {
+      val in = new GZIPInputStream(FsWalk.open(f.path))
+      try XML.load(in) finally in.close()
+    } else Xml.load(f.path)
 
   /** BNF PrintSpace parse: recurses into ComposedBlocks
     * (bnf/parsers.py:19-73). */

@@ -1,12 +1,11 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.functions.FuzzyMatch
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** FedGaz (Swiss Federal Gazette) importer: the TETML variant with an
@@ -37,8 +36,9 @@ object FedgazImporter {
   /** Parse metadata.tsv (tab-separated; columns article_docid,
     * article_title, volume_language, canonical_page_first,
     * canonical_page_last, pruned, issue_date). */
-  def parseMetadata(f: File, issueDate: String): Map[String, ArticleMeta] = {
-    val lines = scala.io.Source.fromFile(f, "utf-8").getLines().toList
+  def parseMetadata(f: String, issueDate: String): Map[String, ArticleMeta] = {
+    val lines = new String(FsWalk.readBytes(f), "utf-8")
+      .split("\r?\n").toList
     if (lines.isEmpty) return Map.empty
     val header = lines.head.split("\t").map(_.trim)
     val idx = header.zipWithIndex.toMap
@@ -69,26 +69,20 @@ object FedgazImporter {
       ts: String): ParsedIssue = {
     // metadata.tsv lives at the title root (…/<alias>/metadata.tsv)
     val aliasRoot = {
-      var d = new File(ref.path)
-      while (d != null && d.getName != ref.alias) d = d.getParentFile
-      Option(d).getOrElse(new File(ref.path))
+      var d = ref.path
+      while (d != null && FsWalk.baseName(d) != ref.alias)
+        d = FsWalk.parent(d)
+      Option(d).getOrElse(ref.path)
     }
-    val metaFile = new File(aliasRoot, "metadata.tsv")
-    if (!metaFile.isFile)
+    val metaFile = FsWalk.child(aliasRoot, "metadata.tsv")
+    if (!FsWalk.exists(metaFile) || FsWalk.isDir(metaFile))
       throw new IllegalStateException(
         "File with additional metadata needs to be placed in the top " +
           "newspaper directory and named metadata.tsv")
     val metadata = parseMetadata(metaFile, ref.date)
 
-    val files = {
-      def walk(d: File): Seq[File] =
-        Option(d.listFiles).getOrElse(Array.empty[File]).toSeq
-          .sortBy(_.getName).flatMap { f =>
-            if (f.isDirectory) walk(f)
-            else if (f.getName.endsWith(".tetml")) Seq(f) else Nil
-          }
-      walk(new File(ref.path))
-    }
+    val files = FsWalk.walkFiles(ref.path)
+      .filter(_.name.endsWith(".tetml"))
 
     // parse each article with the base TETML parser, then redefine from
     // the metadata table
@@ -101,7 +95,7 @@ object FedgazImporter {
         var lastPageDropped: Boolean = false)
     val arts = files.zipWithIndex.map { case (f, i) =>
       val parsed = TetmlImporter.parseArticle(f)
-      val docid = f.getName.split("\\.")(0)
+      val docid = f.name.split("\\.")(0)
       val ciId = f"${ref.issueId}-i${i + 1}%04d"
       val meta = metadata.get(docid)
       val pp = meta.map(m => (m.pageFirst to m.pageLast).toSeq)

@@ -1,10 +1,9 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** INA radio-broadcast (ASR XML) importer — the audio source path.
@@ -38,21 +37,19 @@ object InaImporter {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
-    val metaFile = new File(base, MetadataFilename)
-    if (!metaFile.isFile) return Nil
-    val meta = mapper.readTree(metaFile)
-    Option(base.listFiles).getOrElse(Array.empty[File]).toSeq
-      .filter(d => d.isDirectory && meta.has(d.getName))
-      .sortBy(_.getName)
+    val metaFile = FsWalk.child(baseDir, MetadataFilename)
+    if (!FsWalk.exists(metaFile) || FsWalk.isDir(metaFile)) return Nil
+    val meta = mapper.readTree(FsWalk.readBytes(metaFile))
+    FsWalk.subdirs(baseDir)
+      .filter(d => meta.has(d.name))
       .flatMap { d =>
-        val m = meta.get(d.getName)
+        val m = meta.get(d.name)
         val alias = m.get("Alias Collection").asText
         val raw = m.get("Date d'enregistrement").asText // dd/MM/yyyy
         val parts = raw.split("/")
         if (parts.length == 3)
           Some(IssueRef(alias, s"${parts(2)}-${parts(1)}-${parts(0)}", "a",
-            d.getPath, metaFile.getPath))
+            d.path, metaFile))
         else None
       }
   }
@@ -117,10 +114,10 @@ object InaImporter {
 
   /** H:M:S duration from an MP3 file if present (C24 enrichment). A
     * minimal MPEG-1 Layer III CBR estimate: fileSize·8 / bitrate. */
-  def mp3Duration(f: File): Option[String] = {
-    if (!f.isFile) return None
+  def mp3Duration(path: String): Option[String] = {
+    if (!FsWalk.exists(path) || FsWalk.isDir(path)) return None
     try {
-      val in = new java.io.FileInputStream(f)
+      val in = FsWalk.open(path)
       val header = new Array[Byte](4096)
       val n = in.read(header)
       in.close()
@@ -133,7 +130,11 @@ object InaImporter {
         192, 224, 256, 320, 0)
       val kbps = bitrates(bitrateIdx)
       if (kbps == 0) return None
-      val secs = (f.length * 8 / (kbps * 1000)).toInt
+      val bytes = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(FsWalk.hadoopConf).getFileStatus(p).getLen
+      }
+      val secs = (bytes * 8 / (kbps * 1000)).toInt
       Some(f"${secs / 3600}%02d:${secs % 3600 / 60}%02d:${secs % 60}%02d")
     } catch { case _: Exception => None }
   }
@@ -142,14 +143,14 @@ object InaImporter {
       recordJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, ts: String): ParsedIssue = {
-    val dir = new File(ref.path)
     val notes = mutable.ArrayBuffer.empty[String]
-    val meta = mapper.readTree(new File(ref.metadataFile)).get(dir.getName)
+    val meta = mapper.readTree(FsWalk.readBytes(ref.metadataFile))
+      .get(FsWalk.baseName(ref.path))
     def metaStr(key: String): Option[String] =
       Option(meta.get(key)).filterNot(_.isNull).map(_.asText)
 
-    val xmlFiles = Option(dir.listFiles).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".xml")).sortBy(_.getName)
+    val xmlFiles = FsWalk.files(ref.path)
+      .filter(_.name.endsWith(".xml"))
     if (xmlFiles.length > 1) {
       val msg = s"${ref.issueId} - There is more than one xml file in dir!!"
       notes += msg
@@ -157,7 +158,7 @@ object InaImporter {
     }
     val xmlFile = xmlFiles.headOption.getOrElse(
       throw new IllegalStateException(s"${ref.issueId} - no ASR xml"))
-    val doc = XML.loadFile(xmlFile)
+    val doc = Xml.load(xmlFile.path)
 
     val recordId = metaStr("Audio Record ID").getOrElse(s"${ref.issueId}-r0001")
     val ciId = s"${ref.issueId}-i0001"
@@ -181,9 +182,9 @@ object InaImporter {
     val sectionEtime = if (segs.nonEmpty)
       segs.flatMap(attr(_, "etime")).map(_.toDouble).max else 0.0
 
-    val mp3 = new File(xmlFile.getPath.replace(".xml", ".MP3"))
+    val mp3 = xmlFile.path.replace(".xml", ".MP3")
     val dur = mp3Duration(mp3).getOrElse {
-      notes += s"${ref.issueId} - The issue's audio record MP3 file ${mp3.getPath} cannot be found!"
+      notes += s"${ref.issueId} - The issue's audio record MP3 file $mp3 cannot be found!"
       ""
     }
 
@@ -219,7 +220,7 @@ object InaImporter {
     val ciL = JObj(Seq("source" -> Json.strs(Seq(
       s"Identifiant de la notice (in metadata): ${metaStr("Identifiant de la notice").getOrElse("")}",
       s"Noms fichers (in metadata): ${metaStr("Noms fichers").getOrElse("")}",
-      s"Noms fichers (in practice): ${xmlFile.getName.stripSuffix(".xml")}"))))
+      s"Noms fichers (in practice): ${xmlFile.name.stripSuffix(".xml")}"))))
 
     val program = metaStr("Titre collection")
     val channel = metaStr("Canal de diffusion").map { c =>

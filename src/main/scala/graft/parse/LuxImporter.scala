@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** BNL/Luxembourg Mets/Alto importer: one issue directory → canonical
@@ -35,24 +34,19 @@ object LuxImporter {
 
   /** `<base>/<batch>/<dir with "newspaper">` → IssueRef (detect.py:38-85). */
   def dirToIssue(path: String): IssueRef = {
-    val name = new File(path).getName
+    val name = FsWalk.baseName(path)
     val parts = name.split("_")
     val edition =
       if (parts.length == 4) "a" else EditionsMappings(parts(4).toInt)
     IssueRef(parts(2), parts(3), edition, path)
   }
 
-  def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
-    val batches = Option(base.listFiles).getOrElse(Array.empty)
-      .filter(_.isDirectory).sortBy(_.getName)
-    batches.flatMap { b =>
-      Option(b.listFiles).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.contains("newspaper"))
-        .sortBy(_.getName)
-        .map(d => dirToIssue(d.getPath))
-    }.toSeq
-  }
+  def detectIssues(baseDir: String): Seq[IssueRef] =
+    FsWalk.subdirs(baseDir).flatMap { b =>
+      FsWalk.subdirs(b.path)
+        .filter(_.name.contains("newspaper"))
+        .map(d => dirToIssue(d.path))
+    }
 
   // ---- content-item building ----
 
@@ -167,21 +161,19 @@ object LuxImporter {
     * Throws on unrecoverable structural problems — callers wrap in Either
     * for quarantine (one bad issue never kills the job). */
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val metsFile = new File(ref.path).listFiles
-      .filter(f => f.getName.toLowerCase.endsWith("-mets.xml")).head
-    val doc = XML.loadFile(metsFile)
+    val metsFile = FsWalk.files(ref.path)
+      .filter(f => f.name.toLowerCase.endsWith("-mets.xml")).head
+    val doc = Xml.load(metsFile.path)
     val notes = mutable.ArrayBuffer.empty[String]
 
     val imageProps = parseImageProperties(doc)
 
     // pages from the text/ directory (classes.py:153-191)
-    val textDir = new File(ref.path, "text")
-    val pageFiles = Option(textDir.listFiles).getOrElse(Array.empty)
-      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml"))
-      .sortBy(_.getName)
+    val pageFiles = FsWalk.files(FsWalk.child(ref.path, "text"))
+      .filter(f => !f.name.startsWith(".") && f.name.contains(".xml"))
     val pageNoRe = ".*?(\\d{5}).*".r
     val pages = pageFiles.map { f =>
-      val pageNoRe(numStr) = f.getName
+      val pageNoRe(numStr) = f.name
       (numStr.toInt, f)
     }.toSeq
 
@@ -283,7 +275,7 @@ object LuxImporter {
     val pageXml = mutable.Map.empty[Int, Elem]
     def loadPage(no: Int): Elem =
       pageXml.getOrElseUpdate(no,
-        XML.loadFile(pages.find(_._1 == no).get._2))
+        Xml.load(pages.find(_._1 == no).get._2.path))
 
     // 7. fill pp / process images (classes.py:585-599)
     for (ci <- contentItems) {

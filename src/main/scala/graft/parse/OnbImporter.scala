@@ -1,9 +1,8 @@
 package graft.parse
 
-import java.io.File
 import scala.xml.XML
 
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** ONB (Austrian National Library, ANNO) importer.
@@ -28,36 +27,33 @@ object OnbImporter {
     def issueId: String = s"$alias-$date-$edition"
   }
 
-  private def dirs(f: File): Seq[File] =
-    Option(f.listFiles).getOrElse(Array.empty[File]).toSeq
-      .filter(_.isDirectory).sortBy(_.getName)
+  private def dirs(path: String): Seq[FsWalk.Dir] = FsWalk.subdirs(path)
 
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    def walkRoots(root: File): Seq[IssueRef] = {
-      val anno = new File(root, "ANNO")
-      val annop = new File(root, "ANNOP")
-      val documented = if (anno.isDirectory) for {
+    def walkRoots(root: String): Seq[IssueRef] = {
+      val anno = FsWalk.child(root, "ANNO")
+      val annop = FsWalk.child(root, "ANNOP")
+      val documented = if (FsWalk.isDir(anno)) for {
         alias <- dirs(anno)
-        year <- dirs(alias) if year.getName.matches("\\d{4}")
-        month <- dirs(year) if month.getName.matches("\\d{2}")
-        day <- dirs(month)
-      } yield IssueRef(alias.getName,
-        s"${year.getName}-${month.getName}-${day.getName}", "a", day.getPath)
+        year <- dirs(alias.path) if year.name.matches("\\d{4}")
+        month <- dirs(year.path) if month.name.matches("\\d{2}")
+        day <- dirs(month.path)
+      } yield IssueRef(alias.name,
+        s"${year.name}-${month.name}-${day.name}", "a", day.path)
       else Nil
-      val provisional = if (annop.isDirectory) for {
+      val provisional = if (FsWalk.isDir(annop)) for {
         alias <- dirs(annop)
-        year <- dirs(alias) if year.getName.matches("\\d{4}")
-        (issueNo, i) <- dirs(year).zipWithIndex
-      } yield IssueRef(alias.getName, s"${year.getName}-01-01",
-        graft.functions.Ids.editionLetter(i), issueNo.getPath)
+        year <- dirs(alias.path) if year.name.matches("\\d{4}")
+        (issueNo, i) <- dirs(year.path).zipWithIndex
+      } yield IssueRef(alias.name, s"${year.name}-01-01",
+        graft.functions.Ids.editionLetter(i), issueNo.path)
       else Nil
       documented ++ provisional
     }
     // the sample nests the roots one level down (ONB/anno_sample/ANNOP)
-    val base = new File(baseDir)
-    walkRoots(base) match {
+    walkRoots(baseDir) match {
       case refs if refs.nonEmpty => refs
-      case _ => dirs(base).flatMap(walkRoots)
+      case _ => dirs(baseDir).flatMap(d => walkRoots(d.path))
     }
   }
 
@@ -66,23 +62,21 @@ object OnbImporter {
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
     val issueNotes = scala.collection.mutable.ArrayBuffer.empty[String]
-    val files = Option(new File(ref.path).listFiles)
-      .getOrElse(Array.empty[File])
-      .filter(f => f.getName.endsWith(".xml") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
+    val files = FsWalk.files(ref.path)
+      .filter(f => f.name.endsWith(".xml") && !f.name.startsWith("."))
     // page number from the numeric stem; non-numeric stems (mets files,
     // stray XML) are diverted to a note instead of failing the issue
     val (numbered, unnumbered) = files.partition { f =>
-      val stem = f.getName.split("\\.")(0).split("_")(0)
+      val stem = f.name.split("\\.")(0).split("_")(0)
       stem.nonEmpty && stem.forall(_.isDigit)
     }
     unnumbered.foreach(f =>
-      issueNotes += s"${ref.issueId} - skipping non-page xml ${f.getName}")
+      issueNotes += s"${ref.issueId} - skipping non-page xml ${f.name}")
     // `_2` variants replace the base only when no base file exists
     val byNumber = numbered.groupBy(
-      _.getName.split("\\.")(0).split("_")(0).toInt)
+      _.name.split("\\.")(0).split("_")(0).toInt)
     val pages = byNumber.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((_, variants), i) => (i + 1, variants.minBy(_.getName.length))
+      case ((_, variants), i) => (i + 1, variants.minBy(_.name.length))
     }
     if (pages.isEmpty)
       throw new IllegalStateException(s"no pages for ${ref.issueId}")
@@ -108,7 +102,7 @@ object OnbImporter {
     val pageJsons = pages.map { case (n, f) =>
       val pid = f"${ref.issueId}-p$n%04d"
       val ciId = f"${ref.issueId}-i$n%04d"
-      val xml = XML.loadFile(f)
+      val xml = Xml.load(f.path)
       val ps = (xml \\ "PrintSpace").headOption
       val mappings = ps.toSeq.flatMap(p => (p \\ "TextBlock"))
         .flatMap(b => b.attribute("ID").map(_.text -> ciId)).toMap

@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** RERO2/RERO3 Mets/Alto importer.
@@ -31,21 +30,16 @@ object ReroImporter {
 
   /** `<base>/<journal>/data/<ALIAS>/<yyyymmdd_ed>` (detect.py:39-85). */
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
     for {
-      journal <- Option(base.listFiles).getOrElse(Array.empty).toSeq
-        .filter(_.isDirectory).sortBy(_.getName)
-      data = new File(journal, "data")
-      alias <- Option(data.listFiles).getOrElse(Array.empty[File]).toSeq
-        .filter(_.isDirectory).sortBy(_.getName)
-      issueDir <- Option(alias.listFiles).getOrElse(Array.empty[File]).toSeq
-        .filter(_.isDirectory).sortBy(_.getName)
-      parts = issueDir.getName.split("_") if parts.length >= 2
+      journal <- FsWalk.subdirs(baseDir)
+      alias <- FsWalk.subdirs(FsWalk.child(journal.path, "data"))
+      issueDir <- FsWalk.subdirs(alias.path)
+      parts = issueDir.name.split("_") if parts.length >= 2
     } yield {
       val d = parts(0)
-      IssueRef(alias.getName,
+      IssueRef(alias.name,
         s"${d.substring(0, 4)}-${d.substring(4, 6)}-${d.substring(6, 8)}",
-        EditionsMappings(parts(1).toInt), issueDir.getPath)
+        EditionsMappings(parts(1).toInt), issueDir.path)
     }
   }
 
@@ -80,22 +74,20 @@ object ReroImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val metsFile = Option(new File(ref.path).listFiles)
-      .getOrElse(Array.empty)
-      .find(_.getName.toLowerCase.contains("mets.xml"))
+    val metsFile = FsWalk.files(ref.path)
+      .find(_.name.toLowerCase.contains("mets.xml"))
       .getOrElse(throw new IllegalStateException(
         s"Could not find METS file in ${ref.path}"))
-    val doc = XML.loadFile(metsFile)
+    val doc = Xml.load(metsFile.path)
 
     // pages: ALTO/<NNNNN>.xml, page number from the file name
-    val altoDir = new File(ref.path, "ALTO")
-    val pageFiles = Option(altoDir.listFiles).getOrElse(Array.empty)
-      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml"))
-      .sortBy(_.getName)
-    val pages = pageFiles.map(f => (f.getName.split("\\.")(0).toInt, f)).toSeq
+    val pageFiles = FsWalk.files(FsWalk.child(ref.path, "ALTO"))
+      .filter(f => !f.name.startsWith(".") && f.name.contains(".xml"))
+    val pages = pageFiles.map(f => (f.name.split("\\.")(0).toInt, f))
     val pageXml = mutable.Map.empty[Int, Elem]
     def loadPage(no: Int): Elem =
-      pageXml.getOrElseUpdate(no, XML.loadFile(pages.find(_._1 == no).get._2))
+      pageXml.getOrElseUpdate(no,
+        Xml.load(pages.find(_._1 == no).get._2.path))
 
     // RERO2: ImageWidth/ImageLength resolutions default 0 → no conversion
     val allDivs = doc \\ "div"

@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import java.util.zip.ZipFile
 import scala.collection.mutable
 import scala.xml.XML
 
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** SWA (Basel Wirtschaftsarchiv) Alto importer: CSV-driven detection,
@@ -31,19 +30,20 @@ object SwaImporter {
   /** Rows of the impresso ids CSV (detect.py header):
     * manifest_id, identifier_impresso, filename, xml_file, full_xml_path,
     * goobi_name, newspaper. */
-  private def readCsvLines(dir: File): Seq[Array[String]] = {
-    val direct = Option(dir.listFiles).getOrElse(Array.empty)
-      .find(_.getName.endsWith(".csv"))
+  private def readCsvLines(dir: String): Seq[Array[String]] = {
+    val direct = FsWalk.files(dir).find(_.name.endsWith(".csv"))
     val lines: Seq[String] = direct match {
       case Some(csv) =>
-        scala.io.Source.fromFile(csv, "utf-8").getLines().toList
+        new String(FsWalk.readBytes(csv.path), "utf-8")
+          .split("\r?\n").toList
       case None =>
         // the sample layout ships the CSV inside impresso_ids.zip next to
         // the journal directory
-        val zips = Seq(new File(dir, "impresso_ids.zip"),
-          new File(dir.getParentFile, "impresso_ids.zip")).filter(_.isFile)
+        val zips = Seq(FsWalk.child(dir, "impresso_ids.zip"),
+          FsWalk.child(FsWalk.parent(dir), "impresso_ids.zip"))
+          .filter(z => FsWalk.exists(z) && !FsWalk.isDir(z))
         zips.headOption.map { z =>
-          val zf = new ZipFile(z)
+          val zf = new ZipFile(FsWalk.localFile(z))
           try {
             val entry = scala.jdk.CollectionConverters
               .EnumerationHasAsScala(zf.entries).asScala
@@ -60,32 +60,29 @@ object SwaImporter {
 
   /** CSV-driven detect (detect.py:153-186): group rows by manifest id,
     * keep issues whose archive exists under the journal directory. */
-  def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
-    val journalDirs = Option(base.listFiles).getOrElse(Array.empty)
-      .filter(_.isDirectory).sortBy(_.getName)
-    journalDirs.flatMap { dir =>
-      val rows = readCsvLines(dir)
+  def detectIssues(baseDir: String): Seq[IssueRef] =
+    FsWalk.subdirs(baseDir).flatMap { dir =>
+      val rows = readCsvLines(dir.path)
       rows.groupBy(_(0)).toSeq.sortBy(_._1).flatMap {
         case (manifestId, group) =>
           val pages = group.map(r => (r(1), r(4))).toSeq
           val archives = group.map(_(5)).distinct.sorted
-          val archive = new File(dir, archives.head + ".zip")
+          val archive = FsWalk.child(dir.path, archives.head + ".zip")
           val split = manifestId.split("-").dropRight(1)
-          if (archive.isFile && split.length == 5)
+          if (split.length == 5 && FsWalk.exists(archive) &&
+              !FsWalk.isDir(archive))
             Some(IssueRef(split(0),
               s"${split(1)}-${split(2)}-${split(3)}", split(4),
-              archive.getPath, pages))
+              archive, pages))
           else None
       }
-    }.toSeq
-  }
+    }
 
   case class ParsedIssue(issueId: String, issueJson: String,
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val zf = new ZipFile(ref.archivePath)
+    val zf = new ZipFile(FsWalk.localFile(ref.archivePath))
     try {
       val notes = mutable.ArrayBuffer.empty[String]
       // pages numbered by enumeration over the SORTED page list

@@ -1,12 +1,11 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** SWISSINFO radio-bulletin importer (OCR-JSON input, typescript
@@ -52,21 +51,18 @@ object SwissInfoImporter {
   /** Directory layout: base/WW2-SOC-bulletins-json/<alias>/<yyyy>/<mm>/
     * <dd>/<edition> (swissinfo/detect.py:74-103). */
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val root = new File(baseDir, DataDirname)
-    if (!root.isDirectory) return Nil
-    val metadataFile = new File(root, MetadataFilename).getPath
-    def dirs(f: File): Seq[File] =
-      Option(f.listFiles).getOrElse(Array.empty[File])
-        .filter(_.isDirectory).sortBy(_.getName).toSeq
+    val root = FsWalk.child(baseDir, DataDirname)
+    if (!FsWalk.isDir(root)) return Nil
+    val metadataFile = FsWalk.child(root, MetadataFilename)
     for {
-      alias <- dirs(root)
-      year <- dirs(alias)
-      month <- dirs(year)
-      day <- dirs(month)
-      edition <- dirs(day)
-    } yield IssueRef(alias.getName,
-      s"${year.getName}-${month.getName}-${day.getName}",
-      edition.getName, edition.getPath, metadataFile)
+      alias <- FsWalk.subdirs(root)
+      year <- FsWalk.subdirs(alias.path)
+      month <- FsWalk.subdirs(year.path)
+      day <- FsWalk.subdirs(month.path)
+      edition <- FsWalk.subdirs(day.path)
+    } yield IssueRef(alias.name,
+      s"${year.name}-${month.name}-${day.name}",
+      edition.name, edition.path, metadataFile)
   }
 
   /** x1y1x2y2 → xywh with int truncation first (utils.py:271-285). */
@@ -169,12 +165,12 @@ object SwissInfoImporter {
 
   def parseIssue(ref: IssueRef, ts: String): ParsedIssue = {
     val issueNotes = mutable.ArrayBuffer.empty[String]
-    val jsonFile = new File(ref.path, s"${ref.issueId}.json")
-    if (!jsonFile.isFile)
+    val jsonFile = FsWalk.child(ref.path, s"${ref.issueId}.json")
+    if (!FsWalk.exists(jsonFile) || FsWalk.isDir(jsonFile))
       throw new IllegalStateException(
         s"${ref.issueId} - The issue's folder ${ref.path} does not contain " +
           "any the required json file . Issue cannot be processed as a result.")
-    val bulletin = mapper.readTree(jsonFile)
+    val bulletin = mapper.readTree(FsWalk.readBytes(jsonFile))
 
     val lang = bulletin.get("lang").asText
     val srcPdf = bulletin.get("original_path").asText
@@ -218,11 +214,11 @@ object SwissInfoImporter {
 
     // bulletin metadata enrichment (classes.py _add_bulletin_metadata)
     val metaEntry: Option[JsonNode] = {
-      val mf = new File(ref.metadataFile)
-      if (!mf.isFile) None
+      val mf = ref.metadataFile
+      if (!FsWalk.exists(mf) || FsWalk.isDir(mf)) None
       else {
         val archiveKey = srcPdf.split("/").last.split("\\.")(0)
-        val arr = mapper.readTree(mf)
+        val arr = mapper.readTree(FsWalk.readBytes(mf))
         (0 until arr.size).map(arr.get)
           .find(_.get("archive_key").asText == archiveKey)
       }

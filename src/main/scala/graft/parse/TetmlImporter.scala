@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.text.Whitespace
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** TETML (PDFlib TET) importer — Swiss Federal Archive family.
@@ -34,18 +33,14 @@ object TetmlImporter {
     def issueId: String = s"$alias-$date-$edition"
   }
 
-  def detectIssues(baseDir: String): Seq[IssueRef] = {
-    def dirs(f: File): Seq[File] =
-      Option(f.listFiles).getOrElse(Array.empty[File]).toSeq
-        .filter(_.isDirectory).sortBy(_.getName)
+  def detectIssues(baseDir: String): Seq[IssueRef] =
     for {
-      alias <- dirs(new File(baseDir))
-      year <- dirs(alias) if year.getName.matches("\\d{4}")
-      month <- dirs(year)
-      day <- dirs(month)
-    } yield IssueRef(alias.getName,
-      s"${year.getName}-${month.getName}-${day.getName}", "a", day.getPath)
-  }
+      alias <- FsWalk.subdirs(baseDir)
+      year <- FsWalk.subdirs(alias.path) if year.name.matches("\\d{4}")
+      month <- FsWalk.subdirs(year.path)
+      day <- FsWalk.subdirs(month.path)
+    } yield IssueRef(alias.name,
+      s"${year.name}-${month.name}-${day.name}", "a", day.path)
 
   private def attr(n: Node, name: String): Option[String] =
     n.attribute(name).map(_.text)
@@ -88,15 +83,15 @@ object TetmlImporter {
       pages: Seq[Seq[JValue]]) // per page: region JSONs (pOf added later)
 
   /** tetml_parser (parsers.py:22-170) for one article file. */
-  def parseArticle(f: File, language: String = "de"): ParsedArticle = {
-    val doc = XML.loadFile(f)
+  def parseArticle(f: FsWalk.Dir, language: String = "de"): ParsedArticle = {
+    val doc = Xml.load(f.path)
     val pagesOut = mutable.ArrayBuffer.empty[Seq[JValue]]
     for (page <- doc \\ "Page") {
       val placed = (page \\ "PlacedImage").headOption
       if (placed.isEmpty) {
         // no OCR text in this article: stop like the reference (returns
         // the partially filled data)
-        return ParsedArticle(f.getName, language, (doc \\ "Page").size,
+        return ParsedArticle(f.name, language, (doc \\ "Page").size,
           pagesOut.toSeq)
       }
       val imgId = attr(placed.get, "image").get
@@ -192,7 +187,7 @@ object TetmlImporter {
           "p" -> JArr(paraJsons.map(_._2).toSeq))))
       } else if (paras.nonEmpty) pagesOut += Nil
     }
-    ParsedArticle(f.getName, language, (doc \\ "Page").size, pagesOut.toSeq)
+    ParsedArticle(f.name, language, (doc \\ "Page").size, pagesOut.toSeq)
   }
 
   private def tokJson(t: Tok): JValue =
@@ -205,15 +200,8 @@ object TetmlImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val files = {
-      def walk(d: File): Seq[File] =
-        Option(d.listFiles).getOrElse(Array.empty[File]).toSeq
-          .sortBy(_.getName).flatMap { f =>
-            if (f.isDirectory) walk(f)
-            else if (f.getName.endsWith(".tetml")) Seq(f) else Nil
-          }
-      walk(new File(ref.path))
-    }
+    val files = FsWalk.walkFiles(ref.path)
+      .filter(_.name.endsWith(".tetml"))
 
     var currentPage = 1
     val cis = mutable.ArrayBuffer.empty[JValue]

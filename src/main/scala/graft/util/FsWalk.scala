@@ -33,15 +33,94 @@ object FsWalk {
     else p.toString
   }
 
-  /** Subdirectories of `base`, sorted by name; a missing base lists as
+  /** A listed entry (file or directory). */
+  case class Entry(name: String, path: String, isDir: Boolean)
+
+  /** All entries of `base`, sorted by name; a missing base lists as
     * empty (detect over an absent alias is zero issues, not a crash). */
-  def subdirs(base: String): Seq[Dir] = {
+  def list(base: String): Seq[Entry] = {
     val p = new Path(base)
     val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(s => Dir(s.getPath.getName, externalForm(s.getPath)))
+      .map(s => Entry(s.getPath.getName, externalForm(s.getPath),
+        s.isDirectory))
       .sortBy(_.name)
   }
+
+  /** Subdirectories of `base`, sorted by name; missing base → empty. */
+  def subdirs(base: String): Seq[Dir] =
+    list(base).filter(_.isDir).map(e => Dir(e.name, e.path))
+
+  /** Plain files of `base`, sorted by name; missing base → empty. */
+  def files(base: String): Seq[Dir] =
+    list(base).filterNot(_.isDir).map(e => Dir(e.name, e.path))
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+
+  def isDir(path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Open a path for reading on whatever store owns it. Buffered; the
+    * caller closes. On executors with no active session the default
+    * Hadoop conf applies (core-site.xml from the classpath), which is
+    * how cluster deployments carry fs credentials anyway. */
+  def open(path: String): java.io.InputStream = {
+    val p = new Path(path)
+    new java.io.BufferedInputStream(p.getFileSystem(hadoopConf).open(p))
+  }
+
+  /** Read a path fully. */
+  def readBytes(path: String): Array[Byte] = {
+    val in = open(path)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Final path segment (File.getName for URI-or-local paths). */
+  def baseName(path: String): String = new Path(path).getName
+
+  /** Parent path (File.getParent equivalent); null at the root. */
+  def parent(path: String): String = {
+    val p = new Path(path).getParent
+    if (p == null) null else externalForm(p)
+  }
+
+  /** Recursive file listing: descends depth-first in name order (the
+    * same traversal a sorted java.io.File walk produces). */
+  def walkFiles(base: String): Seq[Dir] =
+    list(base).flatMap { e =>
+      if (e.isDir) walkFiles(e.path) else Seq(Dir(e.name, e.path))
+    }
+
+  /** A local `java.io.File` for `path`: the file itself when it lives
+    * on the local FS, otherwise a temp copy staged to executor-local
+    * scratch (deleted on JVM exit). Exists for readers that need
+    * random access — `java.util.zip.ZipFile` wants a seekable local
+    * file; the reference stages zip archives to temp dirs the same way
+    * (bl/detect.py). Sequential readers should prefer [[open]]. */
+  def localFile(path: String): java.io.File = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new java.io.File(uri.getPath)
+    else {
+      val tmp = java.io.File.createTempFile("graft-stage-",
+        "-" + p.getName)
+      tmp.deleteOnExit()
+      val local = new Path(tmp.getAbsolutePath)
+      fs.copyToLocalFile(false, p, local, true)
+      tmp
+    }
+  }
+
+  /** Child path under `base` (File(base, name) equivalent). */
+  def child(base: String, name: String): String =
+    externalForm(new Path(base, name))
 }

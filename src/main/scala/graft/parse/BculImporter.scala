@@ -1,10 +1,9 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** BCUL (Scriptorium) ABBYY FineReader importer.
@@ -49,12 +48,9 @@ object BculImporter {
     def issueId: String = s"$alias-$date-$edition"
   }
 
-  private def listFiles(dir: File): Seq[File] =
-    Option(dir.listFiles).getOrElse(Array.empty[File]).toSeq.sortBy(_.getName)
-
-  def findMitFile(dir: File): Option[File] =
-    listFiles(dir).filter(_.isFile)
-      .find(f => f.getName.split("\\.")(0).endsWith("mit"))
+  def findMitFile(dir: String): Option[FsWalk.Dir] =
+    FsWalk.files(dir)
+      .find(f => f.name.split("\\.")(0).endsWith("mit"))
 
   /** Detect issues: journal dirs from the aliases JSON, walked down to
     * `year/month/day/<issue-number>` leaves (detect.py:128-180); plus a
@@ -62,11 +58,12 @@ object BculImporter {
     * `ALIAS_yyyy_mm_dd_*mit.*` file sits directly under the base (the
     * in-repo FAL sample) — alias and date then come from the file name. */
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    val base = new File(baseDir)
     val aliasFile = Seq("access_rights_and_aliases.json", "bcul_aliases.json")
-      .map(new File(base, _)).find(_.isFile)
+      .map(FsWalk.child(baseDir, _))
+      .find(f => FsWalk.exists(f) && !FsWalk.isDir(f))
     val aliases: Map[String, (String, String)] = aliasFile.map { f =>
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(FsWalk.readBytes(f))
       val it = root.properties().iterator()
       val m = mutable.Map.empty[String, (String, String)]
       while (it.hasNext) {
@@ -83,37 +80,37 @@ object BculImporter {
     val aliasesNfc = aliases.map { case (k, v) => nfc(k) -> v }
 
     val out = mutable.ArrayBuffer.empty[IssueRef]
-    for (dir <- listFiles(base).filter(_.isDirectory)) {
-      aliasesNfc.get(nfc(dir.getName)) match {
+    for (dir <- FsWalk.subdirs(baseDir)) {
+      aliasesNfc.get(nfc(dir.name)) match {
         case Some((alias, fileType)) =>
           // walk to issue leaves: any directory holding >1 file
-          def walk(d: File): Unit = {
-            val files = listFiles(d).filter(_.isFile)
-            if (files.size > 1 && !d.getPath.contains("solr")) {
-              val comps = d.getPath.split("/")
+          def walk(d: String): Unit = {
+            val files = FsWalk.files(d)
+            if (files.size > 1 && !d.contains("solr")) {
+              val comps = d.split("/")
               val (y, m, dd) = (comps(comps.length - 4),
                 comps(comps.length - 3), comps(comps.length - 2))
               if (y.matches("\\d{4}")) {
                 // edition from position among sibling issue dirs
-                val siblings = listFiles(d.getParentFile)
-                  .filter(_.isDirectory).map(_.getName).sorted
+                val siblings = FsWalk.subdirs(FsWalk.parent(d))
+                  .map(_.name).sorted
                 val ed = graft.functions.Ids.editionLetter(
-                  math.max(siblings.indexOf(d.getName), 0))
-                out += IssueRef(alias, s"$y-$m-$dd", ed, d.getPath, fileType)
+                  math.max(siblings.indexOf(FsWalk.baseName(d)), 0))
+                out += IssueRef(alias, s"$y-$m-$dd", ed, d, fileType)
               }
             }
-            listFiles(d).filter(_.isDirectory).foreach(walk)
+            FsWalk.subdirs(d).foreach(sd => walk(sd.path))
           }
-          walk(dir)
+          walk(dir.path)
         case None =>
           // legacy flat layout: the dir itself is an issue, mit name
           // carries alias and date
-          findMitFile(dir).foreach { mit =>
+          findMitFile(dir.path).foreach { mit =>
             val re = "([A-Za-z0-9]+)_(\\d{4})_(\\d{2})_(\\d{2}).*".r
-            mit.getName match {
+            mit.name match {
               case re(alias, y, m, d) =>
-                out += IssueRef(alias, s"$y-$m-$d", "a", dir.getPath,
-                  mit.getName.split("\\.").last)
+                out += IssueRef(alias, s"$y-$m-$d", "a", dir.path,
+                  mit.name.split("\\.").last)
               case _ => ()
             }
           }
@@ -199,35 +196,36 @@ object BculImporter {
   case class ParsedIssue(issueId: String, issueJson: String,
       pageJsons: Seq[(String, String)])
 
-  private def loadXml(f: File): Elem =
-    if (f.getName.endsWith("bz2")) {
+  private def loadXml(f: FsWalk.Dir): Elem =
+    if (f.name.endsWith("bz2")) {
       val in = new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorInputStream(new java.io.FileInputStream(f))
+        .BZip2CompressorInputStream(FsWalk.open(f.path))
       try XML.load(in) finally in.close()
-    } else XML.loadFile(f)
+    } else Xml.load(f.path)
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String,
       canvases: CanvasProvider = OfflineCanvasProvider): ParsedIssue = {
-    val dir = new File(ref.path)
     val notes = mutable.ArrayBuffer.empty[String]
-    val mit = findMitFile(dir).getOrElse(
+    val mit = findMitFile(ref.path).getOrElse(
       throw new IllegalStateException(s"no mit file in ${ref.path}"))
 
     // discover pages: (pageNo, file, fileStem)
-    val pages: Seq[(Int, File, String)] =
+    val dirFiles = FsWalk.files(ref.path)
+    val pages: Seq[(Int, FsWalk.Dir, String)] =
       if (ref.mitFileType == "json") {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        listFiles(dir).filter(f => f.getName.split("\\.")(0).endsWith("exif"))
+        dirFiles.filter(f => f.name.split("\\.")(0).endsWith("exif"))
           .flatMap { exif =>
-            val fileId = exif.getName.split("\\.")(0).replace("_exif", "")
+            val fileId = exif.name.split("\\.")(0).replace("_exif", "")
             val pageFile = Seq(s"$fileId.xml", s"$fileId.xml.bz2")
-              .map(new File(dir, _)).find(_.isFile)
+              .flatMap(n => dirFiles.find(_.name == n)).headOption
             pageFile match {
               case None =>
                 notes += s"Couldn't find the page corresponding to $fileId"
                 None
               case Some(pf) =>
-                val src = mapper.readTree(exif).get(0).get("SourceFile")
+                val src = mapper.readTree(FsWalk.readBytes(exif.path))
+                  .get(0).get("SourceFile")
                   .asText.split("/").last
                 val seg = src.split("\\.")(0).split("_").last
                 if (seg.nonEmpty && seg.forall(_.isDigit))
@@ -242,15 +240,14 @@ object BculImporter {
         val mitDoc = loadXml(mit)
         val names = (mitDoc \\ "image")
           .flatMap(i => attr(i, "xml").map(_.split("/").last)).sorted
-        val files = listFiles(dir).filter(_.isFile)
         names.flatMap { p =>
-          files.filter(_.getName.contains(p)).headOption match {
+          dirFiles.filter(_.name.contains(p)).headOption match {
             case None =>
               notes += s"Page $p missing: not found in ${ref.path} or on API."
               None
             case Some(f) =>
-              val no = f.getName.split("\\.")(0).split("_").last.toInt
-              Some((no, f, f.getName.split("\\.")(0)))
+              val no = f.name.split("\\.")(0).split("_").last.toInt
+              Some((no, f, f.name.split("\\.")(0)))
           }
         }
       }
@@ -320,7 +317,7 @@ object BculImporter {
       "i" -> JArr(cisWithRo.toSeq),
       "pp" -> Json.strs(sortedPages.map(p => f"${ref.issueId}-p${p._1}%04d")),
       "iiif_manifest_uri" ->
-        JStr(s"$IiifPresBase/${dir.getName}/manifest"),
+        JStr(s"$IiifPresBase/${FsWalk.baseName(ref.path)}/manifest"),
       "n" -> Json.strs(notes.toSeq)))
 
     val pageJsons = sortedPages.zipWithIndex.map { case ((no, _, stem), idx) =>

@@ -1,10 +1,10 @@
 package graft.parse
 
 import java.io.File
-import scala.xml.{Node, XML}
+import scala.xml.Node
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** BL (British Library) Mets/Alto importer.
@@ -26,22 +26,19 @@ object BlImporter {
     def issueId: String = s"$alias-$date-$edition"
   }
 
-  private def dirs(f: File): Seq[File] =
-    Option(f.listFiles).getOrElse(Array.empty[File]).toSeq
-      .filter(_.isDirectory).sortBy(_.getName)
-
   /** `<base>/<blip-batch>/<nlp-id>/<year>/<MMDD>` (detect.py:129-196). */
   def detectIssues(baseDir: String): Seq[IssueRef] = {
     for {
-      blip <- dirs(new File(baseDir))
-      alias <- dirs(blip)
-      year <- dirs(alias) if year.getName.matches("\\d{4}")
-      monthDay <- dirs(year) if monthDay.getName.matches("\\d{4}")
+      blip <- FsWalk.subdirs(baseDir)
+      alias <- FsWalk.subdirs(blip.path)
+      year <- FsWalk.subdirs(alias.path) if year.name.matches("\\d{4}")
+      monthDay <- FsWalk.subdirs(year.path)
+        if monthDay.name.matches("\\d{4}")
     } yield {
-      val md = monthDay.getName
-      IssueRef(alias.getName,
-        s"${year.getName}-${md.substring(0, 2)}-${md.substring(2, 4)}",
-        "a", monthDay.getPath)
+      val md = monthDay.name
+      IssueRef(alias.name,
+        s"${year.name}-${md.substring(0, 2)}-${md.substring(2, 4)}",
+        "a", monthDay.path)
     }
   }
 
@@ -52,11 +49,9 @@ object BlImporter {
     * archives are per ISSUE (Olive), but BL zips span whole BLIP batches
     * whose members are re-read many times during parse. */
   def detectIssuesFromZips(baseDir: String, tmpDir: String): Seq[IssueRef] = {
-    val zips = Option(new File(baseDir).listFiles)
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".zip")).sortBy(_.getName)
+    val zips = FsWalk.files(baseDir).filter(_.name.endsWith(".zip"))
     for (z <- zips) {
-      val zf = new java.util.zip.ZipFile(z)
+      val zf = new java.util.zip.ZipFile(FsWalk.localFile(z.path))
       try {
         val entries = zf.entries()
         while (entries.hasMoreElements) {
@@ -96,22 +91,21 @@ object BlImporter {
       pageNo: Int)
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val dir = new File(ref.path)
-    val metsFile = Option(dir.listFiles).getOrElse(Array.empty[File])
-      .find(_.getName.toLowerCase.contains("mets.xml"))
+    val entries = FsWalk.files(ref.path)
+    val metsFile = entries
+      .find(_.name.toLowerCase.contains("mets.xml"))
       .getOrElse(throw new IllegalStateException(
         s"Could not find METS file in ${ref.path}"))
-    val doc = XML.loadFile(metsFile)
+    val doc = Xml.load(metsFile.path)
 
-    val pageFiles = Option(dir.listFiles).getOrElse(Array.empty[File])
-      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".xml") &&
-        !f.getName.toLowerCase.contains("mets"))
-      .sortBy(_.getName)
+    val pageFiles = entries
+      .filter(f => !f.name.startsWith(".") && f.name.contains(".xml") &&
+        !f.name.toLowerCase.contains("mets"))
     // page number from the trailing numeric segment of the stem; files
     // without one (stray sidecar XML) are skipped rather than failing
     // the whole issue
     val pages = pageFiles.flatMap { f =>
-      val seg = f.getName.split("\\.")(0).split("_").last
+      val seg = f.name.split("\\.")(0).split("_").last
       if (seg.nonEmpty && seg.forall(_.isDigit)) Some((seg.toInt, f))
       else None
     }.toSeq.sortBy(_._1)
@@ -231,7 +225,7 @@ object BlImporter {
     }.toMap
     val pageJsons = pages.map { case (no, f) =>
       val pid = f"${ref.issueId}-p$no%04d"
-      val xml = XML.loadFile(f)
+      val xml = Xml.load(f.path)
       val ps = (xml \\ "PrintSpace").headOption
       val (regions, notes) = Alto.parsePrintSpace(ps, mappings)
       val json = JObj(Seq(

@@ -1,11 +1,10 @@
 package graft.parse
 
-import java.io.File
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.model.Canonical._
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** KB (Koninklijke Bibliotheek / Delpher "DDD") importer — BEYOND the
@@ -48,8 +47,8 @@ object KbImporter {
 
   /** DIDL files in the wild use the xsi prefix without declaring it;
     * declare it on the root before parsing. */
-  private def loadDidl(f: File): Elem = {
-    val raw = scala.io.Source.fromFile(f, "utf-8").mkString
+  private def loadDidl(f: String): Elem = {
+    val raw = new String(FsWalk.readBytes(f), "utf-8")
     val patched =
       if (raw.contains("xmlns:xsi")) raw
       else raw.replaceFirst("<didl:DIDL ",
@@ -65,19 +64,17 @@ object KbImporter {
   /** Walk `base/newspaper/YYYY/MM/DD/DDD_*_mpeg21`; alias = `kb<PPN>`
     * from the DIDL, editions assigned a, b, … among same-day records. */
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    def dirs(f: File): Seq[File] =
-      Option(f.listFiles).getOrElse(Array.empty[File])
-        .filter(_.isDirectory).sortBy(_.getName).toSeq
     val raw = for {
-      medium <- dirs(new File(baseDir))
-      year <- dirs(medium) if year.getName.matches("\\d{4}")
-      month <- dirs(year) if month.getName.matches("\\d{2}")
-      day <- dirs(month) if day.getName.matches("\\d{2}")
-      rec <- dirs(day) if rec.getName.endsWith("_mpeg21")
-      didlFile = new File(rec, "didl.xml") if didlFile.isFile
+      medium <- FsWalk.subdirs(baseDir)
+      year <- FsWalk.subdirs(medium.path) if year.name.matches("\\d{4}")
+      month <- FsWalk.subdirs(year.path) if month.name.matches("\\d{2}")
+      day <- FsWalk.subdirs(month.path) if day.name.matches("\\d{2}")
+      rec <- FsWalk.subdirs(day.path) if rec.name.endsWith("_mpeg21")
+      didlFile = FsWalk.child(rec.path, "didl.xml")
+      if FsWalk.exists(didlFile) && !FsWalk.isDir(didlFile)
       ppn <- ppnOf(loadDidl(didlFile))
     } yield (s"kb$ppn",
-      s"${year.getName}-${month.getName}-${day.getName}", rec.getPath)
+      s"${year.name}-${month.name}-${day.name}", rec.path)
     raw.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).flatMap {
       case (_, group) => group.sortBy(_._3).zipWithIndex.map {
         case ((alias, date, path), i) =>
@@ -94,10 +91,9 @@ object KbImporter {
       pageJsons: Seq[(String, String)])
 
   def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val dir = new File(ref.path)
-    val didl = loadDidl(new File(dir, "didl.xml"))
+    val didl = loadDidl(FsWalk.child(ref.path, "didl.xml"))
     // record number from the directory name DDD_ddd_<number>_mpeg21
-    val recordNum = dir.getName.split("_")
+    val recordNum = FsWalk.baseName(ref.path).split("_")
       .find(s => s.nonEmpty && s.forall(_.isDigit)).getOrElse("")
 
     val lang = (didl \\ "language").headOption.map(_.text.trim)
@@ -192,7 +188,7 @@ object KbImporter {
     }
     val pageJsons = pages.map { case (no, altoName) =>
       val pid = f"${ref.issueId}-p$no%04d"
-      val xml = XML.loadFile(new File(dir, altoName))
+      val xml = Xml.load(FsWalk.child(ref.path, altoName))
       val pageZones = zones.filter(_.pageNo == no)
       val mappings: Map[String, String] =
         (xml \\ "TextBlock").flatMap { b =>

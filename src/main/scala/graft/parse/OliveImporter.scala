@@ -1,12 +1,11 @@
 package graft.parse
 
-import java.io.File
 import java.util.zip.ZipFile
 import scala.collection.mutable
 import scala.xml.{Elem, Node, XML}
 
 import graft.text.Whitespace
-import graft.util.Json
+import graft.util.{FsWalk, Json}
 import graft.util.Json._
 
 /** Olive XML importer (GDL/JDG/IMP — Le Temps corpus family).
@@ -41,8 +40,8 @@ object OliveImporter {
     def read(name: String): Array[Byte]
   }
 
-  final class ZipDocArchive(path: File) extends Archive {
-    private val zf = new ZipFile(path)
+  final class ZipDocArchive(path: String) extends Archive {
+    private val zf = new ZipFile(FsWalk.localFile(path))
     val namelist: Seq[String] = {
       val es = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries)
         .asScala.toList
@@ -52,18 +51,17 @@ object OliveImporter {
       zf.getInputStream(zf.getEntry(name)).readAllBytes()
   }
 
-  final class DirDocArchive(dir: File) extends Archive {
+  final class DirDocArchive(dir: String) extends Archive {
     val namelist: Seq[String] = {
-      def walk(d: File, prefix: String): Seq[String] =
-        Option(d.listFiles).getOrElse(Array.empty[File]).toSeq
-          .sortBy(_.getName).flatMap { f =>
-            if (f.isDirectory) walk(f, s"$prefix${f.getName}/")
-            else Seq(s"$prefix${f.getName}")
-          }
+      def walk(d: String, prefix: String): Seq[String] =
+        FsWalk.list(d).flatMap { e =>
+          if (e.isDir) walk(e.path, s"$prefix${e.name}/")
+          else Seq(s"$prefix${e.name}")
+        }
       walk(dir, "")
     }
     def read(name: String): Array[Byte] =
-      java.nio.file.Files.readAllBytes(new File(dir, name).toPath)
+      FsWalk.readBytes(FsWalk.child(dir, name))
   }
 
   // ---- case-insensitive XML helpers (reference parses with bs4 lxml,
@@ -83,22 +81,20 @@ object OliveImporter {
   }
 
   def detectIssues(baseDir: String): Seq[IssueRef] = {
-    def dirs(f: File): Seq[File] =
-      Option(f.listFiles).getOrElse(Array.empty[File]).toSeq
-        .filter(_.isDirectory).sortBy(_.getName)
     for {
-      alias <- dirs(new File(baseDir))
-      year <- dirs(alias) if year.getName.matches("\\d{4}")
-      month <- dirs(year)
-      day <- dirs(month)
+      alias <- FsWalk.subdirs(baseDir)
+      year <- FsWalk.subdirs(alias.path) if year.name.matches("\\d{4}")
+      month <- FsWalk.subdirs(year.path)
+      day <- FsWalk.subdirs(month.path)
       (ed, path) <- {
-        val eds = dirs(day).filter(_.getName.matches("[a-z]"))
-        if (eds.isEmpty) Seq("a" -> day.getPath)
-        else eds.map(e => e.getName -> e.getPath)
+        val eds = FsWalk.subdirs(day.path).filter(_.name.matches("[a-z]"))
+        if (eds.isEmpty) Seq("a" -> day.path)
+        else eds.map(e => e.name -> e.path)
       }
-      if new File(path, "TOC.xml").isFile
-    } yield IssueRef(alias.getName,
-      s"${year.getName}-${month.getName}-${day.getName}", ed, path)
+      toc = FsWalk.child(path, "TOC.xml")
+      if FsWalk.exists(toc) && !FsWalk.isDir(toc)
+    } yield IssueRef(alias.name,
+      s"${year.name}-${month.name}-${day.name}", ed, path)
   }
 
   // ---- parsed article model ----
@@ -276,10 +272,9 @@ object OliveImporter {
 
   /** olive_toc_parser (parsers.py:78-134): windows-1252, global CI
     * counter across pages in document order. */
-  def parseToc(tocFile: File, issueId: String):
+  def parseToc(tocFile: String, issueId: String):
       mutable.LinkedHashMap[Int, mutable.LinkedHashMap[String, TocItem]] = {
-    val text = new String(java.nio.file.Files.readAllBytes(tocFile.toPath),
-      "windows-1252")
+    val text = new String(FsWalk.readBytes(tocFile), "windows-1252")
     val doc = XML.loadString(stripProlog(text))
     val out = mutable.LinkedHashMap.empty[Int, mutable.LinkedHashMap[String, TocItem]]
     var counter = 0
@@ -355,19 +350,18 @@ object OliveImporter {
   def parseIssue(ref: IssueRef, cdt: String, ts: String,
       imageInfo: Int => Option[ImageInfo],
       readImage: String => Option[Array[Byte]]): ParsedIssue = {
-    val issueDir = new File(ref.path)
     val archive: Archive = {
-      val zip = new File(issueDir, "Document.zip")
-      if (zip.isFile) new ZipDocArchive(zip)
+      val zip = FsWalk.child(ref.path, "Document.zip")
+      if (FsWalk.exists(zip) && !FsWalk.isDir(zip)) new ZipDocArchive(zip)
       else {
-        val doc = new File(issueDir, "Document")
-        if (doc.isDirectory) new DirDocArchive(doc)
+        val doc = FsWalk.child(ref.path, "Document")
+        if (FsWalk.isDir(doc)) new DirDocArchive(doc)
         else throw new IllegalStateException(
           s"Could not find archive Document.zip for ${ref.issueId}")
       }
     }
 
-    val tocData = parseToc(new File(issueDir, "TOC.xml"), ref.issueId)
+    val tocData = parseToc(FsWalk.child(ref.path, "TOC.xml"), ref.issueId)
 
     // image metadata (J4 input)
     val images = archive.namelist

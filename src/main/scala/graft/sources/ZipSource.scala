@@ -22,15 +22,16 @@ object ZipSource {
   def read(spark: SparkSession, dir: String,
       entryFilter: String => Boolean = _ => true): DataFrame = {
     import spark.implicits._
-    val zips = Option(new java.io.File(dir).listFiles)
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".zip"))
-      .map(_.getPath).sorted.toSeq
+    val zips = graft.util.FsWalk.files(dir)
+      .filter(_.name.toLowerCase.endsWith(".zip"))
+      .map(_.path).sorted
     spark.createDataset(zips)
       .repartition(math.max(1, math.min(zips.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { path =>
-        val zf = new ZipFile(path)
+        // executor-side: localFile passes local paths through and stages
+        // remote archives to scratch for ZipFile's random access
+        val zf = new ZipFile(graft.util.FsWalk.localFile(path))
         try {
           val entries = scala.jdk.CollectionConverters
             .EnumerationHasAsScala(zf.entries).asScala.toList

@@ -41,7 +41,8 @@ object Bench {
     // best-of-N trials (default 2): the minimum estimates steady-state
     // cost and is robust to transient host contention (GC, neighboring
     // processes) that a single timing folds into the number
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val trials = math.max(1, sys.env.get("SPARK_GRAFT_TRIALS")
+      .flatMap(_.toIntOption).getOrElse(2))
     val results = selected.map { case (name, fn) =>
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()

@@ -224,7 +224,11 @@ object Dedup {
     * would be the tool; near-dup graphs never look like that.
     * `localCheckpoint` truncates the per-round lineage so the plan
     * does not grow with iterations (the classic iterative-DataFrame
-    * trap).
+    * trap). Note the fault-tolerance tradeoff: localCheckpoint blocks
+    * live in executor storage, so losing an executor mid-loop fails
+    * the query instead of recomputing — on a preemption-prone cluster
+    * set a checkpoint dir and swap in reliable `checkpoint()` (same
+    * plan shape, one extra write per round).
     *
     * @param pairs near-dup pairs, one row per undirected edge
     * @return (member_id, cluster_id): one row per distinct node,

@@ -60,7 +60,7 @@ object BculImporter {
   def detectIssues(baseDir: String): Seq[IssueRef] = {
     val aliasFile = Seq("access_rights_and_aliases.json", "bcul_aliases.json")
       .map(FsWalk.child(baseDir, _))
-      .find(f => FsWalk.exists(f) && !FsWalk.isDir(f))
+      .find(FsWalk.isFile)
     val aliases: Map[String, (String, String)] = aliasFile.map { f =>
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(FsWalk.readBytes(f))

@@ -50,8 +50,8 @@ object BlImporter {
     * whose members are re-read many times during parse. */
   def detectIssuesFromZips(baseDir: String, tmpDir: String): Seq[IssueRef] = {
     val zips = FsWalk.files(baseDir).filter(_.name.endsWith(".zip"))
-    for (z <- zips) {
-      val zf = new java.util.zip.ZipFile(FsWalk.localFile(z.path))
+    for (z <- zips) FsWalk.withLocalFile(z.path) { local =>
+      val zf = new java.util.zip.ZipFile(local)
       try {
         val entries = zf.entries()
         while (entries.hasMoreElements) {

@@ -87,7 +87,7 @@ object BnfImporter {
     val raw = journalDirs.flatMap { j =>
       FsWalk.subdirs(j.path).flatMap { issueDir =>
           val manifest = FsWalk.child(issueDir.path, "manifest.xml")
-          if (!FsWalk.exists(manifest) || FsWalk.isDir(manifest)) None
+          if (!FsWalk.isFile(manifest)) None
           else {
             val doc = Xml.load(manifest)
             val dmd2 = (doc \\ "dmdSec")

@@ -75,7 +75,7 @@ object FedgazImporter {
       Option(d).getOrElse(ref.path)
     }
     val metaFile = FsWalk.child(aliasRoot, "metadata.tsv")
-    if (!FsWalk.exists(metaFile) || FsWalk.isDir(metaFile))
+    if (!FsWalk.isFile(metaFile))
       throw new IllegalStateException(
         "File with additional metadata needs to be placed in the top " +
           "newspaper directory and named metadata.tsv")

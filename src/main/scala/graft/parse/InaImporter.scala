@@ -38,7 +38,7 @@ object InaImporter {
 
   def detectIssues(baseDir: String): Seq[IssueRef] = {
     val metaFile = FsWalk.child(baseDir, MetadataFilename)
-    if (!FsWalk.exists(metaFile) || FsWalk.isDir(metaFile)) return Nil
+    if (!FsWalk.isFile(metaFile)) return Nil
     val meta = mapper.readTree(FsWalk.readBytes(metaFile))
     FsWalk.subdirs(baseDir)
       .filter(d => meta.has(d.name))
@@ -115,11 +115,12 @@ object InaImporter {
   /** H:M:S duration from an MP3 file if present (C24 enrichment). A
     * minimal MPEG-1 Layer III CBR estimate: fileSize·8 / bitrate. */
   def mp3Duration(path: String): Option[String] = {
-    if (!FsWalk.exists(path) || FsWalk.isDir(path)) return None
+    if (!FsWalk.isFile(path)) return None
     try {
       val in = FsWalk.open(path)
       val header = new Array[Byte](4096)
-      val n = in.read(header)
+      // readNBytes, not read: a remote stream may short-read one packet
+      val n = in.readNBytes(header, 0, header.length)
       in.close()
       var i = 0
       while (i < n - 4 && !((header(i) & 0xFF) == 0xFF && (header(i + 1) & 0xE0) == 0xE0))

@@ -71,7 +71,7 @@ object KbImporter {
       day <- FsWalk.subdirs(month.path) if day.name.matches("\\d{2}")
       rec <- FsWalk.subdirs(day.path) if rec.name.endsWith("_mpeg21")
       didlFile = FsWalk.child(rec.path, "didl.xml")
-      if FsWalk.exists(didlFile) && !FsWalk.isDir(didlFile)
+      if FsWalk.isFile(didlFile)
       ppn <- ppnOf(loadDidl(didlFile))
     } yield (s"kb$ppn",
       s"${year.name}-${month.name}-${day.name}", rec.path)

@@ -38,10 +38,13 @@ object OliveImporter {
   trait Archive {
     def namelist: Seq[String]
     def read(name: String): Array[Byte]
+    /** Release any underlying handle / staged temp copy. */
+    def close(): Unit = ()
   }
 
   final class ZipDocArchive(path: String) extends Archive {
-    private val zf = new ZipFile(FsWalk.localFile(path))
+    private val local = FsWalk.localFile(path)
+    private val zf = new ZipFile(local)
     val namelist: Seq[String] = {
       val es = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries)
         .asScala.toList
@@ -49,6 +52,10 @@ object OliveImporter {
     }
     def read(name: String): Array[Byte] =
       zf.getInputStream(zf.getEntry(name)).readAllBytes()
+    override def close(): Unit = {
+      zf.close()
+      if (!FsWalk.isLocal(path)) local.delete()
+    }
   }
 
   final class DirDocArchive(dir: String) extends Archive {
@@ -92,7 +99,7 @@ object OliveImporter {
         else eds.map(e => e.name -> e.path)
       }
       toc = FsWalk.child(path, "TOC.xml")
-      if FsWalk.exists(toc) && !FsWalk.isDir(toc)
+      if FsWalk.isFile(toc)
     } yield IssueRef(alias.name,
       s"${year.name}-${month.name}-${day.name}", ed, path)
   }
@@ -352,7 +359,7 @@ object OliveImporter {
       readImage: String => Option[Array[Byte]]): ParsedIssue = {
     val archive: Archive = {
       val zip = FsWalk.child(ref.path, "Document.zip")
-      if (FsWalk.exists(zip) && !FsWalk.isDir(zip)) new ZipDocArchive(zip)
+      if (FsWalk.isFile(zip)) new ZipDocArchive(zip)
       else {
         val doc = FsWalk.child(ref.path, "Document")
         if (FsWalk.isDir(doc)) new DirDocArchive(doc)
@@ -361,6 +368,7 @@ object OliveImporter {
       }
     }
 
+    try {
     val tocData = parseToc(FsWalk.child(ref.path, "TOC.xml"), ref.issueId)
 
     // image metadata (J4 input)
@@ -459,6 +467,7 @@ object OliveImporter {
     }
 
     ParsedIssue(ref.issueId, Json.render(issueJson), pageJsons)
+    } finally archive.close()
   }
 
   /** Continuation-chain article walk (classes.py:348-383). */

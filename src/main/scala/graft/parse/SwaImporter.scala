@@ -41,9 +41,10 @@ object SwaImporter {
         // the journal directory
         val zips = Seq(FsWalk.child(dir, "impresso_ids.zip"),
           FsWalk.child(FsWalk.parent(dir), "impresso_ids.zip"))
-          .filter(z => FsWalk.exists(z) && !FsWalk.isDir(z))
+          .filter(FsWalk.isFile)
         zips.headOption.map { z =>
-          val zf = new ZipFile(FsWalk.localFile(z))
+          FsWalk.withLocalFile(z) { local =>
+          val zf = new ZipFile(local)
           try {
             val entry = scala.jdk.CollectionConverters
               .EnumerationHasAsScala(zf.entries).asScala
@@ -53,6 +54,7 @@ object SwaImporter {
                 .split("\r?\n").toSeq
             }.getOrElse(Nil)
           } finally zf.close()
+          }
         }.getOrElse(Nil)
     }
     lines.drop(1).filter(_.nonEmpty).map(_.split(",", -1))
@@ -69,8 +71,7 @@ object SwaImporter {
           val archives = group.map(_(5)).distinct.sorted
           val archive = FsWalk.child(dir.path, archives.head + ".zip")
           val split = manifestId.split("-").dropRight(1)
-          if (split.length == 5 && FsWalk.exists(archive) &&
-              !FsWalk.isDir(archive))
+          if (split.length == 5 && FsWalk.isFile(archive))
             Some(IssueRef(split(0),
               s"${split(1)}-${split(2)}-${split(3)}", split(4),
               archive, pages))
@@ -81,8 +82,9 @@ object SwaImporter {
   case class ParsedIssue(issueId: String, issueJson: String,
       pageJsons: Seq[(String, String)])
 
-  def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue = {
-    val zf = new ZipFile(FsWalk.localFile(ref.archivePath))
+  def parseIssue(ref: IssueRef, cdt: String, ts: String): ParsedIssue =
+    FsWalk.withLocalFile(ref.archivePath) { local =>
+    val zf = new ZipFile(local)
     try {
       val notes = mutable.ArrayBuffer.empty[String]
       // pages numbered by enumeration over the SORTED page list
@@ -129,7 +131,7 @@ object SwaImporter {
           JStr(s"$IiifPresBase/${ref.issueId}-issue/manifest"),
         "notes" -> Json.strs(notes.toSeq)))), pageJsons)
     } finally zf.close()
-  }
+    }
 
   private def parsePage(zf: ZipFile, pageId: String, path: String,
       cdt: String, ts: String): (String, String) = {

@@ -166,7 +166,7 @@ object SwissInfoImporter {
   def parseIssue(ref: IssueRef, ts: String): ParsedIssue = {
     val issueNotes = mutable.ArrayBuffer.empty[String]
     val jsonFile = FsWalk.child(ref.path, s"${ref.issueId}.json")
-    if (!FsWalk.exists(jsonFile) || FsWalk.isDir(jsonFile))
+    if (!FsWalk.isFile(jsonFile))
       throw new IllegalStateException(
         s"${ref.issueId} - The issue's folder ${ref.path} does not contain " +
           "any the required json file . Issue cannot be processed as a result.")
@@ -215,7 +215,7 @@ object SwissInfoImporter {
     // bulletin metadata enrichment (classes.py _add_bulletin_metadata)
     val metaEntry: Option[JsonNode] = {
       val mf = ref.metadataFile
-      if (!FsWalk.exists(mf) || FsWalk.isDir(mf)) None
+      if (!FsWalk.isFile(mf)) None
       else {
         val archiveKey = srcPdf.split("/").last.split("\\.")(0)
         val arr = mapper.readTree(FsWalk.readBytes(mf))

@@ -29,20 +29,23 @@ object ZipSource {
       .repartition(math.max(1, math.min(zips.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { path =>
-        // executor-side: localFile passes local paths through and stages
-        // remote archives to scratch for ZipFile's random access
-        val zf = new ZipFile(graft.util.FsWalk.localFile(path))
-        try {
-          val entries = scala.jdk.CollectionConverters
-            .EnumerationHasAsScala(zf.entries).asScala.toList
-          entries.filter(e => !e.isDirectory && entryFilter(e.getName))
-            .map { e =>
-              val in = zf.getInputStream(e)
-              val bytes = in.readAllBytes()
-              in.close()
-              ZipEntryRow(path, e.getName, bytes)
-            }
-        } finally zf.close()
+        // executor-side: withLocalFile passes local paths through and
+        // stages remote archives to scratch for ZipFile's random
+        // access, deleting the staged copy when the task is done
+        graft.util.FsWalk.withLocalFile(path) { local =>
+          val zf = new ZipFile(local)
+          try {
+            val entries = scala.jdk.CollectionConverters
+              .EnumerationHasAsScala(zf.entries).asScala.toList
+            entries.filter(e => !e.isDirectory && entryFilter(e.getName))
+              .map { e =>
+                val in = zf.getInputStream(e)
+                val bytes = in.readAllBytes()
+                in.close()
+                ZipEntryRow(path, e.getName, bytes)
+              }
+          } finally zf.close()
+        }
       }
       .toDF()
   }

@@ -20,12 +20,25 @@ object FsWalk {
     * keep working). */
   case class Dir(name: String, path: String)
 
-  /** The active session's Hadoop conf (carries fs.* credentials), or a
-    * default conf off-session (tests, bare tools). */
+  /** The active session's Hadoop conf (carries fs.* credentials). On
+    * executors there is no active session, but dropping to a bare
+    * `new Configuration()` would silently lose every `spark.hadoop.*`
+    * setting the job was submitted with (the standard way to pass
+    * object-store credentials) — so off-session the executor's
+    * SparkConf is re-applied onto the default conf, reproducing what
+    * the driver's `sparkContext.hadoopConfiguration` contains. */
   def hadoopConf: Configuration =
     SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse {
+        val conf = new Configuration()
+        Option(org.apache.spark.SparkEnv.get).foreach { env =>
+          env.conf.getAllWithPrefix("spark.hadoop.").foreach {
+            case (k, v) => conf.set(k, v)
+          }
+        }
+        conf
+      }
 
   private def externalForm(p: Path): String = {
     val uri = p.toUri
@@ -61,10 +74,17 @@ object FsWalk {
     p.getFileSystem(hadoopConf).exists(p)
   }
 
-  def isDir(path: String): Boolean = {
+  /** One metadata RPC; false when missing. */
+  def isDir(path: String): Boolean = status(path).exists(_.isDirectory)
+
+  /** One metadata RPC; false when missing (File.isFile equivalent —
+    * prefer over `exists && !isDir`, which costs three RPCs). */
+  def isFile(path: String): Boolean = status(path).exists(_.isFile)
+
+  private def status(path: String): Option[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    fs.exists(p) && fs.getFileStatus(p).isDirectory
+    try Some(p.getFileSystem(hadoopConf).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Open a path for reading on whatever store owns it. Buffered; the
@@ -98,19 +118,29 @@ object FsWalk {
       if (e.isDir) walkFiles(e.path) else Seq(Dir(e.name, e.path))
     }
 
+  /** Whether `path` lives on the local filesystem. */
+  def isLocal(path: String): Boolean = {
+    val scheme = new Path(path).toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
   /** A local `java.io.File` for `path`: the file itself when it lives
     * on the local FS, otherwise a temp copy staged to executor-local
-    * scratch (deleted on JVM exit). Exists for readers that need
-    * random access — `java.util.zip.ZipFile` wants a seekable local
-    * file; the reference stages zip archives to temp dirs the same way
-    * (bl/detect.py). Sequential readers should prefer [[open]]. */
+    * scratch. Exists for readers that need random access —
+    * `java.util.zip.ZipFile` wants a seekable local file; the
+    * reference stages zip archives to temp dirs the same way
+    * (bl/detect.py). Sequential readers should prefer [[open]].
+    *
+    * Lifecycle: the CALLER owns a staged copy — delete it when done
+    * (use [[withLocalFile]] for scoped use; long-lived holders check
+    * [[isLocal]] and delete on close). A long-lived executor that
+    * staged thousands of archives without deleting would fill local
+    * scratch; deleteOnExit is only the last-resort backstop. */
   def localFile(path: String): java.io.File = {
     val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val uri = p.toUri
-    if (uri.getScheme == null || uri.getScheme == "file")
-      new java.io.File(uri.getPath)
+    if (isLocal(path)) new java.io.File(p.toUri.getPath)
     else {
+      val fs = p.getFileSystem(hadoopConf)
       val tmp = java.io.File.createTempFile("graft-stage-",
         "-" + p.getName)
       tmp.deleteOnExit()
@@ -118,6 +148,14 @@ object FsWalk {
       fs.copyToLocalFile(false, p, local, true)
       tmp
     }
+  }
+
+  /** Scoped [[localFile]]: a staged temp copy is deleted when `f`
+    * returns; a pass-through local file is left alone. */
+  def withLocalFile[T](path: String)(f: java.io.File => T): T = {
+    val file = localFile(path)
+    try f(file)
+    finally if (!isLocal(path)) file.delete()
   }
 
   /** Child path under `base` (File(base, name) equivalent). */

@@ -31,6 +31,18 @@ class LuxImporterSpec extends AnyFunSuite {
         "luxzeit1858-1858-12-07-a", "tageblatt-1950-10-16-a"))
   }
 
+  test("detect and parse work through a scheme'd Hadoop URI (file:)") {
+    // the FsWalk migration's point: issue trees on any Hadoop-reachable
+    // store. file: is the scheme'd stand-in for hdfs:/s3a: in tests.
+    val refs = LuxImporter.detectIssues(s"file:$sampleDir")
+    assert(refs.map(_.issueId).toSet ==
+      LuxImporter.detectIssues(sampleDir).map(_.issueId).toSet)
+    val parsed = LuxImporter.parseIssue(
+      refs.find(_.issueId == "armeteufel-1904-01-17-a").get,
+      "2020-01-01 00:00:00", "2020-01-01T00:00:00Z")
+    assert(parsed.pageJsons.nonEmpty)
+  }
+
   test("all sample issues parse without quarantine") {
     assert(results.length == 4)
     val errs = results.flatMap(_.error)

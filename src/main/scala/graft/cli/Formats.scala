@@ -63,7 +63,8 @@ object Formats {
       }
       case "bnf_en" =>
         val arks = opts.get("ark-file").map { f =>
-          scala.io.Source.fromFile(f).getLines()
+          new String(graft.util.FsWalk.readBytes(f), "utf-8")
+            .split("\r?\n").iterator
             .map(_.split("\t")).collect { case Array(k, v) => k -> v }.toMap
         }.getOrElse(Map.empty[String, String])
         BnfEnImporter.detectIssues(inputDir, arks).map { r =>

@@ -141,6 +141,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
   }
 
+  test("kmeans round: one corpus scan, broadcast-literal assignment, partial agg") {
+    val p = plan(graft.operators.Similarity.kmeansSums(
+      graft.util.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      k = 4, iters = 1))
+    // assignment is a map over centroid LITERALS — no join, no shuffle
+    // before the (cell, dim) aggregation, which must map-side combine
+    assert(count(p, "FileScan parquet") == 1, p.take(2000))
+    assert(!p.contains("Join"), "assignment must not join")
+    assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "one shuffle per round, keyed by (cell, dim)")
+  }
+
   test("similarity top-k: bounded-heap aggregate, no per-query window") {
     // A row_number window over q_id funnels every scored candidate of a
     // query into ONE reducer partition — corpus-sized sort per query at

@@ -273,6 +273,39 @@ object Dedup {
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental exact dedup: drop arriving documents whose content
+    * hash already exists in the reference corpus — the cross-run form
+    * of [[exact]] (ingest batch N+1 against the lake). A left-anti
+    * join on the 16-byte md5 key: one shuffle keyed by hash (or none,
+    * when the corpus side's distinct hash set is small enough to
+    * broadcast — Spark picks by stats/AQE). Returns the surviving
+    * batch rows. */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    batch.join(seen, md5(batch(textCol)) === seen("__h"), "left_anti")
+  }
+
+  /** Survivor selection per duplicate cluster: among each cluster's
+    * members keep the one with the highest quality score (here:
+    * longest text — the common heuristic — with min-id tie-break),
+    * i.e. the doc a curation pipeline retains while dropping the
+    * rest. Aggregates a (score, id) struct argmax per cluster —
+    * partial map-side, O(1) state per cluster; no window, no sort.
+    *
+    * @param clusters output of [[dupClusters]] (member_id, cluster_id)
+    * @param docs     (idCol, textCol) source to score members against
+    * @return (cluster_id, keep_id, n_members) */
+  def clusterSurvivors(clusters: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("member_id"),
+        length(col(textCol)).as("len")), "member_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("member_id"),
+          struct(col("len"), -col("member_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+
   /** 32-bit token hash used by SimHash: first 8 md5 hex digits as a long.
     * Reproducible in any engine with md5 + hex parsing. */
   def tokenHash32(t: Column): Column =

@@ -80,6 +80,24 @@ object ScaleQueries {
         .orderBy(col("member_id"))
     }),
 
+    "d9_cluster_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.7)
+      Dedup.clusterSurvivors(Dedup.dupClusters(pairs, "id_a", "id_b"),
+        docs, "doc_id", "text")
+        .orderBy(col("cluster_id"))
+    }),
+
+    "d10_incremental_new" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d8_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.contamination(
@@ -281,6 +299,46 @@ object ScaleQueries {
          |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id)
          |SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
          |FROM reach GROUP BY id ORDER BY member_id""".stripMargin,
+
+    "d9_cluster_survivors" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |blocked AS (
+         |  SELECT id, sh,
+         |    list_min(list_transform(sh,
+         |      s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS bh
+         |  FROM base),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |    FROM blocked a JOIN blocked b ON a.bh = b.bh AND a.id < b.id)
+         |  WHERE jaccard >= 0.7),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nbr FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, nbr) AS (
+         |  SELECT id, nbr FROM sym
+         |  UNION
+         |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id),
+         |clus AS (
+         |  SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sel AS (
+         |  SELECT c.cluster_id, d.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n
+         |  FROM clus c JOIN documents d ON d.doc_id = c.member_id)
+         |SELECT cluster_id, doc_id AS keep_id, CAST(n AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "d10_incremental_new" ->
+      """SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
 
     "d8_decontaminate" ->
       s"""WITH $shinglesCte,

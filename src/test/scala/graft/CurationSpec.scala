@@ -43,6 +43,31 @@ class CurationSpec extends AnyFunSuite {
       == clusters.select("cluster_id").distinct().count())
   }
 
+  test("clusterSurvivors keeps the longest member, counts the rest") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("member_id", "cluster_id")
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "mid text"),
+      (10L, "aaa"), (11L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.clusterSurvivors(clusters, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ((2L, 3L)))
+    // equal lengths tie-break to the smaller id
+    assert(out(10L) == ((10L, 2L)))
+  }
+
+  test("incrementalNew drops batch docs whose content the corpus already has") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known text"), (2L, "other known")).toDF("doc_id", "text")
+    val batch = Seq((10L, "known text"), (11L, "genuinely new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(11L))
+  }
+
   // ---- stratified sampling ----
 
   test("stratified sample is deterministic and rate-proportional") {

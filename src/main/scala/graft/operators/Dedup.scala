@@ -302,8 +302,10 @@ object Dedup {
       .join(docs.select(col(idCol).as("member_id"),
         length(col(textCol)).as("len")), "member_id")
       .groupBy(col("cluster_id"))
-      .agg(max_by(col("member_id"),
-          struct(col("len"), -col("member_id"))).as("keep_id"),
+      // min over (-len, id) = max len, min id — the negation is on the
+      // LENGTH (always numeric), so ids of any orderable type work
+      .agg(min_by(col("member_id"),
+          struct(-col("len"), col("member_id"))).as("keep_id"),
         count(lit(1)).as("n_members"))
 
   /** 32-bit token hash used by SimHash: first 8 md5 hex digits as a long.

@@ -80,6 +80,11 @@ object ScaleQueries {
         .orderBy(col("member_id"))
     }),
 
+    // NOTE: the oracle enumerates every in-bucket pair while the Spark
+    // side inherits ngramJaccardPairs' maxBucket=1024 drop contract —
+    // equivalent at oracle scale (buckets are tiny), and at corpus
+    // scale the documented pipeline runs exact dedup first so
+    // mass-duplicate buckets never reach the near-dup pass.
     "d9_cluster_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

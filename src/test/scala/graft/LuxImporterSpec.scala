@@ -37,8 +37,12 @@ class LuxImporterSpec extends AnyFunSuite {
     val refs = LuxImporter.detectIssues(s"file:$sampleDir")
     assert(refs.map(_.issueId).toSet ==
       LuxImporter.detectIssues(sampleDir).map(_.issueId).toSet)
+    // force a scheme'd ISSUE path too: detect's listings come back
+    // scheme-less for local files, so without this the parse stage
+    // would only ever see plain paths
+    val ref = refs.find(_.issueId == "armeteufel-1904-01-17-a").get
     val parsed = LuxImporter.parseIssue(
-      refs.find(_.issueId == "armeteufel-1904-01-17-a").get,
+      ref.copy(path = s"file:${ref.path}"),
       "2020-01-01 00:00:00", "2020-01-01T00:00:00Z")
     assert(parsed.pageJsons.nonEmpty)
   }

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ShinglesImpl
+import graft.util.Json
+import graft.util.Json._
+
+/** Property-based checks over the pure-JVM kernels the distributed
+  * operators rely on — randomized inputs catch the edge cases example
+  * tests miss (empty tokens, unicode, whitespace runs, boundary k). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("shingles = sliding word windows, count max(n-k+1, 1), any tokens") {
+    check("shingles", Prop.forAll(
+      Gen.nonEmptyListOf(token), Gen.choose(1, 6)) { (toks, k) =>
+      val text = toks.mkString(" ")
+      val got = ShinglesImpl.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .array.map(_.toString).toSeq
+      val expected =
+        if (toks.length <= k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      got == expected && got.length == math.max(toks.length - k + 1, 1)
+    })
+  }
+
+  test("shingles are invariant to inter-token whitespace and outer spaces") {
+    // tabs/newlines/runs of spaces BETWEEN tokens must not change the
+    // shingle set (tokens are split(trim(text), \s+)); leading and
+    // trailing SPACES are trimmed. Outer \t/\n deliberately are NOT —
+    // trim strips ASCII spaces only, identically in Spark, DuckDB and
+    // the native expression, so a trailing newline yields an empty
+    // trailing token on every engine alike.
+    val ws = Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n')).map(_.mkString)
+    check("ws-invariant", Prop.forAll(
+      Gen.nonEmptyListOf(token), ws, Gen.choose(1, 4)) { (toks, sep, k) =>
+      def sh(t: String) = ShinglesImpl.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        .array.map(_.toString).toSeq
+      sh(toks.mkString(sep)) == sh(toks.mkString(" ")) &&
+        sh(s"  ${toks.mkString(" ")}  ") == sh(toks.mkString(" "))
+    })
+  }
+
+  test("minhash seeds stay within the field and signatures are order-free") {
+    check("seeds", Prop.forAll(Gen.choose(0, 4096)) { i =>
+      val (a, b) = graft.operators.Dedup.minhashSeeds(i)
+      a >= 0 && a < graft.operators.Dedup.MinhashP &&
+        b >= 0 && b < graft.operators.Dedup.MinhashP
+    })
+  }
+
+  test("editionLetter is injective over realistic edition counts") {
+    val letters = (0 until 200).map(graft.functions.Ids.editionLetter)
+    assert(letters.distinct.length == letters.length)
+    assert(graft.functions.Ids.editionLetter(0) == "a")
+  }
+
+  test("Json.render escapes arbitrary strings into Jackson-parseable JSON") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    check("json", Prop.forAll { (s: String, key: String) =>
+      val rendered = Json.render(JObj(Seq(
+        "k" -> JStr(s), "arr" -> Json.strs(Seq(key, s)))))
+      val node = mapper.readTree(rendered)
+      node.get("k").asText == s && node.get("arr").get(1).asText == s
+    })
+  }
+}

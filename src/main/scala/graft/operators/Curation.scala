@@ -70,6 +70,31 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Materialize a seeded shuffle as sharded training data: every row
+    * lands in `outDir/shard=N/` carrying its `pos` (read order within
+    * the shard — readers sort by it, cheap inside one shard file).
+    * `repartition(shard)` + `sortWithinPartitions` + `partitionBy`
+    * means each task writes exactly its shards' rows in order — one
+    * shuffle, no global sort, and the layout is reproducible from
+    * (corpus, seed, nShards) alone, so a re-run after failure
+    * overwrites into the identical file set.
+    *
+    * All non-id payload columns ride along unchanged. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String, outDir: String): Unit = {
+    val h = Dedup.tokenHash32(
+      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col(idCol))).cast("int"))
+      .drop("h")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Train/eval decontamination: for each training document, the number
     * of DISTINCT word-k-gram shingles it shares with the eval corpus
     * (the standard n-gram-overlap test-set-leakage check). Only

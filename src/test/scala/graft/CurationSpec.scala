@@ -126,6 +126,31 @@ class CurationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("writeShards materializes the exact shuffleShards layout, re-runnable") {
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "lang")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(docs, "doc_id", 4, "epoch1", out)
+    val written = spark.read.parquet(out)
+    val expected = Curation.shuffleShards(docs, "doc_id", 4, "epoch1")
+    // same (doc_id, shard, pos) assignment as the logical operator
+    assert(written.select("doc_id", "shard", "pos")
+      .exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(
+      written.select("doc_id", "shard", "pos")).isEmpty)
+    // payload columns ride along
+    assert(written.columns.toSet ==
+      Set("doc_id", "lang", "shard", "pos"))
+    // overwrite is idempotent: a re-run (failure recovery) yields the
+    // same row set
+    Curation.writeShards(docs, "doc_id", 4, "epoch1", out)
+    assert(spark.read.parquet(out).count() == docs.count())
+    // a new seed is a new epoch order
+    Curation.writeShards(docs, "doc_id", 4, "epoch2", out)
+    val e2 = spark.read.parquet(out).select("doc_id", "shard", "pos")
+    assert(!e2.exceptAll(expected).isEmpty)
+  }
+
   // ---- sequence packing ----
 
   test("packSequences fills bins to the budget with bounded overflow") {

@@ -28,6 +28,32 @@ object OpsQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // J11 — AS-OF join, Spark-first: for each purchase, the latest
+    // strictly-earlier click by the same user. No range join, no pair
+    // explosion: one shuffle by user, one sort, then last-non-null
+    // window carries the most recent click forward — O(1) state per
+    // row, the same plan shape at 10^6 or 10^12 events. (A naive
+    // ts-range join explodes to |purchases|x|clicks| per user before
+    // filtering; this never materializes a pair.)
+    "j11_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isClick = col("event_type") === "click"
+      e.withColumn("click_us",
+          last(when(isClick, col("us")), ignoreNulls = true).over(w))
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("click_id"), col("click_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // E3 — idempotent-ingestion dedup by event id (batch form of the
     // streaming EventStream.dedupEvents; the doubled input simulates an
     // at-least-once source re-delivering every event)
@@ -117,6 +143,21 @@ object OpsQueries {
     "e3_event_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j11_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT event_id, user_id, us, click_id, click_us FROM (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+        |  FROM e)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "e2_sessionize" ->
       """WITH x AS (

@@ -127,6 +127,33 @@ object RelationalQueries {
         .orderBy(col("yr"))
     }),
 
+    // A10 — multi-granularity totals in ONE pass: rollup emits
+    // (yr, prio), (yr) and () grouping sets from a single scan +
+    // shuffle — the manifest-stats shape at every granularity without
+    // re-aggregating per level
+    "a10_rollup_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("yr").asc_nulls_first, col("prio").asc_nulls_first)
+    }),
+
+    // W8 — running totals: an unbounded-preceding frame is O(1) window
+    // state per row (no buffering), partition-parallel by priority
+    "w8_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("running", sum(col("n_orders")).over(
+          Window.partitionBy(col("prio")).orderBy(col("yr"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("prio"), col("yr"))
+    }),
+
     // A2/A3 — pricing summary: multi-aggregate rollup with derived
     // averages (rebuilder.py:46 compute_stats_in_rebuilt_bag analog)
     "a2_pricing_summary" -> ((s, d) => {
@@ -349,6 +376,25 @@ object RelationalQueries {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a10_rollup_stats" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  o_orderpriority AS prio, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderpriority)
+        |ORDER BY yr ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin,
+
+    "w8_running_total" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, yr, n_orders,
+        |  CAST(SUM(n_orders) OVER (PARTITION BY prio ORDER BY yr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running
+        |FROM g ORDER BY prio, yr""".stripMargin,
 
     "a2_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

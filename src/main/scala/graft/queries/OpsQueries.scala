@@ -54,6 +54,23 @@ object OpsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // W9 — sliding RANGE frame: events in the user's trailing 5
+    // minutes. This is the range-join shape (event x events within
+    // [ts-5m, ts]) WITHOUT the join: a range frame over the sorted
+    // partition keeps a two-pointer window — each row enters and
+    // leaves the frame once, O(n) per user total, versus a range
+    // self-join's O(n·k) materialized pairs
+    "w9_range_count" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("n_5min", count(lit(1)).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"))
+            .rangeBetween(-300000000L, 0)))
+        .orderBy(col("event_id"))
+    }),
+
     // E3 — idempotent-ingestion dedup by event id (batch form of the
     // streaming EventStream.dedupEvents; the doubled input simulates an
     // at-least-once source re-delivering every event)
@@ -142,6 +159,13 @@ object OpsQueries {
 
     "e3_event_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w9_range_count" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_5min
         |FROM events ORDER BY event_id""".stripMargin,
 
     "j11_asof_join" ->

@@ -28,6 +28,18 @@ object OpsQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // E4 — stream-static enrichment (batch form; the streaming form in
+    // EventStream.enrich broadcast-joins each micro-batch against the
+    // same static dimension, verified equivalent in StreamingSpec)
+    "e4_stream_enrich" -> ((s, d) => {
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // J11 — AS-OF join, Spark-first: for each purchase, the latest
     // strictly-earlier click by the same user. No range join, no pair
     // explosion: one shuffle by user, one sort, then last-non-null
@@ -160,6 +172,11 @@ object OpsQueries {
     "e3_event_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e4_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment, event_type
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
 
     "w9_range_count" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -55,6 +55,15 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (user/customer attributes). The static side is
+    * broadcast, so each micro-batch is a map-side hash join — no
+    * stream state, no shuffle of the stream. Batch form:
+    * e4_stream_enrich. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,

@@ -68,6 +68,25 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val stream = EventStream.readEvents(spark, eventsPath)
+    val dim = Tables.customer(spark, sf)
+    val enriched = EventStream.enrich(stream, dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_mktsegment")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich").orderBy("event_id").collect()
+    val batch = Tables.events(spark, sf)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_mktsegment")
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("incremental import drains each file exactly once across runs") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._

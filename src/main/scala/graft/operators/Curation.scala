@@ -27,9 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Deterministic per-row draw in [0, 10000): md5 of `"seed:id"`. */
+  /** Deterministic seeded per-row hash: md5 of `"seed:id"` — the one
+    * source of randomness for every operator here. */
+  def seededHash(seed: String, id: Column): Column =
+    Dedup.tokenHash32(concat_ws(":", lit(seed), id.cast("string")))
+
+  /** Deterministic per-row draw in [0, 10000). */
   def sampleDraw(seed: String, id: Column): Column =
-    Dedup.tokenHash32(concat_ws(":", lit(seed), id.cast("string"))) % 10000
+    seededHash(seed, id) % 10000
+
+  /** Append (shard, pos) to `df`: shard = seeded hash mod nShards,
+    * pos = rank within the shard by (hash, id). Payload columns ride
+    * along; the `h` column is left for callers that order by it and
+    * must be dropped before output. */
+  private def withShardPos(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame =
+    df.withColumn("h", seededHash(seed, col(idCol)))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col(idCol))).cast("int"))
 
   /** Stratified sample with per-stratum rates: keep a row iff its
     * seeded hash draw falls under its stratum's rate. Rates are exact
@@ -59,16 +76,9 @@ object Curation {
     * One hash shuffle + per-shard sort; no global sort, no
     * driver-side state. Returns (idCol, shard, pos). */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
-      seed: String): DataFrame = {
-    val h = Dedup.tokenHash32(
-      concat_ws(":", lit(seed), col(idCol).cast("string")))
-    df.select(col(idCol), h.as("h"))
-      .withColumn("shard", (col("h") % nShards).cast("int"))
-      .withColumn("pos", row_number()
-        .over(Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col(idCol))).cast("int"))
+      seed: String): DataFrame =
+    withShardPos(df.select(col(idCol)), idCol, nShards, seed)
       .select(col(idCol), col("shard"), col("pos"))
-  }
 
   /** Materialize a seeded shuffle as sharded training data: every row
     * lands in `outDir/shard=N/` carrying its `pos` (read order within
@@ -81,19 +91,12 @@ object Curation {
     *
     * All non-id payload columns ride along unchanged. */
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
-      seed: String, outDir: String): Unit = {
-    val h = Dedup.tokenHash32(
-      concat_ws(":", lit(seed), col(idCol).cast("string")))
-    df.withColumn("h", h)
-      .withColumn("shard", (col("h") % nShards).cast("int"))
-      .withColumn("pos", row_number()
-        .over(Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col(idCol))).cast("int"))
+      seed: String, outDir: String): Unit =
+    withShardPos(df, idCol, nShards, seed)
       .drop("h")
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-  }
 
   /** Train/eval decontamination: for each training document, the number
     * of DISTINCT word-k-gram shingles it shares with the eval corpus
@@ -112,13 +115,14 @@ object Curation {
       textCol: String, k: Int = 3,
       broadcastEval: Boolean = true): DataFrame = {
     graft.functions.ShinglesImpl.register(train.sparkSession)
-    def hashed(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-          explode(expr(s"word_shingles($textCol, $k)")).as("sh"))
-        .select(col(idCol), md5(col("sh")).as("h"))
+    def shingleHashes(df: DataFrame, keys: Column*): DataFrame =
+      df.select(keys :+
+          explode(expr(s"word_shingles($textCol, $k)")).as("sh"): _*)
+        .select(keys :+ md5(col("sh")).as("h"): _*)
         .distinct()
-    val ev = hashed(eval).select(col("h")).distinct()
-    hashed(train)
+    // eval dedups on h alone — one shuffle, not (id, h) then h
+    val ev = shingleHashes(eval)
+    shingleHashes(train, col(idCol))
       .join(if (broadcastEval) broadcast(ev) else ev, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -141,8 +145,7 @@ object Curation {
     * the document's rank inside its bin. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, budget: Long, seed: String): DataFrame = {
-    val h = Dedup.tokenHash32(
-      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val h = seededHash(seed, col(idCol))
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(col("h"), col(idCol))
     val before = sum(col("n_tokens")).over(
@@ -198,11 +201,12 @@ object Curation {
     * most up-weighted stratum samples at 1.0 (no up-sampling, only
     * relative down-sampling); feed them to [[stratifiedSample]].
     *
-    * Determinism: the cross-stratum weight sum is FIXED-POINT
-    * (sqrt-share scaled to a long) — a floating sum over strata would
-    * depend on aggregation order, which differs between engines and
-    * between partitionings ([[graft.operators.Similarity.kmeansSums]]
-    * uses the same trick). Token totals are exact longs throughout.
+    * Determinism: token totals are exact longs; per-stratum weights
+    * are fixed-point (sqrt-share scaled-floored to a long); and the
+    * normalization uses MAX — order-independent — instead of the
+    * cross-stratum floating SUM the textbook formula implies (the sum
+    * cancels, see below), so rates reproduce bit-for-bit across
+    * engines and partitionings.
     *
     * Plan shape: one narrow projection + stratum groupBy (partial
     * aggregated), a single-row global aggregate broadcast back, and

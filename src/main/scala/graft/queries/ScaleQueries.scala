@@ -35,6 +35,11 @@ object ScaleQueries {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |        FROM documents))""".stripMargin
 
+  /** Shared d5/d7/d9 candidate pairs: word-3-gram Jaccard >= 0.7. */
+  private def docPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, threshold = 0.7)
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "d1_exact_dedup" -> ((s, d) => {
@@ -68,15 +73,11 @@ object ScaleQueries {
     }),
 
     "d5_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.7)
-        .orderBy(col("id_a"), col("id_b"))
+      docPairs(s, d).orderBy(col("id_a"), col("id_b"))
     }),
 
     "d7_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
-        "doc_id", "text", k = 3, threshold = 0.7)
-      Dedup.dupClusters(pairs, "id_a", "id_b")
+      Dedup.dupClusters(docPairs(s, d), "id_a", "id_b")
         .orderBy(col("member_id"))
     }),
 
@@ -86,11 +87,9 @@ object ScaleQueries {
     // scale the documented pipeline runs exact dedup first so
     // mass-duplicate buckets never reach the near-dup pass.
     "d9_cluster_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.7)
-      Dedup.clusterSurvivors(Dedup.dupClusters(pairs, "id_a", "id_b"),
-        docs, "doc_id", "text")
+      Dedup.clusterSurvivors(
+        Dedup.dupClusters(docPairs(s, d), "id_a", "id_b"),
+        Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("cluster_id"))
     }),
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: key salting.
+  *
+  * A shuffle join partitions both sides by the join key, so one hot
+  * key (one newspaper title with 100× the issues, one boilerplate
+  * document duplicated across the corpus) lands its entire row set in
+  * ONE task — the straggler that turns a 10-minute stage into hours at
+  * 100 TB. Salting splits the hot key's rows across `nSalts`
+  * partitions: the big side gets a deterministic per-row salt, the
+  * small side is replicated once per salt value, and the join key
+  * becomes (key, salt). Row multiplicity is unchanged — each big-side
+  * row still meets each matching small-side row exactly once — so the
+  * result is identical to the unsalted join.
+  *
+  * When to use WHICH tool:
+  *  - aggregation skew: nothing — partial (map-side) aggregation
+  *    already shrinks hot groups before the shuffle;
+  *  - join skew, small dimension: `broadcast()` — no shuffle at all;
+  *  - join skew, both sides large: AQE's skew-join split
+  *    (`spark.sql.adaptive.skewJoin`) handles post-shuffle splits of
+  *    MAP-side partitions automatically; explicit salting remains the
+  *    tool when the skew is known ahead of time, when AQE's
+  *    per-partition thresholds don't trigger (many medium-hot keys),
+  *    or when the engine must not depend on runtime re-planning.
+  *
+  * The salt is `hash mod nSalts` of deterministic row columns — NOT
+  * `rand()` — so retried tasks re-produce identical output
+  * ([[Curation.seededHash]] rationale).
+  */
+object Skew {
+
+  /** Inner equi-join with a salted key: `big ⋈ small` on
+    * `bigKey = smallKey`, with big-side rows spread over `nSalts`
+    * sub-partitions per key and the small side replicated `nSalts`×.
+    * `saltSource` must be deterministic per big-side row (an id
+    * column; NOT rand()).
+    *
+    * Cost model: small side shuffles/stores nSalts× its size; big
+    * side's hottest key now occupies nSalts tasks. Pick nSalts ≈
+    * (hot-key rows) / (target rows per task). */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, saltSource: Column,
+      nSalts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(saltSource), lit(nSalts)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    salted
+      .join(replicated,
+        col(bigKey) === col(smallKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}

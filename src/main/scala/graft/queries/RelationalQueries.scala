@@ -140,6 +140,22 @@ object RelationalQueries {
         .orderBy(col("yr").asc_nulls_first, col("prio").asc_nulls_first)
     }),
 
+    // J12 — salted shuffle join: identical semantics to the plain
+    // orderkey join (the oracle IS the plain join), with the big
+    // side's hottest key spread over 8 sub-partitions — the
+    // known-skew tool when broadcast doesn't fit and AQE's runtime
+    // thresholds can't be relied on (graft.operators.Skew)
+    "j12_salted_join" -> ((s, d) => {
+      graft.operators.Skew.saltedJoin(
+        Tables.lineitem(s, d), Tables.orders(s, d),
+        "l_orderkey", "o_orderkey",
+        struct(col("l_orderkey"), col("l_linenumber")), nSalts = 8)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("prio"))
+    }),
+
     // W8 — running totals: an unbounded-preceding frame is O(1) window
     // state per row (no buffering), partition-parallel by priority
     "w8_running_total" -> ((s, d) => {
@@ -384,6 +400,12 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin,
+
+    "j12_salted_join" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w8_running_total" ->
       """WITH g AS (

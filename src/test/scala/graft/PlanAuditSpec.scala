@@ -141,6 +141,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "no partial aggregation")
   }
 
+  test("salted join spreads a hot key and preserves join multiplicity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val big = ((1 to 900).map(i => (1L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "payload")
+    val small = (1L to 101L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val joined = graft.operators.Skew.saltedJoin(
+      big, small, "k", "sk", struct(col("k"), col("payload")), 8)
+    // semantics: exactly the plain join
+    assert(joined.count() ==
+      big.join(small, col("k") === col("sk")).count())
+    // the hot key's rows really occupy multiple salt partitions
+    val salts = big.withColumn("__salt",
+        pmod(hash(struct(col("k"), col("payload"))), lit(8)))
+      .filter(col("k") === 1L).select("__salt").distinct().count()
+    assert(salts > 4, s"hot key used only $salts of 8 salts")
+    // and the physical join key includes the salt
+    val p = plan(joined)
+    assert(p.contains("__salt"), p.take(1500))
+  }
+
   test("kmeans round: one corpus scan, broadcast-literal assignment, partial agg") {
     val p = plan(graft.operators.Similarity.kmeansSums(
       graft.util.Tables.embeddings(spark, sf), "vec_id", "embedding",

@@ -140,6 +140,24 @@ object RelationalQueries {
         .orderBy(col("yr").asc_nulls_first, col("prio").asc_nulls_first)
     }),
 
+    // A11 — exact quantiles: the distribution profile the corpus
+    // curation thresholds (length cuts, quality bands) are tuned
+    // against. Exact `percentile` is a per-group sort — fine when
+    // groups are bounded (here: 3 return flags); unbounded-cardinality
+    // profiling at 100 TB swaps in approx_percentile's t-digest sketch
+    // (mergeable, bounded memory) at the price of oracle exactness
+    "a11_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity").cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // J12 — salted shuffle join: identical semantics to the plain
     // orderkey join (the oracle IS the plain join), with the big
     // side's hottest key spread over 8 sub-partitions — the
@@ -400,6 +418,13 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin,
+
+    "a11_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "j12_salted_join" ->
       """SELECT o_orderpriority AS prio, count(*) AS n_lines,

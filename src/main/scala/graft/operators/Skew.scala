@@ -45,13 +45,20 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, saltSource: Column,
       nSalts: Int): DataFrame = {
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val salted = big.withColumn("__salt",
       pmod(hash(saltSource), lit(nSalts)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
     salted
+      // frame-qualified references: the unqualified col(...) form is
+      // ambiguous whenever both sides name their key identically (the
+      // common fact ⋈ dim shape)
       .join(replicated,
-        col(bigKey) === col(smallKey) && salted("__salt") === replicated("__salt"))
+        salted(bigKey) === replicated(smallKey) &&
+          salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
 }

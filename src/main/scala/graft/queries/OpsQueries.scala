@@ -32,9 +32,9 @@ object OpsQueries {
     // EventStream.enrich broadcast-joins each micro-batch against the
     // same static dimension, verified equivalent in StreamingSpec)
     "e4_stream_enrich" -> ((s, d) => {
-      Tables.events(s, d)
-        .join(broadcast(Tables.customer(s, d)),
-          col("user_id") === col("c_custkey"))
+      graft.streaming.EventStream.enrich(
+        Tables.events(s, d), Tables.customer(s, d),
+        "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_mktsegment"),
           col("event_type"))
         .orderBy(col("event_id"))

@@ -79,8 +79,8 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("enrich").orderBy("event_id").collect()
-    val batch = Tables.events(spark, sf)
-      .join(dim, col("user_id") === col("c_custkey"))
+    val batch = EventStream.enrich(Tables.events(spark, sf), dim,
+        "user_id", "c_custkey")
       .select("event_id", "user_id", "c_mktsegment")
       .orderBy("event_id").collect()
     assert(streamed.length == batch.length)

@@ -222,7 +222,7 @@ object Curation {
           .cast("long").as("tk"))
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
-      .localCheckpoint()
+      .transform(graft.util.Iter.materialize)
     // sqrt is IEEE-exact everywhere; pow(x, a) may differ by an ulp
     // between libm implementations, so the default temperature gets
     // the exact path (the fixed-point floor then absorbs sub-ulp

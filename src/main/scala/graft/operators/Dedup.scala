@@ -224,11 +224,9 @@ object Dedup {
     * would be the tool; near-dup graphs never look like that.
     * `localCheckpoint` truncates the per-round lineage so the plan
     * does not grow with iterations (the classic iterative-DataFrame
-    * trap). Note the fault-tolerance tradeoff: localCheckpoint blocks
-    * live in executor storage, so losing an executor mid-loop fails
-    * the query instead of recomputing — on a preemption-prone cluster
-    * set a checkpoint dir and swap in reliable `checkpoint()` (same
-    * plan shape, one extra write per round).
+    * trap). Sessions with a checkpoint dir get reliable
+    * `checkpoint()` (survives executor loss mid-loop); others get
+    * `localCheckpoint()` — [[graft.util.Iter.materialize]].
     *
     * @param pairs near-dup pairs, one row per undirected edge
     * @return (member_id, cluster_id): one row per distinct node,
@@ -244,13 +242,12 @@ object Dedup {
     // here and then again in every propagation round. The pairs are
     // tiny relative to the corpus that produced them; the pipeline is
     // not.
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint()
+    val edges = graft.util.Iter.materialize(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     val sym = edges.select(col("a").as("id"), col("b").as("nbr"))
       .union(edges.select(col("b").as("id"), col("a").as("nbr")))
-    var labels = sym.groupBy("id")
-      .agg(least(min(col("nbr")), first(col("id"))).as("label"))
-      .localCheckpoint()
+    var labels = graft.util.Iter.materialize(sym.groupBy("id")
+      .agg(least(min(col("nbr")), first(col("id"))).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -261,11 +258,10 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "nbr")
           .withColumnRenamed("label", "nbr_label"), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_label"))
-      val next = labels.join(nbrMin, "id")
+      val next = graft.util.Iter.materialize(labels.join(nbrMin, "id")
         .select(col("id"),
           least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint()
+          (col("nbr_label") < col("label")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       iter += 1

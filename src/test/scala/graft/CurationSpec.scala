@@ -28,6 +28,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 0L))
   }
 
+  test("dupClusters survives on reliable checkpoints when a dir is set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val out = Dedup.dupClusters(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // the reliable path really wrote checkpoint data
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "no reliable checkpoint blocks written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("dupClusters labels every pair member exactly once") {
     val pairs = Dedup.ngramJaccardPairs(
       graft.util.Tables.documents(spark, sf), "doc_id", "text",

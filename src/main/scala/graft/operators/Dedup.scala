@@ -333,4 +333,37 @@ object Dedup {
   /** Hamming distance between two SimHash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: fingerprints within `maxHamming`
+    * bits of each other. Candidate generation is PIGEONHOLE blocking —
+    * the 32-bit fingerprint splits into `maxHamming + 1` bands, and
+    * two fingerprints ≤ maxHamming apart must agree on at least one
+    * band, so an equi-join on (band, bandBits) finds every true pair
+    * without an all-pairs comparison; the exact Hamming check then
+    * discards band-collision false positives. Same scale contract as
+    * [[lshNearDupPairs]]: one corpus pass, shuffles keyed by band
+    * buckets, bounded buckets with an observed overflow metric
+    * (`simhash_bucket_overflow`) — identical fingerprints collide in
+    * every band, so run [[exact]] first on duplicate-heavy corpora.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b,
+    *         hamming <= maxHamming. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 32 / bands // 4 bands x 8 bits for the default
+    val banded = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs"), 32).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*))
+          .as(Seq("band", "bits")))
+    boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
+      "simhash_bucket_overflow")
+      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -93,6 +93,12 @@ object ScaleQueries {
         .orderBy(col("cluster_id"))
     }),
 
+    "d11_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id",
+        "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d10_incremental_new" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalNew(
@@ -336,6 +342,30 @@ object ScaleQueries {
          |  FROM clus c JOIN documents d ON d.doc_id = c.member_id)
          |SELECT cluster_id, doc_id AS keep_id, CAST(n AS BIGINT) AS n_members
          |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "d11_simhash_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,31),
+        |    b -> CASE WHEN list_sum(list_transform(hs, v -> ((v >> b) & 1)*2 - 1)) > 0
+        |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+        |  FROM h),
+        |banded AS (
+        |  SELECT doc_id AS id, sh, g.band,
+        |    (sh >> (g.band * 8)) & 255 AS bits
+        |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) g),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.sh AS sh_a, b.sh AS sh_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d10_incremental_new" ->
       """SELECT b.doc_id, b.lang FROM documents b

@@ -83,6 +83,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11L))
   }
 
+  test("simhash pairs find hamming-close docs via pigeonhole bands, exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // ~1 word off
+      (3L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text",
+      maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // pigeonhole blocking must be EXACT for the radius: brute-force
+    // hamming agrees with the blocked result
+    val fps = df.select(col("doc_id"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("text")), 32)
+          .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- fps.keys; b <- fps.keys if a < b) {
+      val hd = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      assert(pairs.contains((a, b)) == (hd <= 6),
+        s"pair ($a,$b) hd=$hd blocked=${pairs.contains((a, b))}")
+      if (hd <= 6) assert(pairs((a, b)) == hd)
+    }
+  }
+
   // ---- stratified sampling ----
 
   test("stratified sample is deterministic and rate-proportional") {

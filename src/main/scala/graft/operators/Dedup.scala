@@ -323,6 +323,17 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(TextAnalysis.tokens(text), tokenHash32 _)
 
+  /** 60-bit token hash: first 15 md5 hex digits. 60 bits stay exactly
+    * representable as a signed 64-bit integer in every engine (16 hex
+    * digits could overflow), which is why the wide fingerprint stops
+    * at 60. */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit token hashes for the wide fingerprint. */
+  def tokenHashes60(text: Column): Column =
+    transform(TextAnalysis.tokens(text), tokenHash60 _)
+
   /** SimHash fingerprint over whitespace tokens: bit b of the result is
     * set iff the sum over tokens of ±1 (sign of token-hash bit b) is
     * positive. `bits` <= 32 with the 32-bit token hash. Convenience
@@ -336,9 +347,9 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: fingerprints within `maxHamming`
     * bits of each other. Candidate generation is PIGEONHOLE blocking —
-    * the 32-bit fingerprint splits into `maxHamming + 1` bands, and
-    * two fingerprints ≤ maxHamming apart must agree on at least one
-    * band, so an equi-join on (band, bandBits) finds every true pair
+    * the fingerprint splits into `maxHamming + 1` bands, and two
+    * fingerprints ≤ maxHamming apart must agree on at least one band,
+    * so an equi-join on (band, bandBits) finds every true pair
     * without an all-pairs comparison; the exact Hamming check then
     * discards band-collision false positives. Same scale contract as
     * [[lshNearDupPairs]]: one corpus pass, shuffles keyed by band
@@ -346,15 +357,30 @@ object Dedup {
     * (`simhash_bucket_overflow`) — identical fingerprints collide in
     * every band, so run [[exact]] first on duplicate-heavy corpora.
     *
+    * The fingerprint is the 60-BIT simhash (d4's 32-bit form is the
+    * compact fingerprint; pairing needs the wide one): on a
+    * narrow-vocabulary corpus the fingerprint distribution
+    * concentrates — bits whose token-hash balance is skewed are near
+    * constant across documents — and 8-bit bands of a 32-bit
+    * fingerprint collapse into a handful of giant buckets (measured:
+    * 5000 synthetic docs → max bucket 1338, quadratic expansion).
+    * 15-bit bands over 60 bits keep buckets small for the same
+    * corpus.
+    *
     * @return (id_a, id_b, hamming) with id_a < id_b,
     *         hamming <= maxHamming. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val bands = maxHamming + 1
-    val width = 32 / bands // 4 bands x 8 bits for the default
-    val banded = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs"), 32).as("sh"))
+    val width = 60 / bands // 4 bands x 15 bits for the default
+    // Fingerprints via the native codegen'd expression — one JVM loop
+    // per doc; the HOF formulation is 60 interpreted `aggregate` calls
+    // per doc AND would re-evaluate under the band Generate (the
+    // interpreted-HOF-under-Generate pathology — see WordShingles).
+    graft.functions.SimHashImpl.register(df.sparkSession)
+    val fp = df.select(col(idCol).as("id"),
+      expr(s"simhash60($textCol)").as("sh"))
+    val banded = fp
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * width)

@@ -346,16 +346,16 @@ object ScaleQueries {
     "d11_simhash_pairs" ->
       """WITH h AS (
         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,31),
+        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,59),
         |    b -> CASE WHEN list_sum(list_transform(hs, v -> ((v >> b) & 1)*2 - 1)) > 0
         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
         |  FROM h),
         |banded AS (
         |  SELECT doc_id AS id, sh, g.band,
-        |    (sh >> (g.band * 8)) & 255 AS bits
+        |    (sh >> (g.band * 15)) & 32767 AS bits
         |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) g),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,

@@ -96,7 +96,7 @@ class CurationSpec extends AnyFunSuite {
     // pigeonhole blocking must be EXACT for the radius: brute-force
     // hamming agrees with the blocked result
     val fps = df.select(col("doc_id"),
-        Dedup.simhashFromHashes(Dedup.tokenHashes(col("text")), 32)
+        Dedup.simhashFromHashes(Dedup.tokenHashes60(col("text")), 60)
           .as("sh")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (a <- fps.keys; b <- fps.keys if a < b) {

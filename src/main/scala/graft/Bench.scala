@@ -54,7 +54,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // long per-query line first, short summary line LAST: the driver
+    // captures a bounded tail of stdout, so the machine-readable total
+    // must live in the final bytes (round-5 records lost it to
+    // truncation of the long line)
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.maxByOption(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":{$slowest},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -240,9 +240,85 @@ object Similarity {
     sums
   }
 
+  /** Multi-band sign-LSH near-duplicate pairs — attribute-free
+    * blocking for embedding cosine near-dups.
+    *
+    * Band `i` keys on the sign pattern of the coordinate slice
+    * `[i*bits, (i+1)*bits)`; a pair becomes a candidate when ANY band
+    * key matches (OR over bands), and every candidate is verified by
+    * exact cosine before emission. For true cosine `cos θ` the per-bit
+    * sign-agreement probability is `p = 1 − θ/π`, so recall is
+    * `1 − (1 − p^bits)^bands` — e.g. 16 bands × 4 bits at cos ≥ 0.35
+    * gives ≈ 0.91 expected (0.956 measured on the sf0.01 corpus:
+    * 259 of 271 exact pairs). `bits = 1` degenerates to a
+    * near-exhaustive blocking (a pair is missed only when ALL
+    * coordinate signs disagree), which the spec uses as the
+    * blocked ≡ brute-force gate, mirroring s3's nprobe = nlist proof.
+    *
+    * Scale shape: the same bucket-expand contract as the text LSH
+    * ([[graft.operators.Dedup.lshNearDupPairs]]) — one corpus scan,
+    * `bands` keys per row via one posexplode, one shuffle keyed by
+    * (band, key), in-bucket pair expansion from a BoundedTopK-capped
+    * member list (O(maxBucket) state at every stage including the
+    * map-side partial; a self-join would scan the corpus once per
+    * side). Overflowing buckets are dropped, surfaced via the observed
+    * metric `embed_bucket_overflow`. Exact duplicates must be removed
+    * upstream (the d1 exact-dedup-first contract): identical vectors
+    * collide in every band and inflate buckets quadratically. The
+    * vector+norm payload rides the shuffle so cosine verification
+    * needs no join-back. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bits: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val bandKeys = array((0 until bands).map { b =>
+      concat((1 to bits).map { j =>
+        when(element_at(col("v"), b * bits + j) >= 0, lit("1"))
+          .otherwise(lit("0"))
+      }: _*)
+    }: _*)
+    val keyed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("pl", struct(col("v"), norm(col("v")).as("nrm")))
+      .select(col("id"), col("pl"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+    val bucketCap = GraftColumns.column(
+      graft.functions.BoundedTopK(
+        GraftColumns.expression(
+          struct(lit(0.0).as("s"), col("id"), col("pl"))),
+        maxBucket + 1).toAggregateExpression())
+    keyed.groupBy(col("band"), col("key"))
+      .agg(bucketCap.as("xs"), count(lit(1)).as("n"))
+      .observe("embed_bucket_overflow",
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_docs"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(
+            when(x("id") < y("id"), x("id")).otherwise(y("id")).as("id_a"),
+            when(x("id") < y("id"), y("id")).otherwise(x("id")).as("id_b"),
+            when(x("id") < y("id"), x("pl")).otherwise(y("pl")).as("pl_a"),
+            when(x("id") < y("id"), y("pl")).otherwise(x("pl")).as("pl_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.pl_a").as("pl_a"), col("p.pl_b").as("pl_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", dot(col("pl_a.v"), col("pl_b.v")) /
+        (col("pl_a.nrm") * col("pl_b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Blocked near-duplicate pairs by embedding cosine: candidates are
     * restricted to equal blocking keys (e.g. a label or coarse cluster
-    * id), so the pair space is per-block quadratic, not global. */
+    * id), so the pair space is per-block quadratic, not global.
+    * Prefer [[lshNearDupPairs]] when no meaningful blocking attribute
+    * exists — on the synthetic corpus the label attribute carries
+    * almost no cluster signal (same-label mean cosine 0.0016), so
+    * label blocking recalls only ~11% of true pairs. */
   def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),

@@ -118,10 +118,8 @@ object ScaleQueries {
     }),
 
     "d6_embed_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("blk", concat(col("label").cast("string"), lit("|"),
-          Similarity.signBucket(col("embedding"), 6)))
-      Similarity.blockedNearDupPairs(e, "vec_id", "embedding", "blk", 0.35)
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", bands = 16, bits = 4, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -387,17 +385,19 @@ object ScaleQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_embed_neardup" ->
-s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(label AS VARCHAR) || '|' ||
-         |    array_to_string(list_transform(generate_series(1,6),
-         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk
-         |  FROM embeddings)
-         |SELECT * FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
-         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH bands AS (SELECT unnest(generate_series(0, 15)) AS band),
+         |keyed AS (
+         |  SELECT vec_id, embedding, band,
+         |    array_to_string(list_transform(generate_series(1, 4), j ->
+         |      CASE WHEN embedding[band * 4 + j] >= 0 THEN '1' ELSE '0' END),
+         |      '') AS key
+         |  FROM embeddings CROSS JOIN bands)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM keyed a JOIN keyed b
+         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),

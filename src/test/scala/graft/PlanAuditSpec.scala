@@ -51,6 +51,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("word_shingles") && p.contains("minhash_sig"))
   }
 
+  test("embedding LSH plan: bucket-expand, no self-join, single scan") {
+    val p = plan(graft.operators.Similarity.lshNearDupPairs(
+      graft.util.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      bands = 16, bits = 4, threshold = 0.35))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "pair generation must not self-join")
+    assert(!p.contains("BroadcastHashJoin"), "pair generation must not self-join")
+    assert(count(p, "FileScan parquet") == 1, "embeddings scanned more than once")
+    assert(p.contains("bounded_topk"), "bucket cap missing")
+  }
+
   test("rebuild CLI batch config prunes canonical partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

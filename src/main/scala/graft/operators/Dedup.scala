@@ -214,14 +214,23 @@ object Dedup {
     * collapse to ONE canonical doc, not two independent pair picks).
     *
     * Algorithm: iterative min-label propagation over the symmetrized
-    * edge list — each round every node takes the min of its own and
-    * its neighbors' labels (2 shuffles/round: one groupBy, one join),
-    * until a round changes no label. Rounds needed = graph diameter;
-    * near-duplicate components are near-cliques (every member is
-    * similar to most others), so diameter is 1-2 and the loop
-    * converges in 2-3 rounds even at corpus scale. For adversarially
-    * chained graphs (diameter ~n) a large-star/small-star rewrite
-    * would be the tool; near-dup graphs never look like that.
+    * edge list, accelerated by pointer-doubling: each round every node
+    * takes the min of (its own label, its neighbors' labels, its
+    * LABEL'S label). The neighbor term spreads the component min one
+    * hop per round; the label-chase term halves the remaining distance
+    * to the min each round (the shortcutting step of the
+    * large-star/small-star family — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), so convergence is
+    * O(log diameter) rounds, not O(diameter). Near-duplicate
+    * components are near-cliques (diameter 1-2, converge in 2-3
+    * rounds); the shortcut term is what keeps adversarially chained
+    * graphs (diameter ~n, e.g. temporally drifting boilerplate) from
+    * blowing the round budget — a diameter-120 path converges in 8
+    * rounds, spec-proven. 3 shuffles/round (neighbor groupBy, neighbor
+    * join, label-chase join). If `maxIter` rounds pass without a
+    * fixed point the operator THROWS rather than return silently
+    * wrong clusters (labels mid-propagation look plausible but split
+    * real components).
     * `localCheckpoint` truncates the per-round lineage so the plan
     * does not grow with iterations (the classic iterative-DataFrame
     * trap). Sessions with a checkpoint dir get reliable
@@ -258,14 +267,32 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "nbr")
           .withColumnRenamed("label", "nbr_label"), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_label"))
-      val next = graft.util.Iter.materialize(labels.join(nbrMin, "id")
+      // pointer-doubling shortcut: chase one hop up the label forest
+      // (labels are always node ids, so the lookup always resolves;
+      // left join guards the component-min's self-label anyway).
+      // Skipped in round 1: initial labels are one-hop minima, so no
+      // label chains exist yet to compress — near-clique graphs (the
+      // common case, 2 rounds total) never pay for the extra join.
+      val joined = labels.join(nbrMin, "id")
+      val withHop = if (iter == 0) joined.withColumn("hop_label",
+          lit(null).cast(joined.schema("label").dataType))
+        else joined.join(labels.select(col("id").as("hop_id"),
+          col("label").as("hop_label")), col("label") === col("hop_id"),
+          "left")
+      val next = graft.util.Iter.materialize(withHop
         .select(col("id"),
-          least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).as("changed")))
+          least(col("label"), col("nbr_label"), col("hop_label"))
+            .as("label"),
+          (least(col("nbr_label"), col("hop_label")) < col("label"))
+            .as("changed")))
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds; the pair " +
+        "graph has a component of extreme diameter — raise maxIter " +
+        "(rounds grow only as log(diameter) under pointer-doubling)")
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 

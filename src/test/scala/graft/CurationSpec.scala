@@ -28,6 +28,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 0L))
   }
 
+  test("dupClusters resolves an adversarial diameter-120 chain in O(log D) rounds") {
+    import spark.implicits._
+    // a 121-node path is the worst case for plain min-propagation
+    // (120 rounds — far past the default maxIter); pointer-doubling
+    // must close it within the default 20-round budget
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b").collect()
+    assert(out.length == 121)
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("dupClusters throws instead of returning unconverged clusters") {
+    import spark.implicits._
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, "id_a", "id_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dupClusters survives on reliable checkpoints when a dir is set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString

@@ -164,6 +164,59 @@ object Curation {
         col("pos"))
   }
 
+  /** Materialized packed sequences: one row per [[packSequences]] bin,
+    * with the member documents' token streams concatenated in pack
+    * order — the actual training-shard payload, not just the
+    * assignment. Documents are joined with a `\n` boundary marker
+    * (stand-in for an EOS token id; a real tokenizer slots in at the
+    * `textCol` projection without changing the plan).
+    *
+    * Plan shape: the pack window's single hash exchange (by shard) is
+    * the ONLY exchange — the bin aggregation groups on (shard, bin),
+    * a superset-clustered key of the window's shard partitioning, so
+    * Catalyst plans it exchange-free on the already-sorted stream.
+    * The concat state per bin is bounded by `budget` tokens (plus the
+    * one straddling document), so aggregation buffers are ~budget
+    * bytes, never corpus-sized. In-bin order is made deterministic by
+    * sorting the collected (h, id, text) structs, identical to the
+    * (h, id) window order.
+    *
+    * Returns (shard, bin, n_docs, n_tokens, payload). */
+  def packedPayloads(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Long, seed: String): DataFrame = {
+    val h = seededHash(seed, col(idCol))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("id"))
+    val before = sum(col("n_tokens")).over(
+      byShard.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(idCol).as("id"), col(textCol).as("text"),
+        graft.functions.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("bin",
+        floor(coalesce(before, lit(0L)) / budget).cast("int"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("h"), col("id"),
+            col("text")))),
+          x => x("text")), "\n").as("payload"))
+  }
+
+  /** Write [[packedPayloads]] bins as sharded training data:
+    * `outDir/shard=N/` with one row per packed sequence, ordered by
+    * bin. Feed the payload frame straight from [[packedPayloads]] —
+    * it is already hash-partitioned by shard, so the in-partition
+    * sort and partitioned write add NO further exchange. Layout is a
+    * pure function of (corpus, seed, nShards, budget): re-runs after
+    * failure overwrite into the identical file set. */
+  def writePackedShards(payloads: DataFrame, outDir: String): Unit =
+    payloads
+      .sortWithinPartitions(col("shard"), col("bin"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Per-document token-repetition statistics (the Gopher-rule family
     * of repetition signals): distinct-token ratio and the mass of the
     * single most frequent token. Formulated RELATIONALLY — explode to

@@ -214,6 +214,12 @@ object ScaleQueries {
       Curation.mixtureWeights(Tables.documents(s, d), "source", "text",
         alpha = 0.5)
         .orderBy(col("source"))
+    }),
+
+    "x5_packed_payloads" -> ((s, d) => {
+      Curation.packedPayloads(Tables.documents(s, d), "doc_id", "text",
+        nShards = 8, budget = 2048L, seed = "42")
+        .orderBy(col("shard"), col("bin"))
     })
   )
 
@@ -635,6 +641,23 @@ object ScaleQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, shard, bin,
         |  CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY h, doc_id) AS INT) AS pos
-        |FROM b ORDER BY shard, bin, pos""".stripMargin
+        |FROM b ORDER BY shard, bin, pos""".stripMargin,
+
+    "x5_packed_payloads" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, n_tokens, h, CAST(h % 8 AS INT) AS shard,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8
+        |      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / 2048.0) AS INT) AS bin
+        |  FROM t)
+        |SELECT shard, bin, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(text, chr(10) ORDER BY h, doc_id) AS payload
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   )
 }

@@ -212,6 +212,44 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- sequence packing ----
 
+  test("packedPayloads round-trips bins to concatenated shards, budget respected") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val budget = 2048L
+    val payloads = Curation.packedPayloads(docs, "doc_id", "text",
+      nShards = 4, budget = budget, seed = "42").cache()
+    try {
+      // bins agree exactly with the packSequences assignment
+      val assigned = Curation.packSequences(docs, "doc_id", "text",
+        nShards = 4, budget = budget, seed = "42")
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getAs[Int]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+      val bins = payloads.collect()
+      assert(bins.map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Int]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+        == assigned)
+      // each payload carries exactly its members' concatenated streams:
+      // boundary-split doc count and whitespace token count both match
+      bins.foreach { r =>
+        val payload = r.getAs[String]("payload")
+        assert(payload.split("\n", -1).length == r.getAs[Int]("n_docs"))
+        assert(payload.trim.split("\\s+").length.toLong
+          == r.getAs[Long]("n_tokens"))
+      }
+      // every document lands in exactly one bin
+      assert(bins.map(_.getAs[Int]("n_docs").toLong).sum == docs.count())
+      // the writer materializes the identical frame
+      val out = java.nio.file.Files.createTempDirectory("packed").toString
+      Curation.writePackedShards(payloads, out)
+      val back = spark.read.parquet(out)
+      assert(back.count() == bins.length)
+      assert(back.select("shard", "bin", "n_docs", "n_tokens", "payload")
+        .except(payloads.toDF()).isEmpty)
+    } finally payloads.unpersist()
+  }
+
   test("packSequences fills bins to the budget with bounded overflow") {
     val docs = graft.util.Tables.documents(spark, sf)
     val budget = 2048L

@@ -132,6 +132,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") == 1)
   }
 
+  test("packed payloads keep the pack window's single exchange through the bin agg") {
+    val p = plan(graft.operators.Curation.packedPayloads(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text", 8, 2048L, "42"))
+    // the (shard, bin) aggregation is superset-clustered by the window's
+    // hashpartitioning(shard) — a second exchange would re-shuffle every
+    // payload byte a second time
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+  }
+
   test("decontamination joins broadcast eval-side md5 keys, scans each corpus once") {
     val docs = graft.util.Tables.documents(spark, sf)
     val p = plan(graft.operators.Curation.contamination(

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real — schemas, partition-preserving
-  * per-batch processing, deterministic outputs; the codec itself is a
-  * STUB (`StubCodec`) because image/audio libraries are not available in
-  * this environment. At deployment the stub body is the only thing that
-  * changes: the operator shape (mapPartitions over binary payloads,
-  * bounded batches, metadata struct out) is what has to survive 100 TB,
-  * where payload columns dominate I/O — hence:
+  * per-batch processing, deterministic outputs. The IMAGE codec is real
+  * too ([[ImageCodec]], pure-JVM `javax.imageio` PNG/JPEG decode +
+  * resize); audio/video remain a STUB (`StubCodec`) because no audio
+  * libraries exist in this environment. At deployment the stub body is
+  * the only thing that changes: the operator shape (mapPartitions over
+  * binary payloads, bounded batches, metadata struct out) is what has to
+  * survive 100 TB, where payload columns dominate I/O — hence:
   *  - metadata extraction never shuffles (row-local mapPartitions);
   *  - payloads are droppable early (`select` the metadata struct only →
   *    Parquet column pruning skips the blob pages entirely);
@@ -59,15 +60,29 @@ object Multimodal {
   }
 
   /** Decode metadata for a frame of (media_id, kind, payload) rows.
-    * Row-local; partitioning preserved. */
+    * Image payloads (sniffed by magic bytes, not trusted from `kind`)
+    * get a REAL `javax.imageio` decode — `kind` becomes the detected
+    * container format and width/height come from the parsed header;
+    * everything else falls back to [[StubCodec]]. Row-local;
+    * partitioning preserved. */
   def extractMetadata(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, kind, bytes) =>
-        StubCodec.decode(id, kind, bytes)
-      })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, kind, bytes) =>
+          ImageCodec.decode(bytes) match {
+            case Some((fmt, w, h)) =>
+              md.reset()
+              val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+              MediaMeta(id, fmt, bytes.length.toLong, hex, w, h,
+                duration_ms = 0L)
+            case None => StubCodec.decode(id, kind, bytes)
+          }
+        }
+      }
       .toDF()
   }
 
@@ -124,11 +139,23 @@ object Multimodal {
         // not per-row-cheap — same pattern as MinHashImpl.digests)
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, kind, bytes) =>
-          val budget = math.max(1, targetW * targetH / 100)
-          val out = bytes.take(budget)
-          md.reset()
-          val hex = md.digest(out).map(b => f"$b%02x").mkString
-          (id, kind, out, targetW, targetH, out.length.toLong, hex)
+          // Image payloads: real decode → aspect-fit scale → re-encode
+          // PNG → re-decode, so the reported dims are read back from the
+          // emitted bytes (round-trip proof), not echoed targets.
+          val roundTrip = ImageCodec.resize(bytes, targetW, targetH)
+            .flatMap(out => ImageCodec.decode(out).map(out -> _))
+          roundTrip match {
+            case Some((out, (fmt, w, h))) =>
+              md.reset()
+              val hex = md.digest(out).map(b => f"$b%02x").mkString
+              (id, fmt, out, w, h, out.length.toLong, hex)
+            case None =>
+              val budget = math.max(1, targetW * targetH / 100)
+              val out = bytes.take(budget)
+              md.reset()
+              val hex = md.digest(out).map(b => f"$b%02x").mkString
+              (id, kind, out, targetW, targetH, out.length.toLong, hex)
+          }
         }
       }
       .toDF("media_id", "kind", "payload", "width", "height",
@@ -136,7 +163,9 @@ object Multimodal {
   }
 
   /** A synthetic media frame derived from `documents` (text bytes as the
-    * opaque payload) — deterministic input for tests and oracles. */
+    * opaque payload) — deterministic input for tests and oracles. All
+    * payloads here are text bytes (the stub-codec path); for real
+    * PNG/JPEG payloads use [[syntheticImages]] / [[mixedMedia]]. */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.util.Tables.documents(spark, sfDir)
     docs.select(
@@ -146,4 +175,26 @@ object Multimodal {
         .otherwise("video").as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
   }
+
+  /** Real PNG/JPEG payloads for the image rows (doc_id % 3 = 0): bytes
+    * are encoded on executors with dimensions [[ImageCodec.syntheticDims]]
+    * derives from the id, so the DuckDB oracle can predict what a REAL
+    * decode must recover without being able to parse the bytes itself.
+    * Payload generation is row-local mapPartitions — at scale this row
+    * stands in for a parquet/tar scan of blob columns. */
+  def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, "image", ImageCodec.encodeSynthetic(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** The full multimodal frame: real image payloads + stub audio/video
+    * payloads, one row per document. */
+  def mixedMedia(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticImages(spark, sfDir).unionByName(
+      syntheticMedia(spark, sfDir).filter(col("kind") =!= "image"))
 }

@@ -5,17 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Oracle coverage for the multimodal binary-column operators. The
-  * payloads are document text bytes (ASCII in the synthetic data, so
-  * byte and character offsets coincide and DuckDB can recompute the
-  * stub codec's outputs exactly).
+/** Oracle coverage for the multimodal binary-column operators. Image
+  * payloads are REAL PNG/JPEG bytes generated with dimensions derived
+  * arithmetically from the id ([[graft.operators.ImageCodec]]): DuckDB
+  * cannot parse the bytes, but it can predict what a correct decode must
+  * recover, so m1/m4 green means the javax.imageio path really ran.
+  * Audio/video payloads stay document text bytes (ASCII, so byte and
+  * character offsets coincide and DuckDB recomputes the stub codec
+  * exactly).
   */
 object MultimodalQueries {
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // M1 — metadata extraction over binary payloads (mapPartitions path)
+    // M1 — metadata extraction over binary payloads (mapPartitions
+    // path). Image rows carry REAL PNG/JPEG bytes whose dimensions the
+    // oracle predicts from the id formula — a green row proves the
+    // javax.imageio decode recovered them from the bytes. The oracle
+    // cannot recompute n_bytes/checksum of encoded images, so the
+    // projection keeps the decode-verifiable columns (full schema is
+    // spec-checked in DiscoverSpec/MultimodalSpec).
     "m1_media_metadata" -> ((s, d) => {
-      Multimodal.extractMetadata(Multimodal.syntheticMedia(s, d))
+      Multimodal.extractMetadata(Multimodal.mixedMedia(s, d))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("duration_ms"))
         .orderBy(col("media_id"))
     }),
 
@@ -37,11 +49,14 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
-    // M4 — payload → payload resize with refreshed metadata
+    // M4 — payload → payload resize with refreshed metadata. Image rows
+    // take the real path (decode → aspect-fit scale → re-encode PNG →
+    // re-decode): the reported dims are read back from the emitted
+    // bytes, and the oracle recomputes the integer aspect-fit from the
+    // generation formula. Audio/video rows keep the stub truncate.
     "m4_media_resize" -> ((s, d) => {
-      Multimodal.resize(Multimodal.syntheticMedia(s, d), 320, 240)
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("n_bytes"), col("checksum"))
+      Multimodal.resize(Multimodal.mixedMedia(s, d), 320, 240)
+        .select(col("media_id"), col("kind"), col("width"), col("height"))
         .orderBy(col("media_id"))
     })
   )
@@ -50,16 +65,20 @@ object MultimodalQueries {
     "m1_media_metadata" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    md5(text) AS checksum,
         |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS s
         |  FROM documents)
-        |SELECT media_id, kind, n_bytes, checksum,
-        |  CAST(s % 1920 + 1 AS INT) AS width,
-        |  CAST((s // 1920) % 1080 + 1 AS INT) AS height,
-        |  n_bytes * 7 AS duration_ms
+        |SELECT media_id,
+        |  CASE WHEN media_id % 3 = 0 THEN
+        |         CASE WHEN media_id % 2 = 0 THEN 'image/png'
+        |              ELSE 'image/jpeg' END
+        |       WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 57 + 8
+        |            ELSE s % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 43 + 8
+        |            ELSE (s // 1920) % 1080 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN media_id % 3 = 0 THEN 0
+        |            ELSE n_bytes * 7 END AS BIGINT) AS duration_ms
         |FROM m ORDER BY media_id""".stripMargin,
 
     "m2_frame_samples" ->
@@ -92,12 +111,20 @@ object MultimodalQueries {
         |FROM m ORDER BY media_id""".stripMargin,
 
     "m4_media_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  320 AS width, 240 AS height,
-        |  CAST(least(octet_length(encode(text)), 768) AS BIGINT) AS n_bytes,
-        |  md5(substr(text, 1, 768)) AS checksum
-        |FROM documents ORDER BY media_id""".stripMargin
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 57 + 8 AS INT) AS w,
+        |    CAST(doc_id % 43 + 8 AS INT) AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN media_id % 3 = 0 THEN 'image/png'
+        |       WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN media_id % 3 <> 0 THEN 320
+        |            WHEN w * 240 >= h * 320 THEN 320
+        |            ELSE (w * 240) // h END AS INT) AS width,
+        |  CAST(CASE WHEN media_id % 3 <> 0 THEN 240
+        |            WHEN w * 240 >= h * 320 THEN (h * 320) // w
+        |            ELSE 240 END AS INT) AS height
+        |FROM m ORDER BY media_id""".stripMargin
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ImageCodec, Multimodal}
+
+/** Real-codec coverage for the multimodal operators: javax.imageio
+  * PNG/JPEG decode, aspect-fit resize round-trip, and the garbage-blob
+  * fallback contract. */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("PNG and JPEG synthetic payloads decode to the formula dims") {
+    for (id <- Seq(0L, 3L, 6L, 57L, 114L, 4023L)) {
+      val bytes = ImageCodec.encodeSynthetic(id)
+      val Some((fmt, w, h)) = ImageCodec.decode(bytes)
+      val expectFmt = if (id % 2 == 0) "image/png" else "image/jpeg"
+      assert(fmt == expectFmt, s"id=$id")
+      assert((w, h) == ImageCodec.syntheticDims(id), s"id=$id")
+    }
+  }
+
+  test("PNG round-trips exact pixels") {
+    // Lossless container: decoded pixels must equal the render formula.
+    val id = 42L
+    val bytes = ImageCodec.encodeSynthetic(id)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = ImageCodec.syntheticDims(id)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (id * 31 + x * 7 + y * 13) & 0xFF
+      val expected = (v << 16 | ((x * 5) & 0xFF) << 8 | ((y * 3) & 0xFF)).toInt
+      assert((img.getRGB(x, y) & 0xFFFFFF) == expected, s"($x,$y)")
+    }
+  }
+
+  test("resize round-trip: emitted bytes re-decode to aspect-fit dims") {
+    for (id <- Seq(0L, 3L, 9L, 57L, 171L)) {
+      val bytes = ImageCodec.encodeSynthetic(id)
+      val Some(out) = ImageCodec.resize(bytes, 320, 240)
+      val Some((fmt, w, h)) = ImageCodec.decode(out)
+      val (sw, sh) = ImageCodec.syntheticDims(id)
+      assert(fmt == "image/png")
+      assert((w, h) == ImageCodec.fitDims(sw, sh, 320, 240), s"id=$id")
+      // aspect-fit really fits: one side hits the target box
+      assert(w == 320 || h == 240)
+      assert(w <= 320 && h <= 240)
+    }
+  }
+
+  test("fitDims integer math matches the oracle's CASE expression") {
+    for (w <- 1 to 80; h <- 1 to 60) {
+      val (ow, oh) = ImageCodec.fitDims(w, h, 320, 240)
+      val (ew, eh) =
+        if (w * 240 >= h * 320) (320, h * 320 / w) else (w * 240 / h, 240)
+      assert((ow, oh) == (ew, eh), s"($w,$h)")
+    }
+  }
+
+  test("garbage and truncated payloads fall back, never throw") {
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decode("not an image".getBytes).isEmpty)
+    // valid magic, corrupt body — sniff passes, decode must not throw
+    val corrupt = ImageCodec.encodeSynthetic(8L).take(12)
+    assert(ImageCodec.decode(corrupt).isEmpty)
+    assert(ImageCodec.resize(corrupt, 320, 240).isEmpty)
+  }
+
+  test("extractMetadata decodes real image rows and stubs the rest") {
+    val meta = Multimodal.extractMetadata(Multimodal.mixedMedia(spark, sf))
+    val kinds = meta.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.contains("image/png") && kinds.contains("image/jpeg"))
+    assert(kinds.contains("audio") && kinds.contains("video"))
+    // every image row carries formula dims, proving a real parse
+    val bad = meta.filter(col("kind").startsWith("image/") &&
+      (col("width") =!= expr("media_id % 57 + 8") ||
+       col("height") =!= expr("media_id % 43 + 8"))).count()
+    assert(bad == 0)
+  }
+
+  test("resize keeps payloads row-local (no exchange in the plan)") {
+    val resized = Multimodal.resize(Multimodal.mixedMedia(spark, sf), 320, 240)
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blob-in/blob-out must not shuffle payloads:\n$plan")
+  }
+}

@@ -61,4 +61,44 @@ object Skew {
           salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Size `nSalts` from a sampled key histogram instead of guessing:
+    * estimate the hottest key's row count from a `sampleFraction`
+    * sample and split it into tasks of ≈`targetRowsPerTask`. Costs one
+    * extra sampled scan + a single-row collect (bounded); at 100 TB
+    * that scan is the cheap insurance against an nSalts that is 10×
+    * too small (straggler survives) or 10× too big (small side
+    * replicated 10× for nothing — the saltedJoin cost model).
+    *
+    * Returns 1 when no key is hot — callers then skip salting
+    * entirely and keep the plain shuffle join. */
+  def chooseSalts(big: DataFrame, bigKey: String,
+      targetRowsPerTask: Long = 1000000L,
+      sampleFraction: Double = 0.01,
+      maxSalts: Int = 64): Int = {
+    val sampled = big.sample(withReplacement = false, sampleFraction,
+        seed = 42)
+      .groupBy(col(bigKey)).count()
+      .agg(max(col("count"))).collect()(0)
+    if (sampled.isNullAt(0)) 1
+    else {
+      val hotEstimate = (sampled.getLong(0) / sampleFraction).toLong
+      val salts = math.ceil(hotEstimate.toDouble / targetRowsPerTask).toInt
+      math.min(math.max(salts, 1), maxSalts)
+    }
+  }
+
+  /** [[saltedJoin]] with `nSalts` sized by [[chooseSalts]]; degenerates
+    * to the plain shuffle join when the histogram shows no hot key, so
+    * the uniform case pays only the sampled scan. */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, saltSource: Column,
+      targetRowsPerTask: Long = 1000000L,
+      sampleFraction: Double = 0.01,
+      maxSalts: Int = 64): DataFrame = {
+    val n = chooseSalts(big, bigKey, targetRowsPerTask, sampleFraction,
+      maxSalts)
+    if (n <= 1) big.join(small, big(bigKey) === small(smallKey))
+    else saltedJoin(big, small, bigKey, smallKey, saltSource, n)
+  }
 }

@@ -163,11 +163,17 @@ object RelationalQueries {
     // side's hottest key spread over 8 sub-partitions — the
     // known-skew tool when broadcast doesn't fit and AQE's runtime
     // thresholds can't be relied on (graft.operators.Skew)
+    // The salt count comes from a sampled key histogram
+    // (Skew.chooseSalts): TPC-H orderkeys are uniform, so the histogram
+    // says "no hot key" and the join runs unsalted — salting uniform
+    // data would only replicate the small side for nothing (the r5
+    // bench outlier). The salted path itself is exercised and
+    // result-equivalence-gated on a skewed frame in CurationSpec.
     "j12_salted_join" -> ((s, d) => {
-      graft.operators.Skew.saltedJoin(
+      graft.operators.Skew.autoSaltedJoin(
         Tables.lineitem(s, d), Tables.orders(s, d),
         "l_orderkey", "o_orderkey",
-        struct(col("l_orderkey"), col("l_linenumber")), nSalts = 8)
+        struct(col("l_orderkey"), col("l_linenumber")))
         .groupBy(col("o_orderpriority").as("prio"))
         .agg(count(lit(1)).as("n_lines"),
           sumMoney(col("l_quantity")).as("sum_qty"))

@@ -184,6 +184,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p.take(1500))
   }
 
+  test("chooseSalts reads the key histogram: skewed salts, uniform doesn't") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val skewed = ((1 to 9000).map(i => (1L, i)) ++
+      (1 to 1000).map(i => (i.toLong + 1, i))).toDF("k", "payload")
+    val uniform = (1 to 10000).map(i => (i.toLong, i)).toDF("k", "payload")
+    val dim = (1L to 1001L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    // hot key ≈ 9000 rows, target 1000/task → ~9 salts (sampling noise
+    // allowed; must be clearly split and clearly bounded)
+    val n = graft.operators.Skew.chooseSalts(skewed, "k",
+      targetRowsPerTask = 1000L, sampleFraction = 0.2)
+    assert(n >= 4 && n <= 16, s"skewed frame sized nSalts=$n")
+    assert(graft.operators.Skew.chooseSalts(uniform, "k",
+      targetRowsPerTask = 1000L, sampleFraction = 0.2) == 1,
+      "uniform keys must not salt")
+    // auto path: same multiplicity as the plain join on both shapes
+    val plain = skewed.join(dim, col("k") === col("sk")).count()
+    val auto = graft.operators.Skew.autoSaltedJoin(skewed, dim, "k", "sk",
+      struct(col("k"), col("payload")),
+      targetRowsPerTask = 1000L, sampleFraction = 0.2)
+    assert(auto.count() == plain)
+    assert(plan(auto).contains("__salt"), "skewed auto path must salt")
+    val autoUniform = graft.operators.Skew.autoSaltedJoin(uniform, dim,
+      "k", "sk", struct(col("k"), col("payload")),
+      targetRowsPerTask = 1000L, sampleFraction = 0.2)
+    assert(!plan(autoUniform).contains("__salt"),
+      "uniform auto path must stay a plain join")
+  }
+
   test("kmeans round: one corpus scan, broadcast-literal assignment, partial agg") {
     val p = plan(graft.operators.Similarity.kmeansSums(
       graft.util.Tables.embeddings(spark, sf), "vec_id", "embedding",

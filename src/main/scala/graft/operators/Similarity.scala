@@ -265,8 +265,14 @@ object Similarity {
     * metric `embed_bucket_overflow`. Exact duplicates must be removed
     * upstream (the d1 exact-dedup-first contract): identical vectors
     * collide in every band and inflate buckets quadratically. The
-    * vector+norm payload rides the shuffle so cosine verification
-    * needs no join-back. */
+    * vector+norm payload rides the shuffle ONCE per (row, band) inside
+    * the bounded bucket list, so cosine verification needs no
+    * join-back; emitted pairs are slim (ids + cos), never payloads.
+    *
+    * SIZING: expected bucket population is n / 2^bits per band, so
+    * `bits` must grow with log2(n) (callers: see d6's auto-sizing) —
+    * fixed bits at growing n is linear buckets and quadratic pair
+    * expansion, the one way this operator degenerates. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bits: Int, threshold: Double,
       maxBucket: Int = 1024): DataFrame = {
@@ -295,21 +301,28 @@ object Similarity {
         sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
           .as("overflow_docs"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
+      // cosine is computed and thresholded INSIDE the pair-expansion
+      // lambda: a surviving pair is 2 longs + 1 double. The first cut
+      // of this operator emitted struct(pl_a, pl_b) per candidate —
+      // two full vector payloads per pair — which at sf0.1 (16-key
+      // bands → ~300-member buckets) materialized ~6 GB of pair rows
+      // into the dedup shuffle and ran 100× slower than this shape.
+      // Compute per candidate is redundant across bands (a pair
+      // verifies once per shared band), but redundant flops beat
+      // shuffled gigabytes at every scale.
       .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
-          struct(
-            when(x("id") < y("id"), x("id")).otherwise(y("id")).as("id_a"),
-            when(x("id") < y("id"), y("id")).otherwise(x("id")).as("id_b"),
-            when(x("id") < y("id"), x("pl")).otherwise(y("pl")).as("pl_a"),
-            when(x("id") < y("id"), y("pl")).otherwise(x("pl")).as("pl_b"))))))
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(
+              least(x("id"), y("id")).as("id_a"),
+              greatest(x("id"), y("id")).as("id_b"),
+              (dot(x("pl")("v"), y("pl")("v")) /
+                (x("pl")("nrm") * y("pl")("nrm"))).as("cos"))),
+          p => p("cos") >= threshold))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.pl_a").as("pl_a"), col("p.pl_b").as("pl_b"))
+        col("p.cos").as("cos"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", dot(col("pl_a.v"), col("pl_b.v")) /
-        (col("pl_a.nrm") * col("pl_b.nrm")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Blocked near-duplicate pairs by embedding cosine: candidates are

@@ -117,9 +117,24 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Band geometry scales with the corpus: bucket population per band
+    // is n / 2^bits, so FIXED bits means buckets (and the quadratic
+    // in-bucket pair expansion) grow linearly with n. Size bits for
+    // ~32-member buckets and spend the dim budget (bands*bits <= dim,
+    // coordinate-slice keys) on bands for recall. At the sf0.01 oracle
+    // scale this reproduces exactly the 16x4 geometry the DuckDB
+    // mirror hardcodes; the count() is one cheap pre-job (count-star
+    // over parquet metadata).
     "d6_embed_neardup" -> ((s, d) => {
-      Similarity.lshNearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", bands = 16, bits = 4, threshold = 0.35)
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val dim = 64
+      val bits = math.max(4,
+        math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+      val bands = math.max(1, math.min(16, dim / bits))
+      Similarity.lshNearDupPairs(e,
+        "vec_id", "embedding", bands = bands, bits = bits,
+        threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

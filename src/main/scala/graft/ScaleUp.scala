@@ -82,9 +82,11 @@ object ScaleUp {
     write("lineitem", copies(Tables.lineitem(spark, src), factor)(
       offset(_, _, "l_orderkey", "l_partkey", "l_suppkey")))
 
-    // events: raw read (not Tables.events — keep the original nanos
-    // column exactly as the driver wrote it, so readers see the same
-    // physical type at sf1)
+    // events: the source ts is parquet TIMESTAMP(NANOS), which Spark
+    // only reads as a long (nanosAsLong); written back it becomes a
+    // plain BIGINT of nanos — Tables.events' `ts div 1000` read path
+    // handles both physical types identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", copies(
       spark.read.parquet(s"$src/events.parquet"), factor)(
       offset(_, _, "event_id", "user_id")))

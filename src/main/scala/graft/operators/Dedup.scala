@@ -115,7 +115,15 @@ object Dedup {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame =
+    boundedBucketPairs(lshBanded(df, idCol, textCol, k, numHashes, bands),
+      Seq(col("band"), col("bh")), maxBucket,
+      "lsh_bucket_overflow", jaccard, _ >= threshold, "jaccard")
+
+  /** (id, sh, band, bh) banding frame shared by [[lshNearDupPairs]] and
+    * [[lshBucketOverflow]]. */
+  private def lshBanded(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     // shingles + signatures via the native codegen'd expressions (tight
     // JVM loops; interpreted HOFs here would be re-evaluated per explode
@@ -124,16 +132,11 @@ object Dedup {
     graft.functions.ShinglesImpl.register(df.sparkSession)
     // Shingle sets ride along through the band join so the pair jaccard
     // needs no join-back (2 fewer shuffles, base computed once per side).
-    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", expr(s"word_shingles(text, $k)"))
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
       .select(col("id"), col("sh"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-    boundedBucketPairs(banded, Seq(col("band"), col("bh")), maxBucket,
-      "lsh_bucket_overflow")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** N-gram Jaccard near-duplicate pairs (d5): candidates block on the
@@ -155,10 +158,7 @@ object Dedup {
       .withColumn("sh", expr(s"word_shingles(text, $k)"))
       .withColumn("bh", array_min(baseHashes(col("sh"))))
     boundedBucketPairs(blocked, Seq(col("bh")), maxBucket,
-      "jaccard_bucket_overflow")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      "jaccard_bucket_overflow", jaccard, _ >= threshold, "jaccard")
   }
 
   /** Bucket-expand instead of self-join: group (id, sh) rows by the
@@ -175,10 +175,30 @@ object Dedup {
     * every stage including the map-side partial — and the exact member
     * count rides along separately for overflow accounting, surfaced as
     * the named observed metric `metricName` (columns `overflow_buckets`,
-    * `overflow_docs`). Returns (id_a, id_b, sh_a, sh_b), id_a < id_b,
-    * deduplicated across buckets. */
+    * `overflow_docs`). The observed metric is BEST-EFFORT under AQE:
+    * when an intermediate stage materializes empty (e.g. EVERY bucket
+    * overflowed and zero pairs survive), adaptive empty-relation
+    * propagation can fold away the already-executed CollectMetrics
+    * node and the metric never reaches the listener (measured on
+    * Spark 4.1.2; delivery is reliable whenever any pair survives, and
+    * always with AQE off). [[bucketOverflowStats]] is the guaranteed
+    * audit for exactly that all-overflow case.
+    *
+    * The exact Jaccard verify runs INSIDE the pair-expansion lambda and
+    * sub-threshold candidates are filtered there, so a candidate leaves
+    * the bucket as (id_a, id_b, jaccard) — 2 longs + 1 double. The
+    * first cut emitted (sh_a, sh_b) per candidate — two full shingle
+    * sets — and verified after the cross-bucket dedup shuffle; at sf1
+    * that shuffled ~4 KB per candidate at a candidate count that grows
+    * superlinearly for single-hash blocking (d5: 27× time at 10× data;
+    * this shape: ~5×). Returns (id_a, id_b, <scoreName>), id_a < id_b,
+    * only candidates passing `keep(score)`, deduplicated across
+    * buckets. `score` compares the two members' `sh` payloads (shingle
+    * sets for jaccard, fingerprint longs for hamming). */
   private def boundedBucketPairs(buckets: DataFrame, keys: Seq[Column],
-      maxBucket: Int, metricName: String): DataFrame = {
+      maxBucket: Int, metricName: String,
+      score: (Column, Column) => Column, keep: Column => Column,
+      scoreName: String): DataFrame = {
     val bucketCap = org.apache.spark.sql.GraftColumns.column(
       graft.functions.BoundedTopK(
         org.apache.spark.sql.GraftColumns.expression(
@@ -194,16 +214,39 @@ object Dedup {
           .as("overflow_docs"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
       .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
-          struct(
-            when(x("id") < y("id"), x("id")).otherwise(y("id")).as("id_a"),
-            when(x("id") < y("id"), y("id")).otherwise(x("id")).as("id_b"),
-            when(x("id") < y("id"), x("sh")).otherwise(y("sh")).as("sh_a"),
-            when(x("id") < y("id"), y("sh")).otherwise(x("sh")).as("sh_b"))))))
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(
+              least(x("id"), y("id")).as("id_a"),
+              greatest(x("id"), y("id")).as("id_b"),
+              score(x("sh"), y("sh")).as(scoreName))),
+          p => keep(p(scoreName))))))
         .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
+      .select(col("p.id_a"), col("p.id_b"), col(s"p.$scoreName"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Exact bucket-overflow audit: one row of (overflow_buckets,
+    * overflow_docs) for a blocking frame, as the RESULT of its own
+    * aggregation — immune to the AQE metric-folding caveat on
+    * [[boundedBucketPairs]]'s zero-cost observed metric, at the price
+    * of re-running the blocking scan. Run it when the observed metric
+    * did not arrive or the pair output is suspiciously empty. */
+  private def bucketOverflow(buckets: DataFrame, keys: Seq[Column],
+      maxBucket: Int): DataFrame =
+    buckets.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_docs"))
+
+  /** [[bucketOverflow]] audit for [[lshNearDupPairs]]'s banding. */
+  def lshBucketOverflow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame =
+    bucketOverflow(lshBanded(df, idCol, textCol, k, numHashes, bands),
+      Seq(col("band"), col("bh")), maxBucket)
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     * components of the pair graph, labeling every member with the
@@ -414,9 +457,6 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1))): _*))
           .as(Seq("band", "bits")))
     boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
-      "simhash_bucket_overflow")
-      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      "simhash_bucket_overflow", hammingDist, _ <= maxHamming, "hamming")
   }
 }

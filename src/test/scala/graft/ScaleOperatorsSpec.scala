@@ -32,8 +32,12 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     // 10k EXACT duplicates: they collide in every band, so an uncapped
     // expansion would emit ~4 * C(10k, 2) = 200M pairs from single
     // tasks. With the cap the buckets are dropped (exact-dedup-first is
-    // the documented contract for recovering those pairs) and the drop
-    // is observable as the lsh_bucket_overflow metric.
+    // the documented contract for recovering those pairs); the drop is
+    // accounted exactly by the lshBucketOverflow audit and observable
+    // as the lsh_bucket_overflow metric — the latter only when a stage
+    // survives AQE's empty-relation folding (all buckets overflow here,
+    // so the observe path is gated with AQE off; see the
+    // boundedBucketPairs scaladoc for the delivery contract).
     @volatile var observed: Map[String, org.apache.spark.sql.Row] = Map.empty
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -51,6 +55,16 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         .toDF("doc_id", "text")
       val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", maxBucket = 100)
       assert(pairs.count() == 0L, "overflowing buckets must be dropped")
+      // the guaranteed audit: exact overflow accounting as a result row
+      val audit = Dedup.lshBucketOverflow(docs, "doc_id", "text",
+        maxBucket = 100).collect()(0)
+      assert(audit.getAs[Long]("overflow_buckets") == 4L, audit.toString)
+      assert(audit.getAs[Long]("overflow_docs") == 40000L, audit.toString)
+      // the zero-cost observed metric, on its documented delivery terms
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try assert(Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        maxBucket = 100).count() == 0L)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       val deadline = System.nanoTime() + 10_000_000_000L
       while (!observed.contains("lsh_bucket_overflow") &&
         System.nanoTime() < deadline) Thread.sleep(50)

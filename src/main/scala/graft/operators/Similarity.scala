@@ -43,11 +43,86 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-bit LSH bucket: "1"/"0" per leading dimension sign. */
+  /** Sign-bit LSH bucket: "1"/"0" per leading dimension sign.
+    *
+    * CAVEAT (documented scale cap): this keys on the signs of the
+    * LEADING `bits` coordinates, so the number of independent
+    * projections is bounded by the vector dimension — it is a cheap,
+    * engine-reproducible single-probe bucketing for [[annTopK]], not a
+    * recall-holding scheme. When recall at scale matters use the
+    * seeded random-hyperplane banding of [[lshNearDupPairs]] /
+    * [[hyperplanes]], whose projection count is independent of dim,
+    * or [[ivfTopK]] with more probes. */
   def signBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map { i =>
       when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+
+  /** Deterministic seeded ±1 hyperplanes for random-hyperplane
+    * sign-LSH: component `k` of plane (band `b`, bit `j`) is +1 iff
+    * the low bit of `md5("<seed>:<b>:<j>:<k>")`'s first byte is 0 —
+    * the same derive-constants-from-md5 scheme as
+    * [[graft.operators.Dedup]]'s minhash seeds, so the matrix is
+    * engine-reproducible and the DuckDB oracle embeds the identical
+    * literals. Returned flattened: row `b*bits + j` is plane (b, j). */
+  def hyperplanes(bands: Int, bits: Int, dim: Int,
+      seed: String = "graft-rhp"): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bands * bits) { pj =>
+      val b = pj / bits
+      val j = pj % bits
+      Array.tabulate(dim) { k =>
+        val h = md.digest(s"$seed:$b:$j:$k".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Collision probability of one random-hyperplane sign bit for a
+    * pair at cosine `cos θ` = threshold: `p = 1 − θ/π`. */
+  def collisionProb(threshold: Double): Double =
+    1.0 - math.acos(threshold) / math.Pi
+
+  /** Expected recall of `bands` × `bits` sign-LSH banding for a pair
+    * at exactly `threshold` cosine: `1 − (1 − p^bits)^bands`. Pairs
+    * above the threshold do better; this is the floor the geometry
+    * guarantees. */
+  def expectedRecall(bands: Int, bits: Int, threshold: Double): Double = {
+    val p = collisionProb(threshold)
+    1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+  }
+
+  /** Auto-size a recall-holding sign-LSH geometry for corpus size `n`:
+    * `bits` grows with log2(n / targetBucket) so expected bucket
+    * population stays ~targetBucket (bounded in-bucket pair
+    * expansion), and `bands` is then sized from the banding recall
+    * formula to hold `targetRecall` at the threshold — the dimension
+    * of the two knobs: BITS bound buckets, BANDS hold recall. Neither
+    * is capped by the embedding dimension (seeded hyperplanes, not
+    * coordinate slices — the previous slice keying had bands×bits ≤
+    * dim, which silently collapsed recall from 0.96 at n=500 to ~2%
+    * at n=50 k as auto-sized bits squeezed out bands).
+    *
+    * Cost honesty: bands ≈ ln(1−R)/−p^bits grows like (1/p)^bits,
+    * i.e. exponentially in bits for low thresholds (p(0.35) ≈ 0.61) —
+    * recall at a LOW threshold is intrinsically expensive for sign-LSH
+    * (the ρ exponent approaches 1 as the threshold falls). At
+    * near-dup-realistic thresholds (0.8+, p ≥ 0.86) band counts stay
+    * small at any n. `maxBands` caps runaway geometries; the
+    * [[lshNearDupPairs]] expected-recall guard then refuses
+    * geometries whose floor drops below 0.5 rather than silently
+    * missing pairs. */
+  def rhpGeometry(n: Long, threshold: Double, targetRecall: Double = 0.9,
+      targetBucket: Int = 32, minBits: Int = 4,
+      maxBands: Int = 4096): (Int, Int) = {
+    require(n > 0, "empty corpus has no geometry")
+    val bits = math.max(minBits,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    val perBand = math.pow(collisionProb(threshold), bits)
+    val bands = math.min(maxBands, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-perBand)).toInt))
+    (bands, bits)
+  }
 
   /** Reduce scored candidate pairs (q_id, n_id, cos) to per-query
     * top-k via the bounded-heap aggregate
@@ -243,16 +318,24 @@ object Similarity {
   /** Multi-band sign-LSH near-duplicate pairs — attribute-free
     * blocking for embedding cosine near-dups.
     *
-    * Band `i` keys on the sign pattern of the coordinate slice
-    * `[i*bits, (i+1)*bits)`; a pair becomes a candidate when ANY band
-    * key matches (OR over bands), and every candidate is verified by
-    * exact cosine before emission. For true cosine `cos θ` the per-bit
+    * Band `i` keys on the packed sign pattern of `bits` SEEDED RANDOM
+    * ±1 HYPERPLANE projections ([[hyperplanes]] /
+    * [[graft.functions.RhpBandKeys]] — deterministic,
+    * engine-reproducible, mirrored literally by the d6 DuckDB
+    * oracle); a pair becomes a candidate when ANY band key matches
+    * (OR over bands), and every candidate is verified by exact cosine
+    * before emission. For true cosine `cos θ` the per-bit
     * sign-agreement probability is `p = 1 − θ/π`, so recall is
     * `1 − (1 − p^bits)^bands` — e.g. 16 bands × 4 bits at cos ≥ 0.35
-    * gives ≈ 0.91 expected (0.956 measured on the sf0.01 corpus:
-    * 259 of 271 exact pairs). `bits = 1` degenerates to a
-    * near-exhaustive blocking (a pair is missed only when ALL
-    * coordinate signs disagree), which the spec uses as the
+    * gives ≈ 0.90 expected. Because the planes are random vectors,
+    * NOT coordinate slices, `bands` is independent of the embedding
+    * dimension: bits can grow with log n (bucket bounding) while
+    * bands grow to hold recall — see [[rhpGeometry]]. A geometry
+    * whose expected recall floor at the threshold is below 0.5 is
+    * refused at PLAN TIME (require), so a caller cannot silently run
+    * a blocking that misses most true pairs. `bits = 1` with bands ≈
+    * dim degenerates to a near-exhaustive blocking (a pair is missed
+    * only when all projections disagree), which the spec uses as the
     * blocked ≡ brute-force gate, mirroring s3's nprobe = nlist proof.
     *
     * Scale shape: the same bucket-expand contract as the text LSH
@@ -270,19 +353,26 @@ object Similarity {
     * join-back; emitted pairs are slim (ids + cos), never payloads.
     *
     * SIZING: expected bucket population is n / 2^bits per band, so
-    * `bits` must grow with log2(n) (callers: see d6's auto-sizing) —
-    * fixed bits at growing n is linear buckets and quadratic pair
-    * expansion, the one way this operator degenerates. */
+    * `bits` must grow with log2(n) and `bands` must then grow to hold
+    * recall — [[rhpGeometry]] computes both (callers: see d6's
+    * auto-sizing). Fixed bits at growing n is linear buckets and
+    * quadratic pair expansion, the one way this operator degenerates
+    * on throughput; fixed bands at growing bits is the way it
+    * degenerates on recall (now guarded). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bits: Int, threshold: Double,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024, dim: Int = 64,
+      seed: String = "graft-rhp"): DataFrame = {
     import org.apache.spark.sql.GraftColumns
-    val bandKeys = array((0 until bands).map { b =>
-      concat((1 to bits).map { j =>
-        when(element_at(col("v"), b * bits + j) >= 0, lit("1"))
-          .otherwise(lit("0"))
-      }: _*)
-    }: _*)
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val er = expectedRecall(bands, bits, threshold)
+    require(er >= 0.5,
+      f"sign-LSH geometry $bands bands x $bits bits has expected recall " +
+        f"$er%.3f at threshold $threshold%.2f — most true pairs would be " +
+        "silently missed; raise bands (see Similarity.rhpGeometry)")
+    val planes = hyperplanes(bands, bits, dim, seed)
+    val bandKeys = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, bits))
     val keyed = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("pl", struct(col("v"), norm(col("v")).as("nrm")))

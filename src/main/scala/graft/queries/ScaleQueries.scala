@@ -25,6 +25,21 @@ object ScaleQueries {
        |  (sqrt(list_sum(list_transform(generate_series(1,64), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
        |   sqrt(list_sum(list_transform(generate_series(1,64), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))""".stripMargin
 
+  /** d6's hyperplane matrix as DuckDB VALUES rows `(band, bit, r)` —
+    * the SAME seeded ±1 planes Similarity.hyperplanes derives (16
+    * bands × 4 bits, the rhpGeometry result at the sf0.01 verify
+    * scale n=500), embedded as literals so the oracle's band keys are
+    * bit-identical to graft.functions.RhpBandKeys. */
+  private val d6PlaneRows: String = {
+    val bits = 4
+    Similarity.hyperplanes(16, bits, 64).zipWithIndex.map {
+      case (plane, pj) =>
+        val vals = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString(",")
+        s"  (${pj / bits}, ${pj % bits + 1}, [$vals])"
+    }.mkString(",\n")
+  }
+
   /** Shared DuckDB SQL: distinct word-3-gram shingles of `documents.text`
     * as CTEs `base(id, sh)` — matches Dedup.shingles(k=3)+array_distinct. */
   private val shinglesCte: String =
@@ -117,21 +132,21 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Band geometry scales with the corpus: bucket population per band
-    // is n / 2^bits, so FIXED bits means buckets (and the quadratic
-    // in-bucket pair expansion) grow linearly with n. Size bits for
-    // ~32-member buckets and spend the dim budget (bands*bits <= dim,
-    // coordinate-slice keys) on bands for recall. At the sf0.01 oracle
-    // scale this reproduces exactly the 16x4 geometry the DuckDB
-    // mirror hardcodes; the count() is one cheap pre-job (count-star
-    // over parquet metadata).
+    // Band geometry scales with the corpus along BOTH axes: bits grow
+    // with log2(n/32) so buckets (and the quadratic in-bucket pair
+    // expansion) stay bounded, and bands then grow per the banding
+    // recall formula to hold expected recall 0.9 at the threshold —
+    // seeded random hyperplanes, so bands are NOT capped by the
+    // embedding dim (the old coordinate-slice keys had bands*bits <=
+    // dim, which silently traded recall away as bits grew: 0.96 at
+    // n=500 -> ~2% at n=50k). At the sf0.01 oracle scale (n=500) this
+    // reproduces exactly the 16x4 geometry the DuckDB mirror
+    // hardcodes; the count() is one cheap pre-job (count-star over
+    // parquet metadata).
     "d6_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val n = e.count()
-      val dim = 64
-      val bits = math.max(4,
-        math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
-      val bands = math.max(1, math.min(16, dim / bits))
+      val (bands, bits) = Similarity.rhpGeometry(n, threshold = 0.35)
       Similarity.lshNearDupPairs(e,
         "vec_id", "embedding", bands = bands, bits = bits,
         threshold = 0.35)
@@ -406,18 +421,26 @@ object ScaleQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_embed_neardup" ->
-      s"""WITH bands AS (SELECT unnest(generate_series(0, 15)) AS band),
+      s"""WITH hyper(band, bit, r) AS (VALUES
+         |$d6PlaneRows),
          |keyed AS (
-         |  SELECT vec_id, embedding, band,
-         |    array_to_string(list_transform(generate_series(1, 4), j ->
-         |      CASE WHEN embedding[band * 4 + j] >= 0 THEN '1' ELSE '0' END),
-         |      '') AS key
-         |  FROM embeddings CROSS JOIN bands)
-         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |FROM keyed a JOIN keyed b
-         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |  SELECT e.vec_id, h.band,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |        k -> e.embedding[k]::DOUBLE * h.r[k])) >= 0
+         |      THEN (CAST(1 AS BIGINT) << (h.bit - 1))
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+         |  FROM embeddings e CROSS JOIN hyper h
+         |  GROUP BY e.vec_id, h.band),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
     "s1_knn_bruteforce" ->

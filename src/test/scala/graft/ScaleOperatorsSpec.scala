@@ -140,8 +140,9 @@ class ScaleOperatorsSpec extends AnyFunSuite {
 
   test("embedding LSH pairs with bits=1 reproduce brute force exactly") {
     // bits = 1 is the exhaustive degeneration of the banded blocking
-    // (a pair is missed only when all 64 coordinate signs disagree),
-    // mirroring s3's nprobe = nlist ≡ exact gate
+    // (a pair is missed only when all 64 hyperplane projections
+    // disagree — probability < 1e-25 at the threshold), mirroring
+    // s3's nprobe = nlist ≡ exact gate
     val e = graft.util.Tables.embeddings(spark, sf)
     val blocked = Similarity.lshNearDupPairs(
       e, "vec_id", "embedding", bands = 64, bits = 1, threshold = 0.3)
@@ -157,10 +158,11 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(blocked == exact)
   }
 
-  test("embedding LSH pairs at production bands/bits keep high recall") {
+  test("embedding LSH pairs at auto-sized bands/bits keep high recall") {
     val e = graft.util.Tables.embeddings(spark, sf)
+    val (bands, bits) = Similarity.rhpGeometry(e.count(), threshold = 0.3)
     val blocked = Similarity.lshNearDupPairs(
-      e, "vec_id", "embedding", bands = 16, bits = 4, threshold = 0.3)
+      e, "vec_id", "embedding", bands = bands, bits = bits, threshold = 0.3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -171,8 +173,47 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked.subsetOf(exact), "blocking must never invent pairs")
     val recall = (blocked & exact).size.toDouble / exact.size
-    // measured 842/920 = 0.915 on this corpus; expected 1-(1-p^4)^16
-    assert(recall >= 0.85, s"recall = $recall")
+    assert(recall >= 0.85, s"recall = $recall at geometry ${bands}x$bits")
+  }
+
+  test("auto-sized recall holds at sf0.1-scale n where slice keying collapsed") {
+    // THE scale-recall gate (round-7 verdict #1): at n=2000 the
+    // auto-sized geometry is 42 bands x 6 bits = 252 projections —
+    // more than the 64 embedding dims, impossible under the old
+    // coordinate-slice keying (bands*bits <= dim capped it at 10
+    // bands, expected recall 0.42). Seeded hyperplanes hold the
+    // formula floor 0.9 regardless of n; gate measured recall vs
+    // brute force at the d6 threshold.
+    val e = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val (bands, bits) = Similarity.rhpGeometry(n, threshold = 0.35)
+    assert(bands * bits > 64,
+      s"geometry ${bands}x$bits must exceed the dim budget to prove the point")
+    val blocked = Similarity.lshNearDupPairs(
+      e, "vec_id", "embedding", bands = bands, bits = bits, threshold = 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "blocking must never invent pairs")
+    val recall = (blocked & exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall = $recall at geometry ${bands}x$bits, n=$n")
+  }
+
+  test("LSH refuses geometries whose expected recall floor is below 0.5") {
+    // the recall guard: a caller asking for 4 bands x 14 bits at
+    // threshold 0.35 (expected recall ~0.4%) must find out at plan
+    // time, not ship a blocking that misses 99.6% of true pairs
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(
+        e, "vec_id", "embedding", bands = 4, bits = 14, threshold = 0.35)
+    }
+    assert(ex.getMessage.contains("expected recall"))
   }
 
   test("dot of length-mismatched or null-element vectors is null (HOF parity)") {

@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass (the flagship `entry` plus one tiny action) runs first
   * so JIT/classloading cost lands outside the timed region; queries then
   * run in sorted name order so timings are comparable across rounds.
+  * Trials are interleaved at the BATTERY level (N full passes, per-query
+  * min across passes) so a transient host stall poisons at most one
+  * pass of each query, and a fixed-work canary timed throughout makes
+  * any stall window visible in the emitted record itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,30 +42,58 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // best-of-N trials (default 2): the minimum estimates steady-state
-    // cost and is robust to transient host contention (GC, neighboring
-    // processes) that a single timing folds into the number
+    // Best-of-N trials (default 2), INTERLEAVED AT THE BATTERY LEVEL:
+    // the full battery runs N complete passes and each query takes its
+    // minimum ACROSS passes. Back-to-back per-query trials (the old
+    // scheme) cannot escape a multi-minute host stall — both trials of
+    // every query inside the stall window are poisoned, which is
+    // exactly what inflated the round-6 record 8x (a contiguous
+    // alphabetical window at 5-60x while the rest matched round 5).
+    // With whole-battery passes a stall has to span the entire run to
+    // survive the per-query min.
     val trials = math.max(1, sys.env.get("SPARK_GRAFT_TRIALS")
       .flatMap(_.toIntOption).getOrElse(2))
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // Canary: a fixed-work no-op (sum over a 1M-row range, constant
+    // regardless of sfDir) timed every `canaryEvery` queries. Its
+    // samples ride the JSON record, so a stalled window is
+    // machine-detectable IN the record: healthy samples are tightly
+    // clustered milliseconds; a 10x+ outlier brackets the queries it
+    // ran between. It measures scheduler+JVM health, not data work.
+    val canaryEvery = 8
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      canarySamples += (System.nanoTime() - t0) / 1e9
     }
+    val passTimes =
+      scala.collection.mutable.Map[String, List[Double]]().withDefault(_ => Nil)
+    for (_ <- 1 to trials) {
+      selected.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i % canaryEvery == 0) canary()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        passTimes(name) = ((System.nanoTime() - t0) / 1e9) :: passTimes(name)
+      }
+    }
+    val results = selected.map { case (name, _) => name -> passTimes(name).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val cSorted = canarySamples.sorted
+    val cStats = if (cSorted.isEmpty) "null" else {
+      val med = cSorted(cSorted.size / 2)
+      s"""{"n":${cSorted.size},"min":${cSorted.head},"median":$med,"max":${cSorted.last}}"""
+    }
+    val cAll = canarySamples.map(v => f"$v%.4f").mkString("[", ",", "]")
     // long per-query line first, short summary line LAST: the driver
     // captures a bounded tail of stdout, so the machine-readable total
     // must live in the final bytes (round-5 records lost it to
     // truncation of the long line)
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"canary_samples":$cAll,"sf":"$sfDir"}""")
     val slowest = results.maxByOption(_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":{$slowest},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"slowest":{$slowest},"canary":$cStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real, pure-JVM WAV metadata codec for the multimodal operators —
+  * `javax.sound.sampled` ships in the JDK and parses WAV headers
+  * (sample rate, frame count) without any external library, the same
+  * way [[ImageCodec]] uses `javax.imageio` for PNG/JPEG. This closes
+  * the "no audio libraries exist in this environment" stub for the WAV
+  * container; video (and compressed audio like MP3) legitimately stay
+  * stubbed. Reference analog: the reference reads MP3 durations off
+  * its audio sidecar metadata (ina/classes.py:104-106), which the
+  * import models as enrichment — here the duration comes from really
+  * parsing the payload bytes.
+  *
+  * Same scale contract as [[ImageCodec]]: row-local (called from
+  * `mapPartitions`), magic-byte sniffed so corrupt/mislabeled payloads
+  * degrade to the stub path instead of killing a 10k-task stage, and
+  * header-only parsing — `decode` never reads the PCM body, so cost
+  * per row is independent of payload size.
+  */
+object AudioCodec {
+
+  /** Deterministic synthetic WAV parameters for media id `id` — the
+    * oracle recomputes these arithmetically in DuckDB, so a green m1
+    * proves the decoder recovered them from actual RIFF/WAVE headers:
+    * sample rate ∈ {8000..16000 by 2000}, 500..4499 frames, 16-bit
+    * mono PCM. duration_ms = frames * 1000 / rate in integer (floor)
+    * arithmetic — exact in any engine. */
+  def syntheticParams(id: Long): (Int, Long) =
+    (8000 + (id % 5).toInt * 2000, 500L + id % 4000)
+
+  /** Floor-division duration — mirrored by the DuckDB `//` in m1. */
+  def durationMs(frames: Long, rate: Int): Long = frames * 1000L / rate
+
+  /** Encode a deterministic 16-bit mono PCM WAV for `id`. */
+  def encodeSyntheticWav(id: Long): Array[Byte] = {
+    val (rate, frames) = syntheticParams(id)
+    val pcm = new Array[Byte](frames.toInt * 2)
+    var i = 0
+    while (i < frames.toInt) {
+      val s = (((id * 31 + i * 7) % 251) - 125).toShort
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian PCM_SIGNED
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** RIFF/WAVE container from magic bytes; None when not WAV. */
+  def sniff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real header decode: (sampleRate, frames, duration_ms) — None for
+    * non-WAV or corrupt payloads (callers fall back to the stub). */
+  def decode(bytes: Array[Byte]): Option[(Int, Long, Long)] =
+    if (!sniff(bytes)) None
+    else try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val rate = in.getFormat.getSampleRate.toInt
+        val frames = in.getFrameLength
+        if (rate <= 0 || frames < 0) None
+        else Some((rate, frames, durationMs(frames, rate)))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -192,7 +192,7 @@ object Dedup {
     * propagation can fold away the already-executed CollectMetrics
     * node and the metric never reaches the listener (measured on
     * Spark 4.1.2; delivery is reliable whenever any pair survives, and
-    * always with AQE off). [[bucketOverflowStats]] is the guaranteed
+    * always with AQE off). [[lshBucketOverflow]] is the guaranteed
     * audit for exactly that all-overflow case.
     *
     * The exact Jaccard verify runs INSIDE the pair-expansion lambda and

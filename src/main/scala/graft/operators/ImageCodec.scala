@@ -5,7 +5,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** Real, pure-JVM image codec for the multimodal operators (replaces the
-  * round-5 stub for the image kind; audio/video stay stubbed — no codec
+  * round-5 stub for the image kind; WAV audio is real too via
+  * [[AudioCodec]]; video and compressed audio stay stubbed — no codec
   * libraries in this environment, and none in the reference either: its
   * only image work is scale-factor arithmetic, olive/helpers.py:478-599,
   * covered by [[graft.parse.OliveBoxes]]).
@@ -80,22 +81,31 @@ object ImageCodec {
       Some("image/jpeg")
     else None
 
-  /** Real decode: (format, width, height) — None for non-image or
-    * corrupt payloads (callers fall back to the stub path). */
-  def decode(bytes: Array[Byte]): Option[(String, Int, Int)] =
+  /** Single full parse of the payload: (container format, decoded
+    * image) — the one `ImageIO.read` both [[decode]] and [[resize]]
+    * share (an earlier cut parsed the payload twice on the resize
+    * path; at a 100 TB image pass that is 2× the decode CPU, the
+    * dominant cost). None for non-image or corrupt payloads. */
+  def decodeImage(bytes: Array[Byte]): Option[(String, BufferedImage)] =
     sniff(bytes).flatMap { fmt =>
       try {
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
-        if (img == null) None else Some((fmt, img.getWidth, img.getHeight))
+        if (img == null) None else Some((fmt, img))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Real aspect-fit resize: decode → Graphics2D scale → re-encode PNG.
-    * Returns None when the payload isn't a decodable image. */
+  /** Real decode: (format, width, height) — None for non-image or
+    * corrupt payloads (callers fall back to the stub path). */
+  def decode(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    decodeImage(bytes).map { case (fmt, img) =>
+      (fmt, img.getWidth, img.getHeight)
+    }
+
+  /** Real aspect-fit resize: one decode → Graphics2D scale → re-encode
+    * PNG. Returns None when the payload isn't a decodable image. */
   def resize(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
-    decode(bytes).map { case (_, w, h) =>
-      val (ow, oh) = fitDims(w, h, tw, th)
-      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    decodeImage(bytes).map { case (_, src) =>
+      val (ow, oh) = fitDims(src.getWidth, src.getHeight, tw, th)
       val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
       val g = out.createGraphics()
       try g.drawImage(src, 0, 0, ow, oh, null) finally g.dispose()

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, partition-preserving
   * per-batch processing, deterministic outputs. The IMAGE codec is real
-  * too ([[ImageCodec]], pure-JVM `javax.imageio` PNG/JPEG decode +
-  * resize); audio/video remain a STUB (`StubCodec`) because no audio
-  * libraries exist in this environment. At deployment the stub body is
-  * the only thing that changes: the operator shape (mapPartitions over
+  * ([[ImageCodec]], pure-JVM `javax.imageio` PNG/JPEG decode + resize)
+  * and so is WAV AUDIO metadata ([[AudioCodec]], pure-JVM
+  * `javax.sound.sampled` header parse → sample rate, frames, duration);
+  * video and compressed audio remain a STUB (`StubCodec`) — those
+  * codecs genuinely don't exist in this environment. At deployment the
+  * stub body is the only thing that changes: the operator shape
+  * (mapPartitions over
   * binary payloads, bounded batches, metadata struct out) is what has to
   * survive 100 TB, where payload columns dominate I/O — hence:
   *  - metadata extraction never shuffles (row-local mapPartitions);
@@ -60,10 +63,12 @@ object Multimodal {
   }
 
   /** Decode metadata for a frame of (media_id, kind, payload) rows.
-    * Image payloads (sniffed by magic bytes, not trusted from `kind`)
-    * get a REAL `javax.imageio` decode — `kind` becomes the detected
-    * container format and width/height come from the parsed header;
-    * everything else falls back to [[StubCodec]]. Row-local;
+    * Image and WAV payloads (sniffed by magic bytes, not trusted from
+    * `kind`) get a REAL decode — `javax.imageio` for PNG/JPEG (kind
+    * becomes the container format, width/height from the parsed
+    * header) and `javax.sound.sampled` for WAV (kind `audio/wav`,
+    * duration_ms from header frames/rate, width/height 0 — audio has
+    * none); everything else falls back to [[StubCodec]]. Row-local;
     * partitioning preserved. */
   def extractMetadata(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -72,14 +77,22 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        def checksum(bytes: Array[Byte]): String = {
+          md.reset()
+          md.digest(bytes).map(b => f"$b%02x").mkString
+        }
         it.map { case (id, kind, bytes) =>
           ImageCodec.decode(bytes) match {
             case Some((fmt, w, h)) =>
-              md.reset()
-              val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-              MediaMeta(id, fmt, bytes.length.toLong, hex, w, h,
+              MediaMeta(id, fmt, bytes.length.toLong, checksum(bytes), w, h,
                 duration_ms = 0L)
-            case None => StubCodec.decode(id, kind, bytes)
+            case None => AudioCodec.decode(bytes) match {
+              case Some((_, _, durMs)) =>
+                MediaMeta(id, "audio/wav", bytes.length.toLong,
+                  checksum(bytes), width = 0, height = 0,
+                  duration_ms = durMs)
+              case None => StubCodec.decode(id, kind, bytes)
+            }
           }
         }
       }
@@ -192,9 +205,28 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
-  /** The full multimodal frame: real image payloads + stub audio/video
-    * payloads, one row per document. */
+  /** Real RIFF/WAVE payloads for the audio rows (doc_id % 3 = 1):
+    * 16-bit mono PCM encoded on executors with sample rate and frame
+    * count [[AudioCodec.syntheticParams]] derives from the id, so the
+    * DuckDB oracle predicts the duration a REAL header parse must
+    * recover. Row-local mapPartitions like [[syntheticImages]]. */
+  def syntheticWavs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 1"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "audio", AudioCodec.encodeSyntheticWav(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** The full multimodal frame: real image payloads (PNG/JPEG), real
+    * audio payloads (WAV), stub video payloads — one row per
+    * document. */
   def mixedMedia(spark: SparkSession, sfDir: String): DataFrame =
-    syntheticImages(spark, sfDir).unionByName(
-      syntheticMedia(spark, sfDir).filter(col("kind") =!= "image"))
+    syntheticImages(spark, sfDir)
+      .unionByName(syntheticWavs(spark, sfDir))
+      .unionByName(syntheticMedia(spark, sfDir)
+        .filter(col("kind") === "video"))
 }

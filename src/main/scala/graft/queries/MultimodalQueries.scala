@@ -7,11 +7,13 @@ import graft.operators.Multimodal
 
 /** Oracle coverage for the multimodal binary-column operators. Image
   * payloads are REAL PNG/JPEG bytes generated with dimensions derived
-  * arithmetically from the id ([[graft.operators.ImageCodec]]): DuckDB
-  * cannot parse the bytes, but it can predict what a correct decode must
-  * recover, so m1/m4 green means the javax.imageio path really ran.
-  * Audio/video payloads stay document text bytes (ASCII, so byte and
-  * character offsets coincide and DuckDB recomputes the stub codec
+  * arithmetically from the id ([[graft.operators.ImageCodec]]) and
+  * audio payloads are REAL RIFF/WAVE bytes with rate/frames likewise
+  * id-derived ([[graft.operators.AudioCodec]]): DuckDB cannot parse
+  * the bytes, but it can predict what a correct decode must recover,
+  * so m1/m4 green means the javax.imageio / javax.sound.sampled paths
+  * really ran. Video payloads stay document text bytes (ASCII, so byte
+  * and character offsets coincide and DuckDB recomputes the stub codec
   * exactly).
   */
 object MultimodalQueries {
@@ -19,11 +21,13 @@ object MultimodalQueries {
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — metadata extraction over binary payloads (mapPartitions
     // path). Image rows carry REAL PNG/JPEG bytes whose dimensions the
-    // oracle predicts from the id formula — a green row proves the
-    // javax.imageio decode recovered them from the bytes. The oracle
-    // cannot recompute n_bytes/checksum of encoded images, so the
-    // projection keeps the decode-verifiable columns (full schema is
-    // spec-checked in DiscoverSpec/MultimodalSpec).
+    // oracle predicts from the id formula, and audio rows REAL WAV
+    // bytes whose duration it predicts the same way — a green row
+    // proves the javax.imageio / javax.sound.sampled decodes recovered
+    // them from the bytes. The oracle cannot recompute
+    // n_bytes/checksum of encoded payloads, so the projection keeps
+    // the decode-verifiable columns (full schema is spec-checked in
+    // DiscoverSpec/MultimodalSpec).
     "m1_media_metadata" -> ((s, d) => {
       Multimodal.extractMetadata(Multimodal.mixedMedia(s, d))
         .select(col("media_id"), col("kind"), col("width"), col("height"),
@@ -72,12 +76,18 @@ object MultimodalQueries {
         |  CASE WHEN media_id % 3 = 0 THEN
         |         CASE WHEN media_id % 2 = 0 THEN 'image/png'
         |              ELSE 'image/jpeg' END
-        |       WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       WHEN media_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video' END AS kind,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 57 + 8
+        |            WHEN media_id % 3 = 1 THEN 0
         |            ELSE s % 1920 + 1 END AS INT) AS width,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 43 + 8
+        |            WHEN media_id % 3 = 1 THEN 0
         |            ELSE (s // 1920) % 1080 + 1 END AS INT) AS height,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN 0
+        |            WHEN media_id % 3 = 1 THEN
+        |              ((500 + media_id % 4000) * 1000)
+        |                // (8000 + (media_id % 5) * 2000)
         |            ELSE n_bytes * 7 END AS BIGINT) AS duration_ms
         |FROM m ORDER BY media_id""".stripMargin,
 

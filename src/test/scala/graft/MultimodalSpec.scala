@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{ImageCodec, Multimodal}
+import graft.operators.{AudioCodec, ImageCodec, Multimodal}
 
 /** Real-codec coverage for the multimodal operators: javax.imageio
   * PNG/JPEG decode, aspect-fit resize round-trip, and the garbage-blob
@@ -67,17 +67,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.resize(corrupt, 320, 240).isEmpty)
   }
 
-  test("extractMetadata decodes real image rows and stubs the rest") {
+  test("extractMetadata decodes real image and WAV rows and stubs the rest") {
     val meta = Multimodal.extractMetadata(Multimodal.mixedMedia(spark, sf))
     val kinds = meta.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kinds.contains("image/png") && kinds.contains("image/jpeg"))
-    assert(kinds.contains("audio") && kinds.contains("video"))
+    assert(kinds.contains("audio/wav") && kinds.contains("video"))
     // every image row carries formula dims, proving a real parse
     val bad = meta.filter(col("kind").startsWith("image/") &&
       (col("width") =!= expr("media_id % 57 + 8") ||
        col("height") =!= expr("media_id % 43 + 8"))).count()
     assert(bad == 0)
+    // every WAV row carries the formula duration, proving the header
+    // parse (floor((500 + id%4000)*1000 / (8000 + (id%5)*2000)))
+    val badWav = meta.filter(col("kind") === "audio/wav" &&
+      (col("duration_ms") =!=
+        expr("(500 + media_id % 4000) * 1000 div (8000 + (media_id % 5) * 2000)") ||
+       col("width") =!= 0 || col("height") =!= 0)).count()
+    assert(badWav == 0)
+  }
+
+  test("WAV codec round-trips rate/frames and rejects garbage") {
+    for (id <- Seq(1L, 4L, 7L, 22L, 4001L)) {
+      val bytes = AudioCodec.encodeSyntheticWav(id)
+      val (rate, frames) = AudioCodec.syntheticParams(id)
+      val Some((dr, df, dur)) = AudioCodec.decode(bytes)
+      assert((dr, df) == (rate, frames), s"id=$id")
+      assert(dur == frames * 1000L / rate)
+    }
+    assert(AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.decode("RIFFnope".getBytes).isEmpty)
+    // valid magic, truncated body — sniff passes, decode must not throw
+    val corrupt = AudioCodec.encodeSyntheticWav(5L).take(16)
+    assert(AudioCodec.decode(corrupt).isEmpty)
+    // a WAV payload is not an image and vice versa (dispatch is disjoint)
+    assert(ImageCodec.decode(AudioCodec.encodeSyntheticWav(3L)).isEmpty)
+    assert(AudioCodec.decode(ImageCodec.encodeSynthetic(4L)).isEmpty)
   }
 
   test("resize keeps payloads row-local (no exchange in the plan)") {

@@ -53,6 +53,24 @@ object PatchJob {
   def patchContentItems(issues: DataFrame, fix: Column => Column): DataFrame =
     issues.withColumn("i", transform(col("i"), fix))
 
+  /** The full canonical patch 5 job shape: [[patchAddReadingOrder]]
+    * restricted to a title list — the reference runs `add_ro_to_items`
+    * over exactly the RERO 2/3 titles it fetches
+    * (canonical_patch_5_rero.py:60-89 RERO_2_3_TITLES, :37-42
+    * add_ro_to_items, utils.py:139-158 get_reading_order). The title
+    * restriction is a plain `alias IN (...)` predicate, so on an
+    * (alias, year)-partitioned canonical store it prunes partitions at
+    * the scan — the reference's `fetch_files(titles)` download filter
+    * expressed declaratively; unpatched titles are never read, and the
+    * dynamic-partition-overwrite write path rewrites only what was
+    * read. Pages pass through the patch unchanged in the reference
+    * (re-uploaded as-is, :123-136) — here "unchanged" means: don't
+    * read them at all. */
+  def patch5AddReadingOrder(issues: DataFrame, titles: Seq[String],
+      aliasOf: Column = regexp_extract(col("id"), "^([^-]+)-", 1))
+      : DataFrame =
+    patchAddReadingOrder(issues.filter(aliasOf.isin(titles: _*)))
+
   // ---- patch 7: Olive/RERO coordinate rescale ----
   // (canonical_patch_7_rero_olive.py: scale_coords / convert_issue_coords
   // / convert_page_coords). The resolution table — one row per issue to

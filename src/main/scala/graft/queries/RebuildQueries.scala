@@ -193,6 +193,19 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // Patch 5 — the full RERO job shape: reading-order stamp restricted
+    // to the patched title list (canonical_patch_5_rero.py:60-89
+    // RERO_2_3_TITLES + :37-42 add_ro_to_items); other titles are never
+    // read. The synthetic alias universe is D0..D19; the "RERO" list
+    // here picks six of them.
+    "p5_patch_rero" -> ((s, d) => {
+      graft.jobs.PatchJob.patch5AddReadingOrder(syntheticIssues(s, d),
+        Seq("D2", "D3", "D5", "D7", "D11", "D13"))
+        .select(explode(col("i")).as("ci"))
+        .select(col("ci.m.id").as("id"), col("ci.m.ro").as("ro"))
+        .orderBy(col("id"))
+    }),
+
     // Patch 7 — coordinate rescale via a broadcast resolution table
     // (canonical_patch_7_rero_olive scale_coords/convert_issue_coords):
     // issues with doc_id % 3 = 0 rescale 300→150; only img CIs
@@ -298,6 +311,15 @@ object RebuildQueries {
     "p1_patch_ro" ->
       s"""WITH ids AS (
          |  SELECT $issueIdSql AS iid FROM documents)
+         |SELECT iid || '-i0001' AS id, 1 AS ro FROM ids
+         |UNION ALL
+         |SELECT iid || '-i0002' AS id, 2 AS ro FROM ids
+         |ORDER BY id""".stripMargin,
+
+    "p5_patch_rero" ->
+      s"""WITH ids AS (
+         |  SELECT $issueIdSql AS iid FROM documents
+         |  WHERE doc_id % 20 IN (2, 3, 5, 7, 11, 13))
          |SELECT iid || '-i0001' AS id, 1 AS ro FROM ids
          |UNION ALL
          |SELECT iid || '-i0002' AS id, 2 AS ro FROM ids

@@ -160,6 +160,22 @@ class PatchJobSpec extends AnyFunSuite {
     assert(years == years.sorted && years.nonEmpty)
   }
 
+  test("patch 5 patches only the listed titles and stamps ro") {
+    // canonical_patch_5_rero.py:60-89: only the RERO 2/3 title list is
+    // fetched/patched; other titles never enter the job
+    val issues = graft.queries.RebuildQueries.syntheticIssues(spark, sf)
+    val patched = PatchJob.patch5AddReadingOrder(issues, Seq("D2", "D5"))
+    val aliases = patched
+      .select(regexp_extract(col("id"), "^([^-]+)-", 1).as("alias"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(aliases == Set("D2", "D5"))
+    // every CI carries the stamped reading order 1..n_cis
+    val badRo = patched.select(explode(col("i")).as("ci"))
+      .select(col("ci.m.ro").as("ro"))
+      .filter(col("ro").isNull || col("ro") < 1 || col("ro") > 2).count()
+    assert(badRo == 0)
+  }
+
   test("patchContentItems applies a generic nested fix") {
     import spark.implicits._
     val issues = Seq(("A-1900-01-01-a", Seq("x"))).toDF("id", "raw")

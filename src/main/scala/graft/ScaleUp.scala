@@ -33,13 +33,39 @@ object ScaleUp {
   /** Stride between copies, > any source key at sf0.1. */
   private val Stride = 10000000L
 
-  /** 10 distinct letter rotations (identity at c=0): translate rewrites
+  /** Per-copy letter permutation (identity at c=0): translate rewrites
     * most k-gram shingles of every copy, breaking cross-copy near-dup
-    * similarity while preserving text length and token shape. */
+    * similarity while preserving text length and token shape.
+    *
+    * Permutations are seeded Fisher-Yates shuffles, NOT rotations —
+    * the 9-letter alphabet has only 9 distinct rotations, so at
+    * factor 10 the old `rotated(9)` equaled `rotated(0)` and every
+    * copy-0 document gained a byte-identical copy-9 twin: exactly the
+    * duplicated-corpus amplification this generator exists to avoid,
+    * silently folded into the round-6 sf1 dedup numbers. */
   private val Alphabet = "aeioustnr"
-  private def rotated(c: Int): String = {
-    val k = c % Alphabet.length
-    Alphabet.drop(k) + Alphabet.take(k)
+  private def permuted(c: Int): String =
+    if (c == 0) Alphabet
+    else {
+      val a = Alphabet.toCharArray
+      val rnd = new java.util.Random(c * 0x9E3779B97F4A7C15L)
+      var i = a.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      new String(a)
+    }
+
+  /** The factor letter maps, with pairwise distinctness REQUIRED (a
+    * seed collision or an accidental identity would silently reintroduce
+    * exact cross-copy twins). */
+  def letterMaps(factor: Int): IndexedSeq[String] = {
+    val maps = (0 until factor).map(permuted)
+    require(maps.distinct.size == factor,
+      s"letter maps must be pairwise distinct for factor $factor")
+    maps
   }
 
   private def offset(df: DataFrame, c: Int, keys: String*): DataFrame =
@@ -52,6 +78,11 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional comma-list of tables (4th arg): the sf10 battery only
+    // exercises the d/s/e families, so only documents/embeddings/events
+    // need the 100x generation cost
+    val onlyTables = if (args.length > 3) Some(args(3).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,10 +93,11 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     import graft.util.Tables
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"$name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (onlyTables.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"$name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+      }
 
     // dims stay fixed
     write("region", Tables.region(spark, src))
@@ -91,11 +123,12 @@ object ScaleUp {
       spark.read.parquet(s"$src/events.parquet"), factor)(
       offset(_, _, "event_id", "user_id")))
 
+    val maps = letterMaps(factor)
     write("documents", copies(Tables.documents(spark, src), factor) {
       (df, c) =>
         offset(df, c, "doc_id").withColumn("text",
           if (c == 0) col("text")
-          else translate(col("text"), Alphabet, rotated(c)))
+          else translate(col("text"), Alphabet, maps(c)))
     })
 
     write("embeddings", copies(Tables.embeddings(spark, src), factor) {

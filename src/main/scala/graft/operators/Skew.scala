@@ -78,7 +78,19 @@ object Skew {
     * replicated 10× for nothing — the saltedJoin cost model).
     *
     * Returns 1 when no key is hot — callers then skip salting
-    * entirely and keep the plain shuffle join. */
+    * entirely and keep the plain shuffle join.
+    *
+    * Determinism caveat: `sample(seed)` is only deterministic FOR A
+    * FIXED PARTITIONING — different parquet splits (different
+    * maxPartitionBytes, different cluster) sample different rows, so
+    * nSalts (and whether a j12-style plan salts at all) can differ
+    * across environments even though join RESULTS never do. Treat
+    * plan-shape audits and cross-host bench comparisons accordingly.
+    * Estimator bias: `max(count)/fraction` is the max of many
+    * binomial draws, which reads high on near-uniform keys; singleton
+    * sample hits (count 1, common under small fractions) are floored
+    * out of the extrapolation below rather than projected 1/fraction-
+    * fold into phantom hot keys. */
   def chooseSalts(big: DataFrame, bigKey: String,
       targetRowsPerTask: Long = 1000000L,
       sampleFraction: Double = 0.01,
@@ -87,7 +99,10 @@ object Skew {
         seed = 42)
       .groupBy(col(bigKey)).count()
       .agg(max(col("count"))).collect()(0)
-    if (sampled.isNullAt(0)) 1
+    // a sampled max of 1 is no evidence of heat (any singleton hit
+    // extrapolates to 1/fraction rows) — require at least 2 sampled
+    // occurrences before projecting a hot-key estimate
+    if (sampled.isNullAt(0) || sampled.getLong(0) < 2) 1
     else {
       val hotEstimate = (sampled.getLong(0) / sampleFraction).toLong
       val salts = math.ceil(hotEstimate.toDouble / targetRowsPerTask).toInt

@@ -21,10 +21,12 @@ object D6Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val thresholds = if (args.length > 1)
+      args(1).split(",").toSeq.map(_.toDouble) else Seq(0.35, 0.8, 0.9)
     val e = graft.util.Tables.embeddings(spark, d)
     val n = e.count()
     println(s"corpus n = $n")
-    for (threshold <- Seq(0.35, 0.8, 0.9); trial <- 1 to 2) {
+    for (threshold <- thresholds; trial <- 1 to 2) {
       val (bands, bits) = Similarity.rhpGeometry(n, threshold)
       val t0 = System.nanoTime()
       val pairs = Similarity.lshNearDupPairs(e, "vec_id", "embedding",

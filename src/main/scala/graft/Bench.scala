@@ -66,13 +66,18 @@ object Bench {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
       canarySamples += (System.nanoTime() - t0) / 1e9
     }
+    // failed queries are named in the record instead of silently timed
+    // as near-zero "successes" (a missing input table once read as a
+    // 0.07 s query — 20x FASTER at 10x the data — in a scale battery)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val passTimes =
       scala.collection.mutable.Map[String, List[Double]]().withDefault(_ => Nil)
     for (_ <- 1 to trials) {
       selected.zipWithIndex.foreach { case ((name, fn), i) =>
         if (i % canaryEvery == 0) canary()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         passTimes(name) = ((System.nanoTime() - t0) / 1e9) :: passTimes(name)
       }
     }
@@ -93,7 +98,8 @@ object Bench {
     println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"canary_samples":$cAll,"sf":"$sfDir"}""")
     val slowest = results.maxByOption(_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"slowest":{$slowest},"canary":$cStats,"sf":"$sfDir"}""")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"failed":$fails,"slowest":{$slowest},"canary":$cStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -187,6 +187,52 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Multi-band random-hyperplane ANN top-k — the recall-CONTROLLED
+    * upgrade of [[annTopK]] (whose single leading-dims bucket is a
+    * documented one-probe heuristic): queries and corpus are keyed by
+    * `bands` seeded hyperplane band keys ([[hyperplanes]] /
+    * [[graft.functions.RhpBandKeys]], same scheme as
+    * [[lshNearDupPairs]]), a neighbor is a candidate when ANY band
+    * matches, so per-neighbor recall is `1 − (1 − p^bits)^bands` —
+    * tunable to any target, independent of the embedding dimension.
+    *
+    * Scale shape: the corpus is scanned ONCE and banded map-side; the
+    * banded queries are BROADCAST, so candidate generation is a
+    * broadcast hash join with zero corpus shuffle. Only the slim
+    * scored candidates (q_id, n_id, cos) shuffle — once for the
+    * cross-band dedup, then into the bounded-heap top-k merge. Cost
+    * per corpus row is one O(bands·bits·dim) keying loop plus one
+    * cosine per distinct colliding (query, band) — at production
+    * bands this is the ANN path that survives 10⁹-row corpora, while
+    * [[bruteForceTopK]] stays the small-corpus exact baseline and
+    * [[ivfTopK]] the cell-partitioned alternative. */
+  def rhpAnnTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bands: Int, bits: Int, dim: Int = 64,
+      seed: String = "graft-rhp"): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val planes = hyperplanes(bands, bits, dim, seed)
+    def keys(v: Column): Column = GraftColumns.column(
+      graft.functions.RhpBandKeys(GraftColumns.expression(v), planes, bits))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        posexplode(keys(col("q_vec"))).as(Seq("band", "key")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .select(col("n_id"), col("n_vec"), col("n_norm"),
+        posexplode(keys(col("n_vec"))).as(Seq("band", "key")))
+    val scored = c.join(broadcast(q), Seq("band", "key"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      // a pair colliding in several bands scores identically in each —
+      // dedup BEFORE the heap so duplicates can't occupy top-k slots
+      .dropDuplicates("q_id", "n_id")
+    topKMerge(scored, k)
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every corpus vector to its nearest centroid cell; a query probes
     * only its `nprobe` nearest cells and brute-forces those.

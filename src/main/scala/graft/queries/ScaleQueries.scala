@@ -168,6 +168,16 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Recall-controlled ANN: same 16x4 seeded hyperplane matrix as d6
+    // (the oracle embeds identical literals), per-neighbor recall
+    // 1-(1-p^4)^16 — 0.9 floor at cosine 0.35, higher above it
+    "s5_ann_rhp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.rhpAnnTopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5, bands = 16, bits = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s3_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
@@ -466,6 +476,33 @@ object ScaleQueries {
          |    ${cosSql("q.embedding", "c.embedding")} AS cos
          |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 16)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s5_ann_rhp" ->
+      s"""WITH hyper(band, bit, r) AS (VALUES
+         |$d6PlaneRows),
+         |keyed AS (
+         |  SELECT e.vec_id, h.band,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |        k -> e.embedding[k]::DOUBLE * h.r[k])) >= 0
+         |      THEN (CAST(1 AS BIGINT) << (h.bit - 1))
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+         |  FROM embeddings e CROSS JOIN hyper h
+         |  GROUP BY e.vec_id, h.band),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM keyed q JOIN keyed c ON q.band = c.band AND q.key = c.key
+         |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         |sc AS (
+         |  SELECT cd.q_id, cd.n_id,
+         |    ${cosSql("eq.embedding", "ec.embedding")} AS cos
+         |  FROM cand cd
+         |  JOIN embeddings eq ON eq.vec_id = cd.q_id
+         |  JOIN embeddings ec ON ec.vec_id = cd.n_id)
          |SELECT q_id, n_id, rank, cos FROM (
          |  SELECT q_id, n_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank

@@ -62,6 +62,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bounded_topk"), "bucket cap missing")
   }
 
+  test("rhp ANN plan: broadcast banded queries, corpus never shuffles to find candidates") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val p = plan(graft.operators.Similarity.rhpAnnTopK(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 16), e,
+      "vec_id", "embedding", 5, bands = 16, bits = 4))
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate generation must broadcast the banded queries")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle to find candidates")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("rhp_band_keys"), "native keying missing")
+    assert(p.contains("bounded_topk"), "top-k must be the bounded heap")
+  }
+
   test("rebuild CLI batch config prunes canonical partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

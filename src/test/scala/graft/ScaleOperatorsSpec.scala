@@ -204,6 +204,20 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall = $recall at geometry ${bands}x$bits, n=$n")
   }
 
+  test("multi-band hyperplane ANN recovers most exact top-5 neighbors") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val ann = pairs(Similarity.rhpAnnTopK(q, e, "vec_id", "embedding", 5,
+      bands = 16, bits = 4))
+    assert(ann.forall { case (qId, nId) => qId < 16 && qId != nId })
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"top-5 recall = $recall")
+  }
+
   test("LSH refuses geometries whose expected recall floor is below 0.5") {
     // the recall guard: a caller asking for 4 bands x 14 bits at
     // threshold 0.35 (expected recall ~0.4%) must find out at plan

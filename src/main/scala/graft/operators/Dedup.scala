@@ -111,14 +111,62 @@ object Dedup {
     * sub-`maxBucket` band bucket — overwhelmingly mass-duplicates that
     * exact-dedup-first already collapses.
     *
+    * Recall honesty (mirrors the embedding LSH's plan-time guard): a
+    * pair at exactly jaccard `threshold` collides in one band with
+    * probability `threshold^(numHashes/bands)`, so expected recall is
+    * `1 − (1 − t^r)^b` ([[minhashExpectedRecall]]) — the default
+    * 4 bands × 4 rows gives 0.88 at t = 0.8. A geometry whose floor at
+    * the threshold is below 0.5 is refused rather than silently
+    * missing most true pairs; [[minhashGeometry]] sizes (bands, rows)
+    * for a target recall.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame =
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
+    val er = minhashExpectedRecall(bands, numHashes / bands, threshold)
+    require(er >= 0.5,
+      f"minhash-LSH geometry $bands bands x ${numHashes / bands} rows has " +
+        f"expected recall $er%.3f at jaccard $threshold%.2f — most true " +
+        "pairs would be silently missed; see Dedup.minhashGeometry")
     boundedBucketPairs(lshBanded(df, idCol, textCol, k, numHashes, bands),
       Seq(col("band"), col("bh")), maxBucket,
       "lsh_bucket_overflow", jaccard, _ >= threshold, "jaccard")
+  }
+
+  /** Expected recall of a (bands × rowsPerBand) minhash banding for a
+    * pair at exactly jaccard `s`: `1 − (1 − s^rows)^bands`. Pairs
+    * above the threshold do better; this is the guaranteed floor. */
+  def minhashExpectedRecall(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Size a minhash banding for target recall at a jaccard threshold:
+    * for each rows-per-band choice the band count follows from the
+    * recall formula; pick the cheapest total signature length. More
+    * rows per band = sharper threshold (fewer sub-threshold
+    * candidates) but more bands to hold recall — unlike the embedding
+    * LSH there is no corpus-size term, because minhash buckets only
+    * collide for genuinely similar pairs (band keys hash r minhash
+    * values; random pairs collide at ~s^r, not n/2^bits). */
+  def minhashGeometry(threshold: Double, targetRecall: Double = 0.9,
+      maxRows: Int = 8, maxBands: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"jaccard threshold in (0,1)")
+    val options = for {
+      r <- 1 to maxRows
+      perBand = math.pow(threshold, r)
+      b = math.ceil(math.log1p(-targetRecall) / math.log1p(-perBand)).toInt
+      if b >= 1 && b <= maxBands
+    } yield (b, r)
+    require(options.nonEmpty,
+      s"no (bands<=$maxBands, rows<=$maxRows) holds recall $targetRecall " +
+        s"at jaccard $threshold")
+    // sharpest affordable threshold: the LARGEST rows-per-band whose
+    // band count fits — small r would be cheaper in hashes but floods
+    // the buckets with sub-threshold candidates (a pair at jaccard 0.3
+    // collides with p=0.51 under 2 bands x 1 row)
+    options.maxBy(_._2)
+  }
 
   /** (id, sh, band, bh) banding frame shared by [[lshNearDupPairs]] and
     * [[lshBucketOverflow]]. */

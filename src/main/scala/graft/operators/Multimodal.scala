@@ -100,14 +100,18 @@ object Multimodal {
   }
 
   /** Sample up to `maxFrames` frames per payload at a fixed stride —
-    * the video path of a multimodal pipeline. Emits narrow rows. */
+    * the video/audio-window path of a multimodal pipeline. Emits
+    * narrow rows. WAV payloads (magic-sniffed) use their REAL parsed
+    * duration to size the frame count; everything else falls back to
+    * the stub's byte-derived duration. */
   def sampleFrames(media: DataFrame, strideMs: Long, maxFrames: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, _, bytes) =>
-        val durationMs = bytes.length.toLong * 7
+        val durationMs = AudioCodec.decode(bytes).map(_._3)
+          .getOrElse(bytes.length.toLong * 7)
         val n = math.min(maxFrames,
           math.max(1, (durationMs / math.max(strideMs, 1)).toInt))
         (0 until n).iterator.map { i =>

@@ -105,6 +105,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioCodec.decode(ImageCodec.encodeSynthetic(4L)).isEmpty)
   }
 
+  test("frame sampling sizes frame counts from the real WAV duration") {
+    import spark.implicits._
+    // id 3499: rate 16000 (3499%5=4), 3999 frames -> 249 ms parsed
+    // duration; stride 50 ms, maxFrames 5 -> min(5, 249/50) = 4 frames
+    val media = Seq(
+      (3499L, "audio", graft.operators.AudioCodec.encodeSyntheticWav(3499L)),
+      (7L, "video", "just some text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(media, strideMs = 50, maxFrames = 5)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (rate, nFrames) = graft.operators.AudioCodec.syntheticParams(3499L)
+    val expect = math.min(5, math.max(1,
+      nFrames * 1000 / rate / 50)).toInt
+    assert(frames(3499L) == expect, s"real WAV duration must size frames")
+    // stub fallback: 20 bytes * 7 = 140 ms -> min(5, 140/50=2) = 2
+    assert(frames(7L) == 2)
+  }
+
   test("resize keeps payloads row-local (no exchange in the plan)") {
     val resized = Multimodal.resize(Multimodal.mixedMedia(spark, sf), 320, 240)
     val plan = resized.queryExecution.executedPlan.toString

@@ -218,6 +218,25 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"top-5 recall = $recall")
   }
 
+  test("minhash banding mirrors the recall guard and auto-sizing") {
+    import spark.implicits._
+    // 1 band x 16 rows at jaccard 0.8: expected recall 0.8^16 = 0.028 —
+    // must be refused at plan time like the embedding LSH
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 1, threshold = 0.8)
+    }
+    assert(ex.getMessage.contains("expected recall"))
+    // auto-sizing picks the sharpest banding that holds the target
+    val (b, r) = Dedup.minhashGeometry(0.8, targetRecall = 0.9)
+    assert(Dedup.minhashExpectedRecall(b, r, 0.8) >= 0.9)
+    // and prefers more rows per band over cheaper-but-mushier bandings
+    assert(r > 1, s"geometry ${b}x$r must not degenerate to 1-row bands")
+    // the d3 default (4x4 at 0.8) stays above the guard: floor 0.88
+    assert(Dedup.minhashExpectedRecall(4, 4, 0.8) > 0.85)
+  }
+
   test("LSH refuses geometries whose expected recall floor is below 0.5") {
     // the recall guard: a caller asking for 4 bands x 14 bits at
     // threshold 0.35 (expected recall ~0.4%) must find out at plan

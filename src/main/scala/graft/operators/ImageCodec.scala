@@ -101,6 +101,29 @@ object ImageCodec {
       (fmt, img.getWidth, img.getHeight)
     }
 
+  /** Per-channel pixel sums of a decoded image — the real
+    * feature-extraction primitive (mean color = sum / (w·h)). One pass
+    * over the raster, row-local. For the synthetic PNG corpus the
+    * sums are arithmetically predictable from the render formula, so
+    * the m5 oracle proves the decoder really parsed pixel data (the
+    * m1/m4 trick, but for pixel CONTENT rather than dimensions). */
+  def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        r += (rgb >> 16) & 0xFF
+        g += (rgb >> 8) & 0xFF
+        b += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (r, g, b)
+  }
+
   /** Real aspect-fit resize: one decode → Graphics2D scale → re-encode
     * PNG. Returns None when the payload isn't a decodable image. */
   def resize(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =

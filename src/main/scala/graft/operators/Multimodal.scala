@@ -121,6 +121,25 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image feature extraction: decode each payload once and emit
+    * per-channel pixel sums (+ dims) — rows whose payload isn't a
+    * decodable image are dropped. Row-local flatMap over partitions,
+    * payload never shuffled; downstream means/histograms are plain
+    * column arithmetic on the sums. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decodeImage(bytes).map { case (_, img) =>
+          val (r, g, b) = ImageCodec.channelSums(img)
+          (id, img.getWidth, img.getHeight, r, g, b)
+        }
+      })
+      .toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Fixed-dimension feature vector per payload — the multimodal →
     * embedding bridge (decoded-frame embeddings in deployment; the stub
     * derives each component from payload bytes deterministically, so

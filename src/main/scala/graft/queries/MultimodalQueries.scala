@@ -53,6 +53,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M5 — REAL pixel-content feature extraction: per-channel sums of
+    // the decoded raster. Restricted to the PNG rows (lossless — JPEG
+    // pixel values aren't arithmetically predictable), where the
+    // oracle recomputes the render formula sums per pixel: a green row
+    // proves the decoder parsed actual pixel DATA, not just headers.
+    "m5_image_stats" -> ((s, d) => {
+      Multimodal.imageStats(
+        Multimodal.syntheticImages(s, d).filter(col("media_id") % 2 === 0))
+        .orderBy(col("media_id"))
+    }),
+
     // M4 — payload → payload resize with refreshed metadata. Image rows
     // take the real path (decode → aspect-fit scale → re-encode PNG →
     // re-decode): the reported dims are read back from the emitted
@@ -119,6 +130,22 @@ object MultimodalQueries {
         |    CAST(ascii(substr(text, CAST((i * 7) % len AS INT) + 1, 1)) AS VARCHAR)),
         |    '|') AS features
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "m5_image_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 57 + 8 AS INT) AS w,
+        |    CAST(doc_id % 43 + 8 AS INT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |xs AS (SELECT media_id, w, h,
+        |         unnest(generate_series(0, w - 1)) AS xg FROM m),
+        |px AS (SELECT media_id, w, h, xg,
+        |         unnest(generate_series(0, h - 1)) AS yg FROM xs)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((media_id * 31 + xg * 7 + yg * 13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(sum((xg * 5) % 256) AS BIGINT) AS g_sum,
+        |  CAST(sum((yg * 3) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
 
     "m4_media_resize" ->
       """WITH m AS (

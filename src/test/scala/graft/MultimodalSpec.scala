@@ -105,6 +105,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioCodec.decode(ImageCodec.encodeSynthetic(4L)).isEmpty)
   }
 
+  test("imageStats decodes pixel content and drops non-image rows") {
+    import spark.implicits._
+    val media = Seq(
+      (42L, ImageCodec.encodeSynthetic(42L)),
+      (7L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.imageStats(media).collect()
+    assert(out.length == 1, "non-image rows must be dropped")
+    val row = out.head
+    val (w, h) = ImageCodec.syntheticDims(42L)
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    // formula sums: r = (42*31 + x*7 + y*13) & 0xFF per pixel
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      er += (42L * 31 + x * 7 + y * 13) & 0xFF
+      eg += (x * 5) & 0xFF
+      eb += (y * 3) & 0xFF
+    }
+    assert((row.getLong(3), row.getLong(4), row.getLong(5)) == ((er, eg, eb)))
+  }
+
   test("frame sampling sizes frame counts from the real WAV duration") {
     import spark.implicits._
     // id 3499: rate 16000 (3499%5=4), 3999 frames -> 249 ms parsed

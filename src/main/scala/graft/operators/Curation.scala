@@ -105,11 +105,16 @@ object Curation {
     * scale the clean majority would dominate the output for no
     * information.
     *
-    * Join keys are md5 digests of the shingles — fixed-width 16-byte
-    * comparisons through the shuffle instead of arbitrary-length
-    * strings. The eval side is `broadcast()` when `broadcastEval`
-    * (eval sets are typically 1e4-1e6 shingles — megabytes); disable
-    * for eval corpora that rival the training corpus in size.
+    * Join keys are xxhash64 values of the shingles — 8-byte longs
+    * through the distinct and the join instead of arbitrary-length
+    * strings (the d3 lesson: the output is a COUNT of distinct
+    * matches, so the hash algorithm is invisible as long as it is
+    * collision-free on the corpus slice — ~(1e5)²/2⁶⁴ odds; the
+    * DuckDB oracle keeps counting over md5 of the shingle strings and
+    * the counts agree, which is itself the collision gate). The eval
+    * side is `broadcast()` when `broadcastEval` (eval sets are
+    * typically 1e4-1e6 shingles — megabytes); disable for eval
+    * corpora that rival the training corpus in size.
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int = 3,
@@ -118,7 +123,7 @@ object Curation {
     def shingleHashes(df: DataFrame, keys: Column*): DataFrame =
       df.select(keys :+
           explode(expr(s"word_shingles($textCol, $k)")).as("sh"): _*)
-        .select(keys :+ md5(col("sh")).as("h"): _*)
+        .select(keys :+ xxhash64(col("sh")).as("h"): _*)
         .distinct()
     // eval dedups on h alone — one shuffle, not (id, h) then h
     val ev = shingleHashes(eval)

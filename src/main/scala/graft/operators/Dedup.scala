@@ -401,14 +401,16 @@ object Dedup {
   /** Incremental exact dedup: drop arriving documents whose content
     * hash already exists in the reference corpus — the cross-run form
     * of [[exact]] (ingest batch N+1 against the lake). A left-anti
-    * join on the 16-byte md5 key: one shuffle keyed by hash (or none,
-    * when the corpus side's distinct hash set is small enough to
-    * broadcast — Spark picks by stats/AQE). Returns the surviving
-    * batch rows. */
+    * join on an 8-byte xxhash64 key (the key never reaches output, so
+    * the algorithm is invisible; the d10 oracle's md5-equality count
+    * agreeing is the collision gate, same argument as the shingle
+    * hashing): one shuffle keyed by hash (or none, when the corpus
+    * side's distinct hash set is small enough to broadcast — Spark
+    * picks by stats/AQE). Returns the surviving batch rows. */
   def incrementalNew(batch: DataFrame, corpus: DataFrame,
       textCol: String): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("__h")).distinct()
-    batch.join(seen, md5(batch(textCol)) === seen("__h"), "left_anti")
+    val seen = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+    batch.join(seen, xxhash64(batch(textCol)) === seen("__h"), "left_anti")
   }
 
   /** Survivor selection per duplicate cluster: among each cluster's

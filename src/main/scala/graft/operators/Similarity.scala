@@ -256,6 +256,22 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(col("id")).limit(nlist)
       .collect().map(_.getSeq[Float](1).toArray)
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** [[ivfTopK]] against an EXPLICIT centroid matrix — the production
+    * quantizer path: train cells with [[kmeansCentroids]] (or bring
+    * any codebook) and probe against them. Plan shape is identical to
+    * [[ivfTopK]] — assignment is a narrow map against broadcast
+    * centroid literals, the candidate join is keyed by cell — only
+    * the cell QUALITY changes (trained cells balance population and
+    * put near vectors in the same cell, so a given nprobe buys more
+    * recall than the naive first-nlist quantizer). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
 
     // per-centroid (cos, -cellId) structs via the native expression —
     // ONE O(nlist·dim) loop per row emitting the finished struct array
@@ -324,8 +340,44 @@ object Similarity {
     *         (cell, dim, sum_scaled, n) — centroid value =
     *         sum_scaled / scale / n; n = cell member count.
     */
+  /** Trained centroid matrix for [[ivfTopKWith]] — runs the same
+    * Lloyd loop as [[kmeansSums]] and assembles the k×dim codebook
+    * driver-side (bounded collect, the same k·dim rows the training
+    * loop already collects per round). A cell that lost all members
+    * in the final round keeps the centroid it was assigned with —
+    * identical fallback to the loop's intermediate rounds — so the
+    * codebook is total and deterministic. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
+    val (sums, lastAssigned) = kmeansLoop(df, idCol, vecCol, k, iters, scale)
+    val byCell = centroidsOf(sums.collect(), scale)
+    lastAssigned.indices.map(c => byCell.getOrElse(c, lastAssigned(c)))
+      .toArray
+  }
+
   def kmeansSums(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame =
+    kmeansLoop(df, idCol, vecCol, k, iters, scale)._1
+
+  /** (cell → centroid vector) from collected accumulator rows. */
+  private def centroidsOf(rows: Array[org.apache.spark.sql.Row],
+      scale: Double): Map[Int, Array[Float]] =
+    rows.groupBy(_.getAs[Int]("cell"))
+      .map { case (cell, rs) =>
+        val cv = new Array[Float](rs.map(_.getAs[Int]("dim")).max + 1)
+        rs.foreach { r =>
+          cv(r.getAs[Int]("dim")) =
+            (r.getAs[Long]("sum_scaled") / scale /
+              r.getAs[Long]("n")).toFloat
+        }
+        cell -> cv
+      }
+
+  /** Shared Lloyd loop: final sums frame + the centroids the FINAL
+    * assignment round used (the fallback codebook for empty cells). */
+  private def kmeansLoop(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double)
+      : (DataFrame, Array[Array[Float]]) = {
     require(iters >= 1, "kmeans needs at least one assignment round")
     val init: Array[Array[Float]] = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -343,22 +395,12 @@ object Similarity {
           .as("sum_scaled"),
           count(lit(1)).as("n"))
       if (round < iters) { // last round's sums go to the caller unread
-        val byCell = sums.collect()
-          .groupBy(_.getAs[Int]("cell"))
-          .map { case (cell, rows) =>
-            val cv = new Array[Float](rows.length)
-            rows.foreach { r =>
-              cv(r.getAs[Int]("dim")) =
-                (r.getAs[Long]("sum_scaled") / scale /
-                  r.getAs[Long]("n")).toFloat
-            }
-            cell -> cv
-          }
+        val byCell = centroidsOf(sums.collect(), scale)
         centroids = init.indices.map(c =>
           byCell.getOrElse(c, centroids(c))).toArray
       }
     }
-    sums
+    (sums, centroids)
   }
 
   /** Multi-band sign-LSH near-duplicate pairs — attribute-free

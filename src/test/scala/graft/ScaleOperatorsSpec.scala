@@ -218,6 +218,28 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"top-5 recall = $recall")
   }
 
+  test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val trained = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2)
+    assert(trained.length == 16 && trained.forall(_.length == 64))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    // nprobe = nlist probes every cell — must reproduce brute force
+    // exactly whatever the codebook (the s3 gate, now for trained cells)
+    val all = pairs(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
+      trained, nprobe = 16))
+    assert(all == exact)
+    // few probes against trained cells keep useful recall
+    val few = pairs(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
+      trained, nprobe = 4))
+    val recall = (few & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-cell recall at nprobe=4: $recall")
+  }
+
   test("minhash banding mirrors the recall guard and auto-sizing") {
     import spark.implicits._
     // 1 band x 16 rows at jaccard 0.8: expected recall 0.8^16 = 0.028 —

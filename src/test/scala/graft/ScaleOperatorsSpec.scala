@@ -204,6 +204,35 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall = $recall at geometry ${bands}x$bits, n=$n")
   }
 
+  test("hyperplane band keys: deterministic, packed, null-poisoning") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumns
+    val planes = Similarity.hyperplanes(2, 3, 4, "spec-seed")
+    // deterministic: same seed derives the same matrix
+    assert(planes.map(_.toSeq).toSeq ==
+      Similarity.hyperplanes(2, 3, 4, "spec-seed").map(_.toSeq).toSeq)
+    assert(planes.forall(_.forall(x => x == 1.0f || x == -1.0f)))
+    def keysOf(v: Seq[Float]): Option[Seq[Long]] = {
+      val df = Seq(Tuple1(v)).toDF("v")
+      val r = df.select(GraftColumns.column(graft.functions.RhpBandKeys(
+        GraftColumns.expression(col("v")), planes, 3)).as("k")).head()
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+    }
+    // key bit j of band b is the sign of planes(b*bits+j) . v
+    val v = Seq(0.5f, -1.5f, 2.0f, -0.25f)
+    val expected = (0 until 2).map { b =>
+      (0 until 3).foldLeft(0L) { (key, j) =>
+        val dot = planes(b * 3 + j).zip(v).map {
+          case (p, x) => p.toDouble * x.toDouble }.sum
+        if (dot >= 0) key | (1L << j) else key
+      }
+    }
+    assert(keysOf(v).get == expected)
+    // a vector whose length differs from the planes poisons to null
+    // (drops out of banding) instead of keying on a partial projection
+    assert(keysOf(Seq(1.0f, 2.0f)).isEmpty)
+  }
+
   test("multi-band hyperplane ANN recovers most exact top-5 neighbors") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 16)

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, partition-preserving
   * per-batch processing, deterministic outputs. The IMAGE codec is real
-  * ([[ImageCodec]], pure-JVM `javax.imageio` PNG/JPEG decode + resize)
-  * and so is WAV AUDIO metadata ([[AudioCodec]], pure-JVM
-  * `javax.sound.sampled` header parse → sample rate, frames, duration);
-  * video and compressed audio remain a STUB (`StubCodec`) — those
-  * codecs genuinely don't exist in this environment. At deployment the
+  * ([[ImageCodec]], pure-JVM `javax.imageio` PNG/JPEG decode + resize),
+  * and so is the container metadata of every modality: WAV
+  * ([[AudioCodec]], `javax.sound.sampled` header parse), MP3
+  * ([[Mp3Codec]], MPEG-1 Layer III frame walk), and MP4 ([[Mp4Codec]],
+  * ISO BMFF `mvhd`/`tkhd` box walk). Only pixel-level VIDEO FRAME
+  * decode remains a STUB (`StubCodec`) — that codec genuinely doesn't
+  * exist in this environment. At deployment the
   * stub body is the only thing that changes: the operator shape
   * (mapPartitions over
   * binary payloads, bounded batches, metadata struct out) is what has to
@@ -63,13 +65,15 @@ object Multimodal {
   }
 
   /** Decode metadata for a frame of (media_id, kind, payload) rows.
-    * Image and WAV payloads (sniffed by magic bytes, not trusted from
-    * `kind`) get a REAL decode — `javax.imageio` for PNG/JPEG (kind
-    * becomes the container format, width/height from the parsed
-    * header) and `javax.sound.sampled` for WAV (kind `audio/wav`,
-    * duration_ms from header frames/rate, width/height 0 — audio has
-    * none); everything else falls back to [[StubCodec]]. Row-local;
-    * partitioning preserved. */
+    * Image, WAV, MP3, and MP4 payloads (sniffed by magic bytes, not
+    * trusted from `kind`) get a REAL decode — `javax.imageio` for
+    * PNG/JPEG (kind becomes the container format, width/height from
+    * the parsed header), `javax.sound.sampled` for WAV and an MPEG
+    * frame walk for MP3 (kinds `audio/wav`/`audio/mpeg`, duration_ms
+    * from the parsed headers, width/height 0 — audio has none), and an
+    * ISO BMFF box walk for MP4 (kind `video/mp4`, width/height from
+    * `tkhd`, duration from `mvhd`); everything else falls back to
+    * [[StubCodec]]. Row-local; partitioning preserved. */
   def extractMetadata(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -91,7 +95,18 @@ object Multimodal {
                 MediaMeta(id, "audio/wav", bytes.length.toLong,
                   checksum(bytes), width = 0, height = 0,
                   duration_ms = durMs)
-              case None => StubCodec.decode(id, kind, bytes)
+              case None => Mp3Codec.decode(bytes) match {
+                case Some((_, _, durMs)) =>
+                  MediaMeta(id, "audio/mpeg", bytes.length.toLong,
+                    checksum(bytes), width = 0, height = 0,
+                    duration_ms = durMs)
+                case None => Mp4Codec.decode(bytes) match {
+                  case Some((w, h, durMs)) =>
+                    MediaMeta(id, "video/mp4", bytes.length.toLong,
+                      checksum(bytes), w, h, duration_ms = durMs)
+                  case None => StubCodec.decode(id, kind, bytes)
+                }
+              }
             }
           }
         }
@@ -99,18 +114,25 @@ object Multimodal {
       .toDF()
   }
 
+  /** Parsed duration of a payload via whichever real codec sniffs it
+    * (WAV, MP3, MP4) — None when none does. */
+  private def parsedDurationMs(bytes: Array[Byte]): Option[Long] =
+    AudioCodec.decode(bytes).map(_._3)
+      .orElse(Mp3Codec.decode(bytes).map(_._3))
+      .orElse(Mp4Codec.decode(bytes).map(_._3))
+
   /** Sample up to `maxFrames` frames per payload at a fixed stride —
     * the video/audio-window path of a multimodal pipeline. Emits
-    * narrow rows. WAV payloads (magic-sniffed) use their REAL parsed
-    * duration to size the frame count; everything else falls back to
-    * the stub's byte-derived duration. */
+    * narrow rows. WAV/MP3/MP4 payloads (magic-sniffed) use their REAL
+    * parsed duration to size the frame count; everything else falls
+    * back to the stub's byte-derived duration. */
   def sampleFrames(media: DataFrame, strideMs: Long, maxFrames: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, _, bytes) =>
-        val durationMs = AudioCodec.decode(bytes).map(_._3)
+        val durationMs = parsedDurationMs(bytes)
           .getOrElse(bytes.length.toLong * 7)
         val n = math.min(maxFrames,
           math.max(1, (durationMs / math.max(strideMs, 1)).toInt))
@@ -228,7 +250,8 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
-  /** Real RIFF/WAVE payloads for the audio rows (doc_id % 3 = 1):
+  /** Real RIFF/WAVE payloads for half the audio rows (doc_id % 6 = 1;
+    * the other half, doc_id % 6 = 4, are MP3 — [[syntheticMp3s]]):
     * 16-bit mono PCM encoded on executors with sample rate and frame
     * count [[AudioCodec.syntheticParams]] derives from the id, so the
     * DuckDB oracle predicts the duration a REAL header parse must
@@ -236,7 +259,7 @@ object Multimodal {
   def syntheticWavs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.util.Tables.documents(spark, sfDir)
-      .filter(expr("doc_id % 3 = 1"))
+      .filter(expr("doc_id % 6 = 1"))
       .select(col("doc_id").as("media_id"))
       .as[Long]
       .mapPartitions(_.map(id =>
@@ -244,12 +267,46 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** Real MPEG-1 Layer III payloads for the other half of the audio
+    * rows (doc_id % 6 = 4): valid frame headers with
+    * [[Mp3Codec.syntheticParams]] id-derived bitrate/sample-rate/frame
+    * count (ID3v2-tagged on even ids), so the oracle predicts the
+    * duration a REAL frame walk must recover. */
+  def syntheticMp3s(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 6 = 4"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "audio", Mp3Codec.encodeSyntheticMp3(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Real ISO BMFF payloads for half the video rows (doc_id % 6 = 2;
+    * the other half, doc_id % 6 = 5, keep the stub text payloads so
+    * the degrade path stays exercised): `ftyp`+`moov`+`mdat` boxes
+    * with [[Mp4Codec.syntheticParams]] id-derived timescale/duration/
+    * dims, so the oracle predicts what a REAL box walk must recover. */
+  def syntheticMp4s(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 6 = 2"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "video", Mp4Codec.encodeSyntheticMp4(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** The full multimodal frame: real image payloads (PNG/JPEG), real
-    * audio payloads (WAV), stub video payloads — one row per
-    * document. */
+    * audio payloads (WAV + MP3), real video containers (MP4) plus stub
+    * text-byte video payloads — one row per document. */
   def mixedMedia(spark: SparkSession, sfDir: String): DataFrame =
     syntheticImages(spark, sfDir)
       .unionByName(syntheticWavs(spark, sfDir))
+      .unionByName(syntheticMp3s(spark, sfDir))
+      .unionByName(syntheticMp4s(spark, sfDir))
       .unionByName(syntheticMedia(spark, sfDir)
-        .filter(col("kind") === "video"))
+        .filter(expr("media_id % 6 = 5")))
 }

@@ -7,24 +7,26 @@ import graft.operators.Multimodal
 
 /** Oracle coverage for the multimodal binary-column operators. Image
   * payloads are REAL PNG/JPEG bytes generated with dimensions derived
-  * arithmetically from the id ([[graft.operators.ImageCodec]]) and
-  * audio payloads are REAL RIFF/WAVE bytes with rate/frames likewise
-  * id-derived ([[graft.operators.AudioCodec]]): DuckDB cannot parse
+  * arithmetically from the id ([[graft.operators.ImageCodec]]), audio
+  * payloads are REAL RIFF/WAVE or MPEG-1 Layer III bytes with
+  * rate/frames likewise id-derived ([[graft.operators.AudioCodec]],
+  * [[graft.operators.Mp3Codec]]), and half the video payloads are REAL
+  * ISO BMFF boxes ([[graft.operators.Mp4Codec]]): DuckDB cannot parse
   * the bytes, but it can predict what a correct decode must recover,
-  * so m1/m4 green means the javax.imageio / javax.sound.sampled paths
-  * really ran. Video payloads stay document text bytes (ASCII, so byte
-  * and character offsets coincide and DuckDB recomputes the stub codec
-  * exactly).
+  * so m1/m4 green means the real header/frame/box parses really ran.
+  * The remaining video payloads stay document text bytes (ASCII, so
+  * byte and character offsets coincide and DuckDB recomputes the stub
+  * codec exactly — the degrade path stays oracle-covered too).
   */
 object MultimodalQueries {
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — metadata extraction over binary payloads (mapPartitions
     // path). Image rows carry REAL PNG/JPEG bytes whose dimensions the
-    // oracle predicts from the id formula, and audio rows REAL WAV
-    // bytes whose duration it predicts the same way — a green row
-    // proves the javax.imageio / javax.sound.sampled decodes recovered
-    // them from the bytes. The oracle cannot recompute
+    // oracle predicts from the id formula; audio rows REAL WAV or MP3
+    // bytes and half the video rows REAL MP4 boxes whose durations
+    // (and MP4 dims) it predicts the same way — a green row proves the
+    // header/frame/box parses recovered them. The oracle cannot recompute
     // n_bytes/checksum of encoded payloads, so the projection keeps
     // the decode-verifiable columns (full schema is spec-checked in
     // DiscoverSpec/MultimodalSpec).
@@ -87,18 +89,29 @@ object MultimodalQueries {
         |  CASE WHEN media_id % 3 = 0 THEN
         |         CASE WHEN media_id % 2 = 0 THEN 'image/png'
         |              ELSE 'image/jpeg' END
-        |       WHEN media_id % 3 = 1 THEN 'audio/wav'
+        |       WHEN media_id % 6 = 1 THEN 'audio/wav'
+        |       WHEN media_id % 6 = 4 THEN 'audio/mpeg'
+        |       WHEN media_id % 6 = 2 THEN 'video/mp4'
         |       ELSE 'video' END AS kind,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 57 + 8
-        |            WHEN media_id % 3 = 1 THEN 0
-        |            ELSE s % 1920 + 1 END AS INT) AS width,
+        |            WHEN media_id % 6 = 2 THEN media_id % 640 + 16
+        |            WHEN media_id % 6 = 5 THEN s % 1920 + 1
+        |            ELSE 0 END AS INT) AS width,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN media_id % 43 + 8
-        |            WHEN media_id % 3 = 1 THEN 0
-        |            ELSE (s // 1920) % 1080 + 1 END AS INT) AS height,
+        |            WHEN media_id % 6 = 2 THEN media_id % 360 + 16
+        |            WHEN media_id % 6 = 5 THEN (s // 1920) % 1080 + 1
+        |            ELSE 0 END AS INT) AS height,
         |  CAST(CASE WHEN media_id % 3 = 0 THEN 0
-        |            WHEN media_id % 3 = 1 THEN
+        |            WHEN media_id % 6 = 1 THEN
         |              ((500 + media_id % 4000) * 1000)
         |                // (8000 + (media_id % 5) * 2000)
+        |            WHEN media_id % 6 = 4 THEN
+        |              ((20 + media_id % 80) * 1152 * 1000)
+        |                // (CASE (media_id // 6) % 3 WHEN 0 THEN 44100
+        |                   WHEN 1 THEN 48000 ELSE 32000 END)
+        |            WHEN media_id % 6 = 2 THEN
+        |              ((1000 + media_id % 9000) * 1000)
+        |                // (600 + ((media_id // 6) % 3) * 200)
         |            ELSE n_bytes * 7 END AS BIGINT) AS duration_ms
         |FROM m ORDER BY media_id""".stripMargin,
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AudioCodec, ImageCodec, Multimodal}
+import graft.operators.{AudioCodec, ImageCodec, Mp3Codec, Mp4Codec, Multimodal}
 
 /** Real-codec coverage for the multimodal operators: javax.imageio
   * PNG/JPEG decode, aspect-fit resize round-trip, and the garbage-blob
@@ -103,6 +103,95 @@ class MultimodalSpec extends AnyFunSuite {
     // a WAV payload is not an image and vice versa (dispatch is disjoint)
     assert(ImageCodec.decode(AudioCodec.encodeSyntheticWav(3L)).isEmpty)
     assert(AudioCodec.decode(ImageCodec.encodeSynthetic(4L)).isEmpty)
+  }
+
+  test("MP3 frame walk recovers rate/frames and rejects garbage") {
+    // even ids carry an ID3v2 tag prefix, odd ids start at the first
+    // frame — both paths through skipId3
+    for (id <- Seq(4L, 10L, 16L, 22L, 3998L, 7L, 13L, 4003L)) {
+      val bytes = Mp3Codec.encodeSyntheticMp3(id)
+      val (_, sr, frames) = Mp3Codec.syntheticParams(id)
+      val Some((dr, df, dur)) = Mp3Codec.decode(bytes)
+      assert((dr, df) == (sr, frames.toLong), s"id=$id")
+      assert(dur == frames.toLong * 1152 * 1000 / sr)
+    }
+    assert(Mp3Codec.decode(Array.emptyByteArray).isEmpty)
+    assert(Mp3Codec.decode("not audio at all".getBytes).isEmpty)
+    // valid sync, truncated first frame — walker must count 0 frames
+    assert(Mp3Codec.decode(Mp3Codec.encodeSyntheticMp3(7L).take(16)).isEmpty)
+    // ID3 tag alone (no frames behind it)
+    assert(Mp3Codec.decode(Mp3Codec.encodeSyntheticMp3(4L).take(42)).isEmpty)
+    // a trailing partial frame must not inflate the count
+    val whole = Mp3Codec.encodeSyntheticMp3(13L)
+    val clipped = Mp3Codec.decode(whole.dropRight(1)).get
+    assert(clipped._2 == Mp3Codec.syntheticParams(13L)._3 - 1L)
+    // dispatch is disjoint with the other codecs
+    assert(Mp3Codec.decode(AudioCodec.encodeSyntheticWav(3L)).isEmpty)
+    assert(Mp3Codec.decode(ImageCodec.encodeSynthetic(4L)).isEmpty)
+    assert(AudioCodec.decode(Mp3Codec.encodeSyntheticMp3(4L)).isEmpty)
+  }
+
+  test("MP4 box walk recovers timescale duration and tkhd dims") {
+    for (id <- Seq(2L, 8L, 14L, 20L, 3998L)) {
+      val bytes = Mp4Codec.encodeSyntheticMp4(id)
+      val (ts, units, w, h) = Mp4Codec.syntheticParams(id)
+      val Some((dw, dh, dur)) = Mp4Codec.decode(bytes)
+      assert((dw, dh) == (w, h), s"id=$id")
+      assert(dur == units * 1000L / ts, s"id=$id")
+    }
+    assert(Mp4Codec.decode(Array.emptyByteArray).isEmpty)
+    assert(Mp4Codec.decode("junkjunkjunkjunk".getBytes).isEmpty)
+    // ftyp magic but no moov — sniff passes, decode degrades
+    assert(Mp4Codec.decode(Mp4Codec.encodeSyntheticMp4(2L).take(20)).isEmpty)
+    // truncated mid-moov must not throw
+    assert(Mp4Codec.decode(Mp4Codec.encodeSyntheticMp4(8L).take(60)).isEmpty)
+    // dispatch is disjoint with the other codecs
+    assert(Mp4Codec.decode(Mp3Codec.encodeSyntheticMp3(4L)).isEmpty)
+    assert(Mp3Codec.decode(Mp4Codec.encodeSyntheticMp4(2L)).isEmpty)
+    assert(ImageCodec.decode(Mp4Codec.encodeSyntheticMp4(2L)).isEmpty)
+  }
+
+  test("MP4 64-bit largesize and version-1 boxes parse") {
+    // rewrite the synthetic moov as a largesize box: size=1 + 64-bit
+    // length; the walker must honor the 16-byte header
+    val bytes = Mp4Codec.encodeSyntheticMp4(14L)
+    val moovAt = 20 // after the 20-byte ftyp
+    val moovLen = ((bytes(moovAt) & 0xFF) << 24) |
+      ((bytes(moovAt + 1) & 0xFF) << 16) |
+      ((bytes(moovAt + 2) & 0xFF) << 8) | (bytes(moovAt + 3) & 0xFF)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, moovAt)
+    out.write(Array[Byte](0, 0, 0, 1)) // size == 1 → largesize follows
+    out.write(bytes, moovAt + 4, 4) // "moov"
+    val big = java.nio.ByteBuffer.allocate(8).putLong(moovLen + 8L).array()
+    out.write(big)
+    out.write(bytes, moovAt + 8, bytes.length - moovAt - 8)
+    val Some((w, h, dur)) = Mp4Codec.decode(out.toByteArray)
+    val (ts, units, ew, eh) = Mp4Codec.syntheticParams(14L)
+    assert((w, h, dur) == ((ew, eh, units * 1000L / ts)))
+  }
+
+  test("extractMetadata decodes real MP3 and MP4 rows") {
+    val meta = Multimodal.extractMetadata(Multimodal.mixedMedia(spark, sf))
+    val kinds = meta.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.contains("audio/mpeg") && kinds.contains("video/mp4"))
+    assert(kinds.contains("video"), "stub degrade path must survive")
+    // every MP3 row carries the frame-walk duration
+    val badMp3 = meta.filter(col("kind") === "audio/mpeg" &&
+      (col("duration_ms") =!= expr(
+        """(20 + media_id % 80) * 1152 * 1000 div
+           (CASE (media_id div 6) % 3 WHEN 0 THEN 44100
+                 WHEN 1 THEN 48000 ELSE 32000 END)""") ||
+       col("width") =!= 0 || col("height") =!= 0)).count()
+    assert(badMp3 == 0)
+    // every MP4 row carries the mvhd duration and tkhd dims
+    val badMp4 = meta.filter(col("kind") === "video/mp4" &&
+      (col("duration_ms") =!= expr(
+        "(1000 + media_id % 9000) * 1000 div (600 + ((media_id div 6) % 3) * 200)") ||
+       col("width") =!= expr("media_id % 640 + 16") ||
+       col("height") =!= expr("media_id % 360 + 16"))).count()
+    assert(badMp4 == 0)
   }
 
   test("imageStats decodes pixel content and drops non-image rows") {

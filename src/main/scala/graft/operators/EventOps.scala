@@ -28,6 +28,37 @@ object EventOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Purchase→click attribution interval join: every purchase paired
+    * with the same user's clicks in the trailing `windowHours`. One
+    * shuffle keyed by user on each side, then a sort-merge join whose
+    * per-user fan-out is bounded by click-rate × window — the pair set
+    * never exceeds Σ_user purchases·clicks-in-window, so output (not
+    * input) size is the cost driver at 100 TB. The streaming form
+    * ([[graft.streaming.EventStream.intervalJoin]]) shares this exact
+    * predicate; its state is the same click window, aged out by the
+    * watermark. */
+  def intervalJoin(events: DataFrame, windowHours: Int): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    p.join(c, intervalJoinCond(windowHours))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
+  /** The shared interval-join predicate: same user, click in
+    * `[purchase_ts - windowHours, purchase_ts]`. Column names are the
+    * `intervalJoin` projections on both the batch and streaming side. */
+  private[graft] def intervalJoinCond(windowHours: Int): Column =
+    col("user_id") === col("click_user") &&
+      col("click_ts") >= col("purchase_ts") -
+        expr(s"INTERVAL $windowHours HOURS") &&
+      col("click_ts") <= col("purchase_ts")
+
   /** Gap-based sessionization: a new session starts when the gap from the
     * previous event of the same user exceeds `gapMinutes`. One row per
     * session. Two window passes over the same (user_id, ts) ordering —

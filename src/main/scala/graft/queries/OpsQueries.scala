@@ -83,6 +83,14 @@ object OpsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // E5 — interval join (batch form; the streaming form in
+    // EventStream.intervalJoin is a watermarked stream-stream join over
+    // the same predicate, verified equivalent in StreamingSpec)
+    "e5_interval_join" -> ((s, d) => {
+      EventOps.intervalJoin(Tables.events(s, d), windowHours = 6)
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // E3 — idempotent-ingestion dedup by event id (batch form of the
     // streaming EventStream.dedupEvents; the doubled input simulates an
     // at-least-once source re-delivering every event)
@@ -177,6 +185,20 @@ object OpsQueries {
       """SELECT event_id, user_id, c_mktsegment, event_type
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "e5_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) AS purchase_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) AS click_us FROM events
+        |  WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id AS user_id, click_id,
+        |  purchase_us - click_us AS lag_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_us BETWEEN p.purchase_us - 21600000000
+        |    AND p.purchase_us
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "w9_range_count" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -64,6 +64,32 @@ object EventStream {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey))
 
+  /** Watermarked stream-stream interval join: purchases joined to the
+    * same user's clicks within the trailing `windowHours` — the one
+    * join shape where BOTH sides are unbounded streams. Spark derives
+    * a state watermark from the two event-time watermarks plus the
+    * interval condition, so buffered clicks are evicted once they can
+    * no longer match any future purchase: state is click-rate ×
+    * (window + watermark) per user, not the stream so far. Batch form
+    * (identical predicate, shared via
+    * [[graft.operators.EventOps.intervalJoinCond]]):
+    * e5_interval_join. */
+  def intervalJoin(events: DataFrame, windowHours: Int,
+      watermark: String): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c, graft.operators.EventOps.intervalJoinCond(windowHours))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,

@@ -87,6 +87,23 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventStream.readEvents(spark, eventsPath)
+    val joined = EventStream.intervalJoin(stream, windowHours = 6,
+      watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin")
+      .orderBy("purchase_id", "click_id").collect()
+    val batch = EventOps.intervalJoin(Tables.events(spark, sf), 6)
+      .orderBy("purchase_id", "click_id").collect()
+    assert(streamed.length == batch.length && batch.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("incremental import drains each file exactly once across runs") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._

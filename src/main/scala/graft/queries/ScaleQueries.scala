@@ -220,6 +220,24 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T7 — the pure-SQL surface: every function here resolves from the
+    // session registry installed by
+    // spark.sql.extensions=graft.GraftExtensions (native codegen'd
+    // expressions + inlined TextAnalysis composites). Green means a SQL/
+    // JDBC-only user gets the same engine as the Column API, oracle-
+    // checked: the DuckDB mirrors are the t1/t3/t4/d11/d2 formulas.
+    "t7_sql_functions" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_sql")
+      s.sql("""SELECT doc_id,
+        |  graft_token_count(text) AS n_tokens,
+        |  graft_lang_id(text) AS lang_pred,
+        |  graft_fingerprint(text) AS fp,
+        |  simhash60(text) AS simhash,
+        |  array_join(transform(minhash_sig(word_shingles(text, 3), 4),
+        |    x -> cast(x AS string)), '|') AS sig4
+        |FROM documents_sql ORDER BY doc_id""".stripMargin)
+    }),
+
     "t5_top_ngrams" -> ((s, d) => {
       Curation.topNgrams(Tables.documents(s, d), "text", k = 2, topN = 50)
     }),
@@ -645,6 +663,59 @@ object ScaleQueries {
         |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'))),
         |    ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_sql_functions" ->
+      s"""WITH $shinglesCte,
+         |hs AS (
+         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hv
+         |  FROM documents),
+         |sim AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,59),
+         |    b -> CASE WHEN list_sum(list_transform(hv, v -> ((v >> b) & 1)*2 - 1)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |  FROM hs),
+         |sig AS (
+         |  SELECT id AS doc_id,
+         |    array_to_string(list_transform(generate_series(0,3),
+         |      i -> list_min(list_transform(
+         |        list_transform(sh, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647),
+         |        h -> (h * ((1 + i*2654435761) % 2147483647) + ((7 + i*40503) % 2147483647)) % 2147483647))),
+         |      '|') AS sig4
+         |  FROM base),
+         |lng AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '\\bthe\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\band\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bof\\b')) AS s_en,
+         |    len(regexp_extract_all(lower(text), '\\bder\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bdie\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bund\\b')) AS s_de,
+         |    len(regexp_extract_all(lower(text), '\\bel\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\blos\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bque\\b')) AS s_es,
+         |    len(regexp_extract_all(lower(text), '\\ble\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bla\\b')) +
+         |      len(regexp_extract_all(lower(text), '\\bet\\b')) AS s_fr
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS n_tokens,
+         |  CASE
+         |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    regexp_split_to_array(trim(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')), ' +'))),
+         |    ' ')) AS fp,
+         |  sim.simhash AS simhash,
+         |  sig.sig4 AS sig4
+         |FROM documents d
+         |JOIN sim ON sim.doc_id = d.doc_id
+         |JOIN sig ON sig.doc_id = d.doc_id
+         |JOIN lng ON lng.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t5_top_ngrams" ->
       """WITH grams AS (

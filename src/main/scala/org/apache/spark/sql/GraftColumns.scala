@@ -15,4 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion. `expression` wraps the
+    * Column's node lazily (`ColumnNodeExpression`, Unevaluable) and
+    * relies on the Dataset API to convert at plan construction; an
+    * expression injected through a `FunctionRegistry` builder never
+    * goes through that path, so it must be converted up front into
+    * plain (possibly Unresolved*) Catalyst nodes the SQL analyzer
+    * knows. Used by [[graft.GraftExtensions]]'s composite functions. */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

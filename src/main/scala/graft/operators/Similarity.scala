@@ -347,6 +347,89 @@ object Similarity {
     * in the final round keeps the centroid it was assigned with —
     * identical fallback to the loop's intermediate rounds — so the
     * codebook is total and deterministic. */
+  // ------------------------------------------------------------- SQ8
+
+  /** Per-dimension corpus `(min, max)` for scalar quantization — ONE
+    * partially-aggregated pass of 2·dim agg columns over
+    * `element_at` (min/max combine map-side, so the shuffle carries
+    * one 2·dim row per partition — never the n·dim explode a
+    * groupBy-dimension formulation would shuffle). The collect is
+    * 2·dim doubles, same bounded-driver-state contract as
+    * [[kmeansCentroids]]' k·dim. */
+  def sq8Bounds(corpus: DataFrame, vecCol: String)
+      : (Array[Double], Array[Double]) = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val aggs = (1 to dim).flatMap { i =>
+      Seq(min(element_at(col(vecCol), i).cast("double")).as(s"mn_$i"),
+        max(element_at(col(vecCol), i).cast("double")).as(s"mx_$i"))
+    }
+    val row = corpus.agg(aggs.head, aggs.tail: _*).first()
+    (Array.tabulate(dim)(i => row.getDouble(2 * i)),
+      Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
+  }
+
+  /** FAISS-style SQ8 encoding: each float maps to
+    * `round((v − mn_i) / (mx_i − mn_i) · 255)`, stored shifted by
+    * −128 as `array<tinyint>` — ONE byte per dimension at rest and in
+    * flight, a 4× reduction over float32, which at 100 TB is the
+    * difference between a corpus that fits the page cache and one
+    * that doesn't. Degenerate dimensions (mx = mn) encode to code 0.
+    * Pure built-in column expressions (transform/get/round), fully
+    * codegen'd, no shuffle. */
+  def sq8Encode(vec: Column, mins: Array[Double],
+      maxs: Array[Double]): Column = {
+    val mn = typedlit(mins.toSeq)
+    val rg = typedlit(maxs.zip(mins).map { case (a, b) => a - b }.toSeq)
+    transform(vec, (v, i) =>
+      when(get(rg, i) === 0d, lit(0))
+        .otherwise(round((v.cast("double") - get(mn, i)) / get(rg, i) * 255)
+          .cast("int"))
+        .minus(128).cast("tinyint"))
+  }
+
+  /** Dequantize SQ8 codes back to doubles:
+    * `mn_i + code · (mx_i − mn_i) / 255` — the reconstruction half of
+    * asymmetric distance computation (exact query vs quantized
+    * corpus). Element error is bounded by half a quantization step,
+    * `(mx_i − mn_i) / 510`. */
+  def sq8Reconstruct(codes: Column, mins: Array[Double],
+      maxs: Array[Double]): Column = {
+    val mn = typedlit(mins.toSeq)
+    val rg = typedlit(maxs.zip(mins).map { case (a, b) => a - b }.toSeq)
+    transform(codes, (c, i) =>
+      get(mn, i) + (c.cast("double") + 128d) * get(rg, i) / 255d)
+  }
+
+  /** Scalar-quantized cosine top-k: the corpus is SQ8-encoded
+    * (4× smaller scan), queries stay full-precision, and scoring is
+    * ADC — dequantize each corpus row once, dot against the exact
+    * query. Same output shape and tie rule as [[bruteForceTopK]].
+    *
+    * Scale shape: bounds are one partial-agg pass; the encoded corpus
+    * is the production artifact a real deployment persists (the scan
+    * then reads 1-byte codes, not floats); scoring is a broadcast
+    * join + [[topKMerge]] bounded heaps — corpus never shuffles.
+    * Unlike the LSH/IVF paths this is approximate only in VALUE
+    * (|Δcos| ~ quantization step), not in candidate coverage: every
+    * neighbor is scored, so recall loss appears only where quantized
+    * scores cross between true neighbors. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (mins, maxs) = sq8Bounds(corpus, vecCol)
+    val enc = corpus.select(col(idCol).as("n_id"),
+      sq8Encode(col(vecCol), mins, maxs).as("codes"))
+    val c = enc
+      .withColumn("n_vec", sq8Reconstruct(col("codes"), mins, maxs))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    topKMerge(scored, k)
+  }
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
     val (sums, lastAssigned) = kmeansLoop(df, idCol, vecCol, k, iters, scale)

@@ -178,6 +178,18 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // S6 — scalar-quantized (SQ8) top-k: corpus encoded to 1-byte
+    // codes, ADC scoring against exact queries. The oracle recomputes
+    // the whole pipeline (per-dim bounds → codes → reconstruction →
+    // cosine) in DuckDB, so a green row proves the quantization
+    // arithmetic bit-for-bit, not just the ranking.
+    "s6_sq8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sq8TopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s3_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
@@ -482,6 +494,40 @@ object ScaleQueries {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s6_sq8_topk" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1, 64)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |b AS (SELECT d, min(CAST(v AS DOUBLE)) AS mn,
+        |             max(CAST(v AS DOUBLE)) AS mx
+        |      FROM dims GROUP BY d),
+        |ba AS (SELECT list(mn ORDER BY d) AS mns,
+        |              list(mx - mn ORDER BY d) AS rgs FROM b),
+        |enc AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN rgs[i] = 0 THEN 0
+        |         ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |           / rgs[i] * 255) AS INT) END) AS codes
+        |  FROM embeddings, ba),
+        |rec AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64),
+        |    i -> mns[i] + CAST(codes[i] AS DOUBLE) * rgs[i] / 255) AS rv
+        |  FROM enc, ba),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT q_id, r.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * rv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1,64), i -> rv[i] * rv[i])))) AS cos
+        |  FROM q CROSS JOIN rec r WHERE q_id <> r.vec_id)
+        |SELECT q_id, n_id, rank, cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "s2_ann_signlsh" ->
       s"""WITH e AS (

@@ -247,6 +247,52 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"top-5 recall = $recall")
   }
 
+  test("SQ8 codes are in-range and reconstruction stays within half a step") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val (mins, maxs) = Similarity.sq8Bounds(e, "embedding")
+    assert(mins.length == 64 && mins.zip(maxs).forall { case (m, x) => m <= x })
+    val steps = maxs.zip(mins).map { case (x, m) => (x - m) / 255.0 }
+    val rows = e.select(col("embedding"),
+      Similarity.sq8Encode(col("embedding"), mins, maxs).as("codes"),
+      Similarity.sq8Reconstruct(
+        Similarity.sq8Encode(col("embedding"), mins, maxs), mins, maxs)
+        .as("recon"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val codes = r.getSeq[Byte](1)
+      val rec = r.getSeq[Double](2)
+      assert(codes.length == 64 && rec.length == 64)
+      // tinyint range is the storage claim; half-step is the ADC
+      // error bound (plus double-rounding slack)
+      for (i <- 0 until 64)
+        assert(math.abs(v(i) - rec(i)) <= steps(i) / 2 + 1e-9,
+          s"dim $i: v=${v(i)} rec=${rec(i)} step=${steps(i)}")
+    }
+  }
+
+  test("SQ8 ADC top-k recalls nearly all exact neighbors (value-only error)") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val sq8 = pairs(Similarity.sq8TopK(q, e, "vec_id", "embedding", 5))
+    // SQ8 scores every candidate — loss only where quantized scores
+    // cross between true neighbors, so recall should beat any LSH path
+    val recall = (sq8 & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"top-5 recall = $recall")
+    // plan claims: broadcast join (corpus never shuffles for the pair
+    // scan) and no Window (bounded-heap top-k)
+    val plan = Similarity.sq8TopK(q, e, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("Window"), "top-k must not be a window sort")
+  }
+
   test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

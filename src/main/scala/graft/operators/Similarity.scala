@@ -430,6 +430,108 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  // -------------------------------------------------------------- PQ
+
+  /** Deterministic untrained PQ codebooks: subspace `j`'s centroids
+    * are the `j`-th slices of the first `ksub` corpus vectors by id —
+    * the PQ analog of [[ivfTopK]]'s first-nlist coarse quantizer, so
+    * the DuckDB oracle recomputes the whole codebook from the table
+    * itself. Production swaps in [[pqCodebooks]] without touching the
+    * plan shape. */
+  def pqCodebooksFirst(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val base: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(ksub)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val subdim = base(0).length / m
+    Array.tabulate(m)(j => base.map(_.slice(j * subdim, (j + 1) * subdim)))
+  }
+
+  /** TRAINED PQ codebooks: one [[kmeansCentroids]] run per subspace
+    * over the sliced vectors (same fixed-point deterministic Lloyd
+    * loop, so a given corpus + params always yields the same
+    * codebook). Driver state is m·ksub·subdim floats — the same
+    * bounded-collect contract as IVF's k·dim. Each subspace trains on
+    * a narrow `slice` projection of the one corpus scan per round;
+    * m stays small (8–16), so this is m independent small k-means
+    * problems, the standard PQ training decomposition. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    Array.tabulate(m) { j =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * subdim + 1, subdim).as("sub")),
+        idCol, "sub", ksub, iters)
+    }
+  }
+
+  /** PQ-encode a vector column: `m` codes of 1 byte each (stored
+    * −128-shifted like [[sq8Encode]]), nearest sub-centroid by
+    * squared L2, ties to the lowest index — the native
+    * [[graft.functions.PqCodes]] fused loop. For dim=64, m=8 this is
+    * an 8-byte code word per vector: a 32× compression over float32,
+    * the storage layout that makes a 100 TB corpus's ANN index fit
+    * in cluster memory. */
+  def pqEncode(vec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(
+      graft.functions.PqCodes(GraftColumns.expression(vec), codebooks))
+  }
+
+  /** Reconstruct the quantized vector from PQ codes: concatenation of
+    * each subspace's selected centroid (as doubles). The lookup is
+    * pure column algebra over the broadcast codebook literal — one
+    * nested `element_at` per subspace, no shuffle. */
+  def pqReconstruct(codes: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    val cb = typedlit(codebooks.map(_.map(_.map(_.toDouble).toSeq)
+      .toSeq).toSeq)
+    flatten(transform(codes, (c, j) =>
+      element_at(element_at(cb, j + 1), c.cast("int") + 129)))
+  }
+
+  /** PQ asymmetric-distance top-k against an explicit codebook:
+    * corpus rows are encoded to m-byte code words, reconstructed
+    * once, and scored by exact-query cosine — same ADC scheme, output
+    * shape, and tie rule as [[sq8TopK]], with a much smaller code
+    * (m bytes vs dim bytes) and therefore coarser value error.
+    *
+    * Scale shape: encode is one narrow map over the corpus scan
+    * (native fused loop, codebook rides as a broadcast literal);
+    * scoring is a broadcast join + [[topKMerge]] bounded heaps —
+    * the corpus never shuffles. Like SQ8 (and unlike LSH/IVF),
+    * coverage is exact: every neighbor is scored, error is
+    * value-only. Compose with [[ivfTopKWith]] cells for the full
+    * FAISS IVF-PQ layout when the corpus outgrows a single scan. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+      .withColumn("n_vec", pqReconstruct(col("codes"), codebooks))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    topKMerge(scored, k)
+  }
+
+  /** [[pqTopKWith]] under the deterministic [[pqCodebooksFirst]]
+    * quantizer — the oracle-reproducible form (s7). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ksub: Int): DataFrame =
+    pqTopKWith(queries, corpus, idCol, vecCol, k,
+      pqCodebooksFirst(corpus, idCol, vecCol, m, ksub))
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
     val (sums, lastAssigned) = kmeansLoop(df, idCol, vecCol, k, iters, scale)

@@ -190,6 +190,19 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // S7 — product-quantization ADC top-k under the deterministic
+    // first-ksub codebook (the PQ analog of s3's first-nlist IVF
+    // quantizer): the oracle recomputes codebook → argmin codes →
+    // reconstruction → cosine from the table itself, proving the
+    // whole quantization chain bit-for-bit. The k-means-TRAINED
+    // codebook path (pqCodebooks/pqTopKWith) is spec-gated instead.
+    "s7_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s3_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
@@ -515,6 +528,43 @@ object ScaleQueries {
         |  SELECT vec_id, list_transform(generate_series(1, 64),
         |    i -> mns[i] + CAST(codes[i] AS DOUBLE) * rgs[i] / 255) AS rv
         |  FROM enc, ba),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT q_id, r.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * rv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1,64), i -> rv[i] * rv[i])))) AS cos
+        |  FROM q CROSS JOIN rec r WHERE q_id <> r.vec_id)
+        |SELECT q_id, n_id, rank, cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s7_pq_topk" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT e.vec_id, t.j, cb.cid AS code,
+        |      row_number() OVER (PARTITION BY e.vec_id, t.j ORDER BY
+        |        list_sum(list_transform(
+        |          list_transform(generate_series(1, 8),
+        |            i -> CAST(e.embedding[t.j*8+i] AS DOUBLE)
+        |               - CAST(cb.cv[t.j*8+i] AS DOUBLE)),
+        |          d -> d*d)) ASC, cb.cid ASC) AS rn
+        |    FROM embeddings e
+        |    CROSS JOIN generate_series(0, 7) AS t(j)
+        |    CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT enc.vec_id,
+        |    flatten(list(list_transform(generate_series(1, 8),
+        |      i -> CAST(cb.cv[enc.j*8+i] AS DOUBLE)) ORDER BY enc.j)) AS rv
+        |  FROM enc JOIN cb ON cb.cid = enc.code
+        |  GROUP BY enc.vec_id),
         |q AS (SELECT vec_id AS q_id, embedding AS qv
         |      FROM embeddings WHERE vec_id < 16),
         |sc AS (

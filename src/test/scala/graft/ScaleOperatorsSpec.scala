@@ -293,6 +293,90 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "top-k must not be a window sort")
   }
 
+  test("PQ code words are m bytes from the codebook; malformed vectors poison to null") {
+    import spark.implicits._
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val cb = Similarity.pqCodebooksFirst(e, "vec_id", "embedding", 8, 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val rows = e.select(
+      Similarity.pqEncode(col("embedding"), cb).as("codes"),
+      Similarity.pqReconstruct(
+        Similarity.pqEncode(col("embedding"), cb), cb).as("recon"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](0)
+      val rec = r.getSeq[Double](1)
+      assert(codes.length == 8 && rec.length == 64)
+      // every code addresses a real centroid (−128-shifted index < ksub)
+      assert(codes.forall(c => c >= -128 && c < -128 + 16))
+      // each reconstructed slice IS the addressed centroid, exactly
+      for (j <- 0 until 8) {
+        val cent = cb(j)(codes(j) + 128)
+        for (d <- 0 until 8)
+          assert(rec(j * 8 + d) == cent(d).toDouble,
+            s"subspace $j dim $d not a codebook row")
+      }
+    }
+    // a wrong-length vector must null-poison, not encode partially
+    val bad = Seq(Array.fill(63)(0.5f)).toDF("v")
+      .select(Similarity.pqEncode(col("v"), cb).as("codes")).first()
+    assert(bad.isNullAt(0), "length-mismatched vector must encode to null")
+    // >256 centroids cannot be addressed by a byte code — refused
+    val tooBig = Array.fill(1)(Array.fill(257)(Array.fill(64)(0f)))
+    intercept[IllegalArgumentException] {
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumns.expression(col("v")), tooBig)
+    }
+  }
+
+  test("PQ with ksub = corpus size degenerates to exact brute force") {
+    // every vector's own slice is distance 0 in each subspace, so the
+    // code word addresses itself and reconstruction is exact — the PQ
+    // analog of IVF's nprobe = nlist and LSH's bits = 1 proofs. Capped
+    // at 200 vectors: byte codes address at most 256 centroids.
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val sub = e.filter(col("vec_id") < 200)
+    val q = e.filter(col("vec_id") < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(q, sub, "vec_id", "embedding", 5))
+    val degen = rows(Similarity.pqTopK(q, sub, "vec_id", "embedding", 5,
+      m = 8, ksub = 200))
+    assert(degen == exact)
+  }
+
+  test("Trained PQ codebooks cut reconstruction MSE below the untrained quantizer") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    def mse(cb: Array[Array[Array[Float]]]): Double = {
+      val rec = Similarity.pqReconstruct(
+        Similarity.pqEncode(col("embedding"), cb), cb)
+      e.select(avg(
+        Similarity.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * Similarity.dot(col("embedding"), rec)
+          + Similarity.dot(rec, rec))).first().getDouble(0)
+    }
+    val first = mse(Similarity.pqCodebooksFirst(e, "vec_id", "embedding", 8, 16))
+    val trained = mse(Similarity.pqCodebooks(e, "vec_id", "embedding", 8, 16, 3))
+    // k-means minimizes exactly this objective per subspace; measured
+    // 0.75 -> 0.56 at sf0.001. Top-k RECALL is not gated here: on this
+    // unstructured synthetic corpus PQ's value error scrambles the
+    // tightly-packed ranking (~0.2-0.3 recall@5) — SQ8 is the
+    // value-accurate ADC path, PQ the 32x-compression one.
+    assert(trained < first,
+      s"trained MSE $trained should beat untrained $first")
+    // plan claims, same as SQ8: broadcast pair scan, bounded-heap top-k
+    val q = e.filter(col("vec_id") < 16)
+    val plan = Similarity.pqTopKWith(q, e, "vec_id", "embedding", 5,
+      Similarity.pqCodebooksFirst(e, "vec_id", "embedding", 8, 16))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("Window"), "top-k must not be a window sort")
+  }
+
   test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

@@ -180,6 +180,23 @@ object RelationalQueries {
         .orderBy(col("prio"))
     }),
 
+    // J13 — Bloom-pruned join: the urgent-orders key set is selective
+    // (~20%) but modeled as too big to broadcast; a Bloom filter of
+    // its keys prunes lineitem DURING THE SCAN, before the join
+    // shuffle. False positives die in the real join, so the result is
+    // row-identical to the plain join — which is exactly what the
+    // oracle runs (graft.operators.Bloom).
+    "j13_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.Bloom.bloomJoin(
+        Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("yr"))
+    }),
+
     // W8 — running totals: an unbounded-preceding frame is O(1) window
     // state per row (no buffering), partition-parallel by priority
     "w8_running_total" -> ((s, d) => {
@@ -436,6 +453,13 @@ object RelationalQueries {
       """SELECT o_orderpriority AS prio, count(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j13_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w8_running_total" ->

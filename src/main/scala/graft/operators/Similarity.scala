@@ -532,6 +532,83 @@ object Similarity {
     pqTopKWith(queries, corpus, idCol, vecCol, k,
       pqCodebooksFirst(corpus, idCol, vecCol, m, ksub))
 
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** Build the IVF-PQ index: every corpus vector is assigned to its
+    * nearest coarse cell ([[nearestCell]]) and its RESIDUAL
+    * (v − centroid) is PQ-encoded with codebooks trained on the
+    * residual distribution — the FAISS IVFPQ layout. The returned
+    * frame `(n_id, cell, codes)` is the persistable index artifact:
+    * an int cell + m byte codes per vector (~12 bytes at m=8), the
+    * representation that keeps a 10⁹-vector index memory-resident
+    * where float32 vectors would be 250 GB. Residual encoding beats
+    * global PQ at equal code size because residuals concentrate near
+    * zero once the coarse cell absorbs the vector's position.
+    *
+    * Everything is one corpus scan: cell assignment and residual are
+    * narrow maps against broadcast centroid literals; only the
+    * codebook TRAINING ([[pqCodebooks]]) re-scans (m small k-means
+    * problems). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], m: Int, ksub: Int, iters: Int)
+      : (DataFrame, Array[Array[Array[Float]]]) = {
+    val cent = typedlit(centroids.map(_.toSeq).toSeq)
+    val withRes = corpus.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+      .withColumn("residual",
+        zip_with(col("v"), element_at(cent, col("cell") + 1), (a, b) => a - b))
+    val codebooks = pqCodebooks(withRes, "n_id", "residual", m, ksub, iters)
+    (withRes.select(col("n_id"), col("cell"),
+      pqEncode(col("residual"), codebooks).as("codes")), codebooks)
+  }
+
+  /** Query an IVF-PQ index: probe the `nprobe` nearest cells, ADC
+    * against `centroid + reconstructed residual`. Plan shape is
+    * [[ivfTopKWith]]'s (cell-keyed broadcast join, bounded-heap
+    * top-k) with PQ's scan economics (the index frame carries codes,
+    * not vectors). `nprobe = nlist` plus a saturated codebook
+    * (ksub = corpus size) reconstructs exactly and degenerates to
+    * [[bruteForceTopK]] — the spec's correctness chain. */
+  def ivfPqSearch(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    import org.apache.spark.sql.GraftColumns
+    def centroidScores(v: Column): Column = GraftColumns.column(
+      graft.functions.CentroidScores(GraftColumns.expression(v), centroids))
+    val centD = typedlit(centroids.map(_.map(_.toDouble).toSeq).toSeq)
+    val c = index
+      .withColumn("n_vec", zip_with(element_at(centD, col("cell") + 1),
+        pqReconstruct(col("codes"), codebooks), (a, b) => a + b))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(transform(
+          slice(reverse(array_sort(centroidScores(col("q_vec")))), 1, nprobe),
+          s => -s.getField("negid"))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    topKMerge(scored, k)
+  }
+
+  /** One-call IVF-PQ: build the index, then search it. Production
+    * keeps the two phases separate (the index is the artifact you
+    * persist); this form is for specs and exploration. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    val (index, codebooks) =
+      ivfPqIndex(corpus, idCol, vecCol, centroids, m, ksub, iters)
+    ivfPqSearch(queries, index, idCol, vecCol, k, centroids, codebooks, nprobe)
+  }
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
     val (sums, lastAssigned) = kmeansLoop(df, idCol, vecCol, k, iters, scale)

@@ -377,6 +377,66 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "top-k must not be a window sort")
   }
 
+  test("IVF-PQ: saturated codebook + probe-all degenerates to exact brute force") {
+    // chained degenerate proof: nprobe = nlist makes coverage exact,
+    // ksub = corpus size (iters = 1: every residual is its own initial
+    // centroid at distance 0) makes reconstruction exact — so the full
+    // IVF-PQ pipeline must reproduce bruteForceTopK including ranks
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val sub = e.filter(col("vec_id") < 200)
+    val q = e.filter(col("vec_id") < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cents = Similarity.pqCodebooksFirst(sub, "vec_id", "embedding", 1, 4)(0)
+    val exact = rows(Similarity.bruteForceTopK(q, sub, "vec_id", "embedding", 5))
+    val degen = rows(Similarity.ivfPqTopK(q, sub, "vec_id", "embedding", 5,
+      cents, nprobe = 4, m = 8, ksub = 200, iters = 1))
+    assert(degen == exact)
+  }
+
+  test("IVF-PQ index is codes-not-vectors; residual PQ beats global PQ at equal code size") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 3)
+    val (index, codebooks) =
+      Similarity.ivfPqIndex(e, "vec_id", "embedding", cents, 8, 16, 3)
+    // the persistable artifact: int cell + m tinyint codes per vector
+    // (~12 bytes), never the float vector
+    val schema = index.schema
+    assert(schema("cell").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    assert(!schema.fieldNames.exists(_.contains("vec")),
+      "index must not carry raw vectors")
+    assert(index.count() == e.count())
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val ivfpq = pairs(Similarity.ivfPqSearch(q, index, "vec_id", "embedding",
+      5, cents, codebooks, nprobe = 16))
+    val globalPq = pairs(Similarity.pqTopKWith(q, e, "vec_id", "embedding", 5,
+      Similarity.pqCodebooks(e, "vec_id", "embedding", 8, 16, 3)))
+    val rIvfPq = (ivfpq & exact).size.toDouble / exact.size
+    val rGlobal = (globalPq & exact).size.toDouble / exact.size
+    // residuals concentrate near zero once the cell absorbs position,
+    // so the same 8-byte budget quantizes finer (0.39 vs 0.20 measured
+    // at sf0.001, probe-all so coverage is equal on both sides)
+    assert(rIvfPq >= rGlobal,
+      s"residual PQ recall $rIvfPq < global PQ recall $rGlobal")
+
+    // plan: cell-keyed broadcast join, bounded-heap top-k
+    val plan = Similarity.ivfPqSearch(q, index, "vec_id", "embedding",
+      5, cents, codebooks, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("Window"), "top-k must not be a window sort")
+  }
+
   test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout: multi-dimensional clustering (Z-order) and
+  * target-size compaction — the write-side tools that decide what a
+  * 100 TB table COSTS to read later.
+  *
+  * One-dimensional sort (or range partitioning) gives perfect
+  * min/max pruning on one column and none on the others. Interleaving
+  * the bits of several columns into a Z-value and range-clustering on
+  * it (Delta/Iceberg's `ZORDER BY`) keeps rows close in EVERY
+  * interleaved dimension: a 2-D box predicate then touches a small
+  * corner of the files, and any stats-aware reader (parquet row-group
+  * min/max, file skipping) drops the rest — [[LayoutSpec]] measures
+  * exactly that locality. Compaction bounds the other failure mode:
+  * thousands of small files (listing + open overhead dominating) or
+  * few giant ones (no parallelism).
+  */
+object Layout {
+
+  /** Z-value (Morton code) of pre-scaled non-negative int columns:
+    * bit `b` of column `i` lands at interleaved position
+    * `b·n + i`. Pure shift/mask column algebra — codegen'd, no UDF,
+    * no shuffle. Caller guarantees inputs fit `bits` bits
+    * (use [[zorderBy]] for automatic range scaling). */
+  def zvalue(bits: Int, cols: Column*): Column = {
+    require(cols.nonEmpty, "zvalue needs at least one column")
+    require(bits * cols.length <= 62,
+      s"$bits bits x ${cols.length} cols overflows a long")
+    val n = cols.length
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Cluster `df` into `nFiles` range partitions of the Z-value over
+    * `cols`, each sorted by it — write the result and every
+    * interleaved dimension gets locality. Column ranges are scaled to
+    * `bits`-bit ints from a driver-side min/max pass (2·|cols| scalars
+    * — bounded driver state); degenerate (constant) columns scale to
+    * 0 and drop out of the interleave. The range partitioning costs
+    * ONE shuffle at write time — the read-side pruning it buys is
+    * permanent, the same buy-once economics as
+    * [[Bucketing.writeBucketed]]. */
+  def zorderBy(df: DataFrame, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val maxCode = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      if (mx == mn) lit(0L)
+      else least(lit(maxCode), greatest(lit(0L),
+        ((col(c).cast("double") - mn) / (mx - mn) * maxCode).cast("long")))
+    }
+    val z = zvalue(bits, scaled: _*)
+    df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+  }
+
+  /** Repartition `df` so each output file lands near `targetBytes`,
+    * using the optimizer's size estimate (exact for parquet scans —
+    * it is the file footprint). `even = false` (default) COALESCES:
+    * a narrow, shuffle-free merge of existing partitions — the cheap
+    * fix for the small-files problem after a selective filter.
+    * `even = true` pays one round-robin shuffle for evenly-sized
+    * outputs — worth it when the input is skewed and a straggler
+    * file would gate downstream scans. */
+  def compactToSize(df: DataFrame, targetBytes: Long,
+      even: Boolean = false): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      math.ceil(bytes.toDouble / targetBytes.toDouble).toInt)
+    if (even) df.repartition(parts) else df.coalesce(parts)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkTestSession._
+
+  test("zvalue interleaves bits: unit inputs land at their interleaved positions") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L)).toDF("x", "y")
+    val got = df.select(Layout.zvalue(2, col("x"), col("y"))).as[Long].collect()
+    // x bit b -> position 2b, y bit b -> position 2b+1:
+    // (1,0)->1, (0,1)->2, (1,1)->3, (2,3)->{x:bit1->pos2, y:bits0,1->pos1,3}=2+8+4=14
+    assert(got.toSeq == Seq(1L, 2L, 3L, 14L))
+  }
+
+  test("z-order keeps locality in EVERY interleaved dimension; a sort only in one") {
+    // sf0.01 (15k orders): big enough that 16 files discriminate
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val n = orders.count()
+    val nFiles = 16
+    val r = orders.agg(
+      min("o_custkey"), max("o_custkey"),
+      min("o_totalprice"), max("o_totalprice")).first()
+    val (cMin, cMax) = (r.getLong(0), r.getLong(1))
+    val (pMin, pMax) = (r.getDouble(2), r.getDouble(3))
+    // the discriminating predicate constrains ONLY the dimension the
+    // baseline layout is NOT sorted by
+    val custkeyDecile = col("o_custkey") <= cMin + (cMax - cMin) / 10
+    val box2d = custkeyDecile &&
+      col("o_totalprice") <= pMin + (pMax - pMin) / 10
+
+    def layout(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_layout")
+        .toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    def filesTouched(back: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.Column): Int =
+      back.filter(p).select(input_file_name()).distinct().count().toInt
+
+    val z = layout(
+      Layout.zorderBy(orders, Seq("o_custkey", "o_totalprice"), nFiles))
+    val priceSorted = layout(
+      orders.repartitionByRange(nFiles, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice")))
+    assert(z.count() == n && priceSorted.count() == n,
+      "layout must preserve rows")
+
+    // measured: 2-D box — z 1 file, price-sorted 2; custkey decile —
+    // z 4 files, price-sorted ALL 16 (custkey is independent of
+    // price, so the sorted layout has zero locality for it). The file
+    // counts are what min/max skipping converts into pruned I/O.
+    assert(filesTouched(z, box2d) <= 2)
+    val zCust = filesTouched(z, custkeyDecile)
+    val sCust = filesTouched(priceSorted, custkeyDecile)
+    assert(zCust <= nFiles / 2,
+      s"z-order custkey decile touched $zCust of $nFiles files")
+    assert(sCust >= nFiles - 2,
+      s"baseline should spread over ~all files, touched $sCust")
+    assert(zCust < sCust / 2,
+      s"z-order ($zCust) must beat the orthogonal sort ($sCust) clearly")
+  }
+
+  test("compactToSize sizes partition count from bytes; coalesce path is shuffle-free") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val bytes = orders.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val target = bytes / 3 + 1
+    val compacted = Layout.compactToSize(orders, target)
+    assert(compacted.rdd.getNumPartitions <= 3)
+    val shuffles = collect(compacted.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, "coalesce compaction must not shuffle")
+    val even = Layout.compactToSize(orders, target, even = true)
+    assert(even.rdd.getNumPartitions == math.ceil(bytes.toDouble / target).toInt)
+    assert(even.count() == orders.count())
+  }
+}

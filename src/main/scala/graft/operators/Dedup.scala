@@ -307,6 +307,35 @@ object Dedup {
     bucketOverflow(lshBanded(df, idCol, textCol, k, numHashes, bands),
       Seq(col("band"), col("bh")), maxBucket)
 
+  /** Bucket-POPULATION telemetry for the text minhash banding — the
+    * forward-looking companion to [[lshBucketOverflow]]'s cap audit.
+    *
+    * Text minhash buckets only collide for genuinely similar content,
+    * so bucket growth is CONTENT-driven: auto-sizing bits with log n
+    * (the d6 embedding fix) does not apply — more hash rows cannot
+    * split a bucket of true near-duplicates. What an operator needs
+    * instead is to SEE the distribution drifting before the cap
+    * drops work: this emits one row of `n_buckets`, `max_bucket`,
+    * `p50/p90/p99` bucket sizes, and `pair_expansion` =
+    * Σ n·(n−1)/2 — the exact in-bucket candidate count the expansion
+    * stage will generate, i.e. the operator's cost forecast. Run it
+    * on a sample cadence (it re-runs only the banding scan, no pair
+    * expansion); a rising p99 with stable p50 means a few
+    * mass-duplicate clusters (exact-dedup first — the documented
+    * contract); a rising p50 means corpus-wide similarity creep and a
+    * threshold/shingle-size revisit. */
+  def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshBanded(df, idCol, textCol, k, numHashes, bands)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("size_p50_p90_p99"),
+        sum(col("n") * (col("n") - lit(1)) / lit(2)).cast("long")
+          .as("pair_expansion"))
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     * components of the pair graph, labeling every member with the
     * minimum id of its component (the canonical survivor a dedup

@@ -597,6 +597,44 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Persist an IVF-PQ index as a self-contained directory: the
+    * per-vector codes frame (`index/` — the only table that scales
+    * with the corpus) plus two tiny side tables for the coarse
+    * centroids (`centroids/`) and PQ codebooks (`codebooks/`).
+    * Everything is plain parquet — readable by any engine, and the
+    * index frame can itself be laid out with
+    * [[graft.operators.Bucketing]] / [[graft.operators.Layout]] when
+    * cell-local scans matter. */
+  def saveIvfPqIndex(index: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.write.mode("overwrite").parquet(s"$path/index")
+    centroids.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for ((cb, j) <- codebooks.zipWithIndex.toSeq; (c, ci) <- cb.zipWithIndex)
+      yield (j, ci, c.toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load an index written by [[saveIvfPqIndex]]. The side tables are
+    * bounded driver state (nlist·dim + m·ksub·subdim floats); the
+    * index frame stays distributed. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val index = spark.read.parquet(s"$path/index")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    (index, cents, codebooks)
+  }
+
   /** One-call IVF-PQ: build the index, then search it. Production
     * keeps the two phases separate (the index is the artifact you
     * persist); this form is for specs and exploration. */

@@ -437,6 +437,48 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "top-k must not be a window sort")
   }
 
+  test("IVF-PQ index round-trips through parquet: loaded search equals in-memory search") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    val (index, codebooks) =
+      Similarity.ivfPqIndex(e, "vec_id", "embedding", cents, 8, 16, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = rows(Similarity.ivfPqSearch(q, index, "vec_id", "embedding",
+      5, cents, codebooks, nprobe = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfPqIndex(index, cents, codebooks, dir)
+    val (index2, cents2, codebooks2) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(codebooks2.map(_.map(_.toSeq).toSeq).toSeq ==
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val after = rows(Similarity.ivfPqSearch(q, index2, "vec_id", "embedding",
+      5, cents2, codebooks2, nprobe = 4))
+    assert(after == before)
+  }
+
+  test("lshBucketStats forecasts the in-bucket pair expansion exactly for planted dups") {
+    import spark.implicits._
+    // 20 identical texts collide in every band; 30 distinct fillers
+    val rows = (0 until 20).map(i => (i.toLong, "the same exact document text here")) ++
+      (0 until 30).map(i => ((100 + i).toLong,
+        s"filler document number $i with its own unique words $i"))
+    val df = rows.toDF("id", "text")
+    val stats = Dedup.lshBucketStats(df, "id", "text").collect()(0)
+    assert(stats.getAs[Long]("n_buckets") > 0)
+    // the planted cluster dominates: its bucket shows up at full size
+    // in every band
+    assert(stats.getAs[Long]("max_bucket") >= 20L)
+    // pair_expansion >= bands * C(20,2) from the planted cluster alone
+    assert(stats.getAs[Long]("pair_expansion") >= 4L * (20 * 19 / 2))
+    // p99 sees the mass-duplicate bucket while p50 stays small — the
+    // drift signature the scaladoc tells operators to watch for
+    val ps = stats.getSeq[Long](stats.fieldIndex("size_p50_p90_p99"))
+    assert(ps.length == 3 && ps(2) >= ps(0))
+  }
+
   test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

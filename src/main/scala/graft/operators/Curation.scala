@@ -322,4 +322,68 @@ object Curation {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(topN)
   }
+
+  /** BM25 keyword retrieval: the `topN` documents scoring highest for
+    * a bag of query `terms` under Okapi BM25
+    * (`idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln((N−df+0.5)/(df+0.5) + 1)` — the Lucene/+1 form, always
+    * ≥ 0). Tokens are whitespace-split verbatim (same convention as
+    * [[repetitionStats]]); callers normalize case upstream if needed.
+    *
+    * Scale shape, in corpus-scan order: ONE tokenizing scan feeds both
+    * the per-document length and the term-match explode, and the
+    * `isin(terms)` filter runs BEFORE the explode's groupBy — only
+    * matching tokens (a vanishing fraction of a 100 TB corpus) ever
+    * reach a shuffle. Corpus stats (N, Σdl) partial-aggregate to one
+    * row; per-term df aggregates to |terms| rows; both ride back as
+    * broadcasts. The final cut is an orderBy+limit — Spark plans
+    * TakeOrdered (k·partitions rows to the driver), never a global
+    * sort. Scoring sums per-term contributions in the fixed order of
+    * `terms` over exact-integer tf/dl/df counts, so the result is
+    * bit-deterministic on any partitioning and oracle-checkable.
+    *
+    * @return (doc_id, n_hits, score) — `n_hits` = distinct query
+    *         terms present; ties break by doc id ascending. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    val base = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // one row: exact-integer corpus stats (sum-then-divide avgdl, so
+    // the double is a single deterministic division, not an
+    // order-sensitive running mean)
+    val st = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * col("n_docs")
+            / col("sum_dl"))))
+    // pivot each term's weight into its own column, then add in the
+    // fixed order of `terms` — a deterministic fold (x + 0.0 == x in
+    // IEEE for the finite non-negative weights BM25+1 produces)
+    val perTerm = contrib.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_hits"),
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("w"))).as(s"_w$i")
+      }: _*)
+    perTerm.select(col("doc_id"), col("n_hits"),
+      terms.indices.map(i => coalesce(col(s"_w$i"), lit(0d)))
+        .reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

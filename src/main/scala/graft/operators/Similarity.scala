@@ -532,6 +532,49 @@ object Similarity {
     pqTopKWith(queries, corpus, idCol, vecCol, k,
       pqCodebooksFirst(corpus, idCol, vecCol, m, ksub))
 
+  // ---------------------------------------------------------- rerank
+
+  /** Exact-cosine rerank of an approximate candidate list — the
+    * standard recall-recovery stage for the quantized tier: a cheap
+    * first stage over-fetches `k' > k` candidates by quantized (ADC)
+    * score, then only those k'·nq rows are re-scored against the
+    * full-precision vectors and the true top k kept. Accepts any
+    * `(q_id, n_id)` candidate frame ([[sq8TopK]], [[pqTopK]],
+    * [[ivfPqSearch]] outputs all fit).
+    *
+    * Scale shape: the candidate frame is nq·k' rows — broadcast
+    * against the corpus scan to fetch exact vectors, so the corpus
+    * never shuffles and rerank cost is |candidates| dot products into
+    * [[topKMerge]] bounded heaps. After rerank, value error is zero
+    * for every returned pair (scores are exact cosine, identical to
+    * [[bruteForceTopK]]'s); what remains approximate is coverage —
+    * a true neighbor the first stage never surfaced stays missing,
+    * which is why the stage over-fetches. */
+  def exactRerank(candidates: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    val cand = candidates.select(col("q_id"), col("n_id"))
+    val withVec = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(cand), Seq("n_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = withVec.join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    topKMerge(scored, k)
+  }
+
+  /** [[sq8TopK]] over-fetching `k · overfetch` ADC candidates, then
+    * [[exactRerank]]ed to the true top k — the production composition
+    * for the SQ8 tier: the corpus scan still reads 1-byte codes, and
+    * only nq·k·overfetch exact vectors are ever touched. */
+  def sq8TopKRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, overfetch: Int = 3)
+      : DataFrame =
+    exactRerank(
+      sq8TopK(queries, corpus, idCol, vecCol, k * overfetch),
+      queries, corpus, idCol, vecCol, k)
+
   // ---------------------------------------------------------- IVF-PQ
 
   /** Build the IVF-PQ index: every corpus vector is assigned to its

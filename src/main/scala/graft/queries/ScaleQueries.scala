@@ -203,6 +203,18 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // S8 — over-fetch + exact rerank, the production composition for
+    // the quantized tier: s6's SQ8 ADC pipeline fetches 3k candidates,
+    // then only those are re-scored with full-precision cosine. The
+    // oracle replays both stages, so a green row proves the candidate
+    // cut AND that reranked scores are bit-identical to exact cosine.
+    "s8_sq8_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sq8TopKRerank(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5, overfetch = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s3_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
@@ -270,6 +282,21 @@ object ScaleQueries {
     "t6_repetition" -> ((s, d) => {
       Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // T8 — BM25 keyword retrieval over the documents table; "quantile"
+    // is absent from the corpus (df = 0) and must contribute exactly
+    // nothing on both engines. The idf's ln() is the one transcendental
+    // in the oracle suite — neither JVM Math.log nor libm is correctly
+    // rounded, so raw doubles differ by ~1 ulp across engines; the
+    // score is therefore compared at 12 decimals (the repo's decimal
+    // convention, Tables.dec), which both engines round identically.
+    "t8_bm25" -> ((s, d) => {
+      Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "vector", "hash", "quantile"), topN = 10)
+        .select(col("doc_id"), col("n_hits"),
+          col("score").cast("decimal(20,12)").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // ---- corpus curation ----
@@ -541,6 +568,52 @@ object ScaleQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s8_sq8_rerank" ->
+      s"""WITH dims AS (
+         |  SELECT unnest(generate_series(1, 64)) AS d,
+         |         unnest(embedding) AS v
+         |  FROM embeddings),
+         |b AS (SELECT d, min(CAST(v AS DOUBLE)) AS mn,
+         |             max(CAST(v AS DOUBLE)) AS mx
+         |      FROM dims GROUP BY d),
+         |ba AS (SELECT list(mn ORDER BY d) AS mns,
+         |              list(mx - mn ORDER BY d) AS rgs FROM b),
+         |enc AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> CASE WHEN rgs[i] = 0 THEN 0
+         |         ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i])
+         |           / rgs[i] * 255) AS INT) END) AS codes
+         |  FROM embeddings, ba),
+         |rec AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> mns[i] + CAST(codes[i] AS DOUBLE) * rgs[i] / 255) AS rv
+         |  FROM enc, ba),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 16),
+         |adc AS (
+         |  SELECT q_id, r.vec_id AS n_id,
+         |    list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * rv[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+         |       sqrt(list_sum(list_transform(generate_series(1,64), i -> rv[i] * rv[i])))) AS cos
+         |  FROM q CROSS JOIN rec r WHERE q_id <> r.vec_id),
+         |cand AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |    FROM adc)
+         |  WHERE rank <= 15),
+         |re AS (
+         |  SELECT c.q_id, c.n_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  JOIN embeddings ne ON ne.vec_id = c.n_id)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM re)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "s7_pq_topk" ->
       """WITH cb AS (
@@ -822,6 +895,40 @@ object ScaleQueries {
         |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(sh) AS s FROM grams)
         |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "t8_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, toks, len(toks) AS dl FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |    FROM documents)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+        |  WHERE t IN ('spark', 'vector', 'hash', 'quantile')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * st.n_docs / st.sum_dl)) AS w
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    max(CASE WHEN term = 'spark' THEN w END) AS w0,
+        |    max(CASE WHEN term = 'vector' THEN w END) AS w1,
+        |    max(CASE WHEN term = 'hash' THEN w END) AS w2,
+        |    max(CASE WHEN term = 'quantile' THEN w END) AS w3
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, n_hits,
+        |  CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
+        |    + coalesce(w3, 0) AS DECIMAL(20,12)) AS score
+        |FROM p
+        |ORDER BY coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
+        |  + coalesce(w3, 0) DESC, doc_id LIMIT 10""".stripMargin,
 
     "t6_repetition" ->
       """WITH c AS (

@@ -337,4 +337,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out.head == ("a b", 3L))
     assert(out.drop(1).map(_._1).sameElements(Array("b a", "b c")))
   }
+
+  test("bm25TopK matches the hand-computed Okapi formula") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b b"))
+      .toDF("doc_id", "text")
+    // N=3, sum_dl=9, avgdl=3; df(a)=2, df(b)=2, zz absent (df=0);
+    // idf(a)=idf(b)=ln((3-2+0.5)/(2+0.5)+1)=ln(1.6)
+    val idf = math.log(1.6)
+    def w(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.toDouble * 3 / 9))
+    val expected = Map(
+      1L -> (2L, w(2, 3) + w(1, 3)), // a:2 b:1, dl 3
+      2L -> (1L, w(1, 2)),           // a:1, dl 2
+      3L -> (1L, w(4, 4)))           // b:4, dl 4
+    val out = Curation.bm25TopK(df, "doc_id", "text",
+      terms = Seq("a", "b", "zz"), topN = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("score"))))
+    // descending score: doc1 (~1.116) > doc3 (~0.752) > doc2 (~0.544)
+    assert(out.map(_._1).sameElements(Array(1L, 3L, 2L)))
+    out.foreach { case (id, (hits, score)) =>
+      assert(hits == expected(id)._1, s"n_hits for doc $id")
+      assert(math.abs(score - expected(id)._2) < 1e-12,
+        s"score for doc $id: $score vs ${expected(id)._2}")
+    }
+    // the topN cut keeps the highest-scoring docs only
+    val top1 = Curation.bm25TopK(df, "doc_id", "text",
+      terms = Seq("a", "b"), topN = 1).collect()
+    assert(top1.length == 1 && top1(0).getAs[Long]("doc_id") == 1L)
+  }
 }

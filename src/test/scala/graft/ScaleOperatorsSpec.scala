@@ -479,6 +479,48 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(ps.length == 3 && ps(2) >= ps(0))
   }
 
+  test("sq8 rerank emits exact-cosine scores and never recalls worse than raw ADC") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val adc = pairs(Similarity.sq8TopK(q, e, "vec_id", "embedding", 5))
+    val rr = Similarity.sq8TopKRerank(q, e, "vec_id", "embedding", 5, 3)
+    // reranked scores are bit-identical to full-precision cosine —
+    // quantization error is gone from every returned value
+    val withExact = rr
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")), "n_id")
+      .withColumn("cexp", Similarity.cosine(col("qv"), col("nv")))
+    assert(withExact.filter(col("cos") =!= col("cexp")).count() == 0)
+    // recall recovery: the reranked top-k agrees with brute force at
+    // least as often as the quantized ranking it started from
+    val rrOverlap = (pairs(rr) & exact).size
+    val adcOverlap = (adc & exact).size
+    assert(rrOverlap >= adcOverlap, s"rerank $rrOverlap < adc $adcOverlap")
+    // plan: the candidate fetch is a broadcast join against the corpus
+    // scan — the corpus must never sort-merge-shuffle for it
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "candidate fetch must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for rerank")
+  }
+
+  test("exactRerank over an all-pairs candidate set reproduces brute force exactly") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val all = q.select(col("vec_id").as("q_id"))
+      .crossJoin(e.select(col("vec_id").as("n_id")))
+      .filter(col("q_id") =!= col("n_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val expected = rows(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val got = rows(Similarity.exactRerank(all, q, e, "vec_id", "embedding", 5))
+    assert(got == expected)
+  }
+
   test("IVF with k-means-trained centroids: probe-all is exact, few probes recall well") {
     val e = graft.util.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

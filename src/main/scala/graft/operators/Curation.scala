@@ -323,6 +323,51 @@ object Curation {
       .limit(topN)
   }
 
+  /** Cluster-balanced subsample over an embedding column — the
+    * SemDeDup/cluster-pruning curation family: assign every vector to
+    * its nearest centroid (cosine, ties to the lowest cell) and keep
+    * only the `perCell` most central members of each cell, capping
+    * every semantic neighborhood's contribution to the training mix
+    * regardless of how over-represented it is in the raw corpus.
+    * Centroids come from [[Similarity.kmeansCentroids]] in production;
+    * any fixed matrix (e.g. a deterministic first-k quantizer) works
+    * and keeps the result engine-reproducible.
+    *
+    * Scale shape: assignment is a narrow map against the broadcast
+    * centroid literal (one fused [[graft.functions.CentroidScores]]
+    * pass per row, evaluated once — cell and score come out of the
+    * same argmax struct); the per-cell cut is a
+    * [[graft.functions.BoundedTopK]] partial-agg heap keyed by cell —
+    * map-side heaps bound every partition's contribution to
+    * `perCell`, so the one shuffle carries at most
+    * cells·perCell·partitions slim (cos, id) entries and NEVER a
+    * window sort over the corpus. Same tie rule as every top-k here:
+    * score DESC, id ASC.
+    *
+    * @return (cell, vec_id, rank, cen_cos), rank 1-based by
+    *         centrality within the cell. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], perCell: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    require(perCell > 0, "perCell must be positive")
+    val scores = GraftColumns.column(graft.functions.CentroidScores(
+      GraftColumns.expression(col(vecCol)), centroids))
+    val assigned = df
+      .select(col(idCol).cast("long").as("n_id"),
+        array_max(scores).as("best"))
+      .select(col("n_id"),
+        (-col("best.negid")).cast("int").as("cell"),
+        col("best.cos").as("cos"))
+    val entry = GraftColumns.expression(struct(col("cos"), col("n_id")))
+    val topk = GraftColumns.column(
+      graft.functions.BoundedTopK(entry, perCell).toAggregateExpression())
+    assigned.groupBy(col("cell")).agg(topk.as("top"))
+      .select(col("cell"), posexplode(col("top")))
+      .select(col("cell"), col("col.n_id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.cos").as("cen_cos"))
+  }
+
   /** BM25 keyword retrieval: the `topN` documents scoring highest for
     * a bag of query `terms` under Okapi BM25
     * (`idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,

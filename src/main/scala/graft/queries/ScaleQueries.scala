@@ -284,6 +284,22 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X6 — cluster-balanced subsample (SemDeDup family): every vector
+    // assigned to its nearest of 16 deterministic first-k centroids,
+    // each cell keeps its 20 most central members. The oracle replays
+    // assignment (cos DESC, cell ASC) and the per-cell cut
+    // (cos DESC, id ASC) from the table itself.
+    "x6_cluster_sample" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids: Array[Array[Float]] = e
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .orderBy(col("id")).limit(16)
+        .collect().map(_.getSeq[Float](1).toArray)
+      Curation.clusterBalancedSample(e, "vec_id", "embedding",
+        centroids, perCell = 20)
+        .orderBy(col("cell"), col("rank"))
+    }),
+
     // T8 — BM25 keyword retrieval over the documents table; "quantile"
     // is absent from the corpus (df = 0) and must contribute exactly
     // nothing on both engines. The idf's ln() is the one transcendental
@@ -895,6 +911,28 @@ object ScaleQueries {
         |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(sh) AS s FROM grams)
         |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "x6_cluster_sample" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT vec_id, cell, cos FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ${cosSql("v.embedding", "c.embedding")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c)
+         |  WHERE rn = 1)
+         |SELECT cell, vec_id, rank, cen_cos FROM (
+         |  SELECT cell, vec_id, cos AS cen_cos,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM assign)
+         |WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
 
     "t8_bm25" ->
       """WITH d AS (

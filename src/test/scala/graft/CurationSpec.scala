@@ -338,6 +338,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out.drop(1).map(_._1).sameElements(Array("b a", "b c")))
   }
 
+  test("clusterBalancedSample caps each cell at perCell most-central members") {
+    import spark.implicits._
+    // two orthogonal axes as centroids; 5 vectors near axis 0 with
+    // decreasing centrality, 1 on axis 1
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c1 = Array(0f, 1f, 0f, 0f)
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.0f, 0f, 0f)),   // cos 1.0 to c0
+      (11L, Seq(1.0f, 0.1f, 0f, 0f)),   // slightly off-axis
+      (12L, Seq(1.0f, 0.3f, 0f, 0f)),
+      (13L, Seq(1.0f, 0.6f, 0f, 0f)),
+      (20L, Seq(0.0f, 1.0f, 0f, 0f)))   // cell 1
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Curation.clusterBalancedSample(
+      df, "vec_id", "embedding", Array(c0, c1), perCell = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // cell 0 keeps only its 2 most central (10 then 11); 12/13 cut;
+    // cell 1 keeps its single member
+    assert(out == Set((0, 10L, 1), (0, 11L, 2), (1, 20L, 1)))
+    // plan shape: the per-cell cut must be the bounded-heap partial
+    // aggregate, never a window sort over the corpus
+    val plan = graft.operators.Curation.clusterBalancedSample(
+      df, "vec_id", "embedding", Array(c0, c1), perCell = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-cell cut must not be a window")
+    assert(plan.contains("partial_topk") || plan.contains("topk"),
+      "expected the BoundedTopK partial aggregate")
+  }
+
   test("bm25TopK matches the hand-computed Okapi formula") {
     import spark.implicits._
     val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b b"))

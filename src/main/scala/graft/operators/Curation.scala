@@ -385,13 +385,24 @@ object Curation {
     * TakeOrdered (k·partitions rows to the driver), never a global
     * sort. Scoring sums per-term contributions in the fixed order of
     * `terms` over exact-integer tf/dl/df counts, so the result is
-    * bit-deterministic on any partitioning and oracle-checkable.
+    * bit-deterministic on any partitioning — WITHIN one engine. Across
+    * engines the idf's `ln()` differs by ~1 ulp (no libm is correctly
+    * rounded), so two docs can swap rank, and a 1-ulp boundary at rank
+    * `topN` can select different sets. `scoreScale ≥ 0` makes the cut
+    * engine-portable: the score is cast to `decimal(20, scoreScale)`
+    * BEFORE the orderBy/limit (and returned as that decimal), so both
+    * the ranking and the topN boundary use a value both engines round
+    * identically; a cross-engine oracle must apply the same cast in its
+    * ORDER BY.
     *
+    * @param scoreScale if ≥ 0, rank/cut/return the score as
+    *        `decimal(20, scoreScale)` instead of the raw double
     * @return (doc_id, n_hits, score) — `n_hits` = distinct query
     *         terms present; ties break by doc id ascending. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topN: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      scoreScale: Int = -1): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be non-empty and distinct")
     val base = df.select(col(idCol).as("doc_id"),
@@ -425,9 +436,11 @@ object Curation {
       terms.zipWithIndex.map { case (t, i) =>
         max(when(col("term") === t, col("w"))).as(s"_w$i")
       }: _*)
-    perTerm.select(col("doc_id"), col("n_hits"),
-      terms.indices.map(i => coalesce(col(s"_w$i"), lit(0d)))
-        .reduce(_ + _).as("score"))
+    val rawScore = terms.indices.map(i => coalesce(col(s"_w$i"), lit(0d)))
+      .reduce(_ + _)
+    val score = if (scoreScale >= 0)
+      rawScore.cast(s"decimal(20,$scoreScale)") else rawScore
+    perTerm.select(col("doc_id"), col("n_hits"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
   }

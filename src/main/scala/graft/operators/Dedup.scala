@@ -145,10 +145,12 @@ object Dedup {
     * for each rows-per-band choice the band count follows from the
     * recall formula; pick the cheapest total signature length. More
     * rows per band = sharper threshold (fewer sub-threshold
-    * candidates) but more bands to hold recall — unlike the embedding
-    * LSH there is no corpus-size term, because minhash buckets only
-    * collide for genuinely similar pairs (band keys hash r minhash
-    * values; random pairs collide at ~s^r, not n/2^bits). */
+    * candidates) but more bands to hold recall. This overload has no
+    * corpus-size term — random pairs collide at ~s^r per band, not
+    * n/2^bits — but s^r is only NEGLIGIBLE when r outgrows the
+    * corpus: at fixed r, background-similarity collisions grow with
+    * n² and the in-bucket expansion quadratically; the n-aware
+    * overload grows r with log n to bound them. */
   def minhashGeometry(threshold: Double, targetRecall: Double = 0.9,
       maxRows: Int = 8, maxBands: Int = 64): (Int, Int) = {
     require(threshold > 0 && threshold < 1, s"jaccard threshold in (0,1)")
@@ -166,6 +168,60 @@ object Dedup {
     // the buckets with sub-threshold candidates (a pair at jaccard 0.3
     // collides with p=0.51 under 2 bands x 1 row)
     options.maxBy(_._2)
+  }
+
+  /** Corpus-size-aware minhash banding — the text analog of
+    * [[graft.operators.Similarity.rhpGeometry]]. A pair at BACKGROUND
+    * jaccard `bgJaccard` (the corpus's typical unrelated-pair
+    * similarity: shared stopword shingles, boilerplate) collides in one
+    * band with probability `bgJaccard^rows`, so each document expects
+    * `n · bgJaccard^rows` background colliders per band. Fixed rows at
+    * growing n is linear bucket population and QUADRATIC in-bucket pair
+    * expansion — the measured d3 scale-killer (9.9× wall per 10× data
+    * at sf10 under the fixed 4×4 banding). Growing rows with log n
+    * holds colliders-per-doc at `targetBucket`, exactly as rhpGeometry
+    * grows bits to hold `n / 2^bits`:
+    * `rows ≥ ln(n/targetBucket) / ln(1/bgJaccard)`. Bands then grow per
+    * the recall formula to hold `targetRecall` at the TRUE-pair
+    * threshold (what rows-growth cannot do — and what it does not need
+    * to do — is split buckets of genuine near-duplicates; that remains
+    * the exact-dedup-first contract documented on [[lshNearDupPairs]]).
+    *
+    * `minRows = 4` keeps small corpora on the classic sharp banding;
+    * at n = 500 (the sf0.01 oracle scale) this yields (5 bands, 4
+    * rows) — the geometry the DuckDB mirror embeds.
+    *
+    * @return (bands, rowsPerBand); signature length = bands · rows. */
+  def minhashGeometry(n: Long, threshold: Double, targetRecall: Double,
+      targetBucket: Int, bgJaccard: Double, minRows: Int,
+      maxRows: Int, maxBands: Int): (Int, Int) = {
+    require(n > 0, "empty corpus has no geometry")
+    require(bgJaccard > 0 && bgJaccard < threshold,
+      "background jaccard must sit below the near-dup threshold")
+    val sized = math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(1.0 / bgJaccard)).toInt
+    val rows = math.min(maxRows, math.max(minRows, sized))
+    val perBand = math.pow(threshold, rows)
+    val bands = math.min(maxBands, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-perBand)).toInt))
+    (bands, rows)
+  }
+
+  /** [[minhashGeometry]] with the defaults the d3 path uses. */
+  def minhashGeometry(n: Long, threshold: Double): (Int, Int) =
+    minhashGeometry(n, threshold, targetRecall = 0.9, targetBucket = 32,
+      bgJaccard = 0.1, minRows = 4, maxRows = 16, maxBands = 64)
+
+  /** [[lshNearDupPairs]] with the banding auto-sized for the corpus via
+    * the n-aware [[minhashGeometry]] — one cheap count-star pre-job
+    * (parquet metadata), mirroring d6's embedding-LSH auto-sizing. */
+  def lshNearDupPairsSized(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = 1024): DataFrame = {
+    val (bands, rows) = minhashGeometry(df.count(), threshold)
+    lshNearDupPairs(df, idCol, textCol, k,
+      numHashes = bands * rows, bands = bands, threshold = threshold,
+      maxBucket = maxBucket)
   }
 
   /** (id, sh, band, bh) banding frame shared by [[lshNearDupPairs]] and

@@ -55,6 +55,23 @@ object ScaleQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       k = 3, threshold = 0.7)
 
+  /** d3's banding geometry at the sf0.01 verify scale (n = 500
+    * documents) — the n-aware minhashGeometry result the Spark side
+    * reproduces via its runtime count(), embedded here so the DuckDB
+    * mirror below is generated from the SAME literals (d6 pattern). */
+  private val (d3Bands, d3Rows) = Dedup.minhashGeometry(500L, 0.8)
+  private val d3Hashes = d3Bands * d3Rows
+
+  /** DuckDB `banded` CTE for d3: one UNION ALL arm per band, each
+    * hashing its `d3Rows`-value slice of the signature. */
+  private val d3BandedCte: String =
+    (0 until d3Bands).map { b =>
+      val lo = b * d3Rows + 1
+      val hi = (b + 1) * d3Rows
+      val sel = if (b == 0) s"SELECT id, 0 AS band, " else s"UNION ALL SELECT id, $b, "
+      s"  $sel md5(array_to_string(sg[$lo:$hi], '|')) ${if (b == 0) "AS bh " else ""}FROM sig"
+    }.mkString("\n")
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "d1_exact_dedup" -> ((s, d) => {
@@ -73,9 +90,16 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Banding geometry scales with the corpus (d6 pattern): rows per
+    // band grow with log n so background-similarity collisions — which
+    // grow with n² at fixed rows and made the old 4×4 banding 9.9× per
+    // 10× data at sf10 — stay bounded at ~32 colliders/doc/band, and
+    // bands then grow per the recall formula to hold 0.9 at jaccard
+    // 0.8. At the sf0.01 oracle scale (n=500) this reproduces exactly
+    // the 5-band × 4-row geometry the DuckDB mirror embeds.
     "d3_lsh_neardup_pairs" -> ((s, d) => {
-      Dedup.lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      Dedup.lshNearDupPairsSized(Tables.documents(s, d), "doc_id",
+        "text", k = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -305,13 +329,14 @@ object ScaleQueries {
     // nothing on both engines. The idf's ln() is the one transcendental
     // in the oracle suite — neither JVM Math.log nor libm is correctly
     // rounded, so raw doubles differ by ~1 ulp across engines; the
-    // score is therefore compared at 12 decimals (the repo's decimal
-    // convention, Tables.dec), which both engines round identically.
+    // score is therefore RANKED, CUT, and compared at 12 decimals
+    // (scoreScale = 12 inside bm25TopK; the oracle's ORDER BY applies
+    // the identical CAST), so the top-10 set and its order are
+    // engine-portable even at a 1-ulp rank-10/11 boundary.
     "t8_bm25" -> ((s, d) => {
       Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        terms = Seq("spark", "vector", "hash", "quantile"), topN = 10)
-        .select(col("doc_id"), col("n_hits"),
-          col("score").cast("decimal(20,12)").as("score"))
+        terms = Seq("spark", "vector", "hash", "quantile"), topN = 10,
+        scoreScale = 12)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -368,16 +393,13 @@ object ScaleQueries {
     "d3_lsh_neardup_pairs" ->
       s"""WITH $shinglesCte,
          |sig AS (
-         |  SELECT id, sh, list_transform(generate_series(0,15),
+         |  SELECT id, sh, list_transform(generate_series(0,${d3Hashes - 1}),
          |    i -> list_min(list_transform(
          |      list_transform(sh, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647),
          |      h -> (h * ((1 + i*2654435761) % 2147483647) + ((7 + i*40503) % 2147483647)) % 2147483647))) AS sg
          |  FROM base),
          |banded AS (
-         |  SELECT id, 0 AS band, md5(array_to_string(sg[1:4], '|')) AS bh FROM sig
-         |  UNION ALL SELECT id, 1, md5(array_to_string(sg[5:8], '|')) FROM sig
-         |  UNION ALL SELECT id, 2, md5(array_to_string(sg[9:12], '|')) FROM sig
-         |  UNION ALL SELECT id, 3, md5(array_to_string(sg[13:16], '|')) FROM sig),
+         |$d3BandedCte),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM banded a JOIN banded b
@@ -965,8 +987,9 @@ object ScaleQueries {
         |  CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
         |    + coalesce(w3, 0) AS DECIMAL(20,12)) AS score
         |FROM p
-        |ORDER BY coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
-        |  + coalesce(w3, 0) DESC, doc_id LIMIT 10""".stripMargin,
+        |ORDER BY CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
+        |  + coalesce(w3, 0) AS DECIMAL(20,12)) DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     "t6_repetition" ->
       """WITH c AS (

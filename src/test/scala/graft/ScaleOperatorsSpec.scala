@@ -562,6 +562,36 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(Dedup.minhashExpectedRecall(4, 4, 0.8) > 0.85)
   }
 
+  test("n-aware minhash geometry grows rows with log n and holds recall") {
+    // sf0.01 scale reproduces the geometry the d3 oracle embeds
+    assert(Dedup.minhashGeometry(500L, 0.8) == (5, 4))
+    // rows grow with log n (bounding background-similarity colliders
+    // at ~targetBucket/doc/band), bands re-grow to hold recall 0.9
+    val ns = Seq(500L, 500000L, 50000000L, 5000000000L)
+    val geos = ns.map(Dedup.minhashGeometry(_, 0.8))
+    assert(geos.map(_._2) == geos.map(_._2).sorted, s"rows not monotone: $geos")
+    assert(geos.last._2 > geos.head._2, s"rows never grew: $geos")
+    geos.foreach { case (b, r) =>
+      assert(Dedup.minhashExpectedRecall(b, r, 0.8) >= 0.9,
+        s"geometry ${b}x$r breaks the recall floor") }
+    // background pairs (jaccard 0.1) stay bounded: n * 0.1^rows <= 32
+    // once the sizing term dominates the minRows floor
+    ns.zip(geos).drop(1).foreach { case (n, (_, r)) =>
+      assert(n * math.pow(0.1, r) <= 32.0 + 1e-9,
+        s"n=$n rows=$r leaves ${n * math.pow(0.1, r)} colliders/doc") }
+    // sized path returns the same pairs as the explicit-geometry path
+    val docs = graft.util.Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sized = pairSet(Dedup.lshNearDupPairsSized(
+      docs, "doc_id", "text", k = 3, threshold = 0.8))
+    val (b0, r0) = Dedup.minhashGeometry(docs.count(), 0.8)
+    val explicit = pairSet(Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = b0 * r0, bands = b0, threshold = 0.8))
+    assert(sized == explicit && sized.nonEmpty)
+  }
+
   test("LSH refuses geometries whose expected recall floor is below 0.5") {
     // the recall guard: a caller asking for 4 bands x 14 bits at
     // threshold 0.35 (expected recall ~0.4%) must find out at plan

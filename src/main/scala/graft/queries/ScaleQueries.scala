@@ -329,15 +329,24 @@ object ScaleQueries {
     // nothing on both engines. The idf's ln() is the one transcendental
     // in the oracle suite — neither JVM Math.log nor libm is correctly
     // rounded, so raw doubles differ by ~1 ulp across engines; the
-    // score is therefore RANKED, CUT, and compared at 12 decimals
-    // (scoreScale = 12 inside bm25TopK; the oracle's ORDER BY applies
-    // the identical CAST), so the top-10 set and its order are
-    // engine-portable even at a 1-ulp rank-10/11 boundary.
+    // score is therefore RANKED and CUT at 12 decimals (scoreScale = 12
+    // inside bm25TopK; the oracle's ORDER BY applies the identical
+    // CAST), so the top-10 set and its order are engine-portable even
+    // at a 1-ulp rank-10/11 boundary. The COMPARED column is
+    // representation-proof: the decimal(20,12) score is scaled to an
+    // exact integer `score_e12 = score * 10^12` via decimal arithmetic
+    // (decimal(24,12) × decimal(13,0) → decimal(38,12), exact — no
+    // double rounding at the integer boundary) and emitted as BIGINT,
+    // which hashes identically under any numeric canonicalization.
     "t8_bm25" -> ((s, d) => {
       Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "vector", "hash", "quantile"), topN = 10,
         scoreScale = 12)
-        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("score").cast("decimal(24,12)") *
+            lit(1000000000000L).cast("decimal(13,0)"))
+            .cast("bigint").as("score_e12"))
+        .orderBy(col("score_e12").desc, col("doc_id"))
     }),
 
     // ---- corpus curation ----
@@ -984,8 +993,10 @@ object ScaleQueries {
         |    max(CASE WHEN term = 'quantile' THEN w END) AS w3
         |  FROM w GROUP BY 1)
         |SELECT doc_id, n_hits,
-        |  CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
-        |    + coalesce(w3, 0) AS DECIMAL(20,12)) AS score
+        |  CAST(CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
+        |         + coalesce(w3, 0) AS DECIMAL(24,12))
+        |       * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT)
+        |    AS score_e12
         |FROM p
         |ORDER BY CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
         |  + coalesce(w3, 0) AS DECIMAL(20,12)) DESC, doc_id

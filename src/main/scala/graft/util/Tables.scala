@@ -25,16 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses to read
-    * as a timestamp. Read nanos as long and truncate to micros — exactly
-    * what DuckDB does internally (its timestamps are micro-precision), so
-    * oracle comparisons line up.
+  /** `events.ts` arrives in driver-generation-dependent physical types:
+    * parquet TIMESTAMP(NANOS) (Spark refuses to read it as a timestamp —
+    * read nanos as long, truncate to micros) or plain micros (pandas
+    * writes tz-naive → Spark reads TIMESTAMP_NTZ). Both normalize to a
+    * micro-precision UTC TimestampType column — exactly how DuckDB holds
+    * them (micro-precision, tz-naive read as UTC; session tz is UTC in
+    * every entrypoint), so oracle comparisons line up either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

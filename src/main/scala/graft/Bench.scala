@@ -100,7 +100,19 @@ object Bench {
     val slowest = results.maxByOption(_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.getOrElse("")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"failed":$fails,"slowest":{$slowest},"canary":$cStats,"sf":"$sfDir"}""")
+    val fullRecord =
+      s"""{"metric":"per_query","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"failed":$fails,"queries":$qs,"canary_samples":$cAll,"canary":$cStats,"sf":"$sfDir"}"""
+    // the stdout tail has repeatedly truncated the head of the long
+    // per-query line (rounds 5/8/9 each lost the a1–j12 prefix), so the
+    // COMPLETE per-query map is also written to a committed file — the
+    // durable record noise-vs-regression questions are answered from
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullRecord + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outFile: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"trials":$trials,"failed":$fails,"slowest":{$slowest},"canary":$cStats,"bench_out":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -605,6 +605,30 @@ object Similarity {
       pqEncode(col("residual"), codebooks).as("codes")), codebooks)
   }
 
+  /** [[ivfPqIndex]] under the deterministic first-ksub residual
+    * codebook (the IVF-PQ analog of [[pqCodebooksFirst]]): sub-
+    * codebook entry `c` of subspace `j` is subvector `j` of the
+    * residual of the `c`-th corpus vector in id order. Same index
+    * layout and search path as the k-means-trained form — only the
+    * codebook QUALITY differs — and every stage (cell assign →
+    * residual → codes → reconstruction) is recomputable by the DuckDB
+    * oracle (s9), which proves the whole chain bit-for-bit the way s7
+    * does for flat PQ. Residuals stay FLOAT (zip_with over two float
+    * arrays), so the collected codebook entries are exactly the values
+    * [[pqEncode]] sees. */
+  def ivfPqIndexFirst(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], m: Int, ksub: Int)
+      : (DataFrame, Array[Array[Array[Float]]]) = {
+    val cent = typedlit(centroids.map(_.toSeq).toSeq)
+    val withRes = corpus.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+      .withColumn("residual",
+        zip_with(col("v"), element_at(cent, col("cell") + 1), (a, b) => a - b))
+    val codebooks = pqCodebooksFirst(withRes, "n_id", "residual", m, ksub)
+    (withRes.select(col("n_id"), col("cell"),
+      pqEncode(col("residual"), codebooks).as("codes")), codebooks)
+  }
+
   /** Query an IVF-PQ index: probe the `nprobe` nearest cells, ADC
     * against `centroid + reconstructed residual`. Plan shape is
     * [[ivfTopKWith]]'s (cell-keyed broadcast join, bounded-heap

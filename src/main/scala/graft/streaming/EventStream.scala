@@ -18,21 +18,29 @@ import graft.util.Tables.dec
   */
 object EventStream {
 
-  /** Raw parquet schema of `events` (ts is TIMESTAMP(NANOS), readable
-    * only as long — see graft.util.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-stream over the events parquet (nanos → micros timestamps). */
+  /** File-stream over the events parquet, normalizing `ts` to a
+    * micro-precision UTC TimestampType EXACTLY as the batch reader
+    * ([[graft.util.Tables.events]]) does. The driver's testdata has
+    * shipped `ts` under two physical types so far — parquet
+    * TIMESTAMP(NANOS), readable only as long (nanosAsLong), and plain
+    * tz-naive micros (pandas-written, read as TIMESTAMP_NTZ) — and a
+    * regeneration can switch between them, so the streaming reader
+    * probes the actual file schema with one driver-side batch footer
+    * read instead of hard-coding either form. (Round 9 hard-coded the
+    * nanos form here after fixing only the batch reader; micros÷1000
+    * put every streamed timestamp in January 1970 and split the two
+    * readers — StreamingSpec now pins `readEvents == Tables.events`.) */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(fileSchema).parquet(path)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Watermarked tumbling-window aggregation (same shape as

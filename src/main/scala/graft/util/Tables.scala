@@ -43,7 +43,14 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // an unexpected physical type (a future regeneration) should be
+        // visible, not silently compared against the oracle
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"events.ts has unexpected physical type $other — passing " +
+            "through unnormalized; oracle comparisons may diverge")
+        df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -20,6 +20,22 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("readEvents normalizes ts identically to the batch reader") {
+    // the one place a testdata regeneration that switches the ts
+    // physical type can fail loudly: every downstream equivalence test
+    // assumes the streaming and batch readers produce identical rows
+    val q = EventStream.readEvents(spark, eventsPath)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rawevents")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rawevents").orderBy("event_id").collect()
+    val batch = Tables.events(spark, sf).orderBy("event_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming windowed agg equals the batch tumbling agg") {
     val stream = EventStream.readEvents(spark, eventsPath)
     val agg = EventStream.windowedAgg(stream, "1 hour", "10 minutes")

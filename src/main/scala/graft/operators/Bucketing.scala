@@ -35,6 +35,15 @@ object Bucketing {
     * metadata stays usable for merge joins. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // a previous session's table directory is invisible to this
+    // (in-memory) catalog but still fails CTAS with
+    // LOCATION_ALREADY_EXISTS — drop both the entry and the location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     val writer = df.repartition(nBuckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key)

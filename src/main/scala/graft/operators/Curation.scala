@@ -395,16 +395,38 @@ object Curation {
     * identically; a cross-engine oracle must apply the same cast in its
     * ORDER BY.
     *
+    * Broadcast-size guard: the broadcast sides are `df` per term
+    * (|terms| rows) and the 1-row corpus stats — "small dim" only
+    * while |terms| stays small. The operator refuses more than
+    * [[MaxBm25Terms]] terms: beyond that the `isin` literal bloats the
+    * plan and the df broadcast stops being free, and the right layout
+    * is a BUCKETED INVERTED INDEX instead — tokenize once, persist
+    * `(term, doc_id, dl, tf)` bucketed by term
+    * ([[Bucketing.writeBucketed]]), and each query becomes a
+    * bucket-pruned scan of just its terms' buckets feeding this same
+    * scoring tail. Repeated-query workloads (the common retrieval
+    * shape) amortize tokenization entirely that way; this operator is
+    * the one-shot/ad-hoc form.
+    *
     * @param scoreScale if ≥ 0, rank/cut/return the score as
     *        `decimal(20, scoreScale)` instead of the raw double
     * @return (doc_id, n_hits, score) — `n_hits` = distinct query
     *         terms present; ties break by doc id ascending. */
+  /** Query-term ceiling for [[bm25TopK]]: past this, the df/isin
+    * "small dim" assumption breaks and a bucketed inverted index is
+    * the right layout (see bm25TopK's scaladoc). */
+  val MaxBm25Terms: Int = 4096
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topN: Int,
       k1: Double = 1.2, b: Double = 0.75,
       scoreScale: Int = -1): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be non-empty and distinct")
+    require(terms.size <= MaxBm25Terms,
+      s"bm25TopK is the ad-hoc-query form: ${terms.size} terms exceeds " +
+        s"$MaxBm25Terms — build a bucketed inverted index instead " +
+        "(see scaladoc)")
     val base = df.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")))

@@ -49,6 +49,17 @@ object Layout {
     * [[Bucketing.writeBucketed]]. */
   def zorderBy(df: DataFrame, cols: Seq[String], nFiles: Int,
       bits: Int = 16): DataFrame = {
+    val z = scaledZ(df, cols, bits)
+    df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+  }
+
+  /** The Z-value column [[zorderBy]] clusters on, exposed so the
+    * interleave arithmetic itself is oracle-checkable (l1_zorder
+    * recomputes min/max scaling + Morton interleave in DuckDB): each
+    * column is affinely scaled to [0, 2^bits) from a driver-side
+    * min/max pass (truncating double→long cast, constant columns
+    * scale to 0), then bit-interleaved by [[zvalue]]. */
+  def scaledZ(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c"))
@@ -62,8 +73,7 @@ object Layout {
       else least(lit(maxCode), greatest(lit(0L),
         ((col(c).cast("double") - mn) / (mx - mn) * maxCode).cast("long")))
     }
-    val z = zvalue(bits, scaled: _*)
-    df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+    zvalue(bits, scaled: _*)
   }
 
   /** Repartition `df` so each output file lands near `targetBytes`,

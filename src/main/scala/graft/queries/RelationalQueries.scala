@@ -24,6 +24,13 @@ object RelationalQueries {
   private def sumMoney(c: org.apache.spark.sql.Column) =
     sum(dec(c)).cast("double")
 
+  /** DuckDB Morton interleave of two pre-scaled 16-bit longs `sx`,
+    * `sy` — the literal expansion of Layout.zvalue(16, sx, sy): bit b
+    * of column i lands at interleaved position b*2+i. */
+  private val zInterleaveSql: String =
+    (for (b <- 0 until 16; (c, i) <- Seq(("sx", 0), ("sy", 1)))
+      yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 — alias include/exclude filter (detect.py:159-166)
     "f1_segment_filter" -> ((s, d) => {
@@ -195,6 +202,51 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_lines"),
           sumMoney(col("l_quantity")).as("sum_qty"))
         .orderBy(col("yr"))
+    }),
+
+    // J14 — bucketed co-located join: both sides written bucketBy
+    // their join key (the one-shuffle-at-write-time layout for
+    // repeatedly-joined 100 TB facts), then joined with ZERO exchanges
+    // — the executed-plan gate lives in BucketingSpec; this row proves
+    // the bucketed path is RESULT-identical to the plain shuffle join
+    // (which is exactly what the oracle runs).
+    "j14_bucketed_join" -> ((s, d) => {
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(s, d), "j14_orders_b", "o_orderkey", nBuckets = 8)
+      graft.operators.Bucketing.writeBucketed(
+        Tables.lineitem(s, d), "j14_lineitem_b", "l_orderkey", nBuckets = 8)
+      graft.operators.Bucketing.bucketedJoin(s,
+        "j14_lineitem_b", "j14_orders_b", "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("prio"))
+    }),
+
+    // L1 — Z-order layout: rows flow through zorderBy's range-cluster
+    // + in-partition sort unchanged, and the emitted `z` column is the
+    // Morton code itself, so the oracle re-derives the min/max scaling
+    // AND the bit interleave — the arithmetic that decides what a
+    // box-predicate scan PRUNES at 100 TB. File-level locality (the
+    // point of the layout) is measured in LayoutSpec.
+    "l1_zorder" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_partkey", "l_suppkey")
+      graft.operators.Layout.zorderBy(l, cols, nFiles = 8)
+        .withColumn("z", graft.operators.Layout.scaledZ(l, cols, bits = 16))
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // L2 — target-size compaction: coalesce to ~4 MB output files
+    // after a selective filter. Row identity is the oracle's check;
+    // the file-count bound is LayoutSpec's.
+    "l2_compact" -> ((s, d) => {
+      graft.operators.Layout.compactToSize(
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        targetBytes = 4L << 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // W8 — running totals: an unbounded-preceding frame is O(1) window
@@ -461,6 +513,42 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // j14: the oracle IS the plain shuffle join — bucketing must be
+    // invisible in the result
+    "j14_bucketed_join" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // l1: re-derive the scaling (truncating double->long cast = TRUNC
+    // then BIGINT cast) and the 2x16-bit Morton interleave
+    "l1_zorder" ->
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(l_partkey AS DOUBLE)) AS mnp,
+         |         max(CAST(l_partkey AS DOUBLE)) AS mxp,
+         |         min(CAST(l_suppkey AS DOUBLE)) AS mns,
+         |         max(CAST(l_suppkey AS DOUBLE)) AS mxs
+         |  FROM lineitem),
+         |sc AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    LEAST(65535, GREATEST(0, CAST(TRUNC(
+         |      (CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 65535)
+         |      AS BIGINT))) AS sx,
+         |    LEAST(65535, GREATEST(0, CAST(TRUNC(
+         |      (CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 65535)
+         |      AS BIGINT))) AS sy
+         |  FROM lineitem, bounds)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST($zInterleaveSql AS BIGINT) AS z
+         |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // l2: compaction must be row-invisible
+    "l2_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "w8_running_total" ->
       """WITH g AS (

@@ -246,6 +246,31 @@ object ScaleQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // S9 — IVF-PQ through the PERSISTED-index path: coarse first-nlist
+    // cells (s3's deterministic quantizer) + first-ksub RESIDUAL
+    // codebooks (s7's quantizer lifted to residuals), saved to parquet,
+    // loaded back, then searched (probe 4 cells, ADC against
+    // centroid + reconstructed residual). The oracle recomputes the
+    // whole chain — assign → residual → codes → reconstruct → cosine —
+    // so a green row proves the FAISS-layout arithmetic bit-for-bit
+    // AND the index save/load round-trip; the k-means-TRAINED
+    // quantizers stay spec-gated (ScaleOperatorsSpec).
+    "s9_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids: Array[Array[Float]] = e
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .orderBy(col("id")).limit(16)
+        .collect().map(_.getSeq[Float](1).toArray)
+      val (index, codebooks) = Similarity.ivfPqIndexFirst(
+        e, "vec_id", "embedding", centroids, m = 8, ksub = 16)
+      val dir = java.nio.file.Files.createTempDirectory("s9_ivfpq").toString
+      Similarity.saveIvfPqIndex(index, centroids, codebooks, dir)
+      val (idx, cent, cb) = Similarity.loadIvfPqIndex(s, dir)
+      Similarity.ivfPqSearch(e.filter(col("vec_id") < 8), idx,
+        "vec_id", "embedding", k = 5, cent, cb, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s4_kmeans" -> ((s, d) => {
       Similarity.kmeansSums(Tables.embeddings(s, d), "vec_id",
         "embedding", k = 8, iters = 2)
@@ -699,6 +724,87 @@ object ScaleQueries {
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // s9: the full IVF-PQ chain recomputed from the table. assign =
+    // argmax cosine over the first-16 coarse cells (ties to smaller
+    // cell, s3's rule); residual = FLOAT subtraction — emulated as
+    // double subtraction rounded back to REAL, exact by Figueroa's
+    // 2p+2 theorem (53 >= 2*24+2) — because Spark's zip_with(a-b) on
+    // float arrays is float arithmetic and the codebook entries must
+    // be the identical 32-bit values PqImpl.codes sees; codes = argmin
+    // double L2 per 8-dim subspace over the first-16 residuals (ties
+    // to smaller code, PqImpl's strict-<); reconstruction = double
+    // centroid + double codebook entry; cosine = index-order double
+    // folds (cosSql).
+    "s9_ivfpq" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT vec_id AS n_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |res AS (
+         |  SELECT a.n_id, a.cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+         |              - CAST(c.embedding[i] AS DOUBLE) AS REAL)) AS r
+         |  FROM assign a JOIN cent c ON c.cell = a.cell),
+         |cb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY n_id) - 1 AS INT) AS cid, r
+         |  FROM (SELECT n_id, r FROM res ORDER BY n_id LIMIT 16)),
+         |enc AS (
+         |  SELECT n_id, j, code FROM (
+         |    SELECT r.n_id, t.j, cb.cid AS code,
+         |      row_number() OVER (PARTITION BY r.n_id, t.j ORDER BY
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (CAST(r.r[t.j*8+i] AS DOUBLE) - CAST(cb.r[t.j*8+i] AS DOUBLE))
+         |             * (CAST(r.r[t.j*8+i] AS DOUBLE) - CAST(cb.r[t.j*8+i] AS DOUBLE)))) ASC,
+         |        cb.cid ASC) AS rn
+         |    FROM res r
+         |    CROSS JOIN generate_series(0, 7) AS t(j)
+         |    CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT enc.n_id,
+         |    flatten(list(list_transform(generate_series(1, 8),
+         |      i -> CAST(cb.r[enc.j*8+i] AS DOUBLE)) ORDER BY enc.j)) AS rr
+         |  FROM enc JOIN cb ON cb.cid = enc.code
+         |  GROUP BY enc.n_id),
+         |nv AS (
+         |  SELECT r.n_id, a.cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST(c.embedding[i] AS DOUBLE) + r.rr[i]) AS n_vec
+         |  FROM rec r
+         |  JOIN assign a ON a.n_id = r.n_id
+         |  JOIN cent c ON c.cell = a.cell),
+         |probe AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 4),
+         |sc AS (
+         |  SELECT p.q_id, n.n_id,
+         |    list_sum(list_transform(generate_series(1,64), i -> p.qv[i]::DOUBLE * n.n_vec[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1,64), i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE))) *
+         |       sqrt(list_sum(list_transform(generate_series(1,64), i -> n.n_vec[i] * n.n_vec[i])))) AS cos
+         |  FROM probe p JOIN nv n ON n.cell = p.cell
+         |  WHERE n.n_id <> p.q_id)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "s2_ann_signlsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding,
@@ -998,8 +1104,7 @@ object ScaleQueries {
         |       * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT)
         |    AS score_e12
         |FROM p
-        |ORDER BY CAST(coalesce(w0, 0) + coalesce(w1, 0) + coalesce(w2, 0)
-        |  + coalesce(w3, 0) AS DECIMAL(20,12)) DESC, doc_id
+        |ORDER BY score_e12 DESC, doc_id
         |LIMIT 10""".stripMargin,
 
     "t6_repetition" ->

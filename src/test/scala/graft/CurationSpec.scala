@@ -397,4 +397,13 @@ class CurationSpec extends AnyFunSuite {
       terms = Seq("a", "b"), topN = 1).collect()
     assert(top1.length == 1 && top1(0).getAs[Long]("doc_id") == 1L)
   }
+
+  test("bm25TopK refuses a term set past the broadcast guard") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val tooMany = (0 to Curation.MaxBm25Terms).map(i => s"t$i")
+    val e = intercept[IllegalArgumentException](
+      Curation.bm25TopK(df, "doc_id", "text", tooMany, topN = 1))
+    assert(e.getMessage.contains("inverted index"))
+  }
 }

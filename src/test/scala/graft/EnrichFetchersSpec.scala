@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.enrich.{Enrich, GallicaArks, ScriptoriumCanvases}
+
+/** Offline enrichment fetchers against mocked endpoints — the
+  * zero-egress stand-in for Gallica (bnf_en/detect.py:162-263) and the
+  * Scriptorium IIIF API (bcul/classes.py:204-271). */
+class EnrichFetchersSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // --- Gallica mock: 2 years; 1900 carries a stray Dec-31-1899 issue
+  // at the end of its list (the API quirk fix_api_year_mismatch
+  // exists for), and 1899 has two issues on the same day (editions).
+  private val journalArk = "ark:/12148/cb32895690j"
+  private def gallicaMock: Enrich.Http = {
+    case url if url == GallicaArks.journalUrl(journalArk) =>
+      "<issues><year>1899</year><year>1900</year></issues>"
+    case url if url == GallicaArks.issueUrl(journalArk, 1900) =>
+      """<issues>
+        |  <issue ark="i1900a" dayofyear="1">1 janvier 1900</issue>
+        |  <issue ark="i1900b" dayofyear="32">1 février 1900</issue>
+        |  <issue ark="s1899" dayofyear="365">31 décembre 1899</issue>
+        |</issues>""".stripMargin
+    case url if url == GallicaArks.issueUrl(journalArk, 1899) =>
+      """<issues>
+        |  <issue ark="i1899a" dayofyear="59">28 février 1899</issue>
+        |  <issue ark="i1899b" dayofyear="59">28 février 1899 (2e ed)</issue>
+        |</issues>""".stripMargin
+    case url => fail(s"unexpected fetch: $url")
+  }
+
+  test("gallica ark fetch: canonical ids, editions, Dec-31 carry-down") {
+    val links = GallicaArks.issueArks(gallicaMock, "oerennes", journalArk)
+    assert(links == Seq(
+      "oerennes-1899-02-28-a" -> "i1899a",
+      "oerennes-1899-02-28-b" -> "i1899b", // same day -> next letter
+      "oerennes-1899-12-31-a" -> "s1899",  // stray re-attached to 1899
+      "oerennes-1900-01-01-a" -> "i1900a",
+      "oerennes-1900-02-01-a" -> "i1900b"))
+  }
+
+  test("gallica stray is dropped when the target year already ends Dec 31") {
+    val mock: Enrich.Http = {
+      case url if url == GallicaArks.journalUrl(journalArk) =>
+        "<issues><year>1899</year><year>1900</year></issues>"
+      case url if url == GallicaArks.issueUrl(journalArk, 1900) =>
+        """<issues><issue ark="s1899dup" dayofyear="365">31 décembre 1899</issue></issues>"""
+      case url if url == GallicaArks.issueUrl(journalArk, 1899) =>
+        """<issues><issue ark="i1899dec" dayofyear="365">31 décembre 1899</issue></issues>"""
+      case url => fail(s"unexpected fetch: $url")
+    }
+    val links = GallicaArks.issueArks(mock, "oerennes", journalArk)
+    assert(links == Seq("oerennes-1899-12-31-a" -> "i1899dec"))
+  }
+
+  test("gallica ark table round-trips through parquet to the importer's map") {
+    val out = java.nio.file.Files.createTempDirectory("arks").toString + "/t"
+    GallicaArks.buildArkTable(spark, gallicaMock,
+      Map("oerennes" -> journalArk), out)
+    val m = GallicaArks.loadArkTable(spark, out)
+    assert(m.size == 5 && m("oerennes-1899-12-31-a") == "s1899")
+  }
+
+  // --- Scriptorium mock: one manifest, 2 canvases; image ids carry
+  // the /full/full/0/default.jpg suffix the base-uri strip removes.
+  private val manifestUrl =
+    "https://scriptorium.bcu-lausanne.ch/api/iiif/GDL_1900_01_01/manifest"
+  private def iiifMock: Enrich.Http = {
+    case `manifestUrl` =>
+      """{"sequences":[{"canvases":[
+        |{"label":"1","images":[{"resource":
+        |  {"@id":"https://scriptorium.bcu-lausanne.ch/api/iiif-img/GDL19000101p1/full/full/0/default.jpg"}}]},
+        |{"label":"2","images":[{"resource":
+        |  {"@id":"https://scriptorium.bcu-lausanne.ch/api/iiif-img/GDL19000101p2/full/full/0/default.jpg"}}]}
+        |]}]}""".stripMargin
+    case url => fail(s"unexpected fetch: $url")
+  }
+
+  test("scriptorium canvas fetch strips the 4 iiif suffix segments") {
+    val out = java.nio.file.Files.createTempDirectory("canv").toString + "/t"
+    val df = ScriptoriumCanvases.buildCanvasTable(spark, iiifMock,
+      Seq("GDL-1900-01-01-a" -> manifestUrl), out)
+    val rows = df.orderBy("page_no").collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      1 -> "https://scriptorium.bcu-lausanne.ch/api/iiif-img/GDL19000101p1",
+      2 -> "https://scriptorium.bcu-lausanne.ch/api/iiif-img/GDL19000101p2"))
+    val provider = ScriptoriumCanvases.tableCanvasProvider(spark, out)
+    assert(provider.pageIiif("GDL-1900-01-01-a", "GDL19000101p2", 2)
+      .contains("https://scriptorium.bcu-lausanne.ch/api/iiif-img/GDL19000101p2"))
+    assert(provider.pageIiif("GDL-1900-01-01-a", "x", 3).isEmpty)
+  }
+
+  test("retry wrapper retries the reference's 3 attempts then rethrows") {
+    var calls = 0
+    val flaky: Enrich.Http = { _ =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("503") else "ok"
+    }
+    assert(Enrich.withRetries(flaky)("u") == "ok" && calls == 3)
+    var calls2 = 0
+    val dead: Enrich.Http = { _ =>
+      calls2 += 1; throw new RuntimeException("down")
+    }
+    intercept[RuntimeException](Enrich.withRetries(dead)("u"))
+    assert(calls2 == 4) // initial + 3 retries
+  }
+}

@@ -363,6 +363,10 @@ object ScaleQueries {
     // (decimal(24,12) × decimal(13,0) → decimal(38,12), exact — no
     // double rounding at the integer boundary) and emitted as BIGINT,
     // which hashes identically under any numeric canonicalization.
+    // The top-10 CUT key itself remains the scale-12 decimal inside
+    // bm25TopK — identical on both engines by construction (the ×10^12
+    // rescale is monotone and exact), so cut and comparison agree; the
+    // oracle orders by score_e12 directly for the same reason.
     "t8_bm25" -> ((s, d) => {
       Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "vector", "hash", "quantile"), topN = 10,

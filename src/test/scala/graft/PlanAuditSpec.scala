@@ -240,6 +240,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "one shuffle per round, keyed by (cell, dim)")
   }
 
+  test("ivf-pq search: corpus index never shuffles to find candidates") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val centroids = e.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v")).orderBy(col("id")).limit(4)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val (index, cb) = graft.operators.Similarity.ivfPqIndexFirst(
+      e, "vec_id", "embedding", centroids, m = 8, ksub = 4)
+    val p = plan(graft.operators.Similarity.ivfPqSearch(
+      e.filter(col("vec_id") < 4), index, "vec_id", "embedding",
+      k = 5, centroids, cb, nprobe = 2))
+    // the probe side (nq·nprobe rows) broadcasts against the index
+    // scan — a sort-merge join would shuffle the whole index per query
+    // batch; the only exchange is the top-k merge's O(k)-state heaps
+    assert(!p.contains("Window"), "window in top-k path")
+    assert(p.contains("bounded_topk"), "bounded_topk aggregate missing")
+    assert(!p.contains("SortMergeJoin"), "index must not shuffle:\n" + p.take(2000))
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      "only the top-k merge may shuffle")
+  }
+
   test("similarity top-k: bounded-heap aggregate, no per-query window") {
     // A row_number window over q_id funnels every scored candidate of a
     // query into ONE reducer partition — corpus-sized sort per query at

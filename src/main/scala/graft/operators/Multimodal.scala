@@ -299,6 +299,43 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** Real uncompressed-AVI payloads (24-bit DIB frames) on the video
+    * ids (doc_id % 6 = 2, the same rows [[syntheticMp4s]] uses in the
+    * mixed frame — this frame is the m6 input, built independently):
+    * every pixel of every frame renders from [[AviCodec.pixel]], so
+    * the DuckDB oracle recomputes what a REAL raster decode must sum.
+    * Row-local mapPartitions like the other payload builders. */
+  def syntheticAvis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 6 = 2"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "video", AviCodec.encodeSyntheticAvi(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL video frame decode: walk each payload's RIFF structure and
+    * sum every frame's channels from the raw DIB rasters — the video
+    * analog of [[imageStats]], one output row per frame. Rows whose
+    * payload isn't decodable uncompressed AVI are dropped (compressed
+    * codecs have no decoder in this environment and degrade here).
+    * Row-local flatMap; payloads never shuffle. */
+  def videoFrameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AviCodec.frameStats(bytes).toSeq.flatten.map {
+          case (f, w, h, r, g, b) => (id, f, w, h, r, g, b)
+        }
+      })
+      .toDF("media_id", "frame_no", "width", "height",
+        "r_sum", "g_sum", "b_sum")
+  }
+
   /** The full multimodal frame: real image payloads (PNG/JPEG), real
     * audio payloads (WAV + MP3), real video containers (MP4) plus stub
     * text-byte video payloads — one row per document. */

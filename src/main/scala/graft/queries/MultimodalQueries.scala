@@ -66,6 +66,17 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M6 — REAL video frame decode: uncompressed-AVI payloads walked
+    // chunk by chunk, every frame's raw DIB raster (bottom-up rows,
+    // 4-byte stride, BGR) summed per channel. The oracle recomputes
+    // the render formula per pixel per frame, so a green row proves
+    // actual video SAMPLE decoding — the path that was a stub while
+    // only containers (MP4 boxes) were parsed.
+    "m6_video_frames" -> ((s, d) => {
+      Multimodal.videoFrameStats(Multimodal.syntheticAvis(s, d))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // M4 — payload → payload resize with refreshed metadata. Image rows
     // take the real path (decode → aspect-fit scale → re-encode PNG →
     // re-decode): the reported dims are read back from the emitted
@@ -159,6 +170,27 @@ object MultimodalQueries {
         |  CAST(sum((xg * 5) % 256) AS BIGINT) AS g_sum,
         |  CAST(sum((yg * 3) % 256) AS BIGINT) AS b_sum
         |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
+
+    "m6_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 24 + 8 AS INT) AS w,
+        |    CAST(doc_id % 18 + 6 AS INT) AS h,
+        |    CAST(doc_id % 4 + 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |fr AS (SELECT media_id, w, h,
+        |         unnest(generate_series(0, nf - 1)) AS f FROM m),
+        |xs AS (SELECT media_id, w, h, f,
+        |         unnest(generate_series(0, w - 1)) AS xg FROM fr),
+        |px AS (SELECT media_id, w, h, f, xg,
+        |         unnest(generate_series(0, h - 1)) AS yg FROM xs)
+        |SELECT media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((media_id * 31 + f * 17 + xg * 7 + yg * 13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(sum((f * 11 + xg * 5) % 256) AS BIGINT) AS g_sum,
+        |  CAST(sum((f * 19 + yg * 3) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY media_id, f, w, h
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "m4_media_resize" ->
       """WITH m AS (

@@ -19,6 +19,30 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got.toSeq == Seq(1L, 2L, 3L, 14L))
   }
 
+  test("zvalue matches a bit-interleave model on random inputs, monotone per dim") {
+    import spark.implicits._
+    def model(bits: Int, xs: Seq[Long]): Long =
+      (for (b <- 0 until bits; (x, i) <- xs.zipWithIndex)
+        yield ((x >> b) & 1L) << (b * xs.length + i)).foldLeft(0L)(_ | _)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(500)((rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(16, col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == model(16, Seq(x, y)), s"($x,$y)")
+    }
+    // interleave is monotone within a dimension at fixed other dims —
+    // the property range pruning on z relies on
+    val ys = rows.map(_._2).distinct.take(5)
+    for (y <- ys) {
+      val inDim = got.filter(_._2 == y).sortBy(_._1)
+      assert(inDim.map(_._3).sliding(2).forall(
+        p => p.length < 2 || p(0) <= p(1)), s"non-monotone at y=$y")
+    }
+  }
+
   test("z-order keeps locality in EVERY interleaved dimension; a sort only in one") {
     // sf0.01 (15k orders): big enough that 16 files discriminate
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AudioCodec, ImageCodec, Mp3Codec, Mp4Codec, Multimodal}
+import graft.operators.{AudioCodec, AviCodec, ImageCodec, Mp3Codec, Mp4Codec, Multimodal}
 
 /** Real-codec coverage for the multimodal operators: javax.imageio
   * PNG/JPEG decode, aspect-fit resize round-trip, and the garbage-blob
@@ -169,6 +169,37 @@ class MultimodalSpec extends AnyFunSuite {
     val Some((w, h, dur)) = Mp4Codec.decode(out.toByteArray)
     val (ts, units, ew, eh) = Mp4Codec.syntheticParams(14L)
     assert((w, h, dur) == ((ew, eh, units * 1000L / ts)))
+  }
+
+  test("AVI RIFF walk decodes header AND raw DIB frame pixels") {
+    for (id <- Seq(2L, 8L, 14L, 20L, 3998L)) {
+      val bytes = AviCodec.encodeSyntheticAvi(id)
+      val (w, h, nf, usPf) = AviCodec.syntheticParams(id)
+      assert(AviCodec.sniff(bytes))
+      assert(AviCodec.decodeMeta(bytes).contains((w, h, nf, usPf)), s"id=$id")
+      val Some(frames) = AviCodec.frameStats(bytes)
+      assert(frames.length == nf, s"id=$id")
+      // every frame's channel sums equal the render formula, i.e. the
+      // decode undid bottom-up rows, stride padding, and BGR order
+      frames.foreach { case (f, fw, fh, rs, gs, bs) =>
+        assert((fw, fh) == (w, h))
+        var er = 0L; var eg = 0L; var eb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = AviCodec.pixel(id, f, x, y)
+          er += r; eg += g; eb += b
+        }
+        assert((rs, gs, bs) == ((er, eg, eb)), s"id=$id frame=$f")
+      }
+    }
+    // corrupt payloads degrade to None, never throw
+    assert(AviCodec.decodeMeta(Array.emptyByteArray).isEmpty)
+    assert(AviCodec.decodeMeta("RIFFjunkjunkjunk".getBytes).isEmpty)
+    assert(AviCodec.frameStats(
+      AviCodec.encodeSyntheticAvi(2L).take(40)).isEmpty)
+    // dispatch is disjoint with the other codecs
+    assert(AviCodec.decodeMeta(Mp4Codec.encodeSyntheticMp4(2L)).isEmpty)
+    assert(Mp4Codec.decode(AviCodec.encodeSyntheticAvi(2L)).isEmpty)
+    assert(ImageCodec.decode(AviCodec.encodeSyntheticAvi(2L)).isEmpty)
   }
 
   test("extractMetadata decodes real MP3 and MP4 rows") {

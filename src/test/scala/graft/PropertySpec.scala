@@ -67,6 +67,55 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.functions.Ids.editionLetter(0) == "a")
   }
 
+  test("AVI codec round-trips header and every frame's pixel sums for any id") {
+    check("avi", Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      import graft.operators.AviCodec
+      val bytes = AviCodec.encodeSyntheticAvi(id)
+      val (w, h, nf, usPf) = AviCodec.syntheticParams(id)
+      val metaOk = AviCodec.decodeMeta(bytes).contains((w, h, nf, usPf))
+      val frames = AviCodec.frameStats(bytes).getOrElse(Nil)
+      val framesOk = frames.length == nf && frames.forall {
+        case (f, fw, fh, rs, gs, bs) =>
+          var er = 0L; var eg = 0L; var eb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = AviCodec.pixel(id, f, x, y)
+              er += r; eg += g; eb += b
+              x += 1
+            }
+            y += 1
+          }
+          (fw, fh, rs, gs, bs) == ((w, h, er, eg, eb))
+      }
+      metaOk && framesOk
+    })
+  }
+
+  test("gallica edition lettering: runs of same-day issues letter a, b, c…") {
+    import graft.enrich.{Enrich, GallicaArks}
+    // one year, a random non-decreasing dayofyear list → expected
+    // letters are per-run ranks in order
+    val days: Gen[List[Int]] = Gen.nonEmptyListOf(Gen.choose(1, 365))
+      .map(_.sorted.take(20))
+    check("editions", Prop.forAll(days) { ds =>
+      val issuesXml = ds.zipWithIndex.map { case (d, i) =>
+        s"""<issue ark="a$i" dayofyear="$d">jour $d</issue>"""
+      }.mkString("<issues>", "", "</issues>")
+      val mock: Enrich.Http = {
+        case u if u.contains("date&date=") => issuesXml
+        case _ => "<issues><year>1901</year></issues>"
+      }
+      val links = GallicaArks.issueArks(mock, "j", "ark:x")
+      val expectedLetters = ds.groupBy(identity).toSeq.sortBy(_._1)
+        .flatMap { case (_, run) => run.indices.map(i => ('a' + i).toChar) }
+      links.length == ds.length &&
+        links.map(_._1.last) == expectedLetters &&
+        links.map(_._1).distinct.length == links.length // ids unique
+    })
+  }
+
   test("Json.render escapes arbitrary strings into Jackson-parseable JSON") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     check("json", Prop.forAll { (s: String, key: String) =>

@@ -115,11 +115,14 @@ object Multimodal {
   }
 
   /** Parsed duration of a payload via whichever real codec sniffs it
-    * (WAV, MP3, MP4) — None when none does. */
+    * (WAV, MP3, MP4, uncompressed AVI) — None when none does. */
   private def parsedDurationMs(bytes: Array[Byte]): Option[Long] =
     AudioCodec.decode(bytes).map(_._3)
       .orElse(Mp3Codec.decode(bytes).map(_._3))
       .orElse(Mp4Codec.decode(bytes).map(_._3))
+      .orElse(AviCodec.decodeMeta(bytes).map {
+        case (_, _, nf, usPf) => nf.toLong * usPf / 1000
+      })
 
   /** Sample up to `maxFrames` frames per payload at a fixed stride —
     * the video/audio-window path of a multimodal pipeline. Emits

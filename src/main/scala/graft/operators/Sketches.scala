@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches for corpus-scale profiling — the
+  * sub-shuffle-cost answers a 100 TB pipeline needs before committing
+  * to exact work: join-key cardinalities (sizing broadcast vs shuffle,
+  * bucket counts, salting decisions), vocabulary sizes, and
+  * heavy-hitter token counts, each in ONE scan with bounded
+  * (driver-collectable) state. Exact counterparts stay the source of
+  * truth (a6/t5/u4 oracles); these are the planning instruments.
+  * [[Bloom]] (membership) completes the sketch family.
+  *
+  * All three are Spark built-ins under the hood — HyperLogLog++ and
+  * CountMinSketch aggregate via codegen'd partial aggregation, so the
+  * scan combines map-side and the shuffle carries sketch state (KB),
+  * never rows.
+  */
+object Sketches {
+
+  /** Per-key approximate distinct values (HyperLogLog++): e.g.
+    * distinct users per event type, distinct parts per order span.
+    * `rsd` is the target relative standard deviation — state is
+    * O(1/rsd²) per key, independent of cardinality. */
+  def approxDistinctByKey(df: DataFrame, keyCol: String, valCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(approx_count_distinct(col(valCol), rsd).as("approx_distinct"))
+
+  /** One-pass CountMinSketch over whitespace tokens of `textCol`.
+    * The returned serialized sketch is bounded driver state
+    * (width ≈ e/eps columns × ln(1/(1−confidence)) rows of longs) —
+    * probe it with [[estimate]]. Over-estimates only: for any token,
+    * estimate ≥ true count, and ≤ true + eps·N with the stated
+    * confidence (N = total tokens). */
+  def tokenCountSketch(df: DataFrame, textCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): Array[Byte] =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+      .first().getAs[Array[Byte]](0)
+
+  /** Deserialize a [[tokenCountSketch]] sketch for repeated probes. */
+  def readSketch(sketch: Array[Byte])
+      : org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+
+  /** Driver-side probe of a [[tokenCountSketch]] sketch. The aggregate
+    * added string items as their UTF-8 bytes, which is also what the
+    * String probe path hashes — the two stay aligned. */
+  def estimate(sketch: Array[Byte], token: String): Long =
+    readSketch(sketch).estimateCount(token)
+}

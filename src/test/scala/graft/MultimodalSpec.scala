@@ -200,6 +200,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AviCodec.decodeMeta(Mp4Codec.encodeSyntheticMp4(2L)).isEmpty)
     assert(Mp4Codec.decode(AviCodec.encodeSyntheticAvi(2L)).isEmpty)
     assert(ImageCodec.decode(AviCodec.encodeSyntheticAvi(2L)).isEmpty)
+    // frame sampling sizes counts from the REAL AVI duration:
+    // id=2 → 4 frames × 50 001 µs = 200 ms → 4 samples at 50 ms stride
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.syntheticAvis(spark, sf).filter(col("media_id") === 2L),
+      strideMs = 50, maxFrames = 10)
+    assert(sampled.count() == 4)
   }
 
   test("extractMetadata decodes real MP3 and MP4 rows") {

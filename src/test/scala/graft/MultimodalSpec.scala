@@ -277,4 +277,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"blob-in/blob-out must not shuffle payloads:\n$plan")
   }
+
+  test("video frame stats keep payloads row-local (no exchange in the plan)") {
+    val stats = Multimodal.videoFrameStats(Multimodal.syntheticAvis(spark, sf))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"frame decode must not shuffle payloads:\n$plan")
+  }
 }

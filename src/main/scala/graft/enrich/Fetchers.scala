@@ -135,13 +135,29 @@ object GallicaArks {
     * (years × journals requests), results are the durable artifact,
     * and no Spark task ever re-executes a network call. For a very
     * large journal set, shard `journals` across invocations writing
-    * distinct `outPath`s and union them at read time. */
+    * distinct `outPath`s and union them at read time.
+    *
+    * Per-journal failures (endpoint down past retries, malformed XML)
+    * QUARANTINE rather than abort — the repo's importer contract: good
+    * journals land in the table, failures land beside it in
+    * `<outPath>_quarantine` as (alias, error) rows, and the job
+    * reports both. A failed journal's issues simply stay un-imported
+    * until a re-fetch, exactly like the reference's skip-and-log
+    * (detect.py logs API errors and drops the issue). */
   def buildArkTable(spark: SparkSession, http: Enrich.Http,
       journals: Map[String, String], outPath: String): DataFrame = {
     import spark.implicits._
-    val rows = journals.toSeq.sortBy(_._1).flatMap { case (alias, ark) =>
-      issueArks(http, alias, ark)
+    val attempts = journals.toSeq.sortBy(_._1).map { case (alias, ark) =>
+      try Right(issueArks(http, alias, ark))
+      catch { case scala.util.control.NonFatal(e) =>
+        Left(alias -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
+    val rows = attempts.collect { case Right(r) => r }.flatten
+    val failed = attempts.collect { case Left(f) => f }
+    if (failed.nonEmpty)
+      failed.toDF("alias", "error")
+        .write.mode("overwrite").parquet(s"${outPath}_quarantine")
     rows.toDF("issue_id", "ark")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)

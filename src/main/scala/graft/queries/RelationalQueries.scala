@@ -223,6 +223,26 @@ object RelationalQueries {
         .orderBy(col("prio"))
     }),
 
+    // J15 — bucketized range join: lineitem prices joined into ±1%
+    // part-price windows. The naive BETWEEN theta-join plans a
+    // nested-loop (O(n·m) — gated against in PlanAuditSpec); mapping
+    // both sides to fixed-width buckets makes it an equi-join with an
+    // exact post-filter, so the oracle is simply the plain BETWEEN
+    // join (graft.operators.RangeJoin).
+    "j15_range_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice") * 0.99).as("lo"),
+        (col("p_retailprice") * 1.01).as("hi"))
+      graft.operators.RangeJoin.bucketized(
+        l, "l_extendedprice", p, "lo", "hi", width = 20.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // L1 — Z-order layout: rows flow through zorderBy's range-cluster
     // + in-partition sort unchanged, and the emitted `z` column is the
     // Morton code itself, so the oracle re-derives the min/max scaling
@@ -520,6 +540,17 @@ object RelationalQueries {
       """SELECT o_orderpriority AS prio, count(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // j15: the oracle IS the naive theta-join — bucketization must be
+    // invisible in the result (CAST pins the factors to DOUBLE; a bare
+    // 0.99 literal is DECIMAL in DuckDB)
+    "j15_range_join" ->
+      """SELECT p_partkey, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice >= p_retailprice * CAST(0.99 AS DOUBLE)
+        | AND l_extendedprice <= p_retailprice * CAST(1.01 AS DOUBLE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // l1: re-derive the scaling (truncating double->long cast = TRUNC

@@ -63,6 +63,20 @@ class EnrichFetchersSpec extends AnyFunSuite {
     assert(m.size == 5 && m("oerennes-1899-12-31-a") == "s1899")
   }
 
+  test("a failing journal quarantines; the rest of the fetch lands") {
+    val out = java.nio.file.Files.createTempDirectory("arksq").toString + "/t"
+    val mixed: Enrich.Http = {
+      case u if u.contains("brokenark") => "<<<not xml at all"
+      case u => gallicaMock(u)
+    }
+    val df = GallicaArks.buildArkTable(spark, mixed,
+      Map("oerennes" -> journalArk, "dead" -> "brokenark"), out)
+    assert(df.count() == 5) // the good journal fully landed
+    val q = spark.read.parquet(s"${out}_quarantine").collect()
+    assert(q.length == 1 && q(0).getString(0) == "dead")
+    assert(q(0).getString(1).nonEmpty)
+  }
+
   // --- Scriptorium mock: one manifest, 2 canvases; image ids carry
   // the /full/full/0/default.jpg suffix the base-uri strip removes.
   private val manifestUrl =

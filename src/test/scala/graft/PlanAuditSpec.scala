@@ -261,6 +261,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "only the top-k merge may shuffle")
   }
 
+  test("range join: bucketization turns the nested-loop into an equi-join") {
+    import org.apache.spark.sql.functions.col
+    val l = graft.util.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val p = graft.util.Tables.part(spark, sf).select(col("p_partkey"),
+      (col("p_retailprice") * 0.99).as("lo"),
+      (col("p_retailprice") * 1.01).as("hi"))
+    // the naive theta-join is the quadratic cliff this operator removes
+    val naive = plan(l.join(p,
+      col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") <= col("hi")))
+    assert(naive.contains("NestedLoop"),
+      "baseline assumption: Spark plans BETWEEN joins as nested loops")
+    val bucketized = plan(graft.operators.RangeJoin.bucketized(
+      l, "l_extendedprice", p, "lo", "hi", width = 20.0))
+    assert(!bucketized.contains("NestedLoop") &&
+      !bucketized.contains("CartesianProduct"),
+      "bucketized range join must be an equi-join:\n" +
+        bucketized.take(2000))
+  }
+
   test("similarity top-k: bounded-heap aggregate, no per-query window") {
     // A row_number window over q_id funnels every scored candidate of a
     // query into ONE reducer partition — corpus-sized sort per query at

@@ -155,9 +155,15 @@ object GallicaArks {
     }
     val rows = attempts.collect { case Right(r) => r }.flatten
     val failed = attempts.collect { case Left(f) => f }
+    val qPath = new org.apache.hadoop.fs.Path(s"${outPath}_quarantine")
     if (failed.nonEmpty)
       failed.toDF("alias", "error")
-        .write.mode("overwrite").parquet(s"${outPath}_quarantine")
+        .write.mode("overwrite").parquet(qPath.toString)
+    else {
+      // a clean re-run must not leave a previous run's stale quarantine
+      val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(qPath)) fs.delete(qPath, true)
+    }
     rows.toDF("issue_id", "ark")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)

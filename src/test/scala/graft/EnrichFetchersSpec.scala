@@ -75,6 +75,10 @@ class EnrichFetchersSpec extends AnyFunSuite {
     val q = spark.read.parquet(s"${out}_quarantine").collect()
     assert(q.length == 1 && q(0).getString(0) == "dead")
     assert(q(0).getString(1).nonEmpty)
+    // a clean re-fetch clears the stale quarantine
+    GallicaArks.buildArkTable(spark, gallicaMock,
+      Map("oerennes" -> journalArk), out)
+    assert(!new java.io.File(s"${out}_quarantine").exists())
   }
 
   // --- Scriptorium mock: one manifest, 2 canvases; image ids carry

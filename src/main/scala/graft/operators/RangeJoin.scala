@@ -39,14 +39,32 @@ object RangeJoin {
     *         the rows of the naive theta-join. */
   def bucketized(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      width: Double): DataFrame = {
+      width: Double): DataFrame =
+    bucketizedByKey(points, pointCol, intervals, loCol, hiCol, width, Nil)
+
+  /** [[bucketized]] with additional equi-key pairs — the
+    * temporal-validity / SCD-2 join shape (`point.key = interval.key
+    * AND point.v BETWEEN lo AND hi`, e.g. an event joined to the
+    * dimension version valid at its timestamp). The equi-keys join
+    * the bucket id in the shuffle key, so co-keyed rows land together
+    * and the range check stays partition-local; with keys the
+    * replicated interval side shrinks to per-key spans, typically ~2
+    * buckets each.
+    *
+    * @param keys (pointKeyCol, intervalKeyCol) pairs */
+  def bucketizedByKey(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Double, keys: Seq[(String, String)]): DataFrame = {
     require(width > 0, "bucket width must be positive")
     def bucketOf(c: Column): Column = floor(c / lit(width)).cast("long")
     val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
     val i = intervals.withColumn("__bucket",
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
-    p.join(i, Seq("__bucket"))
+    val cond = keys.foldLeft(p("__bucket") === i("__bucket")) {
+      case (c, (pk, ik)) => c && p(pk) === i(ik)
+    }
+    p.join(i, cond)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__bucket")
+      .drop(p("__bucket")).drop(i("__bucket"))
   }
 }

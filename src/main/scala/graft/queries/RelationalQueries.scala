@@ -243,6 +243,24 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // J16 — KEYED range join (the temporal-validity / SCD-2 shape:
+    // equi-key AND value-in-range): lineitems priced within ±2% of
+    // their OWN part's retail price. The equi-key rides the bucket id
+    // in the shuffle key; the oracle is the plain two-predicate join.
+    "j16_keyed_range_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
+        (col("p_retailprice") * 0.98).as("lo"),
+        (col("p_retailprice") * 1.02).as("hi"))
+      graft.operators.RangeJoin.bucketizedByKey(
+        l, "l_extendedprice", p, "lo", "hi", width = 20.0,
+        keys = Seq("l_partkey" -> "p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"), col("p_retailprice"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    }),
+
     // L1 — Z-order layout: rows flow through zorderBy's range-cluster
     // + in-partition sort unchanged, and the emitted `z` column is the
     // Morton code itself, so the oracle re-derives the min/max scaling
@@ -552,6 +570,13 @@ object RelationalQueries {
         |  ON l_extendedprice >= p_retailprice * CAST(0.99 AS DOUBLE)
         | AND l_extendedprice <= p_retailprice * CAST(1.01 AS DOUBLE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j16_keyed_range_join" ->
+      """SELECT l_orderkey, l_partkey, l_extendedprice, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | AND l_extendedprice >= p_retailprice * CAST(0.98 AS DOUBLE)
+        | AND l_extendedprice <= p_retailprice * CAST(1.02 AS DOUBLE)
+        |ORDER BY l_orderkey, l_partkey, l_extendedprice""".stripMargin,
 
     // l1: re-derive the scaling (truncating double->long cast = TRUNC
     // then BIGINT cast) and the 2x16-bit Morton interleave

@@ -36,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("readEvents handles the legacy long-nanos events form identically") {
+    // the driver has shipped events.ts as both TIMESTAMP(NANOS)/long
+    // and plain micros; the current testdata is micros, so the nanos
+    // branch gets its own synthesized table (BIGINT nanos — the form
+    // ScaleUp also writes) to keep both reader branches pinned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-nanos")
+    Seq((1L, 1600000000000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1600000003600000000L, 11L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val q = EventStream.readEvents(spark, s"$dir/events.parquet")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nanosevents")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nanosevents").orderBy("event_id").collect()
+    val batch = Tables.events(spark, dir.toString).orderBy("event_id").collect()
+    assert(streamed.length == 2 && batch.length == 2)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    // and the normalized value is the truncated-to-micros timestamp
+    assert(batch(0).getTimestamp(1).getTime == 1600000000000L)
+  }
+
   test("streaming windowed agg equals the batch tumbling agg") {
     val stream = EventStream.readEvents(spark, eventsPath)
     val agg = EventStream.windowedAgg(stream, "1 hour", "10 minutes")

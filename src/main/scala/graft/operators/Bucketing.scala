@@ -33,17 +33,21 @@ object Bucketing {
     * file: no small-files explosion (output is exactly `nBuckets`
     * files regardless of input task count), and per-bucket sort
     * metadata stays usable for merge joins. */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    // a previous session's table directory is invisible to this
-    // (in-memory) catalog but still fails CTAS with
-    // LOCATION_ALREADY_EXISTS — drop both the entry and the location
+  /** Drop `table` AND its warehouse location: a previous session's
+    * table directory is invisible to this (in-memory) catalog but
+    * still fails CTAS with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    dropTableAndLocation(spark, table)
     val writer = df.repartition(nBuckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key)

@@ -440,6 +440,18 @@ object Curation {
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25ScoreTail(tf, st, terms, topN, k1, b, scoreScale)
+  }
+
+  /** The shared BM25 scoring tail: per-(doc, term) exact-integer
+    * (tf, dl) rows + the 1-row corpus stats → scored topN. df-per-term
+    * and corpus stats ride back as broadcasts; the final cut is
+    * TakeOrdered. Weights sum in the fixed order of `terms` (a
+    * deterministic fold — x + 0.0 == x in IEEE for the finite
+    * non-negative weights BM25+1 produces). */
+  private def bm25ScoreTail(tf: DataFrame, st: DataFrame,
+      terms: Seq[String], topN: Int, k1: Double, b: Double,
+      scoreScale: Int): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(st))
@@ -450,9 +462,6 @@ object Curation {
         (col("tf") + lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl").cast("double") * col("n_docs")
             / col("sum_dl"))))
-    // pivot each term's weight into its own column, then add in the
-    // fixed order of `terms` — a deterministic fold (x + 0.0 == x in
-    // IEEE for the finite non-negative weights BM25+1 produces)
     val perTerm = contrib.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_hits"),
       terms.zipWithIndex.map { case (t, i) =>
@@ -465,5 +474,45 @@ object Curation {
     perTerm.select(col("doc_id"), col("n_hits"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
+  }
+
+  /** Materialize the BM25 INVERTED INDEX [[bm25TopK]]'s scaladoc
+    * promises for repeated-query workloads: tokenize the corpus ONCE
+    * into `(term, doc_id, dl, tf)` rows written as a table bucketed
+    * (and sorted) by term ([[Bucketing.writeBucketed]]), plus the
+    * 1-row corpus stats as `<table>_stats`. Each subsequent query
+    * then reads ONLY its terms' buckets (Spark prunes buckets for
+    * IN-predicates on the bucket column — plan-gated in CurationSpec)
+    * and re-enters the same scoring tail, so per-query cost is
+    * O(posting lists), not O(corpus): the write-once/query-many
+    * economics of every retrieval engine. */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int = 64): Unit = {
+    val base = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    Bucketing.writeBucketed(tf, table, "term", nBuckets, Seq("term"))
+    Bucketing.dropTableAndLocation(df.sparkSession, s"${table}_stats")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+  }
+
+  /** Query a [[buildBm25Index]] index — result-identical to
+    * [[bm25TopK]] over the original corpus (the t9 oracle is t8's
+    * formula verbatim), with the corpus scan replaced by a
+    * bucket-pruned posting-list read. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      scoreScale: Int = -1): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    val tf = spark.table(table).where(col("term").isin(terms: _*))
+    bm25ScoreTail(tf, spark.table(s"${table}_stats"), terms, topN,
+      k1, b, scoreScale)
   }
 }

@@ -378,6 +378,25 @@ object ScaleQueries {
         .orderBy(col("score_e12").desc, col("doc_id"))
     }),
 
+    // T9 — BM25 through the MATERIALIZED inverted index: tokenize
+    // once into a term-bucketed posting table + 1-row stats, then the
+    // query reads only its terms' buckets (bucket pruning, plan-gated
+    // in CurationSpec) and re-enters the same scoring tail. The oracle
+    // is t8's formula VERBATIM — index layout must be invisible in the
+    // result.
+    "t9_bm25_indexed" -> ((s, d) => {
+      Curation.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        "t9_bm25_idx", nBuckets = 16)
+      Curation.bm25TopKIndexed(s, "t9_bm25_idx",
+        terms = Seq("spark", "vector", "hash", "quantile"), topN = 10,
+        scoreScale = 12)
+        .select(col("doc_id"), col("n_hits"),
+          (col("score").cast("decimal(24,12)") *
+            lit(1000000000000L).cast("decimal(13,0)"))
+            .cast("bigint").as("score_e12"))
+        .orderBy(col("score_e12").desc, col("doc_id"))
+    }),
+
     // ---- corpus curation ----
     "x1_stratified_sample" -> ((s, d) => {
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
@@ -412,7 +431,9 @@ object ScaleQueries {
     })
   )
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = sqlCore ++ sqlMore
+
+  private lazy val sqlCore: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups
@@ -1075,7 +1096,15 @@ object ScaleQueries {
          |  FROM assign)
          |WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
 
-    "t8_bm25" ->
+    "t8_bm25" -> bm25OracleSql,
+
+    // t9: the indexed path must be result-identical to t8 — the oracle
+    // IS t8's formula; bucketization of the posting lists is invisible
+    "t9_bm25_indexed" -> bm25OracleSql,
+  )
+
+  /** Shared t8/t9 oracle: the full BM25 recomputation in DuckDB. */
+  private lazy val bm25OracleSql: String =
       """WITH d AS (
         |  SELECT doc_id, toks, len(toks) AS dl FROM (
         |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1109,8 +1138,9 @@ object ScaleQueries {
         |    AS score_e12
         |FROM p
         |ORDER BY score_e12 DESC, doc_id
-        |LIMIT 10""".stripMargin,
+        |LIMIT 10""".stripMargin
 
+  private lazy val sqlMore: Map[String, String] = Map(
     "t6_repetition" ->
       """WITH c AS (
         |  SELECT doc_id, t, count(*) AS n FROM (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Curation, Dedup}
+import graft.util.Tables
 
 class CurationSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -396,6 +397,28 @@ class CurationSpec extends AnyFunSuite {
     val top1 = Curation.bm25TopK(df, "doc_id", "text",
       terms = Seq("a", "b"), topN = 1).collect()
     assert(top1.length == 1 && top1(0).getAs[Long]("doc_id") == 1L)
+  }
+
+  test("indexed BM25 equals the direct form and prunes to the terms' buckets") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "vector", "hash")
+    Curation.buildBm25Index(docs, "doc_id", "text", "bm25_idx_spec",
+      nBuckets = 16)
+    val indexed = Curation.bm25TopKIndexed(spark, "bm25_idx_spec",
+      terms, topN = 10, scoreScale = 12)
+    // result-identical to tokenizing the corpus per query
+    val direct = Curation.bm25TopK(docs, "doc_id", "text", terms,
+      topN = 10, scoreScale = 12)
+    assert(indexed.collect().toSeq == direct.collect().toSeq)
+    // the posting scan reads only the query terms' buckets — the
+    // write-once/query-many economics the index exists for
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"no bucket pruning in the indexed scan:\n${p.take(2000)}")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p).get
+    assert(sel.group(1).toInt <= terms.length && sel.group(2).toInt == 16,
+      s"expected <=${terms.length} of 16 buckets, got ${sel.matched}")
   }
 
   test("bm25TopK refuses a term set past the broadcast guard") {

@@ -22,7 +22,8 @@ import graft.enrich.{Enrich, GallicaArks, ScriptoriumCanvases}
   * graft.cli.EnrichCli --job=scriptorium-canvases --out=DIR \
   *   --manifest-file=FILE
   *
-  * # both jobs: [--retries=N] (default 3, the reference's contract)
+  * # both jobs: [--retries=N] (total attempts, default 3 — the
+  * # reference's paced 3-try contract, bcul/classes.py:204-244)
   * }}}
   *
   * The import side picks the tables up via

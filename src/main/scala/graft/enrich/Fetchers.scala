@@ -27,6 +27,14 @@ object Enrich {
   /** url → response body. */
   type Http = String => String
 
+  /** Non-200 response. 5xx / 429 / 408 are transient (retryable);
+    * other statuses (404, 403, …) are deterministic — retrying them
+    * only multiplies load on an endpoint that will never succeed. */
+  final case class HttpStatusException(url: String, status: Int)
+      extends RuntimeException(s"GET $url failed with status $status") {
+    def transient: Boolean = status >= 500 || status == 429 || status == 408
+  }
+
   /** `java.net.http`-backed transport (production). */
   def httpClient(timeoutSec: Int = 60): Http = {
     val client = java.net.http.HttpClient.newBuilder()
@@ -37,21 +45,42 @@ object Enrich {
         .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).GET().build()
       val resp = client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() == 200,
-        s"GET $url failed with status ${resp.statusCode()}")
+      if (resp.statusCode() != 200)
+        throw HttpStatusException(url, resp.statusCode())
       resp.body()
     }
   }
 
   /** Retry wrapper with the reference's 3-attempt contract
-    * (bcul/classes.py:204-244 query_iiif_api). */
-  def withRetries(http: Http, maxRetries: Int = 3): Http = { url =>
-    def go(attempt: Int): String =
+    * (bcul/classes.py:204-244 query_iiif_api: three tries, paced).
+    *
+    * Deterministic failures — non-transient HTTP statuses (4xx except
+    * 408/429) and `IllegalArgumentException` — fail fast on the first
+    * attempt. Transient ones sleep `pauseMs * attempt` between tries
+    * (linear backoff). The terminal throw keeps the full retry history:
+    * earlier attempts' exceptions ride along as suppressed.
+    *
+    * `sleep` is injectable so specs assert the pacing without waiting.
+    */
+  def withRetries(http: Http, maxAttempts: Int = 3, pauseMs: Long = 1000L,
+      sleep: Long => Unit = Thread.sleep): Http = { url =>
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    def fail(e: Exception, prior: List[Exception]): Nothing = {
+      prior.foreach(e.addSuppressed)
+      throw e
+    }
+    def go(attempt: Int, prior: List[Exception]): String =
       try http(url)
       catch {
-        case e: Exception if attempt < maxRetries => go(attempt + 1)
+        case e: HttpStatusException if !e.transient => fail(e, prior)
+        case e: IllegalArgumentException => fail(e, prior)
+        case scala.util.control.NonFatal(e: Exception)
+            if attempt < maxAttempts =>
+          sleep(pauseMs * attempt)
+          go(attempt + 1, e :: prior)
+        case e: Exception => fail(e, prior)
       }
-    go(0)
+    go(1, Nil)
   }
 }
 
@@ -87,29 +116,37 @@ object GallicaArks {
   /** (issue canonical id, iiif ark) for one journal, chronological.
     *
     * Mirrors the reference's year walk including its Dec-31 quirk fix
-    * (detect.py:76-137 fix_api_year_mismatch): the API sometimes lists
-    * the December 31st issue of year Y−1 at the END of year Y's list
-    * (recognizable because the element text names Y−1). Years are
-    * walked descending; such a stray is detached and re-attached as
-    * Dec 31 of Y−1 when that year is processed — unless Y−1's own list
-    * already ends on Dec 31, in which case the stray is a duplicate
-    * listing and dropped. */
+    * (detect.py:76-159 fix_api_year_mismatch): the API sometimes lists
+    * the December 31st issue(s) of year Y−1 at the END of year Y's
+    * list (recognizable because the element text names Y−1) — and a
+    * double-edition day can put TWO such strays there (the reference's
+    * api_issues[-2] check, detect.py:112-117). Years are walked
+    * descending; strays are detached and re-attached as Dec 31 of the
+    * next processed year ONLY when their text actually names that year
+    * (detect.py:131 verifies before re-attaching — a non-contiguous
+    * year list drops the strays instead of re-dating them to the wrong
+    * year's Dec 31), and not when that year's own list already ends on
+    * Dec 31 (duplicate listing → dropped). */
   def issueArks(http: Enrich.Http, alias: String, journalArk: String)
       : Seq[(String, String)] = {
     val years = parseYears(http(journalUrl(journalArk)))
     var carried: Seq[ApiIssue] = Nil
     val perYear = years.sorted(Ordering[Int].reverse).map { year =>
       val raw = parseIssues(http(issueUrl(journalArk, year)))
-      // only the TRAILING element can be the stray (detect.py:209-216
-      // checks api_issues[-1])
-      val (mine, strays) =
-        if (raw.nonEmpty && raw.last.text.contains((year - 1).toString))
-          (raw.init, Seq(raw.last))
-        else (raw, Nil)
+      // only TRAILING elements can be strays: [-1], and [-2] for a
+      // two-edition Dec 31 (detect.py:101,112)
+      val prevYear = (year - 1).toString
+      val nStrays =
+        if (raw.nonEmpty && raw.last.text.contains(prevYear)) {
+          if (raw.length >= 2 && raw(raw.length - 2).text.contains(prevYear)) 2
+          else 1
+        } else 0
+      val (mine, strays) = raw.splitAt(raw.length - nStrays)
       val dec31 = java.time.LocalDate.of(year, 12, 31).getDayOfYear
       val carriedHere =
         if (mine.nonEmpty && mine.last.dayOfYear == dec31) Nil
-        else carried.map(_.copy(dayOfYear = dec31))
+        else carried.filter(_.text.contains(year.toString))
+          .map(_.copy(dayOfYear = dec31))
       val dated = (mine ++ carriedHere).map { i =>
         (java.time.LocalDate.ofYearDay(year, i.dayOfYear), i.ark)
       }

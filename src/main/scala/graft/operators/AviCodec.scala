@@ -136,18 +136,28 @@ object AviCodec {
   private def fourcc(b: Array[Byte], p: Int): String =
     new String(b, p, 4, "US-ASCII")
 
+  /** Advance past the chunk at `p`, or -1 when its 32-bit size field
+    * walks outside [p, end) — including sizes >= 2^31, which a naive
+    * `.toInt` would turn negative and drive the walk to a negative
+    * index. All arithmetic in Long. */
+  private def nextChunk(b: Array[Byte], p: Int, end: Int): Int = {
+    val size = readU32(b, p + 4) // u32, always >= 0 as a Long
+    val next = p.toLong + 8L + size + (size % 2)
+    if (size > Int.MaxValue.toLong || next <= p.toLong || next > end.toLong) -1
+    else next.toInt
+  }
+
   /** First LIST of `listType` in [start, end): body bounds
     * (after the listType tag). */
   private def findList(b: Array[Byte], start: Int, end: Int,
       listType: String): Option[(Int, Int)] = {
     var p = start
     while (p + 8 <= end) {
-      val size = readU32(b, p + 4)
-      val next = p + 8 + size.toInt + (size.toInt % 2)
-      if (next > end || size < 0) return None
+      val next = nextChunk(b, p, end)
+      if (next < 0) return None
       if (fourcc(b, p) == "LIST" && p + 12 <= end &&
         fourcc(b, p + 8) == listType)
-        return Some((p + 12, p + 8 + size.toInt))
+        return Some((p + 12, p + 8 + readU32(b, p + 4).toInt))
       p = next
     }
     None
@@ -158,10 +168,10 @@ object AviCodec {
       cc: String): Option[(Int, Int)] = {
     var p = start
     while (p + 8 <= end) {
-      val size = readU32(b, p + 4)
-      val next = p + 8 + size.toInt + (size.toInt % 2)
-      if (next > end || size < 0) return None
-      if (fourcc(b, p) == cc) return Some((p + 8, p + 8 + size.toInt))
+      val next = nextChunk(b, p, end)
+      if (next < 0) return None
+      if (fourcc(b, p) == cc)
+        return Some((p + 8, p + 8 + readU32(b, p + 4).toInt))
       p = next
     }
     None
@@ -183,45 +193,56 @@ object AviCodec {
   /** REAL pixel decode of every `00db` frame: per-frame per-channel
     * sums (the video analog of [[ImageCodec.channelSums]]) — undoes
     * the bottom-up row order, 4-byte row stride, and BGR layout.
-    * Returns None for non-AVI/corrupt payloads; frames whose chunk is
-    * shorter than stride·h are skipped (truncated tail). */
+    * Returns None for non-AVI/corrupt payloads (same degrade-to-None
+    * contract as [[decodeMeta]]: the whole body is guarded, so a
+    * payload that sniffs as AVI but lies later never throws out of one
+    * row of a job); `frame_no` counts every `00db` chunk by stream
+    * position — a truncated mid-stream frame skips only its EMISSION,
+    * it does not shift later frames' numbers. */
   def frameStats(bytes: Array[Byte])
       : Option[Seq[(Int, Int, Int, Long, Long, Long)]] =
-    decodeMeta(bytes).flatMap { case (w, h, _, _) =>
-      val end = 8 + readU32(bytes, 4).toInt min bytes.length
-      findList(bytes, 12, end, "movi").map { case (ms, me) =>
-        val st = stride(w)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Int, Int, Long, Long, Long)]
-        var p = ms
-        var f = 0
-        while (p + 8 <= me) {
-          val size = readU32(bytes, p + 4).toInt
-          val next = p + 8 + size + (size % 2)
-          if (next > me || size < 0) { p = me } // corrupt tail: stop
-          else {
-            if (fourcc(bytes, p) == "00db" && size >= st * h) {
-              val data = p + 8
-              var rs = 0L; var gs = 0L; var bs = 0L
-              var y = 0
-              while (y < h) {
-                val row = data + (h - 1 - y) * st // bottom-up
-                var x = 0
-                while (x < w) {
-                  bs += bytes(row + x * 3) & 0xFF
-                  gs += bytes(row + x * 3 + 1) & 0xFF
-                  rs += bytes(row + x * 3 + 2) & 0xFF
-                  x += 1
+    try {
+      decodeMeta(bytes).flatMap { case (w, h, _, _) =>
+        val end = 8 + readU32(bytes, 4).toInt min bytes.length
+        val need = stride(w).toLong * h.toLong // Long: header dims are
+        // attacker-controlled u32s, `stride(w) * h` in Int can overflow
+        if (w <= 0 || h <= 0 || need > bytes.length.toLong) None
+        else findList(bytes, 12, end, "movi").map { case (ms, me) =>
+          val st = stride(w)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int, Int, Long, Long, Long)]
+          var p = ms
+          var f = 0
+          while (p + 8 <= me) {
+            val next = nextChunk(bytes, p, me)
+            if (next < 0) { p = me } // corrupt tail: stop
+            else {
+              if (fourcc(bytes, p) == "00db") {
+                val size = readU32(bytes, p + 4)
+                val data = p + 8
+                if (size >= need && data.toLong + need <= bytes.length.toLong) {
+                  var rs = 0L; var gs = 0L; var bs = 0L
+                  var y = 0
+                  while (y < h) {
+                    val row = data + (h - 1 - y) * st // bottom-up
+                    var x = 0
+                    while (x < w) {
+                      bs += bytes(row + x * 3) & 0xFF
+                      gs += bytes(row + x * 3 + 1) & 0xFF
+                      rs += bytes(row + x * 3 + 2) & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += ((f, w, h, rs, gs, bs))
                 }
-                y += 1
+                f += 1 // stream-position numbering, decoded or not
               }
-              out += ((f, w, h, rs, gs, bs))
-              f += 1
+              p = next
             }
-            p = next
           }
+          out.toSeq
         }
-        out.toSeq
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity, Sketches}
 import graft.util.Tables
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -395,6 +395,55 @@ object ScaleQueries {
             lit(1000000000000L).cast("decimal(13,0)"))
             .cast("bigint").as("score_e12"))
         .orderBy(col("score_e12").desc, col("doc_id"))
+    }),
+
+    // SK1 — HLL++ cardinality sketch, driver-checkable: the estimate
+    // itself is sketch-implementation-specific (DuckDB cannot replay
+    // Spark's HLL++), so the COMPARED columns are the exact distinct
+    // count plus the error-envelope verdict — the oracle emits literal
+    // TRUE, and a hash match proves every per-key estimate sat inside
+    // 3·rsd of the exact count. The sketch run is the real operator
+    // (one scan, partial-agg'd KB of state); the exact side is the
+    // same source of truth the planning instrument is graded against.
+    "sk1_hll_envelope" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val approx = Sketches.approxDistinctByKey(
+        ev, "event_type", "user_id", rsd = 0.05)
+      val exact = ev.groupBy(col("event_type").as("et"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      approx.join(exact, col("event_type") === col("et"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            .cast("double") <=
+            col("exact_distinct").cast("double") * lit(0.15))
+            .as("within_3rsd"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SK2 — CountMinSketch token counts, driver-checkable on the same
+    // envelope pattern: for the top-20 exact tokens, the sketch
+    // estimate must be >= the exact count (the CMS one-sided
+    // guarantee, deterministic) and <= exact + ceil(eps·N) (the
+    // width bound at the fixed seed). Oracle recomputes the exact
+    // top-20 and emits TRUE for both verdicts.
+    "sk2_cms_envelope" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val eps = 0.001
+      val sketch = Sketches.tokenCountSketch(docs, "text", eps = eps)
+      val toks = docs.select(
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val n = toks.count()
+      val bound = math.ceil(eps * n).toLong
+      val cms = Sketches.readSketch(sketch)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (t, c) =>
+        val est = cms.estimateCount(t)
+        (t, c, est >= c, est <= c + bound)
+      }.toDF("token", "exact_n", "ge_exact", "within_eps")
+        .orderBy(col("exact_n").desc, col("token"))
     }),
 
     // ---- corpus curation ----
@@ -1101,6 +1150,25 @@ object ScaleQueries {
     // t9: the indexed path must be result-identical to t8 — the oracle
     // IS t8's formula; bucketization of the posting lists is invisible
     "t9_bm25_indexed" -> bm25OracleSql,
+
+    // sk1/sk2: the estimate is not oracle-recomputable (Spark-internal
+    // sketch layouts); the oracle recomputes the EXACT side and emits
+    // literal TRUE for the envelope verdicts — hash match proves every
+    // estimate honored its bound (see the query-side comments).
+    "sk1_hll_envelope" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sk2_cms_envelope" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_n,
+        |  TRUE AS ge_exact, TRUE AS within_eps
+        |FROM toks GROUP BY tok
+        |ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
   )
 
   /** Shared t8/t9 oracle: the full BM25 recomputation in DuckDB. */

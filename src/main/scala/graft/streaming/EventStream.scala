@@ -29,10 +29,31 @@ object EventStream {
     * read instead of hard-coding either form. (Round 9 hard-coded the
     * nanos form here after fixing only the batch reader; micros÷1000
     * put every streamed timestamp in January 1970 and split the two
-    * readers — StreamingSpec now pins `readEvents == Tables.events`.) */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    * readers — StreamingSpec now pins `readEvents == Tables.events`.)
+    *
+    * On an EMPTY (or not-yet-populated) directory the probe read cannot
+    * infer a schema; a stream must still be definable before data
+    * arrives, so the reader falls back to `fallbackSchema` when given,
+    * else to the current driver generation's shape (tz-naive micros +
+    * props) — the form the first arriving files are expected to
+    * carry. */
+  def readEvents(spark: SparkSession, path: String,
+      fallbackSchema: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(path).schema
+    val fileSchema =
+      try spark.read.parquet(path).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+              e.getMessage.contains("does not exist") =>
+          fallbackSchema.getOrElse(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts", TimestampNTZType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType),
+            StructField("props", StringType))))
+      }
     val stream = spark.readStream.schema(fileSchema).parquet(path)
     fileSchema("ts").dataType match {
       case LongType =>

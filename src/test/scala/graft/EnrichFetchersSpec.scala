@@ -111,18 +111,100 @@ class EnrichFetchersSpec extends AnyFunSuite {
     assert(provider.pageIiif("GDL-1900-01-01-a", "x", 3).isEmpty)
   }
 
-  test("retry wrapper retries the reference's 3 attempts then rethrows") {
+  test("gallica two-edition Dec-31 stray: both carry down as lettered editions") {
+    // detect.py:112-117 — the API can list TWO Dec-31 editions of year
+    // Y-1 at the end of year Y's list (api_issues[-2] also names Y-1)
+    val mock: Enrich.Http = {
+      case url if url == GallicaArks.journalUrl(journalArk) =>
+        "<issues><year>1899</year><year>1900</year></issues>"
+      case url if url == GallicaArks.issueUrl(journalArk, 1900) =>
+        """<issues>
+          |  <issue ark="i1900a" dayofyear="1">1 janvier 1900</issue>
+          |  <issue ark="s1899a" dayofyear="365">31 décembre 1899</issue>
+          |  <issue ark="s1899b" dayofyear="365">31 décembre 1899 (2e ed)</issue>
+          |</issues>""".stripMargin
+      case url if url == GallicaArks.issueUrl(journalArk, 1899) =>
+        """<issues><issue ark="i1899a" dayofyear="1">1 janvier 1899</issue></issues>"""
+      case url => fail(s"unexpected fetch: $url")
+    }
+    val links = GallicaArks.issueArks(mock, "oerennes", journalArk)
+    assert(links == Seq(
+      "oerennes-1899-01-01-a" -> "i1899a",
+      "oerennes-1899-12-31-a" -> "s1899a",
+      "oerennes-1899-12-31-b" -> "s1899b",
+      "oerennes-1900-01-01-a" -> "i1900a"))
+  }
+
+  test("gallica stray is dropped when the next processed year doesn't match") {
+    // detect.py:131 verifies the stored issue's text names the target
+    // year; with a non-contiguous year list (1899 absent) the stray
+    // must NOT be re-dated to 1897's Dec 31
+    val mock: Enrich.Http = {
+      case url if url == GallicaArks.journalUrl(journalArk) =>
+        "<issues><year>1897</year><year>1900</year></issues>"
+      case url if url == GallicaArks.issueUrl(journalArk, 1900) =>
+        """<issues>
+          |  <issue ark="i1900a" dayofyear="1">1 janvier 1900</issue>
+          |  <issue ark="s1899" dayofyear="365">31 décembre 1899</issue>
+          |</issues>""".stripMargin
+      case url if url == GallicaArks.issueUrl(journalArk, 1897) =>
+        """<issues><issue ark="i1897a" dayofyear="1">1 janvier 1897</issue></issues>"""
+      case url => fail(s"unexpected fetch: $url")
+    }
+    val links = GallicaArks.issueArks(mock, "oerennes", journalArk)
+    assert(links == Seq(
+      "oerennes-1897-01-01-a" -> "i1897a",
+      "oerennes-1900-01-01-a" -> "i1900a"))
+  }
+
+  test("retry wrapper: 3 paced attempts, terminal throw keeps the history") {
     var calls = 0
     val flaky: Enrich.Http = { _ =>
       calls += 1
-      if (calls < 3) throw new RuntimeException("503") else "ok"
+      if (calls < 3) throw new RuntimeException("flaky") else "ok"
     }
-    assert(Enrich.withRetries(flaky)("u") == "ok" && calls == 3)
+    assert(Enrich.withRetries(flaky, sleep = _ => ())("u") == "ok")
+    assert(calls == 3)
+    // always-failing endpoint: exactly 3 attempts (the reference's
+    // bcul/classes.py:204-244 contract), linear pacing between them,
+    // and the terminal exception carries the earlier ones as suppressed
     var calls2 = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
     val dead: Enrich.Http = { _ =>
-      calls2 += 1; throw new RuntimeException("down")
+      calls2 += 1; throw new RuntimeException(s"down $calls2")
     }
-    intercept[RuntimeException](Enrich.withRetries(dead)("u"))
-    assert(calls2 == 4) // initial + 3 retries
+    val e = intercept[RuntimeException](
+      Enrich.withRetries(dead, pauseMs = 10L, sleep = sleeps += _)("u"))
+    assert(calls2 == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L), "linear backoff between attempts")
+    assert(e.getMessage == "down 3")
+    assert(e.getSuppressed.map(_.getMessage).toSet == Set("down 1", "down 2"))
+  }
+
+  test("retry wrapper fails fast on deterministic errors, retries transient ones") {
+    // 404 is deterministic: one call, no sleeps
+    var calls404 = 0
+    val notFound: Enrich.Http = { u =>
+      calls404 += 1; throw Enrich.HttpStatusException(u, 404)
+    }
+    intercept[Enrich.HttpStatusException](
+      Enrich.withRetries(notFound, sleep = _ => fail("must not pace"))("u"))
+    assert(calls404 == 1)
+    // IllegalArgumentException (caller bug) likewise
+    var callsIae = 0
+    val bad: Enrich.Http = { _ =>
+      callsIae += 1; throw new IllegalArgumentException("bad url")
+    }
+    intercept[IllegalArgumentException](
+      Enrich.withRetries(bad, sleep = _ => fail("must not pace"))("u"))
+    assert(callsIae == 1)
+    // 503 is transient: retried to success
+    var calls503 = 0
+    val busy: Enrich.Http = { u =>
+      calls503 += 1
+      if (calls503 < 2) throw Enrich.HttpStatusException(u, 503) else "ok"
+    }
+    assert(Enrich.withRetries(busy, sleep = _ => ())("u") == "ok")
+    assert(calls503 == 2)
   }
 }

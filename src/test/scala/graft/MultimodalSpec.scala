@@ -208,6 +208,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled.count() == 4)
   }
 
+  test("AVI hostile payloads: oversized sizes/dims degrade, numbering holds") {
+    // little-endian helpers over a mutable copy of a valid AVI
+    def putU32(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = (v & 0xFF).toByte; b(p + 1) = ((v >> 8) & 0xFF).toByte
+      b(p + 2) = ((v >> 16) & 0xFF).toByte; b(p + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def getU32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    def find(b: Array[Byte], cc: String, from: Int = 0): Int = {
+      val t = cc.getBytes("US-ASCII")
+      var p = from
+      while (p + 4 <= b.length &&
+        !(b(p) == t(0) && b(p + 1) == t(1) && b(p + 2) == t(2) &&
+          b(p + 3) == t(3))) p += 1
+      assert(p + 4 <= b.length, s"$cc not found"); p
+    }
+
+    // 1. a movi chunk whose 32-bit size field is >= 2^31 must stop the
+    //    walk (degrade), not drive a negative index read
+    val big = AviCodec.encodeSyntheticAvi(1L) // id=1 → 3 frames
+    val firstDb = find(big, "00db")
+    putU32(big, firstDb + 4, 0x80000000L)
+    assert(AviCodec.frameStats(big).contains(Nil)) // no throw, no frames
+
+    // 2. oversized header dims (st*h would overflow Int) must degrade
+    //    to None, not read out of bounds
+    val wide = AviCodec.encodeSyntheticAvi(1L)
+    val avihData = find(wide, "avih") + 8
+    putU32(wide, avihData + 32, 0x40000000L) // biWidth = 2^30
+    putU32(wide, avihData + 36, 0x40000000L) // biHeight = 2^30
+    assert(AviCodec.frameStats(wide).isEmpty)
+
+    // 3. a truncated MID-STREAM frame skips only its emission: later
+    //    frames keep their stream-position frame_no. Rebuild movi with
+    //    frame 1's chunk declared (and laid out) 4 bytes long.
+    val src = AviCodec.encodeSyntheticAvi(1L)
+    val (w1, h1, nf1, _) = AviCodec.syntheticParams(1L)
+    assert(nf1 == 3)
+    val moviTag = find(src, "movi")
+    val headerPart = java.util.Arrays.copyOfRange(src, 0, moviTag + 4)
+    def frameChunk(at: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(src, at, at + 8 + getU32(src, at + 4).toInt)
+    // chunk-boundary walk (a byte search could false-match pixel data)
+    def nextAt(b: Array[Byte], p: Int): Int = {
+      val sz = getU32(b, p + 4).toInt; p + 8 + sz + (sz % 2)
+    }
+    val f0 = moviTag + 4
+    val f1 = nextAt(src, f0)
+    val f2 = nextAt(src, f1)
+    assert(Seq(f0, f1, f2).forall(p =>
+      new String(src, p, 4, "US-ASCII") == "00db"))
+    val shortF1 = Array[Byte]('0', '0', 'd', 'b', 4, 0, 0, 0, 9, 9, 9, 9)
+    val movi = frameChunk(f0) ++ shortF1 ++ frameChunk(f2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(headerPart) // up to and including "movi" list type tag
+    out.write(movi)
+    val patched = out.toByteArray
+    // fix the movi LIST size (4-byte type tag + children) and RIFF size
+    putU32(patched, moviTag - 8 + 4, 4L + movi.length)
+    putU32(patched, 4, patched.length - 8L)
+    val Some(frames) = AviCodec.frameStats(patched)
+    assert(frames.map(_._1) == Seq(0, 2), "frame_no must track stream position")
+    frames.foreach { case (f, fw, fh, rs, gs, bs) =>
+      assert((fw, fh) == (w1, h1))
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h1; x <- 0 until w1) {
+        val (r, g, b) = AviCodec.pixel(1L, f, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((rs, gs, bs) == ((er, eg, eb)), s"frame=$f")
+    }
+  }
+
   test("extractMetadata decodes real MP3 and MP4 rows") {
     val meta = Multimodal.extractMetadata(Multimodal.mixedMedia(spark, sf))
     val kinds = meta.groupBy("kind").count().collect()

@@ -49,4 +49,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.estimate(sketch, "zz-never-a-token-zz") <=
       (0.001 * totalTokens).toLong + 1)
   }
+
+  test("sk1/sk2 oracle rows: every envelope verdict is true") {
+    // the driver-checked rows compare these verdict columns against a
+    // literal TRUE oracle — any false here is tomorrow's red row
+    val sk1 = SparkEntry.queries("sk1_hll_envelope")(spark, sf).collect()
+    assert(sk1.nonEmpty)
+    assert(sk1.forall(_.getAs[Boolean]("within_3rsd")))
+    val sk2 = SparkEntry.queries("sk2_cms_envelope")(spark, sf).collect()
+    assert(sk2.length == 20)
+    assert(sk2.forall(r =>
+      r.getAs[Boolean]("ge_exact") && r.getAs[Boolean]("within_eps")))
+  }
 }

@@ -61,6 +61,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(0).getTimestamp(1).getTime == 1600000000000L)
   }
 
+  test("readEvents is definable on an empty directory (start-before-data)") {
+    // the schema probe cannot infer from zero files; the reader must
+    // fall back instead of throwing at stream-definition time, and the
+    // stream must pick up files that arrive after it starts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-empty").toString
+    val stream = EventStream.readEvents(spark, dir) // must not throw
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("emptystart")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    assert(spark.table("emptystart").count() == 0)
+    q.stop()
+    // data arrives in the fallback shape (tz-naive micros + props):
+    // a fresh AvailableNow pass reads it with ts normalized
+    Seq((1L, java.time.LocalDateTime.of(2020, 9, 13, 12, 26, 40),
+      10L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    val q2 = EventStream.readEvents(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("emptystart2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.table("emptystart2")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "2020-09-13 12:26:40")
+  }
+
   test("streaming windowed agg equals the batch tumbling agg") {
     val stream = EventStream.readEvents(spark, eventsPath)
     val agg = EventStream.windowedAgg(stream, "1 hour", "10 minutes")

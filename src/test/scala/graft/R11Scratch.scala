@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bucketing, Curation, RangeJoin}
+import graft.util.Tables
+
+/** Round-11 bench measurements (test scope, not shipped) — the three
+  * rows VERDICT r10 items 3/4 ask for:
+  *
+  *  - `t9`: build-vs-query split for the materialized BM25 inverted
+  *    index. The committed battery prices t9 at index-BUILD cost
+  *    (the oracle row rebuilds the posting table each run to stay
+  *    self-contained); this records the amortized bucket-pruned QUERY
+  *    against a pre-built index — the write-once/query-many number.
+  *  - `j14`: bucketed-join write-vs-read split at scale (the battery
+  *    row likewise pays both bucketed WRITES inside the timed region).
+  *  - `j15`: bucketized range join at sf10, with the join-output row
+  *    count recorded so cost can be normalized by output growth
+  *    (output grows ~|lineitem|x|part| density, i.e. ~100x per 10x
+  *    input on this corpus).
+  *
+  * Run with `sbt "Test/runMain graft.R11Scratch <t9|j14|j15> [sfDir]"`.
+  * Corpora above sf0.1 come from [[graft.ScaleUp]] (bench-only;
+  * correctness stays gated on the driver's sf0.01 parquet).
+  */
+object R11Scratch {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "t9"
+    val d = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def minOf(n: Int)(body: => Unit): Double =
+      (1 to n).map(_ => time(body)._2).min
+
+    mode match {
+      case "t9" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}") // warmup scan
+        // build twice, report min (first pass absorbs JIT/codegen)
+        val build = minOf(2)(Curation.buildBm25Index(
+          docs, "doc_id", "text", "r11_bm25_idx", nBuckets = 16))
+        def query(): Unit = Curation.bm25TopKIndexed(spark, "r11_bm25_idx",
+          terms = Seq("spark", "vector", "hash", "quantile"), topN = 10,
+          scoreScale = 12).count()
+        query() // warmup the query plan once
+        val q = minOf(5)(query())
+        println(f"T9 $d build=$build%.2f s  query(min of 5)=$q%.3f s  " +
+          f"ratio=${build / q}%.0fx")
+
+      case "j14" =>
+        val orders = Tables.orders(spark, d)
+        val lineitem = Tables.lineitem(spark, d)
+        println(s"CORPUS $d orders=${orders.count()} lineitem=${lineitem.count()}")
+        val (_, wO) = time(Bucketing.writeBucketed(
+          orders, "r11_orders_b", "o_orderkey", nBuckets = 8))
+        val (_, wL) = time(Bucketing.writeBucketed(
+          lineitem, "r11_lineitem_b", "l_orderkey", nBuckets = 8))
+        def read(): Unit = Bucketing.bucketedJoin(spark,
+          "r11_lineitem_b", "r11_orders_b", "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")))
+          .count()
+        read() // warmup
+        val r = minOf(2)(read())
+        println(f"J14 $d write_orders=$wO%.2f s write_lineitem=$wL%.2f s " +
+          f"read_join(min of 2)=$r%.2f s")
+
+      case "j15" =>
+        val l = Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val p = Tables.part(spark, d).select(col("p_partkey"),
+          (col("p_retailprice") * 0.99).as("lo"),
+          (col("p_retailprice") * 1.01).as("hi"))
+        println(s"CORPUS $d lineitem=${l.count()} part=${p.count()}")
+        def run(): (Long, Long) = {
+          val agg = RangeJoin.bucketized(l, "l_extendedprice", p, "lo", "hi",
+              width = 20.0)
+            .groupBy(col("p_partkey"))
+            .agg(count(lit(1)).as("n_lines"))
+            .agg(count(lit(1)).as("groups"), sum(col("n_lines")).as("out_rows"))
+            .collect()(0)
+          (agg.getLong(0), agg.getLong(1))
+        }
+        val ((groups, outRows), t1) = time(run())
+        val (_, t2) = time(run())
+        println(f"J15 $d wall(min of 2)=${math.min(t1, t2)}%.2f s " +
+          s"groups=$groups join_out_rows=$outRows")
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -515,4 +515,147 @@ object Curation {
     bm25ScoreTail(tf, spark.table(s"${table}_stats"), terms, topN,
       k1, b, scoreScale)
   }
+
+  /** Per-stratum quota cap: keep at most `quota` rows of each
+    * `strataCol` value, ranked by `score` DESC with id ASC tie-break —
+    * the per-domain/per-source cap every web-scale training mix
+    * applies so one over-crawled domain cannot dominate an epoch.
+    *
+    * Shape: ONE hash shuffle on the stratum plus an in-partition sort
+    * (`row_number`), output bounded at quota·|strata| regardless of
+    * input size. A whale stratum (one domain = half the corpus) is the
+    * classic skew case — AQE splits the sort spill, and because the
+    * rank only needs each row's (score, id), the window input can be
+    * pre-projected to three slim columns; payloads rejoin on id after
+    * the cut when the caller needs them. */
+  def quotaCap(df: DataFrame, idCol: String, strataCol: String,
+      score: Column, quota: Int): DataFrame =
+    df.withColumn("score", score)
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col(strataCol))
+          .orderBy(col("score").desc, col(idCol))).cast("int"))
+      .filter(col("rk") <= quota)
+
+  /** PII classes redacted by [[redactPii]], in application order:
+    * (class, pattern, replacement token). URLs go first so an address
+    * inside a link is consumed as one URL, not a URL plus an email.
+    * Patterns stay in the Java∩RE2 regex subset so the oracle can run
+    * them verbatim. Replacement tokens contain no digits or `@`, so
+    * redaction never cascades into a later class. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+  )
+
+  /** Count of `pattern` matches in `text` (0 when none). */
+  private def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("int")
+
+  /** Redact PII from `textCol`: every [[PiiPatterns]] class is counted
+    * and then replaced by its token, in order. Returns the input
+    * columns plus `n_<class>` counts and `redacted`.
+    *
+    * This is a pure narrow map — no shuffle, no UDF (codegen'd
+    * `regexp_replace`/`regexp_extract_all`), combines with scan
+    * pruning; at 100 TB it runs at full scan bandwidth. Counts are
+    * taken on the pre-redaction text per class independently, which
+    * equals the sequential-redaction counts because no replacement
+    * token can match a later pattern. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name", piiCount(col(textCol), pat))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, tok)) => regexp_replace(acc, pat, tok)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Cross-document boilerplate-line removal (the C4/CCNet line-dedup
+    * curation step): re-lineate each document into fixed
+    * `lineTokens`-token lines, find lines that occur in at least
+    * `minDocs` DISTINCT documents (headers, footers, licence blurbs),
+    * and rebuild every document without them.
+    *
+    * Returns one row per document: (id, n_lines, n_dropped,
+    * clean_md5) — the md5 of the cleaned text keeps the result slim;
+    * callers that need the text itself take the pre-`md5` frame shape.
+    *
+    * Scale shape: the line table is the only wide state and it is
+    * keyed by `xxhash64(line)` — 8-byte keys through the distinct
+    * count and the anti-join, never the line strings (the d8 lesson;
+    * the oracle counts over the strings themselves, so agreement IS
+    * the collision gate). Two shuffles total: line-hash (boilerplate
+    * count + anti-join share it) and doc id (reassembly); the
+    * boilerplate set is tiny by construction (lines repeated across
+    * documents) so the anti-join build side broadcasts. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(lineTokens > 0 && minDocs > 1, "need lineTokens>0, minDocs>1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // Column `/` is double division; the +L−1 ceiling stays exact well
+    // past any real document, and the cast truncates back to integral
+    val nLines = ((size(toks) + lineTokens - 1) / lineTokens).cast("int")
+    val lines = df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), greatest(nLines, lit(1)) - 1),
+          i => array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " ")))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = lines.groupBy(col("lh").as("blh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("blh"))
+    val kept = lines.join(broadcast(boiler), col("lh") === col("blh"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), " ").as("clean_text"))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines").cast("int").as("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0)))
+          .cast("int").as("n_dropped"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
+
+  /** ln(2) as a shared literal: both the Spark plan and the DuckDB
+    * oracle divide by this exact double, so the base-2 conversion can
+    * never disagree the way two engines' `log2` intrinsics can. */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Per-document token-level Shannon entropy (vocabulary diversity —
+    * the cheap perplexity stand-in quality signal: spam and
+    * template-generated text sit far below prose):
+    * H = (ln(n) − Σ c·ln(c) / n) / ln2 over per-token counts c.
+    *
+    * Two partial-aggregated groupBys ((id, token) then id) — the
+    * token strings never shuffle beyond the first partial combine.
+    * The score is exported as `ent_e6` (decimal-cut H·10⁶ as a long,
+    * the t8 pattern) so no raw float reaches a comparison or hash;
+    * the e6 cut also absorbs both engines' ~1-ulp `ln` differences
+    * and the partition-order float-sum jitter of `Σ c·ln(c)` (error
+    * ≤ ~1e-6 at e6 scale for corpus-sized documents, six orders
+    * under the rounding step). */
+  def tokenEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_types"),
+        sum(col("c")).as("n_tok"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clog"))
+      .select(col(idCol), col("n_types"),
+        col("n_tok").cast("bigint").as("n_tokens"),
+        (((log(col("n_tok").cast("double")) -
+            col("clog") / col("n_tok")) / lit(Ln2))
+          .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
+          .cast("bigint").as("ent_e6"))
 }

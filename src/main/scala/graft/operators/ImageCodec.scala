@@ -125,13 +125,22 @@ object ImageCodec {
   }
 
   /** Real aspect-fit resize: one decode → Graphics2D scale → re-encode
-    * PNG. Returns None when the payload isn't a decodable image. */
+    * PNG. Returns None when the payload isn't a decodable image or the
+    * re-encode fails — degrade-to-None, never throw (one corrupt blob
+    * must not fail a task). A hostile payload can decode with a
+    * degenerate aspect ratio (say 1×1000) whose integer fit is 0 wide,
+    * so the fit is clamped to ≥1 px before the target image exists;
+    * the corpus can't hit the clamp (dims ≥8), so the m4 oracle's
+    * un-clamped CASE mirror of [[fitDims]] is unaffected. */
   def resize(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
-    decodeImage(bytes).map { case (_, src) =>
-      val (ow, oh) = fitDims(src.getWidth, src.getHeight, tw, th)
-      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
-      val g = out.createGraphics()
-      try g.drawImage(src, 0, 0, ow, oh, null) finally g.dispose()
-      write(out, "png")
+    decodeImage(bytes).flatMap { case (_, src) =>
+      try {
+        val (fw, fh) = fitDims(src.getWidth, src.getHeight, tw, th)
+        val (ow, oh) = (math.max(fw, 1), math.max(fh, 1))
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        try g.drawImage(src, 0, 0, ow, oh, null) finally g.dispose()
+        Some(write(out, "png"))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 }

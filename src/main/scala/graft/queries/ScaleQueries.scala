@@ -477,6 +477,66 @@ object ScaleQueries {
       Curation.packedPayloads(Tables.documents(s, d), "doc_id", "text",
         nShards = 8, budget = 2048L, seed = "42")
         .orderBy(col("shard"), col("bin"))
+    }),
+
+    // X7 — per-source quota cap ranked by the t2 quality score: one
+    // window shuffle on the stratum, output bounded at quota·|strata|.
+    // The rank key is the raw double (t2 proves both engines produce
+    // bit-identical quality doubles — same operand order); the
+    // COMPARED column is the t8-style exact decimal scale.
+    "x7_quota_cap" -> ((s, d) => {
+      Curation.quotaCap(Tables.documents(s, d), "doc_id", "source",
+        TextAnalysis.qualityScore(col("text")), quota = 20)
+        .select(col("doc_id"), col("source"), col("rk"),
+          (col("score").cast("decimal(24,12)") *
+            lit(1000000000000L).cast("decimal(13,0)"))
+            .cast("bigint").as("score_e12"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // X8 — PII redaction. The synthetic corpus carries no PII, so the
+    // query plants a deterministic doc_id-derived suffix (one email
+    // always; URL/IP/phone/SSN on modular conditions) and the oracle
+    // rebuilds the identical dirty text — the counts and the redacted
+    // md5 then exercise every pattern class non-degenerately.
+    "x8_pii_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val dirty = concat(
+        col("text"),
+        lit(" u"), st(id), lit("@mail"), st(id % 5), lit(".example.com"),
+        when(id % 2 === 0, concat(lit(" see https://ex"), st(id % 9),
+          lit(".org/p/"), st(id))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" from 10.0."), st(id % 256),
+          lit("."), st((id * 7) % 256))).otherwise(lit("")),
+        when(id % 4 === 1, concat(lit(" tel 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((id * 3) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 5 === 2, concat(lit(" sin 123-45-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      Curation.redactPii(
+          Tables.documents(s, d).withColumn("dirty", dirty), "dirty")
+        .select(col("doc_id"), col("n_url"), col("n_email"),
+          col("n_ipv4"), col("n_phone"), col("n_ssn"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X9 — cross-document boilerplate-line removal over 8-token
+    // re-lineated documents; minDocs=2 so the corpus' repeated phrase
+    // windows actually trigger (153 boilerplate lines at sf0.01).
+    "x9_boilerplate" -> ((s, d) => {
+      Curation.boilerplateLines(Tables.documents(s, d), "doc_id",
+        "text", lineTokens = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // T10 — token-entropy quality signal; decimal e6 cut, shared-ln2
+    // constant (see Curation.tokenEntropy scaladoc).
+    "t10_token_entropy" -> ((s, d) => {
+      Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1286,6 +1346,112 @@ object ScaleQueries {
         |SELECT shard, bin, CAST(count(*) AS INT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  string_agg(text, chr(10) ORDER BY h, doc_id) AS payload
-        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "x7_quota_cap" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text), '\bthe\b')) +
+        |    len(regexp_extract_all(lower(text), '\band\b')) +
+        |    len(regexp_extract_all(lower(text), '\bof\b')) +
+        |    len(regexp_extract_all(lower(text), '\bder\b')) +
+        |    len(regexp_extract_all(lower(text), '\bdie\b')) +
+        |    len(regexp_extract_all(lower(text), '\bund\b')) +
+        |    len(regexp_extract_all(lower(text), '\bel\b')) +
+        |    len(regexp_extract_all(lower(text), '\blos\b')) +
+        |    len(regexp_extract_all(lower(text), '\bque\b')) +
+        |    len(regexp_extract_all(lower(text), '\ble\b')) +
+        |    len(regexp_extract_all(lower(text), '\bla\b')) +
+        |    len(regexp_extract_all(lower(text), '\bet\b')) AS n_stop,
+        |    CAST(length(text) AS BIGINT) AS n_ch
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4 +
+        |    (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.3 +
+        |    (1.0 - CAST(n_punct AS DOUBLE)/CAST(n_ch AS DOUBLE))*0.3 AS score
+        |  FROM m),
+        |r AS (
+        |  SELECT d.doc_id, d.source, q.score,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY q.score DESC, d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (doc_id))
+        |SELECT doc_id, source, CAST(rk AS INT) AS rk,
+        |  CAST(CAST(score AS DECIMAL(24,12))
+        |       * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT) AS score_e12
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "x8_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text
+        |    || ' u' || doc_id || '@mail' || (doc_id % 5) || '.example.com'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' see https://ex' || (doc_id % 9)
+        |         || '.org/p/' || doc_id ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256)
+        |         || '.' || ((doc_id * 7) % 256) ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN ' tel 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 2 THEN ' sin 123-45-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS INT) AS n_url,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(dirty,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS red_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "x9_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(range(CAST(greatest(ceil(len(toks)/8.0), 1) AS BIGINT))) AS pos,
+        |    unnest(list_transform(
+        |      range(CAST(greatest(ceil(len(toks)/8.0), 1) AS BIGINT)),
+        |      i -> array_to_string(list_slice(toks,
+        |        CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' '))) AS line
+        |  FROM t),
+        |bp AS (SELECT line FROM l GROUP BY line
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS clean_text
+        |  FROM l ANTI JOIN bp USING (line) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_lines AS INT) AS n_lines,
+        |  CAST(tot.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
+        |  md5(coalesce(k.clean_text, '')) AS clean_md5
+        |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t10_token_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(CAST((ln(CAST(sum(c) AS DOUBLE))
+        |         - sum(c * ln(c)) / sum(c)) / 0.6931471805599453
+        |       AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+        |    AS ent_e6
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

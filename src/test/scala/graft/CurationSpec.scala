@@ -429,4 +429,110 @@ class CurationSpec extends AnyFunSuite {
       Curation.bm25TopK(df, "doc_id", "text", tooMany, topN = 1))
     assert(e.getMessage.contains("inverted index"))
   }
+
+  // ---- per-stratum quota cap ----
+
+  test("quotaCap keeps top-quota per stratum, score desc with id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
+      (5L, "b", 0.2)).toDF("id", "src", "s")
+    val out = Curation.quotaCap(df, "id", "src", col("s"), quota = 2)
+      .select(col("src"), col("rk"), col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // ties at 0.9 resolve to the lower id; stratum b keeps its 1 row
+    assert(out.toSet == Set(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 5L)))
+  }
+
+  // ---- PII redaction ----
+
+  test("redactPii replaces every class and counts pre-redaction hits") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org web https://a.b/c?d=1 " +
+        "host 192.168.0.1 tel 555-123-4567 sin 123-45-6789 end"))
+      .toDF("id", "t")
+    val r = Curation.redactPii(df, "t").collect()(0)
+    assert(r.getAs[String]("redacted") ==
+      "mail <EMAIL> web <URL> host <IP> tel <PHONE> sin <ID> end")
+    assert(Seq("n_url", "n_email", "n_ipv4", "n_phone", "n_ssn")
+      .map(r.getAs[Int]) == Seq(1, 1, 1, 1, 1))
+  }
+
+  test("redactPii is idempotent and respects word boundaries") {
+    import spark.implicits._
+    // embedded digits break \b: none of these are PII hits
+    val clean = "v1234-567-89012 x10.1.1.999999 no-at-sign.example.com"
+    val df = Seq((1L, clean)).toDF("id", "t")
+    val r1 = Curation.redactPii(df, "t").collect()(0)
+    assert(r1.getAs[Int]("n_phone") == 0 && r1.getAs[Int]("n_ssn") == 0 &&
+      r1.getAs[Int]("n_email") == 0)
+    assert(r1.getAs[String]("redacted") == clean)
+    // a redacted text has no remaining matches in any class
+    val dirty = Seq((1L, "a@b.co 1.2.3.4 555-123-4567")).toDF("id", "t")
+    val once = Curation.redactPii(dirty, "t")
+      .select(col("id"), col("redacted").as("t"))
+    val twice = Curation.redactPii(once, "t").collect()(0)
+    assert(Seq("n_url", "n_email", "n_ipv4", "n_phone", "n_ssn")
+      .map(twice.getAs[Int]).sum == 0)
+    assert(twice.getAs[String]("redacted") == "<EMAIL> <IP> <PHONE>")
+  }
+
+  // ---- cross-document boilerplate lines ----
+
+  test("boilerplateLines drops only lines shared by minDocs documents") {
+    import spark.implicits._
+    // the shared footer is exactly one 8-token line wide
+    val f8 = "generated by the crawler pipeline v two x"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $f8"),
+      (2L, s"one two three four five six seven eight $f8"),
+      (3L, f8)).toDF("id", "t")
+    val out = Curation.boilerplateLines(docs, "id", "t",
+        lineTokens = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1 and 2 lose the shared footer line, keep their unique line;
+    // doc 3 is pure boilerplate and rebuilds to the empty string
+    assert(out(1L) == ((2, 1, md5Hex("alpha beta gamma delta epsilon zeta eta theta"))))
+    assert(out(2L) == ((2, 1, md5Hex("one two three four five six seven eight"))))
+    assert(out(3L) == ((1, 1, emptyMd5)))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplateLines reassembles kept lines in position order") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    // doc 1: unique, shared, unique — the kept text must skip the
+    // middle line but preserve first/last order
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $shared z1 z2 z3 z4 z5 z6 z7 z8"),
+      (2L, shared)).toDF("id", "t")
+    val out = Curation.boilerplateLines(docs, "id", "t", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) ==
+      md5Hex("a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3 z4 z5 z6 z7 z8"))
+  }
+
+  // ---- token entropy ----
+
+  test("tokenEntropy: uniform text hits log2(n), constant text hits 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // 8 distinct → H = 3 exactly
+      (2L, "x x x x"),           // constant → H = 0
+      (3L, "a a b b")            // 2 types even split → H = 1
+    ).toDF("id", "t")
+    val out = Curation.tokenEntropy(docs, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((8, 8L, 3000000L)))
+    assert(out(2L) == ((1, 4L, 0L)))
+    assert(out(3L) == ((2, 4L, 1000000L)))
+  }
 }

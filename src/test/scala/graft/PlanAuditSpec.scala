@@ -295,4 +295,49 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: top-k aggregate is not partial/final")
     }
   }
+
+  test("PII redaction is a pure narrow map — no shuffle, single scan") {
+    val p = plan(graft.operators.Curation.redactPii(
+      graft.util.Tables.documents(spark, sf), "text"))
+    assert(!p.contains("Exchange"), "redaction must not shuffle\n" + p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+    // codegen'd regexp expressions, not an opaque UDF boundary
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("quota cap: one stratum exchange, output-bounded window cut") {
+    val p = plan(graft.operators.Curation.quotaCap(
+      graft.util.Tables.documents(spark, sf), "doc_id", "source",
+      graft.functions.TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col("text")), 20))
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "quota cap is one shuffle on the stratum\n" + p.take(2000))
+    assert(p.contains("Window"), "rank window missing")
+    assert(count(p, "FileScan parquet") == 1)
+  }
+
+  test("boilerplate removal: hashed line keys, broadcast anti-join") {
+    val df = graft.operators.Curation.boilerplateLines(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text")
+    val p = plan(df)
+    // the boilerplate set (lines in >=minDocs docs) is tiny by
+    // construction — it must broadcast, never shuffle the corpus side
+    // of the anti-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "anti-join must broadcast the boilerplate set\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // join and distinct-count keys are the 8-byte xxhash64, not lines
+    assert(p.contains("xxhash64"), "line keys must be hashed")
+  }
+
+  test("token entropy: both groupBys partial-aggregate") {
+    val p = plan(graft.operators.Curation.tokenEntropy(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // (id, tok) count then id rollup — each HashAggregate appears as
+    // partial + final, so token strings combine map-side before the
+    // only wide stages
+    assert(count(p, "HashAggregate") >= 4,
+      "expected partial+final pairs for both groupBys\n" + p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+  }
 }

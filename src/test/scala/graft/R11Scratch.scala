@@ -101,6 +101,25 @@ object R11Scratch {
         println(f"J15 $d wall(min of 2)=${math.min(t1, t2)}%.2f s " +
           s"groups=$groups join_out_rows=$outRows")
 
+      case "curation" =>
+        // round-11 ops (x7/x8/x9/t10) at scale: all documents-backed
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("x7_quota_cap")(Curation.quotaCap(docs, "doc_id", "source",
+          graft.functions.TextAnalysis.qualityScore(col("text")), 20).count())
+        m("x8_pii_redact")(Curation.redactPii(docs, "text")
+          .agg(sum(col("n_email") + col("n_url") + col("n_ipv4")))
+          .collect().length.toLong)
+        m("x9_boilerplate")(Curation.boilerplateLines(docs, "doc_id",
+          "text", 8, 2).count())
+        m("t10_token_entropy")(Curation.tokenEntropy(docs, "doc_id",
+          "text").count())
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -91,5 +91,11 @@ object GraftExtensions {
       composite(TextAnalysis.langId) },
     entry("graft_fingerprint", 1,
       "graft_fingerprint(text) - normalized-vocabulary md5 fingerprint") {
-      composite(TextAnalysis.fingerprint) })
+      composite(TextAnalysis.fingerprint) },
+    entry("ascii_keep_lower", 1,
+      "ascii_keep_lower(text) - lower(text) restricted to [a-z0-9 ]") {
+      args => AsciiKeepLower(args.head) },
+    entry("bpe_token_count", 1,
+      "bpe_token_count(text) - letter runs + digit runs + symbols") {
+      args => BpeTokenCount(args.head) })
 }

@@ -26,17 +26,51 @@ object TextAnalysis {
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric symbols — a cheap, deterministic proxy for subword
-    * tokenizer cost. */
+    * tokenizer cost. Native one-pass byte scan equal to
+    * `size(regexp_extract_all(lower(text), "[a-z]+|[0-9]+|[^a-z0-9\\s]"))`
+    * — the t1 oracle keeps that regex form; see [[AsciiScanImpl]] for
+    * why the regex is 5× slower on executor JVMs. */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.GraftColumns.column(
+      BpeTokenCount(org.apache.spark.sql.GraftColumns.expression(text)))
 
-  /** Count of punctuation/symbol characters. */
+  /** Every character the punctuation count treats as NON-punctuation:
+    * ASCII letters, digits, and Java regex `\s` = `[ \t\n\x0B\f\r]` —
+    * the exact complement of the oracle's `[^a-zA-Z0-9\s]` class. */
+  private val NonPunctChars: String =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString +
+      " \t\n\u000B\f\r"
+
+  /** Count of punctuation/symbol characters — all chars outside
+    * `[a-zA-Z0-9\s]`, counted per code point.
+    *
+    * Deliberately NOT a regex: `translate` deletes the allowed
+    * alphabet in one codegen'd per-char dictionary pass and `length`
+    * counts the survivors. The obvious
+    * `regexp_extract_all(text, "[^a-zA-Z0-9\\s]")` is 30-50× slower
+    * on JDK 17 under a real workload: negated char classes compile to
+    * nested `Pattern$BmpCharPredicate` lambda-union chains whose call
+    * sites go megamorphic once a JVM has compiled many patterns
+    * (thread dumps show all executor CPU inside
+    * `BmpCharPredicate.lambda$union$2`), turning a ~70 ns/char scan
+    * into ~3.5 µs/char. The DuckDB oracle keeps the regex form; both
+    * count the same per-character class. */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    length(translate(text, NonPunctChars, ""))
 
   /** Occurrences of `word` as a standalone word (word-boundary match). */
   def wordOccurrences(text: Column, word: String): Column =
     size(regexp_extract_all(lower(text), lit("\\b" + word + "\\b"), lit(0)))
+
+  /** Total occurrences of any of `words` as standalone words, in ONE
+    * regex pass (alternation). Equal to the sum of per-word
+    * [[wordOccurrences]] — standalone-word matches of distinct words
+    * can never overlap — but one scan of the text instead of
+    * `words.size`: the t2/t3/x7 hot path dropped ~5× in regex passes
+    * when this replaced the per-word sum (sf10 sweep, round 11). */
+  def wordSetOccurrences(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
 
   /** Tiny per-language stopword table for the n-gram language heuristic.
     * Order matters: ties resolve to the earlier entry. */
@@ -47,11 +81,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et"),
   )
 
-  /** Stopword-hit score for one language. */
+  /** Stopword-hit score for one language (one alternation pass). */
   def langScore(text: Column, lang: String): Column =
-    LangStopwords.toMap.apply(lang)
-      .map(w => wordOccurrences(text, w))
-      .reduce(_ + _)
+    wordSetOccurrences(text, LangStopwords.toMap.apply(lang))
 
   /** Heuristic language ID: arg-max of per-language stopword hits, ties
     * broken by `LangStopwords` order, "und" (undetermined) when no
@@ -70,8 +102,8 @@ object TextAnalysis {
     * and monotone in "looks like prose". */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
-    val stop = LangStopwords.flatMap(_._2)
-      .map(w => wordOccurrences(text, w)).reduce(_ + _).cast("double")
+    val stop = wordSetOccurrences(text, LangStopwords.flatMap(_._2))
+      .cast("double")
     val punct = punctCount(text).cast("double")
     val chars = length(text).cast("double")
     least(lit(1.0), nTok / 100.0) * 0.4 +
@@ -81,10 +113,16 @@ object TextAnalysis {
 
   /** Normalization-key fingerprint (OpenRefine-style): lowercase, strip
     * non-alphanumerics, sorted distinct tokens, md5. Two documents with
-    * the same fingerprint are permutation/punctuation duplicates. */
+    * the same fingerprint are permutation/punctuation duplicates.
+    * The normalizer is the native [[AsciiKeepLower]] byte scan, equal
+    * to `regexp_replace(lower(text), "[^a-z0-9 ]", "")` (the t4 oracle
+    * keeps the regex form) — see [[AsciiScanImpl]] for the JDK-17
+    * negated-class pathology it avoids (25 s → sub-second at sf10). */
   def fingerprint(text: Column): Column =
     md5(array_join(
       array_sort(array_distinct(
-        split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +"))),
+        split(trim(org.apache.spark.sql.GraftColumns.column(
+          AsciiKeepLower(org.apache.spark.sql.GraftColumns.expression(text)))),
+          " +"))),
       " "))
 }

@@ -125,4 +125,34 @@ class PropertySpec extends AnyFunSuite {
       node.get("k").asText == s && node.get("arr").get(1).asText == s
     })
   }
+
+  // text drawn from the char families the ascii-scan kernels classify:
+  // letters both cases, digits, every Java \s char, ASCII punctuation,
+  // and a couple of non-ASCII code points (1 symbol each to the scans)
+  private val scanText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaChar, 2 -> Gen.numChar,
+    3 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+    2 -> Gen.oneOf('.', ',', '!', '@', '#', '-', '_', '(', ')'),
+    1 -> Gen.oneOf('é', 'ß', '中'))).map(_.mkString)
+
+  test("ascii_keep_lower == regexp_replace(lower, [^a-z0-9 ], '') for any text") {
+    val re = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+    check("asciiKeep", Prop.forAll(scanText) { s =>
+      val got = graft.functions.AsciiScanImpl.keepLowerAlnumSpace(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      got == re.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+    })
+  }
+
+  test("bpe_token_count == regex alternation count for any text") {
+    val re = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    check("bpeCount", Prop.forAll(scanText) { s =>
+      val got = graft.functions.AsciiScanImpl.bpeTokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val m = re.matcher(s.toLowerCase(java.util.Locale.ROOT))
+      var n = 0
+      while (m.find()) n += 1
+      got == n
+    })
+  }
 }

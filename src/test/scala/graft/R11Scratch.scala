@@ -33,6 +33,8 @@ object R11Scratch {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -119,6 +121,45 @@ object R11Scratch {
           "text", 8, 2).count())
         m("t10_token_entropy")(Curation.tokenEntropy(docs, "doc_id",
           "text").count())
+
+      case "x7prof" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        import graft.functions.TextAnalysis
+        def t(name: String, c: org.apache.spark.sql.Column): Unit = {
+          val w = minOf(2)(docs.select(c.cast("double").as("s"))
+            .agg(sum(col("s"))).collect())
+          println(f"X7PROF $name $w%.2f s")
+        }
+        t("baseline_len", length(col("text")))
+        t("token_count", TextAnalysis.tokenCount(col("text")))
+        t("punct_count", TextAnalysis.punctCount(col("text")))
+        t("stopword_set", TextAnalysis.wordSetOccurrences(col("text"),
+          TextAnalysis.LangStopwords.flatMap(_._2)))
+        t("quality_full", TextAnalysis.qualityScore(col("text")))
+        t("regex_token_count", TextAnalysis.regexTokenCount(col("text")))
+        t("fingerprint", length(TextAnalysis.fingerprint(col("text"))))
+        val tWin = minOf(2)(Curation.quotaCap(docs, "doc_id", "source",
+          (col("doc_id") % 1000).cast("double"), 20).count())
+        println(f"X7PROF window_only $tWin%.2f s")
+
+      case "regexprof" =>
+        // single-thread JVM regex cost on the real corpus texts
+        val texts = Tables.documents(spark, d).select(col("text"))
+          .limit(20000).collect().map(_.getString(0))
+        println(s"n=${texts.length} avg_len=${texts.map(_.length).sum / texts.length}")
+        for (pat <- Seq("[^a-zA-Z0-9\\s]", "[^a-zA-Z0-9 ]", "\\p{Punct}",
+            "\\b(the|and|of|der|die|und|el|los|que|le|la|et)\\b")) {
+          val p = java.util.regex.Pattern.compile(pat)
+          val t0 = System.nanoTime()
+          var n = 0L
+          texts.foreach { s =>
+            val m = p.matcher(s)
+            while (m.find()) n += 1
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"REGEXPROF '$pat' $dt%.3f s matches=$n (${dt / texts.length * 1e6}%.1f us/doc)")
+        }
 
       case other => sys.error(s"unknown mode $other")
     }

@@ -87,12 +87,57 @@ object AsciiScanImpl {
     count
   }
 
-  /** Register both as SQL functions (idempotent). */
+  /** Count of maximal runs of ASCII vowels (`[aeiouy]`, either case) —
+    * the classic one-pass syllable estimate (`[aeiouy]+` match count
+    * over `lower(text)`; the t11 oracle keeps that regex form).
+    * Non-ASCII code points and every other character break a run. */
+  def vowelRunCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    var i = 0
+    var count = 0
+    var inRun = false
+    while (i < bytes.length) {
+      val b = (bytes(i) & 0xFF) | 0x20 // ASCII lowercase; >=0x80 unaffected
+      val v = b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u' ||
+        b == 'y'
+      if (v) { if (!inRun) count += 1; inRun = true }
+      else if ((bytes(i) & 0xFF) < 0x80 || (bytes(i) & 0xFF) >= 0xC0) {
+        inRun = false // any full code point that is not a vowel
+      } // UTF-8 continuation bytes: skip, keep run state
+      i += 1
+    }
+    count
+  }
+
+  /** Count of maximal runs of sentence terminators (`[.!?]+` match
+    * count — the t11 oracle keeps the regex form). "One sentence" per
+    * terminator run, so "end... Next!" counts 2, not 5. */
+  def sentenceRunCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    var i = 0
+    var count = 0
+    var inRun = false
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      val t = b == '.' || b == '!' || b == '?'
+      if (t) { if (!inRun) count += 1; inRun = true }
+      else if (b < 0x80 || b >= 0xC0) inRun = false
+      i += 1
+    }
+    count
+  }
+
+  /** Register all scans as SQL functions (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ascii_keep_lower", exprs => AsciiKeepLower(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_token_count", exprs => BpeTokenCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vowel_run_count", exprs => VowelRunCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sentence_run_count", exprs => SentenceRunCount(exprs.head),
+      "built-in")
   }
 }
 
@@ -115,6 +160,54 @@ case class AsciiKeepLower(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.AsciiScanImpl.keepLowerAlnumSpace($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Syllable-estimate vowel-run count — see
+  * [[AsciiScanImpl.vowelRunCount]]. */
+case class VowelRunCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vowel_run_count needs a string column, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vowel_run_count"
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiScanImpl.vowelRunCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AsciiScanImpl.vowelRunCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sentence-terminator run count — see
+  * [[AsciiScanImpl.sentenceRunCount]]. */
+case class SentenceRunCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sentence_run_count needs a string column, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sentence_run_count"
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiScanImpl.sentenceRunCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AsciiScanImpl.sentenceRunCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -111,6 +111,36 @@ object TextAnalysis {
       (lit(1.0) - punct / chars) * 0.3
   }
 
+  /** Syllable estimate: count of maximal ASCII-vowel runs (`[aeiouy]+`
+    * over `lower(text)`) — the standard cheap proxy ("every vowel group
+    * is one syllable"). Native one-pass byte scan ([[VowelRunCount]]);
+    * the t11 oracle keeps the regex form. */
+  def syllableCount(text: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      VowelRunCount(org.apache.spark.sql.GraftColumns.expression(text)))
+
+  /** Sentence estimate: count of maximal terminator runs (`[.!?]+`),
+    * so ellipses and "?!" count once. Native scan
+    * ([[SentenceRunCount]]); the t11 oracle keeps the regex form. */
+  def sentenceCount(text: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      SentenceRunCount(org.apache.spark.sql.GraftColumns.expression(text)))
+
+  /** Flesch reading-ease over the whitespace/vowel-run/terminator-run
+    * estimates: `206.835 − 1.015·words/sentences − 84.6·syllables/words`.
+    * Zero denominators clamp to 1 (empty or unpunctuated documents get
+    * a defined score instead of NULL/∞) — the oracle applies the same
+    * `greatest(_, 1)` clamps. The absolute value matters less than
+    * that it is deterministic, cheap, and monotone in sentence and
+    * word complexity — it is a FILTER SIGNAL (cut long-sentence,
+    * high-syllable boilerplate), not a certified readability grade. */
+  def fleschScore(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sents = greatest(sentenceCount(text), lit(1)).cast("double")
+    val sylls = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (sylls / words)
+  }
+
   /** Normalization-key fingerprint (OpenRefine-style): lowercase, strip
     * non-alphanumerics, sorted distinct tokens, md5. Two documents with
     * the same fingerprint are permutation/punctuation duplicates.

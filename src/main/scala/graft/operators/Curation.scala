@@ -658,4 +658,52 @@ object Curation {
             col("clog") / col("n_tok")) / lit(Ln2))
           .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
           .cast("bigint").as("ent_e6"))
+
+  /** Gopher-style N-GRAM repetition fractions — the char-mass
+    * companions to [[repetitionStats]]'s unigram signals (Rae et al.
+    * 2021 §A1.1 cut documents on "fraction of characters in the most
+    * frequent 2/3/4-gram" and "fraction of characters in duplicated
+    * 5..10-grams"; this computes one representative of each family):
+    *
+    *   - `top{topK}_mass` / `top{topK}_frac`: char mass of the
+    *     heaviest word-topK-gram (occurrences × gram length; the
+    *     heaviest-by-mass gram, which is tie-free where
+    *     most-frequent-by-count is not) over the document's chars.
+    *   - `dup{dupK}_mass` / `dup{dupK}_frac`: total chars in all
+    *     occurrences of word-dupK-grams appearing more than once
+    *     (overlaps counted per occurrence, as in the published
+    *     implementations).
+    *
+    * Same relational shape as [[repetitionStats]] — explode shingles,
+    * two partial-aggregated groupBys — so both scans map-side-combine
+    * and the shuffle carries (doc, gram, count) triples bounded by the
+    * per-document gram vocabulary, never a per-document histogram.
+    * Shingle semantics are [[graft.functions.ShinglesImpl.shingles]]'
+    * (a document shorter than k tokens contributes its whole token
+    * sequence as one shingle); the oracle replays them. */
+  def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 2, dupK: Int = 5): DataFrame = {
+    graft.functions.ShinglesImpl.register(df.sparkSession)
+    def gramMass(k: Int, agg: Column => Column, out: String): DataFrame =
+      df.select(col(idCol),
+          explode(expr(s"word_shingles($textCol, $k)")).as("gram"))
+        .groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .select(col(idCol), (col("n") * length(col("gram"))).as("mass"),
+          col("n"))
+        .groupBy(col(idCol))
+        .agg(agg(col("mass")).cast("bigint").as(out))
+    val top = gramMass(topK, max, s"top${topK}_mass")
+    val dup = gramMass(dupK,
+      m => sum(when(col("n") > 1, m).otherwise(lit(0L))), s"dup${dupK}_mass")
+    df.select(col(idCol), length(col(textCol)).cast("bigint").as("n_chars"))
+      .join(top, idCol).join(dup, idCol)
+      .select(col(idCol), col("n_chars"),
+        col(s"top${topK}_mass"),
+        (col(s"top${topK}_mass").cast("double") / col("n_chars"))
+          .as(s"top${topK}_frac"),
+        col(s"dup${dupK}_mass"),
+        (col(s"dup${dupK}_mass").cast("double") / col("n_chars"))
+          .as(s"dup${dupK}_frac"))
+  }
 }

@@ -605,4 +605,75 @@ object Dedup {
     boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
       "simhash_bucket_overflow", hammingDist, _ <= maxHamming, "hamming")
   }
+
+  /** Winnowed substring fingerprints per document: one row per
+    * distinct selected 60-bit k-gram hash — see
+    * [[graft.functions.WinnowImpl.winnow]] for the algorithm and the
+    * guarantee (every shared substring of length ≥ w + k − 1 chars
+    * surfaces at least one shared fingerprint; selected density is
+    * ~2/(w+1) of character positions).
+    *
+    * Scale shape: fingerprint construction is a row-local codegen'd
+    * scan (zero exchanges up to the explode); only the SELECTED
+    * fingerprints — ~2/(w+1) of positions, 8-byte longs — reach the
+    * distinct's shuffle. The char-level explode that a naive
+    * every-position formulation would shuffle never exists. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 12): DataFrame = {
+    graft.functions.WinnowImpl.register(df.sparkSession)
+    // (id, fp) rows are distinct WITHOUT a distinct(): the native
+    // expression emits a per-document distinct fingerprint set, and
+    // each document is one input row — so this stays a zero-exchange
+    // narrow map (scan → project → generate), no shuffle until a
+    // downstream aggregation asks for one.
+    df.select(col(idCol).as("id"),
+        explode(expr(s"winnow_fingerprints($textCol, $k, $w)")).as("fp"))
+  }
+
+  /** Duplicate-SPAN document pairs: documents sharing at least
+    * `minShared` winnowed fingerprints — the scan-bandwidth stand-in
+    * for suffix-array exact-substring dedup (Lee et al. 2021): a pair
+    * sharing even one fingerprint shares a ≥ w + k − 1 = 35-char run
+    * verbatim (k=24, w=12 defaults); `n_shared` grows with the length
+    * and count of the shared spans.
+    *
+    * Pair generation mirrors the LSH/SimHash candidate contract: an
+    * equi-join keyed by fingerprint buckets, never all-pairs. Buckets
+    * larger than `maxBucket` documents (corpus-wide boilerplate — a
+    * 35-char span shared by thousands of documents) are EXCLUDED from
+    * pair expansion, with an observed metric
+    * (`winnow_bucket_overflow`: overflow bucket + doc counts) so the
+    * exclusion is audited, not silent; the oracle applies the same
+    * cap. Output: (id_a, id_b, n_shared), id_a < id_b. */
+  def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 12, maxBucket: Int = 1024,
+      minShared: Long = 2L): DataFrame = {
+    // BoundedTopK caps per-bucket state at maxBucket+1 entries even
+    // while an overflow bucket streams through the aggregate — the
+    // same O(cap) guarantee as the LSH/SimHash pair paths; the +1
+    // sentinel entry is what lets the n > maxBucket filter fire.
+    val cappedIds = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BoundedTopK(
+        org.apache.spark.sql.GraftColumns.expression(
+          struct(lit(0.0).as("s"), col("id"))),
+        maxBucket + 1).toAggregateExpression())
+    winnowedFingerprints(df, idCol, textCol, k, w)
+      .groupBy(col("fp"))
+      .agg(cappedIds.as("xs"), count(lit(1)).as("n"))
+      .select(col("fp"), transform(col("xs"), x => x("id")).as("ids"),
+        col("n"))
+      .observe("winnow_bucket_overflow",
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_docs"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -537,6 +537,45 @@ object ScaleQueries {
     "t10_token_entropy" -> ((s, d) => {
       Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // T11 — Flesch readability signal over native run-count scans
+    // (vowel runs ~ syllables, terminator runs ~ sentences); the
+    // oracle keeps the regex forms of both scans, so a green row is a
+    // char-for-char equivalence proof for the native expressions.
+    // Decimal e6 cut on the score (the t10 pattern).
+    "t11_readability" -> ((s, d) => {
+      import graft.functions.TextAnalysis
+      val t = col("text")
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("bigint").as("n_words"),
+        TextAnalysis.sentenceCount(t).cast("bigint").as("n_sentences"),
+        TextAnalysis.syllableCount(t).cast("bigint").as("n_syllables"),
+        (TextAnalysis.fleschScore(t).cast("decimal(24,6)") *
+          lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+          .as("flesch_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X10 — Gopher n-gram repetition fractions (char mass of the
+    // heaviest bigram; chars inside duplicated 5-grams). The oracle
+    // replays word_shingles' short-document fallback with truncating
+    // list slices.
+    "x10_ngram_repetition" -> ((s, d) => {
+      Curation.ngramRepetitionStats(Tables.documents(s, d), "doc_id",
+        "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D12 — winnowed duplicate-span pairs: documents sharing >= 2
+    // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
+    // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
+    // hashes, replays the window minima as a native window function
+    // (positions filtered to full windows — same set as the slice
+    // formulation), and applies the identical bucket cap.
+    "d12_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowedDupPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1452,6 +1491,80 @@ object ScaleQueries {
         |         - sum(c * ln(c)) / sum(c)) / 0.6931471805599453
         |       AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
         |    AS ent_e6
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(CAST(206.835
+        |      - 1.015 * (greatest(n_words, 1)::DOUBLE
+        |                 / greatest(n_sentences, 1))
+        |      - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1))
+        |    AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+        |    AS flesch_e6
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x10_ngram_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t)-1, 1)+1),
+        |    i -> array_to_string(t[i:least(i+1, len(t))], ' '))) AS gram
+        |  FROM toks),
+        |c2 AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, max(n * length(gram)) AS top2_mass
+        |       FROM c2 GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t)-4, 1)+1),
+        |    i -> array_to_string(t[i:least(i+4, len(t))], ' '))) AS gram
+        |  FROM toks),
+        |c5 AS (SELECT doc_id, gram, count(*) AS n FROM g5 GROUP BY 1, 2),
+        |a5 AS (SELECT doc_id,
+        |         coalesce(sum(CASE WHEN n > 1 THEN n * length(gram) END), 0)
+        |           AS dup5_mass
+        |       FROM c5 GROUP BY 1)
+        |SELECT toks.doc_id, n_chars,
+        |  CAST(top2_mass AS BIGINT) AS top2_mass,
+        |  top2_mass::DOUBLE / n_chars AS top2_frac,
+        |  CAST(dup5_mass AS BIGINT) AS dup5_mass,
+        |  dup5_mass::DOUBLE / n_chars AS dup5_frac
+        |FROM toks JOIN a2 USING (doc_id) JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d12_winnow_pairs" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, i, npos,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS fp
+        |    FROM (
+        |      SELECT doc_id, i::INT AS i,
+        |        greatest(length(text)-23, 1) AS npos,
+        |        ('0x' || substr(md5(substr(text, i::INT, 24)), 1, 15))::BIGINT
+        |          AS h
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(1, greatest(length(text)-23, 1)+1)) AS i
+        |            FROM documents)))
+        |  WHERE i <= greatest(npos-11, 1)),
+        |b AS (SELECT fp FROM f GROUP BY fp
+        |      HAVING count(*) > 1 AND count(*) <= 1024),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |      FROM f a JOIN b USING (fp) JOIN f c USING (fp)
+        |      WHERE a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }

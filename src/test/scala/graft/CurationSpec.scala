@@ -535,4 +535,54 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((1, 4L, 0L)))
     assert(out(3L) == ((2, 4L, 1000000L)))
   }
+
+  // ---- Gopher n-gram repetition ----
+
+  test("ngramRepetitionStats: hand-checked bigram and dup-5gram masses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),       // "a b"×3 (mass 9), no dup 5-gram
+      (2L, "x y x y x y x y")    // "x y"×4 (12); both 5-grams appear ×2
+    ).toDF("id", "t")
+    val out = Curation.ngramRepetitionStats(docs, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out(1L) == ((11L, 9L, 0L)))
+    assert(out(2L) == ((15L, 12L, 36L)))
+  }
+
+  test("ngramRepetitionStats: short document falls back to one shingle") {
+    import spark.implicits._
+    // 3 tokens < 5: the whole token sequence is the single 5-gram,
+    // count 1 → dup mass 0; bigrams exist normally
+    val docs = Seq((1L, "p q p")).toDF("id", "t")
+    val r = Curation.ngramRepetitionStats(docs, "id", "t").collect().head
+    assert(r.getLong(1) == 5L)  // n_chars
+    assert(r.getLong(2) == 3L)  // top bigram "p q" or "q p": 1×3 chars
+    assert(r.getLong(4) == 0L)  // single 5-gram can't be duplicated
+  }
+
+  // ---- readability (t11 scalar checks) ----
+
+  test("flesch readability counts: hand-checked sentence/syllable runs") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello world. It works!"),
+      (2L, "no terminator here")).toDF("id", "t")
+    val out = docs.select(col("id"),
+      TextAnalysis.tokenCount(col("t")).as("w"),
+      TextAnalysis.sentenceCount(col("t")).as("s"),
+      TextAnalysis.syllableCount(col("t")).as("y"),
+      TextAnalysis.fleschScore(col("t")).as("f"))
+      .collect().map(r => r.getLong(0).toInt ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(1)._1 == 4 && out(1)._2 == 2 && out(1)._3 == 5)
+    assert(math.abs(out(1)._4 - 99.055) < 1e-9)
+    // unpunctuated: sentence count clamps to 1 instead of div-by-zero
+    assert(out(2)._2 == 0)
+    assert(out(2)._3 == 7) // no(1) terminator(4: e,i,a,o) here(2)
+    val f2 = 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 3.0)
+    assert(math.abs(out(2)._4 - f2) < 1e-9)
+  }
 }

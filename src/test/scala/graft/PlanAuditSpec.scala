@@ -340,4 +340,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected partial+final pairs for both groupBys\n" + p.take(2000))
     assert(count(p, "FileScan parquet") == 1)
   }
+
+  test("readability (t11) is a pure narrow map of native scans") {
+    val p = plan(SparkEntry.queries("t11_readability")(spark, sf))
+    // the orderBy adds its range exchange; nothing else may shuffle
+    assert(count(p, "Exchange") <= 1, "t11 must not shuffle\n" + p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+    assert(p.contains("vowel_run_count") && p.contains("sentence_run_count"),
+      "native run-count scans missing from the plan")
+    assert(!p.contains("RegExpExtractAll"),
+      "t11 hot path must not evaluate java.util.regex")
+  }
+
+  test("ngram repetition (x10): both gram aggregates partial-combine") {
+    val p = plan(graft.operators.Curation.ngramRepetitionStats(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // two explode branches, each (id, gram) count then per-id rollup —
+    // all four aggregates must appear partial+final so gram strings
+    // combine map-side and the shuffles carry bounded (id, gram, n)
+    assert(count(p, "HashAggregate") >= 8,
+      "expected partial+final pairs for all four groupBys\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("winnow fingerprints (d12) stay narrow until the bucket groupBy") {
+    val fp = graft.operators.Dedup.winnowedFingerprints(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text")
+    val pf = plan(fp)
+    assert(!pf.contains("Exchange"),
+      "fingerprint construction must be scan → project → generate\n" +
+        pf.take(2000))
+    assert(pf.contains("winnow_fingerprints"), "native winnow missing")
+    val pp = plan(graft.operators.Dedup.winnowedDupPairs(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!pp.contains("CartesianProduct"),
+      "pair expansion must stay bucket-keyed, never all-pairs")
+    assert(pp.contains("bounded_topk"),
+      "per-bucket id collection must be the capped aggregate")
+  }
 }

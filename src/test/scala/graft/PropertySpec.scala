@@ -155,4 +155,67 @@ class PropertySpec extends AnyFunSuite {
       got == n
     })
   }
+
+  test("vowel_run_count == [aeiouy]+ match count over lower(text)") {
+    val re = java.util.regex.Pattern.compile("[aeiouy]+")
+    check("vowelRuns", Prop.forAll(scanText) { s =>
+      val got = graft.functions.AsciiScanImpl.vowelRunCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val m = re.matcher(s.toLowerCase(java.util.Locale.ROOT))
+      var n = 0
+      while (m.find()) n += 1
+      got == n
+    })
+  }
+
+  test("sentence_run_count == [.!?]+ match count for any text") {
+    val re = java.util.regex.Pattern.compile("[.!?]+")
+    check("sentenceRuns", Prop.forAll(scanText) { s =>
+      val got = graft.functions.AsciiScanImpl.sentenceRunCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val m = re.matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      got == n
+    })
+  }
+
+  /** Reference winnowing straight from the definition: hash every
+    * k-gram (60-bit md5 prefix), take the min of every full w-window
+    * (truncated single window when there are fewer positions than w),
+    * distinct — the formulation the d12 DuckDB oracle replays with a
+    * window function. The native impl uses a monotonic deque; this
+    * property is the deque's correctness proof. */
+  private def refWinnow(s: String, k: Int, w: Int): Set[Long] = {
+    val cps = {
+      val b = Seq.newBuilder[Int]
+      var i = 0
+      while (i < s.length) {
+        b += i; i += Character.charCount(s.codePointAt(i))
+      }
+      (b += s.length).result()
+    }
+    val nCp = cps.length - 1
+    val npos = math.max(nCp - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 until npos).map { i =>
+      val g = s.substring(cps(i), cps(math.min(i + k, nCp)))
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      md.reset()
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (0 until math.max(npos - w + 1, 1)).map(j =>
+      hs.slice(j, math.min(j + w, npos)).min).toSet
+  }
+
+  test("native winnow == definitional slice-min winnow for any text/k/w") {
+    check("winnow", Prop.forAll(
+      scanText, Gen.choose(2, 12), Gen.choose(2, 8)) { (s, k, w) =>
+      val got = graft.functions.WinnowImpl.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+        .array.map(_.asInstanceOf[Long]).toSet
+      got == refWinnow(s, k, w)
+    })
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Winnowing fingerprints and duplicate-span pairs (d12). */
+class WinnowSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val filler1 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val filler2 =
+    "one two three four five six seven eight nine ten eleven twelve"
+  // 40 chars — longer than the k+w-1 = 35-char winnowing guarantee
+  private val shared =
+    "the exact duplicated span that both share"
+
+  test("documents sharing a >= 35-char run share a fingerprint (guarantee)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"$filler1 $shared $filler1"),
+      (2L, s"$filler2 $shared $filler2"),
+      // non-ASCII char exercises the code-point gram stepping
+      (3L, "completely unrelated 填 prose nothing matching previous rows"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a 40-char shared run must surface a shared fingerprint")
+    val pairs = Dedup.winnowedDupPairs(docs, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc 3 shares tokens but no 35-char run with doc 1 or 2")
+  }
+
+  test("a document shorter than k chars yields exactly one fingerprint") {
+    import spark.implicits._
+    val docs = Seq((1L, "short text")).toDF("doc_id", "text")
+    assert(Dedup.winnowedFingerprints(docs, "doc_id", "text").count() == 1L)
+  }
+
+  test("maxBucket excludes corpus-wide boilerplate from pair expansion") {
+    import spark.implicits._
+    // every doc shares the same long span: bucket of 4 > maxBucket = 3
+    val docs = (1L to 4L)
+      .map(i => (i, s"doc number $i padding words here $shared"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowedDupPairs(docs, "doc_id", "text",
+      maxBucket = 3, minShared = 1L).collect()
+    val open = Dedup.winnowedDupPairs(docs, "doc_id", "text",
+      maxBucket = 1024, minShared = 1L).collect()
+    assert(open.length == 6, "uncapped: all C(4,2) pairs via the shared span")
+    assert(capped.length < open.length,
+      "capping at 3 must drop the 4-doc boilerplate buckets")
+  }
+
+  test("n_shared counts distinct shared fingerprints, id_a < id_b") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, s"$filler1 $shared $filler2 $shared end marker words"),
+      (5L, s"$filler2 $shared $filler1")).toDF("doc_id", "text")
+    val rows = Dedup.winnowedDupPairs(docs, "doc_id", "text", minShared = 1L)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+}

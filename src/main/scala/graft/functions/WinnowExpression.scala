@@ -42,28 +42,31 @@ object WinnowImpl {
     * end of the document; only the max(npos − w + 1, 1) full windows
     * are evaluated (the oracle applies the same position filter). */
   def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val s = text.toString
-    // code-point start offsets (char indices); ASCII fast path is just
-    // identity, but substr semantics are per code point on both engines
-    val nChars = s.length
-    val offs = new Array[Int](nChars + 1)
+    // work on the raw UTF-8 bytes: a gram's UTF-8 encoding is exactly
+    // the byte slice between two code-point start offsets, so hashing
+    // slices directly skips the String round-trip and the per-gram
+    // substring+getBytes allocations (1.4M of them per 5k docs before)
+    val bytes = text.getBytes
+    val offs = new Array[Int](bytes.length + 1)
     var nCp = 0
-    var ci = 0
-    while (ci < nChars) {
-      offs(nCp) = ci
-      ci += Character.charCount(s.codePointAt(ci))
+    var bi = 0
+    while (bi < bytes.length) {
+      offs(nCp) = bi
       nCp += 1
+      val b = bytes(bi) & 0xFF
+      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3
+             else 4)
     }
-    offs(nCp) = nChars
+    offs(nCp) = bytes.length
     val npos = math.max(nCp - k + 1, 1)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
     val hs = new Array[Long](npos)
     var i = 0
     while (i < npos) {
-      val end = offs(math.min(i + k, nCp))
-      val d = md.digest(s.substring(offs(i), end)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
+      val start = offs(i)
+      md.update(bytes, start, offs(math.min(i + k, nCp)) - start)
+      md.digest(d, 0, 16)
       var acc = 0L
       var j = 0
       while (j < 7) { acc = (acc << 8) | (d(j) & 0xFFL); j += 1 }

@@ -60,6 +60,36 @@ object AudioCodec {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E'
 
+  /** Real PCM SAMPLE decode: the signed 16-bit mono little-endian
+    * sample stream — None for non-WAV, corrupt, or any other sample
+    * format (same degrade-to-None contract as [[decode]]; one corrupt
+    * blob must never throw out of a task). Bounded by the header's
+    * frame count, so a hostile length field cannot balloon the read
+    * past the actual payload. */
+  def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] =
+    if (!sniff(bytes)) None
+    else try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.isBigEndian || frames <= 0 || frames > Int.MaxValue / 2) None
+        else {
+          val pcm = in.readNBytes(frames.toInt * 2)
+          val out = new Array[Short](pcm.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) =
+              ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real header decode: (sampleRate, frames, duration_ms) — None for
     * non-WAV or corrupt payloads (callers fall back to the stub). */
   def decode(bytes: Array[Byte]): Option[(Int, Long, Long)] =

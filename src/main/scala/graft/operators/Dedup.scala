@@ -648,26 +648,33 @@ object Dedup {
   def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 24, w: Int = 12, maxBucket: Int = 1024,
       minShared: Long = 2L): DataFrame = {
-    // BoundedTopK caps per-bucket state at maxBucket+1 entries even
-    // while an overflow bucket streams through the aggregate — the
-    // same O(cap) guarantee as the LSH/SimHash pair paths; the +1
-    // sentinel entry is what lets the n > maxBucket filter fire.
-    val cappedIds = org.apache.spark.sql.GraftColumns.column(
-      graft.functions.BoundedTopK(
-        org.apache.spark.sql.GraftColumns.expression(
-          struct(lit(0.0).as("s"), col("id"))),
-        maxBucket + 1).toAggregateExpression())
-    winnowedFingerprints(df, idCol, textCol, k, w)
+    // Count-first, collect-second: almost every fingerprint bucket is
+    // a singleton (sf1 measurement: 1.79M of 1.92M), so the first
+    // pass over the buckets must be the cheapest aggregate there is —
+    // a codegen'd partial-combining count. Collecting ids in the same
+    // pass (the LSH path's capped-heap collector) pays per-GROUP
+    // object-aggregate overhead ~13× the whole query's useful work at
+    // sf1 (measured 11-21 s vs 1 s for the fingerprint scan). The
+    // semi-joined second aggregation only ever sees buckets already
+    // filtered to 1 < n <= maxBucket, so its collect_list is
+    // memory-bounded by construction — no heap collector needed. The
+    // fingerprint scan runs twice (both branches re-walk the corpus),
+    // which at scan bandwidth is the right trade against materializing
+    // O(corpus) fingerprints.
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+    val active = fps
       .groupBy(col("fp"))
-      .agg(cappedIds.as("xs"), count(lit(1)).as("n"))
-      .select(col("fp"), transform(col("xs"), x => x("id")).as("ids"),
-        col("n"))
+      .agg(count(lit(1)).as("n"))
       .observe("winnow_bucket_overflow",
         sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
           .as("overflow_buckets"),
         sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
           .as("overflow_docs"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(col("fp"))
+    fps.join(active, "fp")
+      .groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
@@ -675,5 +682,34 @@ object Dedup {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Incremental duplicate-SPAN dedup: drop arriving documents that
+    * share at least `minShared` winnowed fingerprints with the
+    * reference corpus — the cross-run form of [[winnowedDupPairs]],
+    * as [[incrementalNew]] is of [[exact]] (a batch document sharing
+    * ≥ w + k − 1-char runs with the lake is a near-copy even when its
+    * content hash differs). Returns the surviving batch rows.
+    *
+    * No bucket cap is needed here (unlike the pair path): the corpus
+    * side joins as a DISTINCT fingerprint set, so each batch (id, fp)
+    * matches at most once — a corpus-wide boilerplate fingerprint
+    * contributes one shared count per batch doc, never a quadratic
+    * pair expansion. At deployment scale the corpus fingerprints are
+    * written once ([[winnowedFingerprints]] → parquet, ~2/(w+1) ·
+    * chars · 8 bytes) and only the batch side is recomputed per
+    * ingest. */
+  def incrementalWinnowNew(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 24, w: Int = 12,
+      minShared: Long = 2L): DataFrame = {
+    val bf = winnowedFingerprints(batch, idCol, textCol, k, w)
+    val cf = winnowedFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    val dup = bf.join(cf, "fp")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minShared)
+      .select(col("id"))
+    batch.join(dup, batch(idCol) === dup("id"), "left_anti")
   }
 }

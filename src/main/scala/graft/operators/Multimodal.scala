@@ -339,6 +339,37 @@ object Multimodal {
         "r_sum", "g_sum", "b_sum")
   }
 
+  /** Windowed audio energy over REAL decoded PCM samples: one row per
+    * `windowFrames`-sample window with its exact sum of squared
+    * amplitudes — the per-sample DSP analog of [[imageStats]]' pixel
+    * sums and [[videoFrameStats]]' per-frame rasters (silence/clipping
+    * detection, VAD pre-filters in deployment). Rows whose payload is
+    * not decodable 16-bit mono PCM are dropped, the shared media-codec
+    * degrade contract. Row-local flatMap — no shuffle; output is
+    * ~frames/windowFrames rows per blob, integer-exact, so the DuckDB
+    * oracle predicts every window from the synthetic sample formula
+    * (a green row proves a REAL RIFF data-chunk sample decode ran). */
+  def audioEnergy(media: DataFrame, windowFrames: Int = 100): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decodePcm16(bytes).toSeq.flatMap { samples =>
+          samples.grouped(windowFrames).zipWithIndex.map {
+            case (win, w) =>
+              var sumsq = 0L
+              var i = 0
+              while (i < win.length) {
+                sumsq += win(i).toLong * win(i); i += 1
+              }
+              (id, w, win.length, sumsq)
+          }
+        }
+      })
+      .toDF("media_id", "window_idx", "n_frames", "sumsq")
+  }
+
   /** The full multimodal frame: real image payloads (PNG/JPEG), real
     * audio payloads (WAV + MP3), real video containers (MP4) plus stub
     * text-byte video payloads — one row per document. */

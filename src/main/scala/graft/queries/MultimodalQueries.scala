@@ -86,6 +86,17 @@ object MultimodalQueries {
       Multimodal.resize(Multimodal.mixedMedia(s, d), 320, 240)
         .select(col("media_id"), col("kind"), col("width"), col("height"))
         .orderBy(col("media_id"))
+    }),
+
+    // M7 — REAL audio sample decode: every WAV payload's 16-bit PCM
+    // stream read back out of the RIFF data chunk, summed as squared
+    // amplitudes per 100-sample window. The oracle recomputes each
+    // window from the synthetic sample formula
+    // ((id·31 + i·7) mod 251 − 125), so a green row proves actual
+    // sample-level audio decoding — the DSP analog of m5/m6.
+    "m7_audio_energy" -> ((s, d) => {
+      Multimodal.audioEnergy(Multimodal.syntheticWavs(s, d), 100)
+        .orderBy(col("media_id"), col("window_idx"))
     })
   )
 
@@ -207,6 +218,18 @@ object MultimodalQueries {
         |  CAST(CASE WHEN media_id % 3 <> 0 THEN 240
         |            WHEN w * 240 >= h * 320 THEN (h * 320) // w
         |            ELSE 240 END AS INT) AS height
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "m7_audio_energy" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, 500 + doc_id % 4000 AS frames
+        |  FROM documents WHERE doc_id % 6 = 1),
+        |s AS (
+        |  SELECT media_id, CAST(i // 100 AS INT) AS window_idx,
+        |    (media_id * 31 + i * 7) % 251 - 125 AS v
+        |  FROM (SELECT media_id, unnest(range(frames)) AS i FROM a))
+        |SELECT media_id, window_idx, CAST(count(*) AS INT) AS n_frames,
+        |  CAST(sum(v * v) AS BIGINT) AS sumsq
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -567,6 +567,18 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D13 — incremental duplicate-span dedup: batch docs (doc_id%5=0)
+    // surviving a >= 2-shared-winnowed-fingerprint check against the
+    // corpus (doc_id%5<>0); the d10 split with span semantics.
+    "d13_incremental_winnow" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalWinnowNew(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -1565,6 +1577,30 @@ object ScaleQueries {
         |      WHERE a.doc_id < c.doc_id)
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d13_incremental_winnow" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, i, npos,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS fp
+        |    FROM (
+        |      SELECT doc_id, i::INT AS i,
+        |        greatest(length(text)-23, 1) AS npos,
+        |        ('0x' || substr(md5(substr(text, i::INT, 24)), 1, 15))::BIGINT
+        |          AS h
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(1, greatest(length(text)-23, 1)+1)) AS i
+        |            FROM documents)))
+        |  WHERE i <= greatest(npos-11, 1)),
+        |cf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+        |dup AS (SELECT doc_id FROM f JOIN cf USING (fp)
+        |        WHERE doc_id % 5 = 0
+        |        GROUP BY doc_id HAVING count(*) >= 2)
+        |SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id % 5 = 0
+        |  AND b.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -44,6 +44,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "mp3.decode" -> (Mp3Codec.decode(_)),
     "wav.sniff" -> (AudioCodec.sniff(_)),
     "wav.decode" -> (AudioCodec.decode(_)),
+    "wav.decodePcm16" -> (AudioCodec.decodePcm16(_)),
     "img.sniff" -> (ImageCodec.sniff(_)),
     "img.decode" -> (ImageCodec.decode(_)),
     "img.resize" -> (ImageCodec.resize(_, 8, 8)),

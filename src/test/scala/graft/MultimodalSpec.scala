@@ -358,4 +358,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"frame decode must not shuffle payloads:\n$plan")
   }
+
+  test("decodePcm16 recovers the exact synthetic sample stream") {
+    val id = 1234L
+    val (_, nFrames) = graft.operators.AudioCodec.syntheticParams(id)
+    val samples = graft.operators.AudioCodec.decodePcm16(
+      graft.operators.AudioCodec.encodeSyntheticWav(id)).get
+    assert(samples.length == nFrames.toInt)
+    (0 until samples.length).foreach { i =>
+      assert(samples(i) == (((id * 31 + i * 7) % 251) - 125).toShort)
+    }
+    // non-WAV and truncated payloads degrade to None, never throw
+    assert(graft.operators.AudioCodec.decodePcm16("xx".getBytes).isEmpty)
+  }
+
+  test("audioEnergy windows: exact per-window squared-amplitude sums") {
+    import spark.implicits._
+    val id = 31L // % 6 == 1: an audio row id shape
+    val media = Seq((id, "audio",
+      graft.operators.AudioCodec.encodeSyntheticWav(id)))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.audioEnergy(media, 100)
+      .orderBy(col("window_idx")).collect()
+    val (_, nFrames) = graft.operators.AudioCodec.syntheticParams(id)
+    assert(rows.length == ((nFrames + 99) / 100).toInt)
+    val expect0 = (0 until 100).map { i =>
+      val s = ((id * 31 + i * 7) % 251) - 125; s * s
+    }.sum
+    assert(rows.head.getLong(3) == expect0)
+    // last window carries the remainder frame count
+    assert(rows.map(_.getInt(2).toLong).sum == nFrames)
+    // row-local: no exchange before the aggregate-free output
+    val plan = Multimodal.audioEnergy(
+      Multimodal.syntheticWavs(spark, sf), 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sample decode must not shuffle payloads:\n$plan")
+  }
 }

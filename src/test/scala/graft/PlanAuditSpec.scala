@@ -375,7 +375,12 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.util.Tables.documents(spark, sf), "doc_id", "text"))
     assert(!pp.contains("CartesianProduct"),
       "pair expansion must stay bucket-keyed, never all-pairs")
-    assert(pp.contains("bounded_topk"),
-      "per-bucket id collection must be the capped aggregate")
+    // the bucket-size pass must be the codegen'd count aggregate
+    // (partial+final), NOT an object-aggregate id collector — the
+    // collect_list may only run on the semi-joined active buckets
+    assert(count(pp, "HashAggregate") >= 4,
+      "bucket counting must partial-combine\n" + pp.take(2000))
+    assert(count(pp, "ObjectHashAggregate") <= 2,
+      "only the post-filter bucket collect may be an object aggregate")
   }
 }

@@ -122,6 +122,46 @@ object R11Scratch {
         m("t10_token_entropy")(Curation.tokenEntropy(docs, "doc_id",
           "text").count())
 
+      case "r11b" =>
+        // second round-11 batch (t11/x10/d12) at scale
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("t11_readability")(docs.select(
+          graft.functions.TextAnalysis.fleschScore(col("text")).as("f"))
+          .agg(sum(col("f"))).collect().length.toLong)
+        m("x10_ngram_repetition")(Curation.ngramRepetitionStats(
+          docs, "doc_id", "text").count())
+        m("d12_winnow_fp")(graft.operators.Dedup.winnowedFingerprints(
+          docs, "doc_id", "text").count())
+        m("d12_winnow_pairs")(graft.operators.Dedup.winnowedDupPairs(
+          docs, "doc_id", "text").count())
+
+      case "d12prof" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        val fps = graft.operators.Dedup.winnowedFingerprints(
+          docs, "doc_id", "text")
+        val hist = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+          .orderBy(col("n").desc).limit(30).collect()
+        println("top bucket sizes (n -> buckets): " +
+          hist.map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" "))
+        val est = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1 && col("n") <= 1024)
+          .agg(sum(col("n") * (col("n") - 1)).cast("long"))
+          .collect()(0).getLong(0) / 2
+        println(s"expanded pair structs (<=1024 buckets): $est")
+        (1 to 3).foreach { t =>
+          val (n, w) = time(graft.operators.Dedup.winnowedDupPairs(
+            docs, "doc_id", "text").count())
+          println(f"trial $t: pairs=$n wall=$w%.2f s")
+        }
+
       case "x7prof" =>
         val docs = Tables.documents(spark, d)
         println(s"CORPUS $d n_docs=${docs.count()}")

@@ -58,6 +58,21 @@ class WinnowSpec extends AnyFunSuite {
       "capping at 3 must drop the 4-doc boilerplate buckets")
   }
 
+  test("incrementalWinnowNew drops batch docs sharing spans with the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, s"$filler1 $shared"),
+      (11L, filler2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"totally new framing around $shared yes"),
+      (2L, "nothing here resembles the reference corpus rows"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalWinnowNew(batch, corpus, "doc_id", "text",
+      minShared = 1L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L),
+      "doc 1 shares a 41-char run with the corpus and must be dropped")
+  }
+
   test("n_shared counts distinct shared fingerprints, id_a < id_b") {
     import spark.implicits._
     val docs = Seq(

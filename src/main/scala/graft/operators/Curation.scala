@@ -659,6 +659,54 @@ object Curation {
           .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
           .cast("bigint").as("ent_e6"))
 
+  /** Composite quality-filter pipeline (the C4/Gopher-style rule
+    * engine, Raffel et al. 2020 §2.2 / Rae et al. 2021 §A1.1): every
+    * document gets a keep/drop verdict plus the FIRST failing rule as
+    * an auditable reason code — at corpus scale "why was this dropped"
+    * must be answerable from the output, not from a re-run.
+    *
+    * Rules, in evaluation order (thresholds are corpus-tunable
+    * parameters; reasons are stable API):
+    *  1. `short`       — fewer than `minWords` whitespace tokens;
+    *  2. `unreadable`  — Flesch reading-ease (e6-scaled,
+    *                     [[graft.functions.TextAnalysis.fleschScore]])
+    *                     below `minFleschE6`;
+    *  3. `repetitive`  — duplicate-token fraction 1 − types/tokens
+    *                     above `maxDupFrac`;
+    *  4. `low_entropy` — token Shannon entropy (e6-scaled) below
+    *                     `minEntropyE6`.
+    *
+    * One narrow scan computes the per-row signals; ONE aggregate
+    * branch ([[tokenEntropy]]) yields both the entropy and the
+    * duplicate fraction (n_types/n_tokens ride along), so the whole
+    * pipeline is two corpus scans and a single id-keyed join — rules
+    * 3 and 4 share their shuffle. All cut values cross-engine-exact:
+    * integer counts, e6 decimal cuts, and a double ratio of exact
+    * integers. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, minFleschE6: Long = 0L,
+      maxDupFrac: Double = 0.65, minEntropyE6: Long = 3800000L): DataFrame = {
+    import graft.functions.TextAnalysis
+    val t = col(textCol)
+    val narrow = df.select(col(idCol),
+      TextAnalysis.tokenCount(t).as("n_words"),
+      (TextAnalysis.fleschScore(t).cast("decimal(24,6)") *
+        lit(1000000L).cast("decimal(7,0)")).cast("bigint").as("flesch_e6"))
+    val reason =
+      when(col("n_words") < minWords, "short")
+        .when(col("flesch_e6") < minFleschE6, "unreadable")
+        .when(col("dup_frac") > maxDupFrac, "repetitive")
+        .when(col("ent_e6") < minEntropyE6, "low_entropy")
+        .otherwise("pass")
+    narrow.join(tokenEntropy(df, idCol, textCol), idCol)
+      .select(col(idCol), col("n_words"), col("flesch_e6"),
+        (lit(1.0) - col("n_types").cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        col("ent_e6"))
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "pass")
+  }
+
   /** Gopher-style N-GRAM repetition fractions — the char-mass
     * companions to [[repetitionStats]]'s unigram signals (Rae et al.
     * 2021 §A1.1 cut documents on "fraction of characters in the most
@@ -674,30 +722,37 @@ object Curation {
     *     (overlaps counted per occurrence, as in the published
     *     implementations).
     *
-    * Same relational shape as [[repetitionStats]] — explode shingles,
-    * two partial-aggregated groupBys — so both scans map-side-combine
-    * and the shuffle carries (doc, gram, count) triples bounded by the
-    * per-document gram vocabulary, never a per-document histogram.
+    * Single-pass relational shape: BOTH gram sizes ride one explode
+    * (a k-marker struct), one (doc, k, gramHash, gramLen) count — the
+    * shuffle carries 8-byte xxhash64 gram keys plus their length, not
+    * gram strings (the d3 hashing lesson: the output needs only
+    * per-gram counts and lengths, so the hash algorithm is invisible;
+    * the DuckDB oracle keeps counting over the strings themselves and
+    * its agreement is the collision gate) — and one conditional final
+    * aggregate per doc. Both aggregates partial-combine, so a
+    * mega-document ships its gram VOCABULARY, never a histogram.
     * Shingle semantics are [[graft.functions.ShinglesImpl.shingles]]'
     * (a document shorter than k tokens contributes its whole token
     * sequence as one shingle); the oracle replays them. */
   def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 2, dupK: Int = 5): DataFrame = {
     graft.functions.ShinglesImpl.register(df.sparkSession)
-    def gramMass(k: Int, agg: Column => Column, out: String): DataFrame =
-      df.select(col(idCol),
-          explode(expr(s"word_shingles($textCol, $k)")).as("gram"))
-        .groupBy(col(idCol), col("gram"))
-        .agg(count(lit(1)).as("n"))
-        .select(col(idCol), (col("n") * length(col("gram"))).as("mass"),
-          col("n"))
-        .groupBy(col(idCol))
-        .agg(agg(col("mass")).cast("bigint").as(out))
-    val top = gramMass(topK, max, s"top${topK}_mass")
-    val dup = gramMass(dupK,
-      m => sum(when(col("n") > 1, m).otherwise(lit(0L))), s"dup${dupK}_mass")
-    df.select(col(idCol), length(col(textCol)).cast("bigint").as("n_chars"))
-      .join(top, idCol).join(dup, idCol)
+    def marked(k: Int): Column =
+      transform(expr(s"word_shingles($textCol, $k)"),
+        g => struct(lit(k).as("k"), g.as("g")))
+    df.select(col(idCol),
+        length(col(textCol)).cast("bigint").as("n_chars"),
+        explode(concat(marked(topK), marked(dupK))).as("x"))
+      .groupBy(col(idCol), col("n_chars"), col("x.k").as("k"),
+        xxhash64(col("x.g")).as("h"), length(col("x.g")).as("glen"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(
+        max(when(col("k") === topK, col("n") * col("glen")))
+          .cast("bigint").as(s"top${topK}_mass"),
+        sum(when(col("k") === dupK && col("n") > 1,
+            col("n") * col("glen")).otherwise(lit(0L)))
+          .cast("bigint").as(s"dup${dupK}_mass"))
       .select(col(idCol), col("n_chars"),
         col(s"top${topK}_mass"),
         (col(s"top${topK}_mass").cast("double") / col("n_chars"))

@@ -701,10 +701,17 @@ object Dedup {
     * ingest. */
   def incrementalWinnowNew(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, k: Int = 24, w: Int = 12,
-      minShared: Long = 2L): DataFrame = {
-    val bf = winnowedFingerprints(batch, idCol, textCol, k, w)
-    val cf = winnowedFingerprints(corpus, idCol, textCol, k, w)
-      .select(col("fp")).distinct()
+      minShared: Long = 2L): DataFrame =
+    winnowSurvivors(batch, idCol,
+      winnowedFingerprints(batch, idCol, textCol, k, w),
+      winnowedFingerprints(corpus, idCol, textCol, k, w)
+        .select(col("fp")).distinct(),
+      minShared)
+
+  /** The shared tail of the incremental span checks: batch docs whose
+    * fingerprints match the corpus' distinct set < minShared times. */
+  private def winnowSurvivors(batch: DataFrame, idCol: String,
+      bf: DataFrame, cf: DataFrame, minShared: Long): DataFrame = {
     val dup = bf.join(cf, "fp")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n"))
@@ -712,4 +719,29 @@ object Dedup {
       .select(col("id"))
     batch.join(dup, batch(idCol) === dup("id"), "left_anti")
   }
+
+  /** Materialize a corpus' winnowed fingerprints as a PERSISTED,
+    * fp-bucketed index table — the write-once half of the
+    * write-once/check-many incremental ingest economics (the t9
+    * pattern applied to span dedup): the lake's fingerprints are
+    * computed and shuffled ONCE at ~2/(w+1)·chars·8 bytes, and every
+    * subsequent ingest batch pays only its own winnow scan plus a
+    * join against the bucketed table (bucket-local distinct — the
+    * exchange the unbucketed corpus side would re-pay per batch is
+    * gone). */
+  def writeWinnowIndex(df: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 24, w: Int = 12, nBuckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      winnowedFingerprints(df, idCol, textCol, k, w),
+      table, "fp", nBuckets, Seq("fp"))
+
+  /** [[incrementalWinnowNew]] against a [[writeWinnowIndex]] table —
+    * result-identical (the d14 oracle is d13's SQL verbatim). */
+  def incrementalWinnowIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 12, minShared: Long = 2L): DataFrame =
+    winnowSurvivors(batch, idCol,
+      winnowedFingerprints(batch, idCol, textCol, k, w),
+      spark.table(table).select(col("fp")).distinct(),
+      minShared)
 }

@@ -567,6 +567,30 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X11 — composite quality-filter pipeline: keep/drop verdict plus
+    // the first failing rule as an auditable reason code. All four
+    // thresholds cut on cross-engine-exact values (integer counts, e6
+    // decimals, a double ratio of exact integers).
+    "x11_quality_filter" -> ((s, d) => {
+      Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D14 — incremental span dedup against a PERSISTED fp-bucketed
+    // winnow index (the t9 write-once/check-many pattern): the oracle
+    // is d13's SQL verbatim, so a green row proves the indexed path is
+    // result-identical to the recompute path.
+    "d14_winnow_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.writeWinnowIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        "d14_winnow_idx")
+      Dedup.incrementalWinnowIndexed(s, "d14_winnow_idx",
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D13 — incremental duplicate-span dedup: batch docs (doc_id%5=0)
     // surviving a >= 2-shared-winnowed-fingerprint check against the
     // corpus (doc_id%5<>0); the d10 split with span semantics.
@@ -591,7 +615,10 @@ object ScaleQueries {
     })
   )
 
-  val sql: Map[String, String] = sqlCore ++ sqlMore
+  val sql: Map[String, String] = sqlCore ++ sqlMore +
+    // d14 is the indexed path of d13 — result-identical by contract,
+    // so the oracle is d13's SQL verbatim
+    ("d14_winnow_indexed" -> sqlMore("d13_incremental_winnow"))
 
   private lazy val sqlCore: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1578,6 +1605,50 @@ object ScaleQueries {
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "x11_quality_filter" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(CAST(206.835
+        |        - 1.015 * (greatest(len(regexp_split_to_array(trim(text),
+        |              '\s+')), 1)::DOUBLE
+        |            / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |        - 84.6 * (len(regexp_extract_all(lower(text),
+        |              '[aeiouy]+'))::DOUBLE
+        |            / greatest(len(regexp_split_to_array(trim(text),
+        |              '\s+')), 1))
+        |      AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+        |      AS flesch_e6
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(CAST((ln(CAST(sum(c) AS DOUBLE))
+        |           - sum(c * ln(c)) / sum(c)) / 0.6931471805599453
+        |         AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+        |      AS ent_e6
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM documents) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT n.doc_id, n_words, flesch_e6,
+        |    1.0 - n_types::DOUBLE / n_tokens AS dup_frac, ent_e6
+        |  FROM n JOIN e USING (doc_id)),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN n_words < 20 THEN 'short'
+        |         WHEN flesch_e6 < 0 THEN 'unreadable'
+        |         WHEN dup_frac > 0.65 THEN 'repetitive'
+        |         WHEN ent_e6 < 3800000 THEN 'low_entropy'
+        |         ELSE 'pass' END AS reason
+        |  FROM j)
+        |SELECT doc_id, n_words, flesch_e6, dup_frac, ent_e6, reason,
+        |  reason = 'pass' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "d13_incremental_winnow" ->
       """WITH f AS MATERIALIZED (

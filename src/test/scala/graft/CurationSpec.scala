@@ -562,6 +562,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0L)  // single 5-gram can't be duplicated
   }
 
+  // ---- composite quality filter ----
+
+  test("qualityFilter: first failing rule wins, keeps pass everything") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"w$i. ").mkString // 30 distinct words
+    val docs = Seq(
+      (1L, good),                       // pass
+      (2L, "too few words here."),      // short
+      // "dup." has ONE vowel run, so flesch = 206.8 − 1.015 − 84.6 > 0
+      // and the verdict is specifically the repetition rule
+      (3L, Seq.fill(30)("dup.").mkString(" ")),
+      // 3 vowel runs per word, zero terminators: flesch ≈ −77 < 0
+      (4L, (1 to 30).map(i => s"obobo$i").mkString(" "))
+    ).toDF("id", "t")
+    val out = Curation.qualityFilter(docs, "id", "t",
+      minWords = 10, minFleschE6 = 0L, maxDupFrac = 0.5,
+      minEntropyE6 = 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == (("pass", true)))
+    assert(out(2L) == (("short", false)))
+    assert(out(3L) == (("repetitive", false)))
+    assert(out(4L) == (("unreadable", false)))
+  }
+
   // ---- readability (t11 scalar checks) ----
 
   test("flesch readability counts: hand-checked sentence/syllable runs") {

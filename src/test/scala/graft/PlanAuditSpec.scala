@@ -352,15 +352,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "t11 hot path must not evaluate java.util.regex")
   }
 
-  test("ngram repetition (x10): both gram aggregates partial-combine") {
+  test("ngram repetition (x10): one scan, hashed gram keys, no join") {
     val p = plan(graft.operators.Curation.ngramRepetitionStats(
       graft.util.Tables.documents(spark, sf), "doc_id", "text"))
-    // two explode branches, each (id, gram) count then per-id rollup —
-    // all four aggregates must appear partial+final so gram strings
-    // combine map-side and the shuffles carry bounded (id, gram, n)
-    assert(count(p, "HashAggregate") >= 8,
-      "expected partial+final pairs for all four groupBys\n" + p.take(2000))
+    // single-pass shape: both gram sizes ride one explode, one
+    // (id, k, hash, len) count and one per-doc rollup — each
+    // partial+final — and gram STRINGS never reach a shuffle
+    assert(count(p, "HashAggregate") >= 4,
+      "expected partial+final pairs for both groupBys\n" + p.take(2000))
+    assert(count(p, "FileScan parquet") == 1,
+      "both gram sizes must share one corpus scan")
+    assert(!p.contains("Join"), "single-pass form joins nothing")
+    assert(p.contains("xxhash64"), "gram shuffle keys must be hashed")
+  }
+
+  test("quality filter (x11): one narrow branch + one shared aggregate branch") {
+    val p = plan(graft.operators.Curation.qualityFilter(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // entropy and dup-frac share the tokenEntropy branch: exactly two
+    // corpus scans total, one id-keyed join, no regex in the hot path
+    assert(count(p, "FileScan parquet") <= 2, p.take(2000))
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("RegExpExtractAll"),
+      "x11 signals must come from native scans")
   }
 
   test("winnow fingerprints (d12) stay narrow until the bucket groupBy") {

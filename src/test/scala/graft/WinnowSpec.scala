@@ -73,6 +73,27 @@ class WinnowSpec extends AnyFunSuite {
       "doc 1 shares a 41-char run with the corpus and must be dropped")
   }
 
+  test("indexed incremental check is result-identical to the recompute path") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, s"$filler1 $shared"),
+      (11L, filler2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"totally new framing around $shared yes"),
+      (2L, s"prefix $filler2 suffix words"),
+      (3L, "nothing here resembles the reference corpus rows"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.incrementalWinnowNew(batch, corpus, "doc_id",
+      "text", minShared = 1L).select("doc_id").as[Long].collect().toSet
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text", "winnow_spec_idx")
+    val indexed = Dedup.incrementalWinnowIndexed(spark, "winnow_spec_idx",
+      batch, "doc_id", "text", minShared = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(direct == indexed)
+    assert(direct == Set(3L), "docs 1 and 2 embed corpus spans")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "winnow_spec_idx")
+  }
+
   test("n_shared counts distinct shared fingerprints, id_a < id_b") {
     import spark.implicits._
     val docs = Seq(

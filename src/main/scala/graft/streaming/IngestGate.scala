@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bloom
+
+/** Streaming ingest gate for duplicate-SPAN filtering — the
+  * Structured-Streaming form of [[graft.operators.Dedup.incrementalWinnowNew]]
+  * (d13) / the d14 index path.
+  *
+  * The batch formulation (explode fingerprints → join the corpus set →
+  * re-group per doc) is not streamable: the per-doc match count would
+  * be a streaming aggregation feeding a stream-stream anti-join, which
+  * Structured Streaming forbids. The gate therefore stays ROW-LOCAL:
+  * the corpus' winnowed fingerprint set is compacted into a Bloom
+  * filter once (driver-side, n·ln(1/fpp)/ln²2 bits), and each arriving
+  * document tests its own fingerprint array against the broadcast
+  * filter inside one codegen'd projection — no state store, no
+  * watermark, no shuffle; the stream stays a narrow map+filter at any
+  * ingest rate.
+  *
+  * Approximation contract: Bloom false positives can only OVER-count
+  * matches, so the gate's survivors are a SUBSET of the exact batch
+  * survivors (it never leaks a true duplicate); at the default
+  * fpp = 1e-6 the two are identical in practice, and the spec pins
+  * gate == d13 on the test corpus. At lake scale, size fpp against
+  * the broadcast budget (1e9 fingerprints at 1e-2 ≈ 1.2 GB) and let
+  * the periodic batch reconciliation (d13/d14, exact) recover any
+  * false-positive drops.
+  */
+object IngestGate {
+
+  /** Fingerprint-array column for one document. */
+  private def fps(textCol: String, k: Int, w: Int): Column =
+    expr(s"winnow_fingerprints($textCol, $k, $w)")
+
+  /** Survivors of `stream` (static or streaming DataFrame) against the
+    * corpus fingerprints in `corpusFps` (a `fp: long` frame — e.g.
+    * [[graft.operators.Dedup.winnowedFingerprints]] output or a
+    * [[graft.operators.Dedup.writeWinnowIndex]] table): documents
+    * whose fingerprint arrays Bloom-match the corpus fewer than
+    * `minShared` times. */
+  def winnowGate(stream: DataFrame, corpusFps: DataFrame, textCol: String,
+      k: Int = 24, w: Int = 12, minShared: Int = 2,
+      fpp: Double = 1e-6): DataFrame = {
+    graft.functions.WinnowImpl.register(stream.sparkSession)
+    val bloom = Bloom.keyBloom(corpusFps, "fp", fpp)
+    stream
+      .withColumn("__matched",
+        size(filter(fps(textCol, k, w), x => Bloom.mightContain(bloom, x))))
+      .filter(col("__matched") < minShared)
+      .drop("__matched")
+  }
+}

@@ -264,4 +264,35 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sTotals == bTotals)
   }
+
+  test("winnow ingest gate: streamed survivors == exact batch survivors") {
+    import graft.operators.Dedup
+    import graft.streaming.IngestGate
+    // corpus = docs % 5 != 0, stream = docs % 5 == 0 — the d13 split
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+    val direct = Dedup.incrementalWinnowNew(batchDocs, corpus,
+      "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // stage the stream side as parquet files
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(batchDocs.schema).parquet(dir.toString)
+    val gated = IngestGate.winnowGate(stream,
+      Dedup.winnowedFingerprints(corpus, "doc_id", "text"), "text")
+    val q = gated.select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("winnowgate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("winnowgate")
+      .collect().map(_.getLong(0)).toSet
+    // Bloom false positives can only DROP extra docs (survivor subset);
+    // at fpp 1e-6 on this corpus the sets are identical
+    assert(streamed == direct)
+    assert(direct.nonEmpty && direct.size < batchDocs.count(),
+      "the split must exercise both keeps and drops")
+  }
 }

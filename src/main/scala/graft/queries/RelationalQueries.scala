@@ -147,6 +147,19 @@ object RelationalQueries {
         .orderBy(col("yr").asc_nulls_first, col("prio").asc_nulls_first)
     }),
 
+    // A12 — CUBE: the full grouping-set lattice over (flag, status) —
+    // a10's ROLLUP plus the cross sections. Same shuffle shape as a
+    // plain groupBy (Spark expands grouping sets map-side before the
+    // single exchange; the Expand multiplies rows ×4, the partial agg
+    // collapses them again before the wire).
+    "a12_cube_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumMoney(col("l_extendedprice")).as("total"))
+        .orderBy(col("flag").asc_nulls_first, col("status").asc_nulls_first)
+    }),
+
     // A11 — exact quantiles: the distribution profile the corpus
     // curation thresholds (length cuts, quality bands) are tuned
     // against. Exact `percentile` is a per-group sort — fine when
@@ -531,6 +544,15 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin,
+
+    "a12_cube_stats" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin,
 
     "a11_quantiles" ->
       """SELECT l_returnflag,

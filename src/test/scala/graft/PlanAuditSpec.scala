@@ -341,6 +341,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") == 1)
   }
 
+  test("cube (a12): grouping-set Expand collapses map-side, one exchange") {
+    val p = plan(SparkEntry.queries("a12_cube_stats")(spark, sf))
+    assert(p.contains("Expand"), "grouping-set expansion missing")
+    // Expand multiplies rows ×4 BEFORE the partial aggregate, so the
+    // wire carries one collapsed row per (group, lattice-cell) — the
+    // sort's range exchange is the only other shuffle
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "cube must aggregate through a single hash exchange\n" + p.take(2000))
+    assert(count(p, "HashAggregate") >= 2, "partial+final pair missing")
+  }
+
   test("readability (t11) is a pure narrow map of native scans") {
     val p = plan(SparkEntry.queries("t11_readability")(spark, sf))
     // the orderBy adds its range exchange; nothing else may shuffle

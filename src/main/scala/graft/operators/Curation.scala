@@ -761,4 +761,91 @@ object Curation {
         (col(s"dup${dupK}_mass").cast("double") / col("n_chars"))
           .as(s"dup${dupK}_frac"))
   }
+
+  /** Character bigrams of `text`, in stream order: positions
+    * 1..max(len-1, 1), each a 2-char substring (a 1-char document
+    * yields its single char — the same `greatest(…, 1)` convention as
+    * the winnow fingerprints). */
+  def charBigrams(text: Column): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - 1, lit(1))),
+      i => text.substr(i, lit(2)))
+
+  /** Corpus character-bigram language model + per-document
+    * cross-entropy — the classic cheap perplexity-style quality signal
+    * (the CCNet recipe, Wenzek et al. 2020 §3.3, scores documents with
+    * an LM and filters on perplexity; a char-bigram model with Laplace
+    * smoothing is its engine-reproducible floor — no trained weights,
+    * derived from the corpus itself).
+    *
+    * Model: P(g) = (c(g)+1) / (N+V) over all corpus bigrams (N total,
+    * V distinct). Score: xent(d) = −(1/m)·Σ ln P(gᵢ) over the
+    * document's m bigrams, e6-scaled for cross-engine exactness (same
+    * decimal-cut convention as [[tokenEntropy]]).
+    *
+    * Scale shape (100 TB): the model pass explodes bigrams but
+    * map-side partial aggregation collapses them to ≤V rows per task
+    * BEFORE the one model shuffle (V is the square of the charset —
+    * thousands, independent of corpus size), and the resulting model
+    * broadcasts (ln P precomputed once per gram, not per token). The
+    * scoring pass re-explodes, broadcast-joins, and partial-aggregates
+    * straight back to one row per document — so the only data-sized
+    * shuffle in the whole pipeline carries one row per document.
+    *
+    * @return (doc_id, n_bigrams, xent_e6) */
+  def charLmScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(charBigrams(col(textCol))).as("gram"))
+    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    // N and V are global aggregates OVER THE MODEL (≤ charset² rows):
+    // a single-partition window keeps them in-plan — an .agg branch
+    // would re-run the whole bigram count, paying a third corpus scan
+    val w = Window.partitionBy(lit(1))
+    val lnp = model.select(col("gram"),
+      log((col("c").cast("double") + 1.0) /
+        (sum(col("c")).over(w) + count(lit(1)).over(w)).cast("double"))
+        .as("lnp"))
+    grams.join(broadcast(lnp), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("m"), sum(col("lnp")).as("s"))
+      .select(col(idCol),
+        col("m").cast("bigint").as("n_bigrams"),
+        ((-col("s") / col("m"))
+          .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
+          .cast("bigint").as("xent_e6"))
+  }
+
+  /** Leakage-safe train/val/test split: every document is assigned by
+    * the seeded hash of its duplicate-CLUSTER representative (its own
+    * id when unduplicated), so near-duplicate documents always land in
+    * the SAME split — the dedup-aware split discipline train/test
+    * hygiene demands at corpus scale (splitting by document hash alone
+    * leaks every near-dup pair that straddles the cut).
+    *
+    * `clusters` is [[Dedup.dupClusters]] output (member_id,
+    * cluster_id). Buckets: hash mod 10 → 0-7 train, 8 val, 9 test.
+    *
+    * Scale shape: the cluster table is a vanishing fraction of the
+    * corpus (only docs with a near-dup appear), so the join broadcasts
+    * when it fits and falls back to an id-keyed shuffle when not;
+    * the split itself is a pure per-row hash — no additional shuffle,
+    * deterministic on any partitioning or retry.
+    *
+    * @return (doc_id, group_key, bucket, split) */
+  def leakSafeSplit(docs: DataFrame, idCol: String,
+      clusters: DataFrame, seed: String = "split"): DataFrame = {
+    val c = clusters.select(col("member_id"), col("cluster_id"))
+    val keyed = docs.select(col(idCol))
+      .join(c, docs(idCol) === c("member_id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).cast("long")
+          .as("group_key"))
+    val bucket = (seededHash(seed, col("group_key")) % 10).cast("int")
+    keyed.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+  }
 }

@@ -744,4 +744,85 @@ object Dedup {
       winnowedFingerprints(batch, idCol, textCol, k, w),
       spark.table(table).select(col("fp")).distinct(),
       minShared)
+
+  /** Near-duplicate pairs over an arbitrary PRECOMPUTED 64-bit
+    * fingerprint column — the pairing tail of [[simhashNearDupPairs]]
+    * generalized to externally-derived perceptual hashes (image dHash,
+    * audio chromaprint-style fingerprints), where the fingerprint
+    * comes from a decoder, not from text.
+    *
+    * Candidates are band collisions: `bands` equal slices of the 64
+    * bits, equi-joined per slice. By pigeonhole this GUARANTEES every
+    * pair within `bands - 1` flips; beyond that a pair is found iff
+    * its differing bits leave one band untouched — exactly the
+    * localized-corruption shape perceptual hashes produce (a re-border
+    * or caption edit perturbs one image region, and a dHash maps image
+    * regions to bit regions). The exact Hamming check then bounds the
+    * reported distance. Same bounded-bucket scale contract as the
+    * text families (`phash_bucket_overflow` observed metric).
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b,
+    *         hamming <= maxHamming. */
+  def fingerprintNearDupPairs(df: DataFrame, idCol: String,
+      fpCol: String, bands: Int = 4, maxHamming: Int = 16,
+      maxBucket: Int = 1024): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val banded = df
+      .select(col(idCol).as("id"), col(fpCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*))
+          .as(Seq("band", "bits")))
+    boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
+      "phash_bucket_overflow", hammingDist, _ <= maxHamming, "hamming")
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, public): assign every vector to its nearest
+    * centroid, then WITHIN each cell drop any vector whose cosine to a
+    * strictly more central member (higher centroid-cos; ties broken by
+    * lower id) reaches `threshold`. The survivor of a semantic
+    * duplicate group is always its most central member, and cross-cell
+    * duplicates are intentionally not compared — that locality is the
+    * SemDeDup bargain that turns the O(n²) all-pairs cosine matrix into
+    * k independent O((n/k)²) blocks.
+    *
+    * Scale shape: one narrow scan computes the codegen'd
+    * [[graft.functions.CentroidScores]] assignment (k·dim flops per
+    * row, no shuffle), then ONE cell-keyed self-join does the
+    * intra-cell comparisons. k must grow with the corpus (k ≈ n/c for
+    * a target cell size c, exactly how the SemDeDup paper sizes its
+    * k-means) — the oracle's deterministic first-16 prefix is the
+    * verify-scale instance, and [[Similarity.kmeansCentroids]] is the
+    * in-repo way to derive real ones. The assignment subplan is cheap
+    * (scan + native expression) and deliberately recomputed per join
+    * branch rather than cached — at 100 TB a persist of the assigned
+    * corpus costs more than the second columnar scan.
+    *
+    * @return (vec_id, cell, keep) — keep=false marks semantic dups. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val scores = GraftColumns.column(graft.functions.CentroidScores(
+      GraftColumns.expression(col(vecCol)), centroids))
+    val assigned = df
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"),
+        array_max(scores).as("best"))
+      .select(col("vec_id"), col("vec"),
+        (-col("best.negid")).cast("int").as("cell"),
+        col("best.cos").as("cen_cos"))
+    val moreCentral = col("b.cen_cos") > col("a.cen_cos") ||
+      (col("b.cen_cos") === col("a.cen_cos") &&
+        col("b.vec_id") < col("a.vec_id"))
+    val dropped = assigned.alias("a").join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && moreCentral &&
+          Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold,
+        "left_semi")
+      .select(col("vec_id").as("d_id"))
+    assigned
+      .join(dropped, col("vec_id") === col("d_id"), "left")
+      .select(col("vec_id"), col("cell"), col("d_id").isNull.as("keep"))
+  }
 }

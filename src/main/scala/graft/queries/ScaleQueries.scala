@@ -138,6 +138,22 @@ object ScaleQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D15 — SemDeDup semantic dedup: x6's deterministic first-16
+    // centroid assignment, then intra-cell cosine pruning keeps only
+    // the most central member of every semantic-duplicate group. Same
+    // 0.35 cosine cut as d6 so the two near-dup families (LSH pairs vs
+    // cluster-local pruning) are directly comparable on one corpus.
+    "d15_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids: Array[Array[Float]] = e
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .orderBy(col("id")).limit(16)
+        .collect().map(_.getSeq[Float](1).toArray)
+      Dedup.semDedup(e, "vec_id", "embedding", centroids,
+        threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     "d10_incremental_new" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalNew(
@@ -557,6 +573,24 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T12 — corpus char-bigram LM cross-entropy (the CCNet perplexity
+    // signal's engine-reproducible floor): model trained on the corpus
+    // itself with Laplace smoothing, every document scored against it.
+    // e6 decimal cut (the t10 pattern).
+    "t12_charlm" -> ((s, d) => {
+      Curation.charLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // X12 — leakage-safe split: documents assigned to train/val/test
+    // by the seeded hash of their d7 duplicate-cluster representative,
+    // so near-dup pairs can never straddle a split boundary.
+    "x12_leak_split" -> ((s, d) => {
+      Curation.leakSafeSplit(Tables.documents(s, d), "doc_id",
+        Dedup.dupClusters(docPairs(s, d), "id_a", "id_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X10 — Gopher n-gram repetition fractions (char mass of the
     // heaviest bigram; chars inside duplicated 5-grams). The oracle
     // replays word_shingles' short-document fallback with truncating
@@ -707,6 +741,47 @@ object ScaleQueries {
          |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id)
          |SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
          |FROM reach GROUP BY id ORDER BY member_id""".stripMargin,
+
+    // x12: d7's cluster CTEs verbatim, then the split is a pure
+    // seeded-hash of the cluster representative (own id when
+    // unclustered) — the x1/x2 md5 convention with seed "split".
+    "x12_leak_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |blocked AS (
+         |  SELECT id, sh,
+         |    list_min(list_transform(sh,
+         |      s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS bh
+         |  FROM base),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |    FROM blocked a JOIN blocked b ON a.bh = b.bh AND a.id < b.id)
+         |  WHERE jaccard >= 0.7),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nbr FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, nbr) AS (
+         |  SELECT id, nbr FROM sym
+         |  UNION
+         |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id),
+         |clus AS (
+         |  SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |k AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_key
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.member_id),
+         |b AS (
+         |  SELECT doc_id, group_key,
+         |    CAST(CAST('0x' || substr(md5('split:' || group_key), 1, 8)
+         |           AS BIGINT) % 10 AS INT) AS bucket
+         |  FROM k)
+         |SELECT doc_id, group_key, bucket,
+         |  CASE WHEN bucket <= 7 THEN 'train'
+         |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "d9_cluster_survivors" ->
       s"""WITH RECURSIVE $shinglesCte,
@@ -1283,6 +1358,36 @@ object ScaleQueries {
          |  FROM assign)
          |WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
 
+    // d15: same assign CTE as x6 (validated bit-identical to
+    // CentroidScores there), then the intra-cell prune replayed
+    // literally: a is dropped iff some strictly-more-central b in its
+    // cell has cosine >= 0.35 with it.
+    "d15_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT vec_id, cell, cos FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ${cosSql("v.embedding", "c.embedding")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell
+         |    AND (b.cos > a.cos OR (b.cos = a.cos AND b.vec_id < a.vec_id))
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
     "t8_bm25" -> bm25OracleSql,
 
     // t9: the indexed path must be result-identical to t8 — the oracle
@@ -1517,6 +1622,24 @@ object ScaleQueries {
         |  CAST(tot.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
         |  md5(coalesce(k.clean_text, '')) AS clean_md5
         |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t12_charlm" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, i::INT, 2) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-1, 1)+1)) AS i
+        |        FROM documents)),
+        |m AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |             CAST(count(*) AS BIGINT) AS n_vocab FROM m),
+        |p AS (SELECT gram,
+        |        ln((c::DOUBLE + 1.0) / (n_total + n_vocab)::DOUBLE) AS lnp
+        |      FROM m CROSS JOIN t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(-sum(lnp) / count(*) AS DECIMAL(24,6))
+        |       * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS xent_e6
+        |FROM g JOIN p USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_token_entropy" ->
       """WITH c AS (

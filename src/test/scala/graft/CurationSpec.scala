@@ -610,4 +610,91 @@ class CurationSpec extends AnyFunSuite {
     val f2 = 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 3.0)
     assert(math.abs(out(2)._4 - f2) < 1e-9)
   }
+
+  // ---- semantic dedup (d15) ----
+
+  test("semDedup drops near-duplicates within a cell, keeping the most central") {
+    import spark.implicits._
+    // two orthogonal centroids; ids 0/1 land in cell 0 (1 is a near-dup
+    // of the centroid-identical 0), id 2 in cell 1, id 3 anti-aligned
+    // with c0 so it falls to cell 1 but is orthogonal to everything
+    val centroids = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding", centroids, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    assert(out(0) == ((0, true)))   // most central survives
+    assert(out(1) == ((0, false)))  // cos(0,1) ~ 0.995 >= 0.9 -> dropped
+    assert(out(2) == ((1, true)))
+    assert(out(3)._2)               // same cell as 2 but orthogonal
+  }
+
+  test("semDedup never compares across cells") {
+    import spark.implicits._
+    // identical vectors forced into DIFFERENT cells survive both: the
+    // SemDeDup bargain is cluster-local comparison only
+    val centroids = Array(
+      Array(1f, 0f, 0f, 0f), Array(0.9f, 0.436f, 0f, 0f))
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.436f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding", centroids, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // cos(0,1) ~ 0.9 but cells differ -> both kept
+    assert(out == Map(0L -> true, 1L -> true))
+  }
+
+  // ---- char-bigram LM scoring (t12) ----
+
+  test("charLmScore matches a hand-computed Laplace bigram model") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "abab")).toDF("doc_id", "text")
+    val out = Curation.charLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // corpus bigrams: doc1 [ab], doc2 [ab, ba, ab] -> c(ab)=3, c(ba)=1,
+    // N=4, V=2; P(ab)=4/6, P(ba)=2/6
+    def e6(x: Double): Long =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000L)).toLong
+    val pAb = math.log(4.0 / 6.0); val pBa = math.log(2.0 / 6.0)
+    assert(out(1L) == ((1L, e6(-pAb))))
+    assert(out(2L) == ((3L, e6(-(2 * pAb + pBa) / 3.0))))
+  }
+
+  test("charLmScore: a 1-char document yields its single-char pseudo-bigram") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Curation.charLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  // ---- leakage-safe split (x12) ----
+
+  test("leakSafeSplit keeps whole duplicate clusters on one side of the cut") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("member_id", "cluster_id")
+    val out = Curation.leakSafeSplit(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out.size == 20)
+    // clustered docs share their representative's key and split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L)).size == 1)
+    // unclustered docs key on themselves
+    assert(out(5L)._1 == 5L)
+    // the split name always follows the bucket
+    out.values.foreach { case (_, b, s) =>
+      val expect = if (b <= 7) "train" else if (b == 8) "val" else "test"
+      assert(s == expect)
+    }
+  }
 }

@@ -408,4 +408,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(pp, "ObjectHashAggregate") <= 2,
       "only the post-filter bucket collect may be an object aggregate")
   }
+
+  test("char-LM scoring (t12): broadcast model, partial-agg everywhere") {
+    val p = plan(graft.operators.Curation.charLmScore(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // model pass + scoring pass: exactly two corpus scans, the ln-P
+    // model rides back as a broadcast (never a shuffled join against
+    // the exploded bigram stream), and every groupBy partial-combines
+    assert(count(p, "FileScan parquet") == 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded bigram stream must never shuffle for the model join")
+    assert(!p.contains("CartesianProduct"))
+    // N/V ride a single-partition window over the collapsed model
+    // (≤ charset² rows) instead of an .agg branch that would re-scan
+    // the corpus a third time
+    assert(p.contains("Exchange SinglePartition"),
+      "model totals must come from the in-plan window\n" + p.take(2000))
+    assert(count(p, "HashAggregate") >= 4,
+      "model count and per-doc score must each partial+final\n" +
+        p.take(2000))
+  }
+
+  test("semantic dedup (d15): cell-keyed comparison, never all-pairs") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val centroids = e.selectExpr("embedding").limit(16)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val p = plan(graft.operators.Dedup.semDedup(
+      e, "vec_id", "embedding", centroids, 0.35))
+    assert(!p.contains("CartesianProduct"),
+      "intra-cell pruning must join on cell, not expand all pairs\n" +
+        p.take(2000))
+    assert(p.contains("dotf("),
+      "cosine must be the native fused dot product")
+    // assignment recomputed per branch (documented trade): three scans
+    // max — a/b sides of the semi-join plus the keep-flag spine
+    assert(count(p, "FileScan parquet") <= 3, p.take(2000))
+  }
+
+  test("leak-safe split (x12): pure hash map over a broadcast cluster join") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("member_id", "cluster_id")
+    val p = plan(graft.operators.Curation.leakSafeSplit(
+      graft.util.Tables.documents(spark, sf), "doc_id", clusters))
+    // the split itself adds NOTHING to the cluster join: one corpus
+    // scan, a broadcast left join, then a narrow md5 projection
+    assert(count(p, "FileScan parquet") == 1)
+    assert(p.contains("BroadcastHashJoin"), "cluster join must broadcast")
+    // the cluster table's BroadcastExchange is the only exchange —
+    // the split itself never hash- or range-partitions anything
+    assert(count(p, "Exchange hashpartitioning") == 0 &&
+      count(p, "Exchange rangepartitioning") == 0,
+      "split assignment must not shuffle\n" + p.take(2000))
+  }
 }

@@ -124,6 +124,77 @@ object ImageCodec {
     (r, g, b)
   }
 
+  /** Integer ITU-R 601 luminance of one pixel: (299r + 587g + 114b) /
+    * 1000, exact in integers. For greyscale pixels (r = g = b = v) the
+    * weights sum to 1000, so lum == v — which is what lets the m8
+    * oracle predict grid luminances of the synthetic variants from the
+    * render formula alone. */
+  def luminance(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+    val b = rgb & 0xFF
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  /** 64-bit difference hash (dHash, standard perceptual hash): sample
+    * a 9×8 luminance grid at x_i = i·w/9, y_j = j·h/8 (integer
+    * division — SAMPLED grid, not box-averaged, so any engine can
+    * replay it with 72 pixel reads per image), set bit j·8+i when the
+    * right neighbor is strictly brighter. Robust to re-encode and
+    * uniform brightness shifts; a local edit perturbs only the bit
+    * rows of the touched region. */
+  def dHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var prev = luminance(img.getRGB(0, y))
+      var i = 0
+      while (i < 8) {
+        val next = luminance(img.getRGB((i + 1) * w / 9, y))
+        if (next > prev) hash |= 1L << (j * 8 + i)
+        prev = next
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Deterministic dims for the near-dup variant family: derived from
+    * the GROUP id, so all variants of a group share geometry. */
+  def variantDims(gid: Long): (Int, Int) =
+    ((gid % 57).toInt + 8, (gid % 43).toInt + 8)
+
+  /** Greyscale value at (x, y) for variant `variant` of group `gid`:
+    * a gid-keyed base pattern (the x·y cross term makes adjacent-pixel
+    * DIFFERENCES gid-dependent, so unrelated groups hash apart) plus a
+    * variant perturbation confined to the top two pixel rows — the
+    * localized-edit shape dHash banding is built for: variants differ
+    * only in bit rows 0-1, i.e. inside band 0 of 4. */
+  def variantLum(gid: Long, variant: Long, x: Int, y: Int): Int =
+    ((gid * 31 + x * 7 + y * 13 + x * y * (gid % 11) +
+      (if (y < 2) variant * 37 * x else 0L)) & 0xFF).toInt
+
+  /** Encode one member of the near-dup variant family as a REAL PNG
+    * (lossless — the decoded raster must round-trip the formula). */
+  def encodeSyntheticVariant(id: Long): Array[Byte] = {
+    val gid = id / 9; val variant = id % 9
+    val (w, h) = variantDims(gid)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = variantLum(gid, variant, x, y)
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+        x += 1
+      }
+      y += 1
+    }
+    write(img, "png")
+  }
+
   /** Real aspect-fit resize: one decode → Graphics2D scale → re-encode
     * PNG. Returns None when the payload isn't a decodable image or the
     * re-encode fails — degrade-to-None, never throw (one corrupt blob

@@ -253,6 +253,44 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** Near-duplicate image family: the image-id rows re-rendered so
+    * consecutive image ids (gid = id/9 groups the %3=0 ids in threes)
+    * share a gid-keyed base pattern with a small variant edit confined
+    * to the top pixel rows — REAL PNGs whose dHash distances the
+    * DuckDB oracle predicts from [[ImageCodec.variantLum]], making the
+    * whole decode → perceptual-hash → banded-pair pipeline
+    * oracle-checkable. */
+  def syntheticVariantImages(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "image", ImageCodec.encodeSyntheticVariant(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Perceptual hash per image payload: real decode → 64-bit dHash
+    * ([[ImageCodec.dHash64]]). Row-local mapPartitions — the payload
+    * never survives the projection, so only (id, 8-byte hash) rows
+    * reach any downstream shuffle; non-image payloads drop out (the
+    * degrade-to-None contract of the other decoders). Feed the result
+    * to [[Dedup.fingerprintNearDupPairs]] for image near-dup pairs. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decodeImage(bytes).map { case (_, img) =>
+          (id, ImageCodec.dHash64(img))
+        }
+      })
+      .toDF("media_id", "phash")
+  }
+
   /** Real RIFF/WAVE payloads for half the audio rows (doc_id % 6 = 1;
     * the other half, doc_id % 6 = 4, are MP3 — [[syntheticMp3s]]):
     * 16-bit mono PCM encoded on executors with sample rate and frame

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** Oracle coverage for the multimodal binary-column operators. Image
   * payloads are REAL PNG/JPEG bytes generated with dimensions derived
@@ -97,6 +97,19 @@ object MultimodalQueries {
     "m7_audio_energy" -> ((s, d) => {
       Multimodal.audioEnergy(Multimodal.syntheticWavs(s, d), 100)
         .orderBy(col("media_id"), col("window_idx"))
+    }),
+
+    // M8 — image near-dup detection over REAL decoded pixels: PNG
+    // variant family → dHash64 perceptual hash → banded Hamming pairs.
+    // The oracle recomputes every grid luminance from the render
+    // formula, rebuilds the 64 bits, replays the 4×16 banding AND the
+    // exact Hamming filter — a green row proves decode, hash, and
+    // pairing end-to-end.
+    "m8_phash_neardup" -> ((s, d) => {
+      Dedup.fingerprintNearDupPairs(
+        Multimodal.imagePhash(Multimodal.syntheticVariantImages(s, d)),
+        "media_id", "phash", bands = 4, maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -230,6 +243,53 @@ object MultimodalQueries {
         |  FROM (SELECT media_id, unnest(range(frames)) AS i FROM a))
         |SELECT media_id, window_idx, CAST(count(*) AS INT) AS n_frames,
         |  CAST(sum(v * v) AS BIGINT) AS sumsq
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // m8: full replay of decode → dHash → banding → Hamming. Grid
+    // luminances come straight from the variantLum formula (greyscale,
+    // so ITU-601 luminance == the rendered value); the 64 bits are
+    // regrouped into the same 4×16 band keys the Spark side shuffles
+    // on, and the exact Hamming is the per-bit disagreement count —
+    // integer-only arithmetic end to end.
+    "m8_phash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id, doc_id // 9 AS gid, doc_id % 9 AS var,
+        |    (doc_id // 9) % 57 + 8 AS w, (doc_id // 9) % 43 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |cols AS (SELECT unnest(generate_series(0, 7)) AS i),
+        |bits AS (
+        |  SELECT id, j, i,
+        |    CAST((j*8 + i) // 16 AS INT) AS band,
+        |    CAST((j*8 + i) % 16 AS INT) AS pos,
+        |    CASE WHEN
+        |      (gid*31 + (((i+1)*w)//9)*7 + ((j*h)//8)*13
+        |        + (((i+1)*w)//9)*((j*h)//8)*(gid%11)
+        |        + CASE WHEN (j*h)//8 < 2
+        |            THEN var*37*(((i+1)*w)//9) ELSE 0 END) % 256
+        |      >
+        |      (gid*31 + ((i*w)//9)*7 + ((j*h)//8)*13
+        |        + ((i*w)//9)*((j*h)//8)*(gid%11)
+        |        + CASE WHEN (j*h)//8 < 2
+        |            THEN var*37*((i*w)//9) ELSE 0 END) % 256
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM img CROSS JOIN grid CROSS JOIN cols),
+        |keys AS (
+        |  SELECT id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.id = c.id_a
+        |  JOIN bits y ON y.id = c.id_b AND x.j = y.j AND x.i = y.i
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin
   )
 }

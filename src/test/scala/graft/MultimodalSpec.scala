@@ -395,4 +395,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"sample decode must not shuffle payloads:\n$plan")
   }
+
+  test("dHash64: hand-built gradient image hashes exactly as defined") {
+    // 9x8 image, lum(x, y) = x * 10: every right neighbor is strictly
+    // brighter at every grid row -> all 64 bits set
+    val up = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = x * 10; up.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    assert(graft.operators.ImageCodec.dHash64(up) == -1L)
+    // reversed gradient: never brighter -> no bits
+    val down = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = (8 - x) * 10; down.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    assert(graft.operators.ImageCodec.dHash64(down) == 0L)
+    // flipping one mid-grid comparison flips exactly that bit
+    val one = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = if (x == 4 && y == 3) 60 else x * 10
+      one.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    // row j=3: lum at x=3 is 30, x=4 is 60, x=5 is 50 -> bit (3,4)
+    // (compare x4>x3: 60>30 set as before) but bit (3,4)=i=4 compares
+    // x5>x4: 50>60 false -> bit j*8+i = 3*8+4 = 28 cleared
+    assert(graft.operators.ImageCodec.dHash64(one) == (-1L ^ (1L << 28)))
+  }
+
+  test("image phash near-dup pairs: every variant pair found through real PNGs") {
+    import spark.implicits._
+    // two groups of three variants + one unrelated singleton group
+    val ids = Seq(0L, 3L, 6L, 9L, 12L, 15L, 900L)
+    val media = ids.map(id => (id, "image",
+      graft.operators.ImageCodec.encodeSyntheticVariant(id)))
+      .toDF("media_id", "kind", "payload")
+    val pairs = graft.operators.Dedup.fingerprintNearDupPairs(
+      Multimodal.imagePhash(media), "media_id", "phash",
+      bands = 4, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // all six intra-group pairs surface with hamming <= 16
+    for (p <- Seq((0L, 3L), (0L, 6L), (3L, 6L),
+        (9L, 12L), (9L, 15L), (12L, 15L)))
+      assert(pairs.contains(p), s"missing variant pair $p")
+    // variant edits are confined to band 0: distances stay <= 16
+    assert(pairs.values.forall(_ <= 16))
+    // non-image payloads drop out of the hash frame, never throw
+    val junk = Seq((1L, "image", "not a png".getBytes))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.imagePhash(junk).count() == 0)
+  }
+
+  test("image phash pipeline: payloads hash row-local, one band exchange") {
+    val hashed = Multimodal.imagePhash(
+      Multimodal.syntheticVariantImages(spark, sf))
+    val hp = hashed.queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"),
+      s"decode + hash must not shuffle payloads:\n$hp")
+    val pp = graft.operators.Dedup.fingerprintNearDupPairs(
+      hashed, "media_id", "phash", bands = 4, maxHamming = 16)
+      .queryExecution.executedPlan.toString
+    // band-bucket groupBy plus the pair dedup (20-byte triples) are
+    // the only hash exchanges; pair expansion is in-bucket (no join
+    // operators at all — same shape as the simhash/winnow families)
+    assert("Exchange hashpartitioning".r.findAllIn(pp).length == 2, pp)
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"))
+  }
 }

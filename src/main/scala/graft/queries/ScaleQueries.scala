@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Curation, Dedup, Similarity, Sketches}
+import graft.operators.{Curation, Dedup, Graph, Similarity, Sketches}
 import graft.util.Tables
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -589,6 +589,28 @@ object ScaleQueries {
       Curation.leakSafeSplit(Tables.documents(s, d), "doc_id",
         Dedup.dupClusters(docPairs(s, d), "id_a", "id_b"))
         .orderBy(col("doc_id"))
+    }),
+
+    // G1 — damped PageRank over the customer→supplier order graph
+    // (edges = orders ⋈ lineitem; suppliers offset by 1e6 to keep the
+    // bipartite id spaces disjoint), 5 power-iteration rounds. The
+    // oracle unrolls the iterations as chained CTEs with the exact
+    // double arithmetic ((1.0 - 0.85) mirrored as a subtraction, not a
+    // 0.15 literal — the two differ by 1 ulp), e12 decimal cut.
+    "g1_pagerank" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 5)
+        .select(col("node"),
+          (col("rank").cast("decimal(24,12)") *
+            lit(1000000000000L).cast("decimal(13,0)")).cast("bigint")
+            .as("rank_e12"))
+        .orderBy(col("node"))
     }),
 
     // X10 — Gopher n-gram repetition fractions (char mass of the
@@ -1388,6 +1410,8 @@ object ScaleQueries {
          |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
+    "g1_pagerank" -> pagerankSql,
+
     "t8_bm25" -> bm25OracleSql,
 
     // t9: the indexed path must be result-identical to t8 — the oracle
@@ -1413,6 +1437,40 @@ object ScaleQueries {
         |FROM toks GROUP BY tok
         |ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
   )
+
+  /** g1's oracle: PageRank with the 5 power-iteration rounds unrolled
+    * as chained CTEs (DuckDB, like Postgres, forbids aggregation over
+    * the recursive reference in a recursive CTE — and the round count
+    * is a fixed literal anyway). Double arithmetic mirrors
+    * [[graft.operators.Graph.pageRank]] term by term. */
+  private lazy val pagerankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+         |      + 0.85::DOUBLE * coalesce(s.inb, 0.0::DOUBLE) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT c.dst, sum(p.rank / c.deg) AS inb
+         |    FROM contrib c JOIN r${i - 1} p ON c.src = p.node
+         |    GROUP BY c.dst) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |contrib AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(CAST(rank AS DECIMAL(24,12))
+       |  * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT) AS rank_e12
+       |FROM r5 ORDER BY node""".stripMargin
+  }
 
   /** Shared t8/t9 oracle: the full BM25 recomputation in DuckDB. */
   private lazy val bm25OracleSql: String =

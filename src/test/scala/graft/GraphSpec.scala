@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank: zero iterations is the uniform vector") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L)), 0)
+    assert(r.keySet == Set(1L, 2L, 3L))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-15))
+  }
+
+  test("pageRank: one hand-computed round on a 3-cycle plus a chord") {
+    // edges: 1->2, 2->3, 3->1, 1->3. outdeg: 1:2, 2:1, 3:1. n=3.
+    // after 1 round from uniform 1/3:
+    //   in(2) = 1/3 / 2            = 1/6
+    //   in(3) = 1/3 / 2 + 1/3 / 1  = 1/2
+    //   in(1) = 1/3 / 1            = 1/3
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), 1)
+    def expect(in: Double) = 0.15 / 3 + 0.85 * in
+    assert(math.abs(r(1L) - expect(1.0 / 3)) < 1e-12)
+    assert(math.abs(r(2L) - expect(1.0 / 6)) < 1e-12)
+    assert(math.abs(r(3L) - expect(1.0 / 2)) < 1e-12)
+  }
+
+  test("pageRank: parallel edges weight the contribution") {
+    // 1->2 twice and 1->3 once: outdeg(1)=3, so 2 receives 2/3 of
+    // rank(1) and 3 receives 1/3
+    val r = ranks(Seq((1L, 2L), (1L, 2L), (1L, 3L)), 1)
+    val base = 0.15 / 3
+    assert(math.abs(r(2L) - (base + 0.85 * (1.0 / 3) * (2.0 / 3))) < 1e-12)
+    assert(math.abs(r(3L) - (base + 0.85 * (1.0 / 3) * (1.0 / 3))) < 1e-12)
+  }
+
+  test("pageRank: dangling nodes leak mass (documented variant)") {
+    // 1->2, 2 dangling: total mass after a round is below 1
+    val r = ranks(Seq((1L, 2L)), 1)
+    assert(r.values.sum < 1.0)
+    // without dangling nodes the mass is conserved (cycle)
+    val c = ranks(Seq((1L, 2L), (2L, 1L)), 3)
+    assert(math.abs(c.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: more in-links rank higher after convergence rounds") {
+    // star: everyone points at hub 99 (and 99 points at 1 to avoid a
+    // fully dangling hub)
+    val edges = (1L to 8L).map(i => (i, 99L)) :+ ((99L, 1L))
+    val r = ranks(edges, 5)
+    assert(r(99L) > r(2L) * 4, s"hub should dominate: $r")
+  }
+}

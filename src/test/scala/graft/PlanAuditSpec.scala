@@ -446,6 +446,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") <= 3, p.take(2000))
   }
 
+  test("pagerank (g1): rounds are materialized, never re-executed lineage") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val p2 = plan(graft.operators.Graph.pageRank(e, "src", "dst", 2))
+    // each round ends in Iter.materialize: the returned frame hangs off
+    // a checkpoint scan — NOT a plan tree that re-executes round k-1
+    // once per reference (the d7 lineage lesson); a re-executing loop
+    // would show the join/aggregate pipeline of every round here
+    assert(p2.contains("ExistingRDD"),
+      "rounds must be materialized\n" + p2.take(2000))
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("HashAggregate"),
+      "final frame must be the materialized vector, not live lineage\n" +
+        p2.take(2000))
+  }
+
   test("leak-safe split (x12): pure hash map over a broadcast cluster join") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("member_id", "cluster_id")

@@ -201,6 +201,45 @@ object R11Scratch {
           println(f"REGEXPROF '$pat' $dt%.3f s matches=$n (${dt / texts.length * 1e6}%.1f us/doc)")
         }
 
+      case "r11c" =>
+        // third round-11 batch (t12/d15/x12/m8) at scale
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("t12_charlm")(Curation.charLmScore(docs, "doc_id", "text")
+          .count())
+        // d15: centroid count grows with the corpus (k ~ n/100, the
+        // SemDeDup sizing the operator doc prescribes) so cells stay
+        // ~100 members and the intra-cell quadratic stays bounded
+        val e = Tables.embeddings(spark, d)
+        val n = e.count()
+        val k = math.max(16, (n / 100).toInt)
+        val centroids = e
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("v"))
+          .orderBy(col("id")).limit(k)
+          .collect().map(_.getSeq[Float](1).toArray)
+        println(s"d15 n=$n k=$k")
+        m("d15_semdedup")(graft.operators.Dedup.semDedup(
+          e, "vec_id", "embedding", centroids, 0.35)
+          .filter(!col("keep")).count())
+        m("x12_leak_split")(Curation.leakSafeSplit(docs, "doc_id",
+          graft.operators.Dedup.dupClusters(
+            graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id",
+              "text", k = 3, threshold = 0.7), "id_a", "id_b"))
+          .count())
+        val variants = graft.operators.Multimodal
+          .syntheticVariantImages(spark, d)
+        m("m8_phash_hash")(graft.operators.Multimodal
+          .imagePhash(variants).count())
+        m("m8_phash_pairs")(graft.operators.Dedup.fingerprintNearDupPairs(
+          graft.operators.Multimodal.imagePhash(variants),
+          "media_id", "phash", bands = 4, maxHamming = 16).count())
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -763,6 +763,19 @@ object Dedup {
     *
     * @return (id_a, id_b, hamming) with id_a < id_b,
     *         hamming <= maxHamming. */
+  /** The `bands` band keys of a 64-bit fingerprint as ONE array of
+    * longs, each tagging its slice with the band index in the high
+    * bits — the join/Bloom key form shared by
+    * [[fingerprintNearDupPairs]]'s blocking and the streaming
+    * [[graft.streaming.IngestGate.phashGate]]. */
+  def bandKeys64(fp: Column, bands: Int): Column = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    array((0 until bands).map(b =>
+      lit(b.toLong << width).bitwiseOR(
+        shiftright(fp, b * width).bitwiseAND(lit((1L << width) - 1)))): _*)
+  }
+
   def fingerprintNearDupPairs(df: DataFrame, idCol: String,
       fpCol: String, bands: Int = 4, maxHamming: Int = 16,
       maxBucket: Int = 1024): DataFrame = {

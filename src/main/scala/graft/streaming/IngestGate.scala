@@ -52,4 +52,33 @@ object IngestGate {
       .filter(col("__matched") < minShared)
       .drop("__matched")
   }
+
+  /** Streaming near-dup IMAGE gate — the perceptual-hash analog of
+    * [[winnowGate]]: the lake's dHash band keys
+    * ([[graft.operators.Dedup.bandKeys64]]) compact into a broadcast
+    * Bloom, and each arriving image's own band keys are tested inside
+    * one codegen'd projection — no state store, no shuffle. An image
+    * is dropped when ANY band collides (the candidate-level cut of
+    * [[graft.operators.Dedup.fingerprintNearDupPairs]] — band
+    * collision over-approximates Hamming proximity, and Bloom false
+    * positives only add over-drop, so survivors are a SUBSET of the
+    * exact batch survivors; the periodic exact batch pass reconciles).
+    *
+    * `hashes` carries a `hashCol` long column — produce it row-locally
+    * with [[graft.operators.Multimodal.imagePhash]], which streams
+    * (stateless mapPartitions). */
+  def phashGate(hashes: DataFrame, corpusHashes: DataFrame,
+      hashCol: String = "phash", bands: Int = 4,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.operators.Dedup
+    val keys = corpusHashes
+      .select(explode(Dedup.bandKeys64(col(hashCol), bands)).as("key"))
+    val bloom = Bloom.keyBloom(keys, "key", fpp)
+    hashes
+      .withColumn("__matched",
+        size(filter(Dedup.bandKeys64(col(hashCol), bands),
+          x => Bloom.mightContain(bloom, x))))
+      .filter(col("__matched") === 0)
+      .drop("__matched")
+  }
 }

@@ -218,4 +218,57 @@ class PropertySpec extends AnyFunSuite {
       got == refWinnow(s, k, w)
     })
   }
+
+  // dHash64 properties over random greyscale rasters (m8's kernel)
+
+  private def grey(vals: Array[Array[Int]]): java.awt.image.BufferedImage = {
+    val h = vals.length; val w = vals(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = vals(y)(x); img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    img
+  }
+
+  private val raster: Gen[Array[Array[Int]]] = for {
+    w <- Gen.choose(9, 40); h <- Gen.choose(8, 40)
+    vs <- Gen.listOfN(w * h, Gen.choose(0, 200))
+  } yield vs.grouped(w).map(_.toArray).toArray
+
+  test("dHash64 is invariant under uniform brightness shifts (no clipping)") {
+    check("dhash-shift", Prop.forAll(raster, Gen.choose(1, 55)) { (vs, c) =>
+      val shifted = vs.map(_.map(_ + c)) // 0..200 + <=55 stays in range
+      graft.operators.ImageCodec.dHash64(grey(vs)) ==
+        graft.operators.ImageCodec.dHash64(grey(shifted))
+    })
+  }
+
+  test("dHash64 == definitional grid comparison for any raster") {
+    check("dhash-def", Prop.forAll(raster) { vs =>
+      val h = vs.length; val w = vs(0).length
+      var expect = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val y = j * h / 8
+        if (vs(y)((i + 1) * w / 9) > vs(y)(i * w / 9))
+          expect |= 1L << (j * 8 + i)
+      }
+      graft.operators.ImageCodec.dHash64(grey(vs)) == expect
+    })
+  }
+
+  test("charBigrams covers text with max(len-1, 1) overlapping grams") {
+    check("charBigrams", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      val got = Seq(s).toDF("t")
+        .select(graft.operators.Curation.charBigrams(
+          org.apache.spark.sql.functions.col("t")))
+        .collect()(0).getSeq[String](0)
+      val expect =
+        if (s.length < 2) Seq(s) else s.sliding(2).toSeq
+      got == expect
+    })
+  }
 }

@@ -240,6 +240,23 @@ object R11Scratch {
           graft.operators.Multimodal.imagePhash(variants),
           "media_id", "phash", bands = 4, maxHamming = 16).count())
 
+      case "g1" =>
+        val orders = Tables.orders(spark, d)
+        val lineitem = Tables.lineitem(spark, d)
+        println(s"CORPUS $d orders=${orders.count()} " +
+          s"lineitem=${lineitem.count()}")
+        val edges = orders.select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.Graph.pageRank(edges, "src", "dst", 5)
+            .count()
+        }
+        println(f"g1_pagerank $d wall(min of 2)=$t%.2f s nodes=$rows")
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -295,4 +295,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(direct.nonEmpty && direct.size < batchDocs.count(),
       "the split must exercise both keeps and drops")
   }
+
+  test("phash ingest gate: streamed image survivors == exact band-collision cut") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.IngestGate
+    // corpus = image ids % 5 != 0, stream = % 5 == 0: variant groups
+    // straddle the split, so streamed members of corpus-resident
+    // groups must drop while singleton-content images survive
+    val all = Multimodal.imagePhash(
+      Multimodal.syntheticVariantImages(spark, sf))
+    val corpus = all.filter(col("media_id") % 5 =!= 0)
+    val arriving = all.filter(col("media_id") % 5 === 0)
+    // exact batch cut: any shared band key with the corpus -> dup
+    val cKeys = corpus
+      .select(explode(Dedup.bandKeys64(col("phash"), 4)).as("key"))
+      .distinct()
+    val dupIds = arriving
+      .select(col("media_id"), explode(Dedup.bandKeys64(col("phash"), 4))
+        .as("key"))
+      .join(cKeys, "key").select("media_id").distinct()
+    val direct = arriving.join(dupIds, Seq("media_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    // stage the arriving hashes as a file stream (the payload decode
+    // already happened row-locally via imagePhash, which streams too)
+    val dir = java.nio.file.Files.createTempDirectory("phash-stream")
+    arriving.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .parquet(dir.toString)
+    val q = IngestGate.phashGate(stream, corpus)
+      .select("media_id").writeStream.outputMode("append")
+      .format("memory").queryName("phashgate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("phashgate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == direct)
+    assert(direct.size < arriving.count(),
+      "the split must exercise drops")
+  }
 }

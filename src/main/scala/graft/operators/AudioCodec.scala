@@ -53,6 +53,71 @@ object AudioCodec {
     baos.toByteArray
   }
 
+  /** Params for the near-dup variant WAV family: geometry from the
+    * GROUP id so all variants of a group align window-for-window;
+    * frames ≥ 1300 keep all 65 energy windows of [[energyHash64]]
+    * non-degenerate (width ≥ 20). */
+  def variantParams(gid: Long): (Int, Long) =
+    (8000 + (gid % 5).toInt * 2000, 1300L + gid % 1000)
+
+  /** Sample `i` of variant `variant` in group `gid` — the base
+    * pseudo-waveform keyed on gid, with the variant term confined to
+    * the first TWO energy windows (i < 2·width), so variants differ
+    * only in fingerprint bits 0-2: the localized-edit shape the band
+    * blocking of [[graft.operators.Dedup.fingerprintNearDupPairs]]
+    * is built for (the m8 discipline, in the time domain). */
+  def variantSample(gid: Long, variant: Long, i: Int, width: Long): Short =
+    (((gid * 31 + i.toLong * 7 +
+      (if (i < 2 * width) variant * 53 * i else 0L)) % 251) - 125).toShort
+
+  /** Encode one member of the near-dup variant WAV family. */
+  def encodeSyntheticWavVariant(id: Long): Array[Byte] = {
+    val gid = id / 18; val variant = (id / 6) % 3
+    val (rate, frames) = variantParams(gid)
+    val width = frames / 65
+    val pcm = new Array[Byte](frames.toInt * 2)
+    var i = 0
+    while (i < frames.toInt) {
+      val s = variantSample(gid, variant, i, width)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** 64-bit energy-delta fingerprint of a PCM stream (the
+    * chromaprint-style perceptual hash reduced to its
+    * engine-reproducible floor): 65 equal windows of
+    * width = max(frames/65, 1), E(k) = Σ s² over window k
+    * (integer-exact), bit k set when E(k+1) > E(k). Robust to uniform
+    * gain changes of the energy profile's SHAPE; a local edit perturbs
+    * only the bit positions of the touched windows. Trailing samples
+    * past 65·width are excluded (all engines replay the same 65·width
+    * prefix). */
+  def energyHash64(samples: Array[Short]): Long = {
+    val w = math.max(samples.length / 65, 1).toInt
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var s = 0L
+      var i = k * w
+      val end = math.min((k + 1) * w, samples.length)
+      while (i < end) { s += samples(i).toLong * samples(i); i += 1 }
+      e(k) = s
+      k += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) hash |= 1L << b; b += 1 }
+    hash
+  }
+
   /** RIFF/WAVE container from magic bytes; None when not WAV. */
   def sniff(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&

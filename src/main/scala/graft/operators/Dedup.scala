@@ -838,4 +838,33 @@ object Dedup {
       .join(dropped, col("vec_id") === col("d_id"), "left")
       .select(col("vec_id"), col("cell"), col("d_id").isNull.as("keep"))
   }
+
+  /** Batch-vs-lake form of [[semDedup]] (the d10/d13 incremental
+    * discipline applied to the semantic family): a batch vector is
+    * dropped when its cosine to ANY lake vector in its cell reaches
+    * `threshold` — lake members always win, no centrality ordering
+    * needed. One cell-keyed anti-join; only the batch side pays a new
+    * assignment scan per ingest (assign the lake once and persist the
+    * (vec_id, cell, vec) frame alongside the embeddings — the d14
+    * write-once economics).
+    *
+    * @return batch survivors as (vec_id, cell). */
+  def incrementalSemDedup(batch: DataFrame, lake: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Float]],
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    def assign(df: DataFrame): DataFrame = {
+      val scores = GraftColumns.column(graft.functions.CentroidScores(
+        GraftColumns.expression(col(vecCol)), centroids))
+      df.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("vec"), array_max(scores).as("best"))
+        .select(col("vec_id"), col("vec"),
+          (-col("best.negid")).cast("int").as("cell"))
+    }
+    assign(batch).alias("b").join(assign(lake).alias("l"),
+        col("b.cell") === col("l.cell") &&
+          Similarity.cosine(col("b.vec"), col("l.vec")) >= threshold,
+        "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -291,6 +291,40 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** Near-duplicate WAV family: the audio-id rows re-encoded so
+    * groups of three consecutive audio ids (gid = id/18 over the
+    * %6=1 ids) share a gid-keyed waveform with a variant edit confined
+    * to the first two energy windows ([[AudioCodec.variantSample]]) —
+    * the m8 variant-image discipline in the time domain. */
+  def syntheticVariantWavs(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 6 = 1"))
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "audio", AudioCodec.encodeSyntheticWavVariant(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Perceptual fingerprint per audio payload: real RIFF data-chunk
+    * sample decode → 64-bit energy-delta hash
+    * ([[AudioCodec.energyHash64]]). Row-local; non-WAV payloads drop
+    * out. Feed to [[Dedup.fingerprintNearDupPairs]] — the audio leg
+    * of the text/image/audio fingerprint triad. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decodePcm16(bytes).map(samples =>
+          (id, AudioCodec.energyHash64(samples)))
+      })
+      .toDF("media_id", "afp")
+  }
+
   /** Real RIFF/WAVE payloads for half the audio rows (doc_id % 6 = 1;
     * the other half, doc_id % 6 = 4, are MP3 — [[syntheticMp3s]]):
     * 16-bit mono PCM encoded on executors with sample rate and frame

@@ -110,6 +110,19 @@ object MultimodalQueries {
         Multimodal.imagePhash(Multimodal.syntheticVariantImages(s, d)),
         "media_id", "phash", bands = 4, maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // M9 — audio near-dup detection over REAL decoded samples: WAV
+    // variant family → 64-bit energy-delta fingerprint → banded
+    // Hamming pairs, completing the text/image/audio fingerprint
+    // triad. The oracle recomputes every window energy from the
+    // variant sample formula, rebuilds the bits, and replays banding +
+    // Hamming — integer arithmetic end to end.
+    "m9_audio_neardup" -> ((s, d) => {
+      Dedup.fingerprintNearDupPairs(
+        Multimodal.audioFingerprint(Multimodal.syntheticVariantWavs(s, d)),
+        "media_id", "afp", bands = 4, maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -288,6 +301,47 @@ object MultimodalQueries {
         |  FROM cand c
         |  JOIN bits x ON x.id = c.id_a
         |  JOIN bits y ON y.id = c.id_b AND x.j = y.j AND x.i = y.i
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin,
+
+    // m9: window energies from the variant sample formula (65 windows
+    // of width frames//65; trailing samples excluded by construction),
+    // bit k = E(k+1) > E(k), then the same band/Hamming replay as m8.
+    "m9_audio_neardup" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id, doc_id // 18 AS gid, (doc_id // 6) % 3 AS var,
+        |    (1300 + (doc_id // 18) % 1000) // 65 AS w
+        |  FROM documents WHERE doc_id % 6 = 1),
+        |en AS (
+        |  SELECT id, CAST(i // w AS INT) AS k, sum(v * v) AS energy
+        |  FROM (
+        |    SELECT id, w, i,
+        |      ((gid*31 + i*7 + CASE WHEN i < 2*w THEN var*53*i ELSE 0 END)
+        |        % 251) - 125 AS v
+        |    FROM (SELECT id, gid, var, w, unnest(range(65 * w)) AS i
+        |          FROM a))
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT e0.id, e0.k,
+        |    CAST(e0.k // 16 AS INT) AS band, CAST(e0.k % 16 AS INT) AS pos,
+        |    CASE WHEN e1.energy > e0.energy THEN 1 ELSE 0 END AS bit
+        |  FROM en e0 JOIN en e1 ON e0.id = e1.id AND e1.k = e0.k + 1
+        |  WHERE e0.k < 64),
+        |keys AS (
+        |  SELECT id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.id = c.id_a
+        |  JOIN bits y ON y.id = c.id_b AND x.k = y.k
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, hamming FROM ham
         |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin

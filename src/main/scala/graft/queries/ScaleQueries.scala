@@ -154,6 +154,23 @@ object ScaleQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // D16 — incremental semantic dedup: the %5 batch-vs-lake split of
+    // d10/d13 applied to d15's cell-local cosine cut. Lake members
+    // always win; batch survivors are vectors with no τ-close lake
+    // neighbor in their cell.
+    "d16_incremental_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids: Array[Array[Float]] = e
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .orderBy(col("id")).limit(16)
+        .collect().map(_.getSeq[Float](1).toArray)
+      Dedup.incrementalSemDedup(
+        e.filter(col("vec_id") % 5 === 0),
+        e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", centroids, threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     "d10_incremental_new" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalNew(
@@ -1411,6 +1428,30 @@ object ScaleQueries {
          |ORDER BY a.vec_id""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
+
+    // d16: d15's assign CTE, %5 split, NOT EXISTS against the lake
+    "d16_incremental_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT v.vec_id, c.cell, v.embedding,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |b AS (SELECT * FROM assign WHERE vec_id % 5 = 0),
+         |l AS (SELECT * FROM assign WHERE vec_id % 5 <> 0),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id FROM b JOIN l ON b.cell = l.cell
+         |  WHERE ${cosSql("b.embedding", "l.embedding")} >= 0.35)
+         |SELECT b.vec_id, b.cell FROM b
+         |WHERE b.vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY b.vec_id""".stripMargin,
 
     "t8_bm25" -> bm25OracleSql,
 

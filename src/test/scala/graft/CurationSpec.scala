@@ -649,6 +649,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(0L -> true, 1L -> true))
   }
 
+  test("incrementalSemDedup: lake members win, cells stay blind to each other") {
+    import spark.implicits._
+    val centroids = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val lake = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),          // cell 0
+      (101L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding") // cell 1
+    val batch = Seq(
+      (0L, Seq(0.99f, 0.1f, 0f, 0f)),       // cell 0, close to 100 -> drop
+      (1L, Seq(0f, 0.99f, 0.1f, 0f)),       // cell 1, cos to 101 ~ 0.995 -> drop
+      (2L, Seq(0f, 0f, 1f, 0f))             // cell 0 tie-break, orthogonal -> keep
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.incrementalSemDedup(batch, lake, "vec_id",
+      "embedding", centroids, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+    // an empty lake keeps everything
+    val all = Dedup.incrementalSemDedup(batch, lake.filter(lit(false)),
+      "vec_id", "embedding", centroids, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(0L, 1L, 2L))
+  }
+
   // ---- char-bigram LM scoring (t12) ----
 
   test("charLmScore matches a hand-computed Laplace bigram model") {

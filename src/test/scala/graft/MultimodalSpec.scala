@@ -449,6 +449,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imagePhash(junk).count() == 0)
   }
 
+  test("energyHash64: hand-built energy staircases hash exactly as defined") {
+    // 130 samples -> width 2, 65 windows; amplitude k in window k ->
+    // strictly rising energies -> all 64 bits set
+    val up = Array.tabulate(130)(i => (i / 2).toShort)
+    assert(graft.operators.AudioCodec.energyHash64(up) == -1L)
+    val down = Array.tabulate(130)(i => (65 - i / 2).toShort)
+    assert(graft.operators.AudioCodec.energyHash64(down) == 0L)
+    // trailing samples past 65*width are excluded: amplitude spike in
+    // the remainder changes nothing
+    val tail = up ++ Array[Short](999, 999)
+    assert(graft.operators.AudioCodec.energyHash64(tail) ==
+      graft.operators.AudioCodec.energyHash64(up))
+  }
+
+  test("audio fingerprint near-dup pairs: every variant pair found through real WAVs") {
+    import spark.implicits._
+    // audio ids are %6==1; gid = id/18 groups them in threes
+    val ids = Seq(1L, 7L, 13L, 19L, 25L, 31L, 901L)
+    val media = ids.map(id => (id, "audio",
+      graft.operators.AudioCodec.encodeSyntheticWavVariant(id)))
+      .toDF("media_id", "kind", "payload")
+    val pairs = graft.operators.Dedup.fingerprintNearDupPairs(
+      graft.operators.Multimodal.audioFingerprint(media),
+      "media_id", "afp", bands = 4, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    for (p <- Seq((1L, 7L), (1L, 13L), (7L, 13L),
+        (19L, 25L), (19L, 31L), (25L, 31L)))
+      assert(pairs.contains(p), s"missing variant pair $p")
+    // variant edits are confined to the first two energy windows:
+    // distances stay tiny
+    assert(Seq((1L, 7L), (1L, 13L), (7L, 13L)).forall(pairs(_) <= 3))
+    // non-WAV payloads drop out
+    val junk = Seq((1L, "audio", "not a wav".getBytes))
+      .toDF("media_id", "kind", "payload")
+    assert(graft.operators.Multimodal.audioFingerprint(junk).count() == 0)
+  }
+
   test("image phash pipeline: payloads hash row-local, one band exchange") {
     val hashed = Multimodal.imagePhash(
       Multimodal.syntheticVariantImages(spark, sf))

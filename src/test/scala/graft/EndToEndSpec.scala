@@ -112,6 +112,52 @@ class EndToEndSpec extends AnyFunSuite {
     assert(fr.rebuilt == 0)
   }
 
+  test("curate CLI drives the full curation pipeline end to end") {
+    import graft.cli.CurateCli
+    val out = java.nio.file.Files.createTempDirectory("e2e-curate").toString
+    // eval corpus = a held-out slice of the same tables, staged as its
+    // own documents.parquet
+    val evalDir = java.nio.file.Files.createTempDirectory("e2e-eval")
+      .toString
+    graft.util.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$evalDir/documents.parquet")
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out",
+      s"--eval-dir=$evalDir", "--shards=4")))
+    // stage accounting closes: every input doc is curated or audited
+    assert(s.input ==
+      s.curated + s.lowQuality + s.exactDups + s.nearDups + s.contaminated)
+    assert(s.curated > 0, "pipeline must keep something")
+    assert(s.lowQuality > 0, "the sf corpus has short docs to drop")
+    // the eval slice's own surviving members overlap themselves fully
+    assert(s.contaminated > 0)
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(curated.count() == s.curated)
+    // the audit frame explains every non-surviving doc exactly once
+    val dropped = spark.read.parquet(s"$out/dropped")
+    assert(dropped.count() ==
+      s.lowQuality + s.exactDups + s.nearDups + s.contaminated)
+    assert(dropped.select("doc_id").distinct().count() == dropped.count())
+
+    // without an eval set, survivors split train/val/test and carry
+    // deterministic shard/pos
+    val out2 = java.nio.file.Files.createTempDirectory("e2e-curate2")
+      .toString
+    val s2 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out2", "--shards=4")))
+    assert(s2.contaminated == 0)
+    assert(s2.splits.values.sum == s2.curated)
+    val c2 = spark.read.parquet(s"$out2/curated")
+    assert(c2.select("split").distinct().count() >= 2)
+    assert(c2.filter(org.apache.spark.sql.functions.col("shard") >= 4)
+      .count() == 0)
+    // re-run is byte-stable: deterministic seeded layout, no rand()
+    val s3 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out2", "--shards=4")))
+    assert(s3 == s2)
+  }
+
   test("parseConfig accepts both documented and shipped key spellings") {
     val a = Discover.parseConfig(
       """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")

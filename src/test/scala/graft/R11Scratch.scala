@@ -240,6 +240,36 @@ object R11Scratch {
           graft.operators.Multimodal.imagePhash(variants),
           "media_id", "phash", bands = 4, maxHamming = 16).count())
 
+      case "r11d" =>
+        // fourth round-11 batch (m9/d16) at scale
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        val wavs = graft.operators.Multimodal.syntheticVariantWavs(spark, d)
+        m("m9_audio_hash")(graft.operators.Multimodal
+          .audioFingerprint(wavs).count())
+        m("m9_audio_pairs")(graft.operators.Dedup.fingerprintNearDupPairs(
+          graft.operators.Multimodal.audioFingerprint(wavs),
+          "media_id", "afp", bands = 4, maxHamming = 16).count())
+        val e = Tables.embeddings(spark, d)
+        val n = e.count()
+        val k = math.max(16, (n / 100).toInt)
+        val centroids = e
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("v"))
+          .orderBy(col("id")).limit(k)
+          .collect().map(_.getSeq[Float](1).toArray)
+        println(s"d16 n=$n k=$k")
+        m("d16_incremental_semdedup")(graft.operators.Dedup
+          .incrementalSemDedup(
+            e.filter(col("vec_id") % 5 === 0),
+            e.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", centroids, 0.35).count())
+
       case "g1" =>
         val orders = Tables.orders(spark, d)
         val lineitem = Tables.lineitem(spark, d)

@@ -630,6 +630,26 @@ object ScaleQueries {
         .orderBy(col("node"))
     }),
 
+    // X13 — WebDataset tar-shard round trip: documents stream into
+    // deterministic POSIX ustar shards (the training-data delivery
+    // format) and come back through the binaryFile scan + row-local
+    // parse. The oracle recomputes each doc's seeded shard and content
+    // md5 directly from the table — a green row proves REAL archive
+    // write+parse with content equality and the exact x2 shard layout.
+    "x13_tar_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("x13_tar")
+        .toString
+      graft.sources.TarShards.write(
+        Tables.documents(s, d).select(
+          col("doc_id").cast("string").as("name"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "name", "payload", dir, nShards = 8)
+      graft.sources.TarShards.read(s, dir)
+        .select(col("name").cast("long").as("doc_id"), col("shard"),
+          md5(col("bytes")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X10 — Gopher n-gram repetition fractions (char mass of the
     // heaviest bigram; chars inside duplicated 5-grams). The oracle
     // replays word_shingles' short-document fallback with truncating
@@ -1721,6 +1741,13 @@ object ScaleQueries {
         |  CAST(tot.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
         |  md5(coalesce(k.clean_text, '')) AS clean_md5
         |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x13_tar_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('tar:' || doc_id), 1, 8)
+        |         AS BIGINT) % 8 AS INT) AS shard,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t12_charlm" ->
       """WITH g AS (

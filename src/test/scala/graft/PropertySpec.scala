@@ -257,6 +257,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("tar parse ∘ archive is the identity for any entry sequence") {
+    import graft.sources.TarShards
+    val entry: Gen[(String, Array[Byte])] = for {
+      name <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(40).mkString)
+      n <- Gen.oneOf(Gen.choose(0, 20), Gen.choose(500, 1200))
+      data <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (name, data.toArray)
+    check("tar-roundtrip", Prop.forAll(Gen.listOf(entry)) { entries =>
+      val baos = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, data) =>
+        baos.write(TarShards.header(name, data.length.toLong))
+        baos.write(data)
+        baos.write(new Array[Byte]((512 - data.length % 512) % 512))
+      }
+      baos.write(new Array[Byte](1024))
+      val got = TarShards.parse(baos.toByteArray)
+      got.map(_._1) == entries.map(_._1) &&
+        got.map(_._2.toSeq) == entries.map(_._2.toSeq)
+    })
+  }
+
   test("charBigrams covers text with max(len-1, 1) overlapping grams") {
     check("charBigrams", Prop.forAll(
       Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>

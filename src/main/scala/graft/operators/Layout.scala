@@ -92,4 +92,55 @@ object Layout {
       math.ceil(bytes.toDouble / targetBytes.toDouble).toInt)
     if (even) df.repartition(parts) else df.coalesce(parts)
   }
+
+  /** MERGE-style upsert (the Delta/Iceberg `MERGE INTO ... WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` shape as plain
+    * DataFrame algebra): batch rows REPLACE lake rows with the same
+    * key; all other lake rows survive. Copy-on-write semantics — the
+    * result is the new table version, written back wholesale or (on a
+    * partitioned lake) only to the partitions the batch touches
+    * (ImportJob's dynamic partition overwrite is the write half).
+    *
+    * Scale shape: ONE key-keyed anti-join — the batch key set is the
+    * small side (broadcast when it fits) probed against the lake scan;
+    * the batch itself unions in for free (no shuffle). Nothing touches
+    * lake rows whose keys the batch misses, and with a partitioned
+    * write only touched partitions rewrite.
+    *
+    * Batch keys must be unique (the reference semantics of MERGE —
+    * duplicate batch keys make the update ambiguous); enforce upstream
+    * with [[Dedup.exact]] when in doubt. */
+  def upsert(lake: DataFrame, batch: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    batch.unionByName(
+      lake.join(broadcast(keys), keyCols, "left_anti"))
+  }
+
+  /** Snapshot diff: reconcile two versions of a table by key —
+    * (key, change) rows where change ∈ {added, removed, changed}.
+    * `changed` compares an md5 over the concatenated non-key columns
+    * (cheap, engine-reproducible), so the diff never shuffles payload
+    * columns — only keys and 32-char hashes. The lake-audit primitive:
+    * "what did this ingest actually do" must be answerable without
+    * reading either version twice. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(keyCols.contains).sorted
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001", // separator: column-boundary shifts cannot collide
+          others.map(c => col(c).cast("string")): _*)).as("__h"): _*)
+    }
+    val b = hashed(before)
+    val a = hashed(after)
+    b.withColumnRenamed("__h", "__hb")
+      .join(a.withColumnRenamed("__h", "__ha"), keyCols, "full_outer")
+      .filter(col("__hb").isNull || col("__ha").isNull ||
+        col("__hb") =!= col("__ha")) // unchanged rows drop out
+      .select(keyCols.map(col) :+
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"): _*)
+  }
 }

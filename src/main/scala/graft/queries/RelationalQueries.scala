@@ -300,6 +300,47 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // L3 — MERGE-style upsert: a batch of modified + brand-new
+    // customer rows replaces/extends the lake copy-on-write. The
+    // oracle replays batch ∪ (lake anti batch) literally.
+    "l3_upsert" -> ((s, d) => {
+      val lake = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val batch = lake.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" (v2)")).as("c_name"),
+          (dec(col("c_acctbal")) + lit(100).cast("decimal(18,2)"))
+            .as("c_acctbal"))
+        .unionByName(lake.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      graft.operators.Layout.upsert(lake, batch, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // L4 — snapshot diff: reconcile two table versions by key into
+    // added/removed/changed rows; unchanged rows (the mass of the
+    // lake) never reach the output. Payload columns shuffle as md5
+    // hashes, never as themselves.
+    "l4_snapshot_diff" -> ((s, d) => {
+      val before = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          dec(col("c_acctbal")).as("bal"))
+      val base = before.filter(col("c_custkey") % 11 =!= 0) // removed
+        .unionByName(before.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            col("c_name"), col("bal"))) // added
+      val after = base.withColumn("bal",
+        when(col("c_custkey") % 17 === 0,
+          col("bal") + lit(1).cast("decimal(18,2)"))
+          .otherwise(col("bal"))) // changed
+      graft.operators.Layout.snapshotDiff(before, after,
+        Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // W8 — running totals: an unbounded-preceding frame is O(1) window
     // state per row (no buffering), partition-parallel by priority
     "w8_running_total" -> ((s, d) => {
@@ -627,6 +668,54 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // l3: batch ∪ (lake anti batch), replayed literally
+    "l3_upsert" ->
+      """WITH lake AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |batch AS (
+        |  SELECT c_custkey, c_name || ' (v2)' AS c_name,
+        |    bal + CAST(100 AS DECIMAL(18,2)) AS bal
+        |  FROM lake WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, bal
+        |  FROM lake WHERE c_custkey % 97 = 0)
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS acctbal
+        |FROM batch
+        |UNION ALL
+        |SELECT l.c_custkey, l.c_name, CAST(l.bal AS DOUBLE) AS acctbal
+        |FROM lake l
+        |WHERE l.c_custkey NOT IN (SELECT c_custkey FROM batch)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // l4: change classification by direct value comparison — the
+    // engine-side md5 is an internal equality proxy, not part of the
+    // contract
+    "l4_snapshot_diff" ->
+      """WITH before AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |aft AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 17 = 0
+        |         THEN bal + CAST(1 AS DECIMAL(18,2)) ELSE bal END AS bal
+        |  FROM (
+        |    SELECT c_custkey, c_name, bal FROM before
+        |    WHERE c_custkey % 11 <> 0
+        |    UNION ALL
+        |    SELECT c_custkey + 2000000, c_name, bal FROM before
+        |    WHERE c_custkey % 13 = 0))
+        |SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN a.c_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM before b FULL JOIN aft a ON b.c_custkey = a.c_custkey
+        |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR b.c_name <> a.c_name OR b.bal <> a.bal
+        |ORDER BY 1""".stripMargin,
 
     "w8_running_total" ->
       """WITH g AS (

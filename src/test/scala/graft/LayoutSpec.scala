@@ -107,4 +107,39 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(even.rdd.getNumPartitions == math.ceil(bytes.toDouble / target).toInt)
     assert(even.count() == orders.count())
   }
+
+  test("upsert replaces matched keys, inserts new ones, leaves the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lake = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batch = Seq((2L, "B!"), (9L, "new")).toDF("k", "v")
+    val out = Layout.upsert(lake, batch, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "new"))
+    // an empty batch is the identity
+    val id = Layout.upsert(lake, batch.filter(col("k") < 0), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(id == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the batch key set probes the lake as a broadcast anti-join
+    val p = Layout.upsert(lake, batch, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "n")
+    val after = Seq((1L, "a", 10), (2L, "b", 21), (4L, "d", 40))
+      .toDF("k", "v", "n")
+    val out = Layout.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // column-boundary shifts in the concatenated payload still differ
+    // (separated hash): ("ab", "c") vs ("a", "bc")
+    val x = Seq((1L, "ab", "c")).toDF("k", "p", "q")
+    val y = Seq((1L, "a", "bc")).toDF("k", "p", "q")
+    val d = Layout.snapshotDiff(x, y, Seq("k")).collect()
+    assert(d.length == 1 && d(0).getString(1) == "changed")
+  }
 }

@@ -53,4 +53,53 @@ object Sketches {
     * String probe path hashes — the two stay aligned. */
   def estimate(sketch: Array[Byte], token: String): Long =
     readSketch(sketch).estimateCount(token)
+
+  /** k-minimum-values (bottom-k) distinct sketch per key — the
+    * MERGEABLE summary the HLL lacks a set-operation story for
+    * (Beyer et al. 2007, SIGMOD, public): keep the k smallest
+    * deterministic hash values of each key's value set; any two
+    * sketches then estimate UNION and INTERSECTION cardinalities
+    * without re-touching the data ([[kmvDistinct]] /
+    * [[kmvIntersect]]). Build cost is one distinct pass (8-byte hash
+    * shuffle, map-side combined) plus a key-partitioned bottom-k cut;
+    * the value is the reusable k·8-byte summary per segment —
+    * compare S segments pairwise from S sketches, not S² scans.
+    *
+    * @return (keyCol, kmv: array<long> ascending, exact when the
+    *         key's cardinality ≤ k). */
+  def kmvByKey(df: DataFrame, keyCol: String, valCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = xxhash64(col(valCol)).bitwiseAND(lit(Long.MaxValue))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+    df.select(col(keyCol), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+  }
+
+  private val HashSpace = math.pow(2.0, 63)
+
+  /** Distinct-count estimate from one KMV sketch: exact below k,
+    * (k−1)/θ_k above (θ = k-th smallest hash normalized to [0,1)). */
+  def kmvDistinct(kmv: Array[Long], k: Int): Double =
+    if (kmv.length < k) kmv.length.toDouble
+    else (k - 1).toDouble * HashSpace / kmv(k - 1).toDouble
+
+  /** Intersection estimate from two KMV sketches: the k smallest of
+    * the merged hash sets are an unbiased sample of the UNION, the
+    * fraction present in both sketches estimates the Jaccard, and
+    * |A∩B| ≈ J · |A∪B|. Exact when the union fits below k. */
+  def kmvIntersect(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    val merged = (sa ++ sb).toArray.sorted
+    if (merged.length < k) (sa & sb).size.toDouble
+    else {
+      val sample = merged.take(k)
+      val inBoth = sample.count(h => sa(h) && sb(h))
+      val du = (k - 1).toDouble * HashSpace / sample(k - 1).toDouble
+      inBoth.toDouble / k * du
+    }
+  }
 }

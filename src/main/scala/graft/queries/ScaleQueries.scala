@@ -438,6 +438,46 @@ object ScaleQueries {
     // 3·rsd of the exact count. The sketch run is the real operator
     // (one scan, partial-agg'd KB of state); the exact side is the
     // same source of truth the planning instrument is graded against.
+    // SK3 — KMV (bottom-k) set-operation estimates: per-segment
+    // sketches built once, every pairwise user-overlap estimated from
+    // the 2·k-hash summaries alone. The Spark side computes BOTH the
+    // exact overlaps and the sketch estimates and emits the envelope
+    // verdict (the sk1/sk2 convention): the oracle recomputes the
+    // exact side and a green row proves every estimate honored the
+    // 6/√k·|A∪B| bound.
+    "sk3_kmv_overlap" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val k = 256
+      val sk = Sketches.kmvByKey(ev, "event_type", "user_id", k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+      val du = ev.select(col("event_type"), col("user_id")).distinct()
+      val perType = du.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val overlap = du.alias("x")
+        .join(du.alias("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(countDistinct(col("x.user_id")).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val types = sk.keys.toSeq.sorted
+      val rows = for { a <- types; b <- types if a < b } yield {
+        val est = Sketches.kmvIntersect(sk(a), sk(b), k)
+        val ex = overlap.getOrElse((a, b), 0L)
+        val union = perType(a) + perType(b) - ex
+        (a, b, ex,
+          math.abs(est - ex) <= 6.0 / math.sqrt(k.toDouble) * union)
+      }
+      rows.toDF("type_a", "type_b", "exact_overlap", "within_envelope")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "sk1_hll_envelope" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val approx = Sketches.approxDistinctByKey(
@@ -1483,6 +1523,24 @@ object ScaleQueries {
     // sketch layouts); the oracle recomputes the EXACT side and emits
     // literal TRUE for the envelope verdicts — hash match proves every
     // estimate honored its bound (see the query-side comments).
+    "sk3_kmv_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |types AS (SELECT DISTINCT event_type AS t FROM events),
+        |pairs AS (SELECT a.t AS type_a, b.t AS type_b
+        |          FROM types a JOIN types b ON a.t < b.t),
+        |ov AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(DISTINCT x.user_id) AS BIGINT) AS n
+        |  FROM du x JOIN du y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  coalesce(ov.n, 0) AS exact_overlap,
+        |  TRUE AS within_envelope
+        |FROM pairs p LEFT JOIN ov
+        |  ON p.type_a = ov.type_a AND p.type_b = ov.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
     "sk1_hll_envelope" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,

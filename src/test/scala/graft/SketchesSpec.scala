@@ -61,4 +61,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(sk2.forall(r =>
       r.getAs[Boolean]("ge_exact") && r.getAs[Boolean]("within_eps")))
   }
+
+  test("KMV sketch: exact below k, bounded estimates above, valid membership") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val k = 128
+    // segment A = ids 0..999, B = 500..1499 -> |A∩B| = 500, |A∪B| = 1500
+    val df = ((0L until 1000L).map(("A", _)) ++
+      (500L until 1500L).map(("B", _))).toDF("seg", "id")
+    val sk = Sketches.kmvByKey(df, "seg", "id", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    assert(sk("A").length == k && (sk("A") sameElements sk("A").sorted))
+    val dA = Sketches.kmvDistinct(sk("A"), k)
+    assert(math.abs(dA - 1000) <= 6.0 / math.sqrt(k.toDouble) * 1000,
+      s"distinct estimate off: $dA")
+    val inter = Sketches.kmvIntersect(sk("A"), sk("B"), k)
+    assert(math.abs(inter - 500) <= 6.0 / math.sqrt(k.toDouble) * 1500,
+      s"intersect estimate off: $inter")
+    // small segments are EXACT: sketches below k are the full hash set
+    val tiny = Seq(("X", 1L), ("X", 2L), ("Y", 2L), ("Y", 3L))
+      .toDF("seg", "id")
+    val tk = Sketches.kmvByKey(tiny, "seg", "id", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    assert(Sketches.kmvDistinct(tk("X"), k) == 2.0)
+    assert(Sketches.kmvIntersect(tk("X"), tk("Y"), k) == 1.0)
+    // the sk3 oracle row's verdicts all hold
+    val sk3 = SparkEntry.queries("sk3_kmv_overlap")(spark, sf).collect()
+    assert(sk3.nonEmpty)
+    assert(sk3.forall(_.getAs[Boolean]("within_envelope")))
+  }
 }

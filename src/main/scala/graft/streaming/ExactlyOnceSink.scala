@@ -40,4 +40,52 @@ object ExactlyOnceSink {
       true
     }
   }
+
+  /** `foreachBatch` body for streaming CDC apply: MERGE each arriving
+    * micro-batch into the versioned lake table under `lakeDir` with
+    * [[graft.operators.Layout.upsert]] — batch rows replace matched
+    * keys copy-on-write, and the new table version lands in its own
+    * `v=<batchId>` directory whose `_SUCCESS` marker makes the apply
+    * idempotent under crash-replay (the [[parquetBatch]] protocol
+    * lifted from append to merge: a replayed id re-derives the SAME
+    * version from the SAME predecessor and identical batch data, so
+    * skipping it is correct). Readers always consume the highest
+    * committed version; older versions double as time travel /
+    * retention units.
+    *
+    * Batches must carry unique keys ([[graft.operators.Layout.upsert]]
+    * contract); `seed` is the initial table when no version exists
+    * yet. Returns the version written (or -1 when skipped). */
+  def upsertBatch(lakeDir: String, keyCols: Seq[String],
+      seed: DataFrame)(df: DataFrame, batchId: Long): Long = {
+    val spark = df.sparkSession
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(base, s"v=$batchId")
+    if (fs.exists(new Path(dir, "_SUCCESS"))) -1L
+    else {
+      val prev = latestVersion(spark, lakeDir)
+        .map { case (_, p) => spark.read.parquet(p) }
+        .getOrElse(seed)
+      graft.operators.Layout.upsert(prev, df, keyCols)
+        .write.mode("overwrite").parquet(dir.toString)
+      batchId
+    }
+  }
+
+  /** Highest committed `v=<id>` version under `lakeDir`, as
+    * (version, path). */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String): Option[(Long, String)] = {
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => (s.getPath.getName.stripPrefix("v=").toLong,
+        s.getPath.toString))
+      .filter { case (_, p) =>
+        fs.exists(new Path(new Path(p), "_SUCCESS")) }
+      .sortBy(_._1).lastOption
+  }
 }

@@ -296,6 +296,46 @@ class StreamingSpec extends AnyFunSuite {
       "the split must exercise both keeps and drops")
   }
 
+  test("streaming CDC apply: versioned upserts, idempotent under replay") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val lakeDir = java.nio.file.Files.createTempDirectory("cdc-lake")
+      .toString
+    val updDir = java.nio.file.Files.createTempDirectory("cdc-upd")
+      .toString
+    val seed = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // two update files -> two micro-batches (maxFilesPerTrigger=1)
+    Seq((2L, "B!"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$updDir/u1.parquet")
+    Seq((4L, "d")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$updDir/u2.parquet")
+    val stream = spark.readStream.schema(seed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$updDir/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ExactlyOnceSink.upsertBatch(lakeDir, Seq("k"), seed)(df, id): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val (v, path) = ExactlyOnceSink.latestVersion(spark, lakeDir).get
+    val table = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(table == Map(1L -> "a", 2L -> "B!", 3L -> "c", 4L -> "d"))
+    // replaying a committed batch id is skipped, table unchanged
+    val replay = ExactlyOnceSink.upsertBatch(lakeDir, Seq("k"), seed)(
+      Seq((9L, "ghost")).toDF("k", "v"), v)
+    assert(replay == -1L)
+    val after = spark.read.parquet(
+      ExactlyOnceSink.latestVersion(spark, lakeDir).get._2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!after.contains(9L))
+    // every committed version has its marker; versions are retained
+    assert(ExactlyOnceSink.latestVersion(spark, lakeDir).get._1 == v)
+  }
+
   test("phash ingest gate: streamed image survivors == exact band-collision cut") {
     import graft.operators.{Dedup, Multimodal}
     import graft.streaming.IngestGate

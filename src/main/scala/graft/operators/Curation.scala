@@ -307,6 +307,29 @@ object Curation {
           .as("rate"))
   }
 
+  /** Materialize [[mixtureWeights]] as one deterministic training
+    * EPOCH: every document of the hottest stratum survives (rate 1),
+    * cooler strata keep the hash-gated fraction their temperature-
+    * scaled rate prescribes — the mixture actually fed to a trainer,
+    * not just its weights. The gate is [[sampleDraw]] (seeded md5, no
+    * rand()), so the epoch is a pure function of (corpus, seed) on
+    * any partitioning or retry, and successive epochs re-seed
+    * (`seed = "mix-epoch-N"`) for fresh draws with the same rates.
+    *
+    * Scale shape: the weights frame is |strata| rows and broadcasts;
+    * the epoch itself is a narrow scan + filter — no shuffle beyond
+    * mixtureWeights' own bounded aggregation. */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, seed: String = "mix",
+      alpha: Double = 0.5): DataFrame = {
+    val rates = mixtureWeights(df, strataCol, textCol, alpha)
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(sampleDraw(seed, col(idCol)).cast("double") <
+        col("rate") * 10000.0)
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Corpus-level top-N word k-grams by frequency (vocabulary /
     * boilerplate analysis; also the building block for n-gram LM
     * filtering). Counting is a partial-aggregated groupBy on the

@@ -546,6 +546,15 @@ object ScaleQueries {
         .orderBy(col("source"))
     }),
 
+    // X14 — x4's weights MATERIALIZED as one deterministic epoch:
+    // per-source hash gate at the temperature-scaled rate. The oracle
+    // composes x4's rate CTEs with x1's seeded-md5 gate verbatim.
+    "x14_mixture_sample" -> ((s, d) => {
+      Curation.mixtureSample(Tables.documents(s, d), "doc_id",
+        "source", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "x5_packed_payloads" -> ((s, d) => {
       Curation.packedPayloads(Tables.documents(s, d), "doc_id", "text",
         nShards = 8, budget = 2048L, seed = "42")
@@ -1658,6 +1667,25 @@ object ScaleQueries {
         |SELECT source, n_docs, n_tokens, share,
         |  (w::DOUBLE / share) / max_ws AS rate
         |FROM w CROSS JOIN m ORDER BY source""".stripMargin,
+
+    "x14_mixture_sample" ->
+      """WITH p AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM p),
+        |w AS (
+        |  SELECT p.*, n_tokens::DOUBLE / total AS share,
+        |    CAST(floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0) AS BIGINT) AS w
+        |  FROM p CROSS JOIN t),
+        |m AS (SELECT MAX(w::DOUBLE / share) AS max_ws FROM w),
+        |r AS (SELECT source, (w::DOUBLE / share) / max_ws AS rate
+        |      FROM w CROSS JOIN m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8)
+        |        AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -611,6 +611,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(2)._4 - f2) < 1e-9)
   }
 
+  test("mixtureSample keeps the hottest stratum whole, subsamples the rest") {
+    import spark.implicits._
+    // big stratum 900 docs x 1 token, small stratum 100 docs x 1 token
+    val docs = ((1L to 900L).map(i => (i, "big", "tok")) ++
+      (1001L to 1100L).map(i => (i, "small", "tok")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixtureSample(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // sqrt temperature: small's rate is 1.0 (it is the most
+    // up-weighted stratum), big keeps ~sqrt(0.1/0.9)=1/3 of its docs
+    assert(bySrc("small") == 100)
+    val expectBig = 900.0 * math.sqrt(100.0 / 900.0)
+    assert(math.abs(bySrc("big") - expectBig) < 60,
+      s"big kept ${bySrc("big")}, expected ~$expectBig")
+    // deterministic: same corpus + seed -> identical epoch
+    val again = Curation.mixtureSample(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed redraws membership at the same rates
+    val other = Curation.mixtureSample(docs, "doc_id", "source", "text",
+      seed = "mix-epoch-2")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != out.map(_._1).toSet)
+  }
+
   // ---- semantic dedup (d15) ----
 
   test("semDedup drops near-duplicates within a cell, keeping the most central") {

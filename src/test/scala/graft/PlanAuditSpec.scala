@@ -446,6 +446,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") <= 3, p.take(2000))
   }
 
+  test("mixture sample (x14): broadcast rates, no epoch-side shuffle") {
+    val p = plan(graft.operators.Curation.mixtureSample(
+      graft.util.Tables.documents(spark, sf), "doc_id", "source",
+      "text"))
+    // the |strata|-row rate frame broadcasts; the epoch itself is a
+    // scan + filter — the only hash exchanges live inside
+    // mixtureWeights' bounded per-stratum aggregation
+    assert(p.contains("BroadcastHashJoin"), "rates must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("incremental semantic dedup (d16): cell-keyed anti-join, no all-pairs") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val centroids = e.selectExpr("embedding").limit(16)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val p = plan(graft.operators.Dedup.incrementalSemDedup(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", centroids, 0.35))
+    assert(!p.contains("CartesianProduct"),
+      "lake comparison must join on cell, not expand all pairs\n" +
+        p.take(2000))
+    assert(p.contains("LeftAnti"), "survivors come from an anti-join")
+    assert(p.contains("dotf("), "cosine must be the native fused dot")
+  }
+
   test("pagerank (g1): rounds are materialized, never re-executed lineage") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")

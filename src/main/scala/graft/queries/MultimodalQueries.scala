@@ -77,6 +77,27 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // M10 — scene-change detection over the REAL decoded video
+    // frames: per-media lag window on m6's channel sums, integer
+    // per-pixel delta threshold (34·w·h across the three channels) —
+    // the shot-boundary primitive of video curation pipelines, all
+    // integer arithmetic so the oracle replays it exactly.
+    "m10_scene_cuts" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+      Multimodal.videoFrameStats(Multimodal.syntheticAvis(s, d))
+        .withColumn("delta",
+          abs(col("r_sum") - lag(col("r_sum"), 1).over(w)) +
+            abs(col("g_sum") - lag(col("g_sum"), 1).over(w)) +
+            abs(col("b_sum") - lag(col("b_sum"), 1).over(w)))
+        .filter(col("delta").isNotNull)
+        .select(col("media_id"), col("frame_no"),
+          col("delta").cast("bigint").as("delta"),
+          (col("delta") > col("width").cast("long") *
+            col("height") * 34L).as("is_cut"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // M4 — payload → payload resize with refreshed metadata. Image rows
     // take the real path (decode → aspect-fit scale → re-encode PNG →
     // re-decode): the reported dims are read back from the emitted
@@ -257,6 +278,38 @@ object MultimodalQueries {
         |SELECT media_id, window_idx, CAST(count(*) AS INT) AS n_frames,
         |  CAST(sum(v * v) AS BIGINT) AS sumsq
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // m10: m6's per-frame sums + LAG, integer threshold
+    "m10_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 24 + 8 AS INT) AS w,
+        |    CAST(doc_id % 18 + 6 AS INT) AS h,
+        |    CAST(doc_id % 4 + 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |fr AS (SELECT media_id, w, h,
+        |         unnest(generate_series(0, nf - 1)) AS f FROM m),
+        |xs AS (SELECT media_id, w, h, f,
+        |         unnest(generate_series(0, w - 1)) AS xg FROM fr),
+        |px AS (SELECT media_id, w, h, f, xg,
+        |         unnest(generate_series(0, h - 1)) AS yg FROM xs),
+        |sums AS (
+        |  SELECT media_id, f, w, h,
+        |    sum((media_id * 31 + f * 17 + xg * 7 + yg * 13) % 256) AS r_sum,
+        |    sum((f * 11 + xg * 5) % 256) AS g_sum,
+        |    sum((f * 19 + yg * 3) % 256) AS b_sum
+        |  FROM px GROUP BY media_id, f, w, h),
+        |d AS (
+        |  SELECT media_id, f AS frame_no, w, h,
+        |    abs(r_sum - lag(r_sum) OVER win) +
+        |    abs(g_sum - lag(g_sum) OVER win) +
+        |    abs(b_sum - lag(b_sum) OVER win) AS delta
+        |  FROM sums WINDOW win AS (PARTITION BY media_id ORDER BY f))
+        |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(delta AS BIGINT) AS delta,
+        |  delta > CAST(w AS BIGINT) * h * 34 AS is_cut
+        |FROM d WHERE delta IS NOT NULL
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // m8: full replay of decode → dHash → banding → Hamming. Grid
     // luminances come straight from the variantLum formula (greyscale,

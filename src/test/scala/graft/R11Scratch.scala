@@ -270,6 +270,42 @@ object R11Scratch {
             e.filter(col("vec_id") % 5 =!= 0),
             "vec_id", "embedding", centroids, 0.35).count())
 
+      case "r11e" =>
+        // final round-11 batch (x13/x14/m10/sk3/l3/l4) at scale
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        val tarDir = java.nio.file.Files.createTempDirectory("r11e-tar")
+          .toString
+        m("x13_tar_write") {
+          graft.sources.TarShards.write(
+            docs.selectExpr("cast(doc_id as string) as name",
+              "encode(text, 'UTF-8') as payload"),
+            "name", "payload", tarDir, nShards = 32)
+          32L
+        }
+        m("x13_tar_read")(graft.sources.TarShards.read(spark, tarDir)
+          .count())
+        m("x14_mixture_sample")(Curation.mixtureSample(docs, "doc_id",
+          "source", "text").count())
+        m("m10_scene_cuts")(graft.SparkEntry.queries("m10_scene_cuts")(
+          spark, d).count())
+        val ev = Tables.events(spark, d)
+        m("sk3_kmv_build")(graft.operators.Sketches.kmvByKey(
+          ev, "event_type", "user_id", 256).count())
+        val cust = Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val batch = cust.filter(col("c_custkey") % 7 === 0)
+        m("l3_upsert")(graft.operators.Layout.upsert(cust, batch,
+          Seq("c_custkey")).count())
+        m("l4_snapshot_diff")(graft.operators.Layout.snapshotDiff(
+          cust, cust.filter(col("c_custkey") % 11 =!= 0),
+          Seq("c_custkey")).count())
+
       case "g1" =>
         val orders = Tables.orders(spark, d)
         val lineitem = Tables.lineitem(spark, d)

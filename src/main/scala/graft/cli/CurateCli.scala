@@ -68,6 +68,11 @@ object CurateCli {
       splits: Map[String, Long])
 
   def run(spark: SparkSession, args: Args): Summary = {
+    // Each stage is materialized before fan-out: the summary counts,
+    // the audit union and the curated write all re-reference these
+    // frames, and an un-materialized near-dup stage (the dominant
+    // cost) would re-run winnowing + clustering per reference.
+    import graft.util.Iter.materialize
     val docs = graft.util.Tables.documents(spark, args.inputDir)
     val input = docs.count()
 
@@ -75,7 +80,7 @@ object CurateCli {
     val qf = Curation.qualityFilter(docs, "doc_id", "text",
         minWords = args.minWords)
       .select(col("doc_id"), col("reason"), col("keep"))
-    val q1 = docs.join(qf, "doc_id")
+    val q1 = materialize(docs.join(qf, "doc_id"))
     val droppedQuality = q1.filter(!col("keep"))
       .select(col("doc_id"), lit("quality").as("stage"), col("reason"))
     val kept1 = q1.filter(col("keep")).drop("keep", "reason")
@@ -86,11 +91,11 @@ object CurateCli {
     val droppedExact = kept1.join(canon, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup").as("stage"),
         lit("duplicate_text").as("reason"))
-    val kept2 = kept1.join(canon, Seq("doc_id"), "left_semi")
+    val kept2 = materialize(kept1.join(canon, Seq("doc_id"), "left_semi"))
 
     // 3. near-dup span dedup: winnow pairs -> clusters -> longest wins
-    val clusters = Dedup.dupClusters(
-      Dedup.winnowedDupPairs(kept2, "doc_id", "text"), "id_a", "id_b")
+    val clusters = materialize(Dedup.dupClusters(
+      Dedup.winnowedDupPairs(kept2, "doc_id", "text"), "id_a", "id_b"))
     val survivors = Dedup.clusterSurvivors(clusters, kept2,
         "doc_id", "text")
       .select(col("keep_id"))
@@ -101,16 +106,17 @@ object CurateCli {
     val droppedNear = nearDupIds
       .select(col("doc_id"), lit("near_dup").as("stage"),
         lit("duplicate_span").as("reason"))
-    val kept3 = kept2.join(nearDupIds, Seq("doc_id"), "left_anti")
+    val kept3 = materialize(
+      kept2.join(nearDupIds, Seq("doc_id"), "left_anti"))
 
     // 4. decontamination against the eval corpus (optional)
     val (kept4, droppedContam) = args.evalDir match {
       case Some(ed) =>
         val eval = graft.util.Tables.documents(spark, ed)
-        val contaminated = Curation.contamination(kept3, eval,
-            "doc_id", "text")
+        val contaminated = materialize(Curation.contamination(kept3,
+            eval, "doc_id", "text")
           .filter(col("n_overlap") >= args.maxOverlap)
-          .select(col("doc_id"))
+          .select(col("doc_id")))
         (kept3.join(contaminated, Seq("doc_id"), "left_anti"),
           contaminated.select(col("doc_id"),
             lit("decontaminate").as("stage"),
@@ -127,9 +133,11 @@ object CurateCli {
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
-    val shards = Curation.shuffleShards(kept4, "doc_id", args.shards,
+    val k4 = materialize(kept4)
+    val shards = Curation.shuffleShards(k4, "doc_id", args.shards,
       seed = "curate")
-    val curated = kept4.join(split, "doc_id").join(shards, "doc_id")
+    val curated = materialize(
+      k4.join(split, "doc_id").join(shards, "doc_id"))
     curated.write.mode("overwrite").partitionBy("split")
       .parquet(s"${args.outputDir}/curated")
     droppedQuality.union(droppedExact).union(droppedNear)

@@ -710,7 +710,11 @@ object Curation {
       minWords: Int = 20, minFleschE6: Long = 0L,
       maxDupFrac: Double = 0.65, minEntropyE6: Long = 3800000L): DataFrame = {
     import graft.functions.TextAnalysis
-    val t = col(textCol)
+    // NULL text coalesces to '' so the doc still gets a verdict
+    // ("short") instead of silently vanishing through the entropy
+    // join — every input row MUST come out with a reason (the audit
+    // contract CurateCli builds on)
+    val t = coalesce(col(textCol), lit(""))
     val narrow = df.select(col(idCol),
       TextAnalysis.tokenCount(t).as("n_words"),
       (TextAnalysis.fleschScore(t).cast("decimal(24,6)") *
@@ -721,11 +725,13 @@ object Curation {
         .when(col("dup_frac") > maxDupFrac, "repetitive")
         .when(col("ent_e6") < minEntropyE6, "low_entropy")
         .otherwise("pass")
-    narrow.join(tokenEntropy(df, idCol, textCol), idCol)
+    val entropy = tokenEntropy(
+      df.select(col(idCol), t.as(textCol)), idCol, textCol)
+    narrow.join(entropy, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("flesch_e6"),
-        (lit(1.0) - col("n_types").cast("double") / col("n_tokens"))
-          .as("dup_frac"),
-        col("ent_e6"))
+        coalesce(lit(1.0) - col("n_types").cast("double") /
+          col("n_tokens"), lit(0.0)).as("dup_frac"),
+        coalesce(col("ent_e6"), lit(0L)).as("ent_e6"))
       .withColumn("reason", reason)
       .withColumn("keep", col("reason") === "pass")
   }

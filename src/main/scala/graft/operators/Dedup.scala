@@ -763,34 +763,44 @@ object Dedup {
     *
     * @return (id_a, id_b, hamming) with id_a < id_b,
     *         hamming <= maxHamming. */
+  def fingerprintNearDupPairs(df: DataFrame, idCol: String,
+      fpCol: String, bands: Int = 4, maxHamming: Int = 16,
+      maxBucket: Int = 1024): DataFrame = {
+    val width = bandWidth(bands)
+    val banded = df
+      .select(col(idCol).as("id"), col(fpCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * width)
+            .bitwiseAND(lit(bandMask(width)))): _*))
+          .as(Seq("band", "bits")))
+    boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
+      "phash_bucket_overflow", hammingDist, _ <= maxHamming, "hamming")
+  }
+
   /** The `bands` band keys of a 64-bit fingerprint as ONE array of
     * longs, each tagging its slice with the band index in the high
     * bits — the join/Bloom key form shared by
     * [[fingerprintNearDupPairs]]'s blocking and the streaming
     * [[graft.streaming.IngestGate.phashGate]]. */
   def bandKeys64(fp: Column, bands: Int): Column = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
+    val width = bandWidth(bands)
     array((0 until bands).map(b =>
       lit(b.toLong << width).bitwiseOR(
-        shiftright(fp, b * width).bitwiseAND(lit((1L << width) - 1)))): _*)
+        shiftright(fp, b * width).bitwiseAND(lit(bandMask(width))))): _*)
   }
 
-  def fingerprintNearDupPairs(df: DataFrame, idCol: String,
-      fpCol: String, bands: Int = 4, maxHamming: Int = 16,
-      maxBucket: Int = 1024): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val banded = df
-      .select(col(idCol).as("id"), col(fpCol).as("sh"))
-      .select(col("id"), col("sh"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sh"), b * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*))
-          .as(Seq("band", "bits")))
-    boundedBucketPairs(banded, Seq(col("band"), col("bits")), maxBucket,
-      "phash_bucket_overflow", hammingDist, _ <= maxHamming, "hamming")
+  private def bandWidth(bands: Int): Int = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    64 / bands
   }
+
+  /** Low-`width` mask. Scala shifts mod 64, so the naive
+    * `(1L << 64) - 1` is 0 — bands = 1 (width 64) must mask to -1L or
+    * every band key collapses to zero. */
+  private def bandMask(width: Int): Long =
+    if (width == 64) -1L else (1L << width) - 1
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): assign every vector to its nearest

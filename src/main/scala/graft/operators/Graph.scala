@@ -44,9 +44,13 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // materialized like contrib: the node set is referenced in every
+    // round (and twice more for n and the initial vector) — left live
+    // it would re-run the full edge scan + distinct per reference
+    val nodes = Iter.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // static per-round payload: (src, dst, deg) — materialized once so

@@ -102,10 +102,13 @@ object Layout {
     * (ImportJob's dynamic partition overwrite is the write half).
     *
     * Scale shape: ONE key-keyed anti-join — the batch key set is the
-    * small side (broadcast when it fits) probed against the lake scan;
-    * the batch itself unions in for free (no shuffle). Nothing touches
-    * lake rows whose keys the batch misses, and with a partitioned
-    * write only touched partitions rewrite.
+    * small side probed against the lake scan; the batch itself unions
+    * in for free (no shuffle). The broadcast decision is left to the
+    * planner/AQE (a hard `broadcast()` hint would ABORT on a large
+    * backfill batch instead of degrading to the shuffle join — and
+    * the streaming CDC path feeds arbitrary batch sizes through
+    * here). Nothing touches lake rows whose keys the batch misses,
+    * and with a partitioned write only touched partitions rewrite.
     *
     * Batch keys must be unique (the reference semantics of MERGE —
     * duplicate batch keys make the update ambiguous); enforce upstream
@@ -114,7 +117,7 @@ object Layout {
       keyCols: Seq[String]): DataFrame = {
     val keys = batch.select(keyCols.map(col): _*).distinct()
     batch.unionByName(
-      lake.join(broadcast(keys), keyCols, "left_anti"))
+      lake.join(keys, keyCols, "left_anti"))
   }
 
   /** Snapshot diff: reconcile two versions of a table by key —
@@ -128,9 +131,16 @@ object Layout {
       keyCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame): DataFrame = {
       val others = df.columns.filterNot(keyCols.contains).sorted
+      // per-column null marker BEFORE the concat: concat_ws silently
+      // SKIPS null arguments, which would make NULL vs '' and
+      // null-position swaps hash as "unchanged"; the v/n prefix keeps
+      // NULL distinct from every real value, and the separator keeps
+      // column boundaries from colliding ("ab"+"c" vs "a"+"bc")
       df.select(keyCols.map(col) :+
-        md5(concat_ws("\u0001", // separator: column-boundary shifts cannot collide
-          others.map(c => col(c).cast("string")): _*)).as("__h"): _*)
+        md5(concat_ws("\u0001",
+          others.map(c =>
+            coalesce(concat(lit("v"), col(c).cast("string")),
+              lit("n"))): _*)).as("__h"): _*)
     }
     val b = hashed(before)
     val a = hashed(after)

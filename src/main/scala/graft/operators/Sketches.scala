@@ -69,14 +69,24 @@ object Sketches {
     *         key's cardinality ≤ k). */
   def kmvByKey(df: DataFrame, keyCol: String, valCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftColumns
     val h = xxhash64(col(valCol)).bitwiseAND(lit(Long.MaxValue))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+    // bottom-k via the bounded-heap partial aggregate (O(k) state
+    // map-side, combines before the key shuffle) — a row_number
+    // window here would fully SORT every distinct hash of a hot key
+    // in one task just to keep k of them. Heap order is by the
+    // negated-hash double (sub-ulp ties beyond 2^53 may swap
+    // near-equal hashes — estimator-irrelevant, deterministic for a
+    // given corpus); the output array re-sorts ascending exactly.
+    val entry = GraftColumns.expression(struct(
+      (-col("h")).cast("double").as("s"), col("h").as("v")))
+    val topk = GraftColumns.column(
+      graft.functions.BoundedTopK(entry, k).toAggregateExpression())
     df.select(col(keyCol), h.as("h")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
       .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+      .agg(topk.as("top"))
+      .select(col(keyCol),
+        sort_array(transform(col("top"), x => x("v"))).as("kmv"))
   }
 
   private val HashSpace = math.pow(2.0, 63)

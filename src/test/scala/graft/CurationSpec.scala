@@ -611,6 +611,20 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(2)._4 - f2) < 1e-9)
   }
 
+  test("qualityFilter gives NULL-text documents a verdict, never drops them") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("a real document with enough words to " +
+        "pass the short rule easily " + ("filler words here " * 10))),
+      (2L, Option.empty[String]), (3L, Some("")))
+      .toDF("doc_id", "text")
+    val out = Curation.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    // every input row comes out with a reason — the audit contract
+    // CurateCli's accounting builds on
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) == "short" && out(3L) == "short")
+  }
+
   test("mixtureSample keeps the hottest stratum whole, subsamples the rest") {
     import spark.implicits._
     // big stratum 900 docs x 1 token, small stratum 100 docs x 1 token

@@ -141,5 +141,21 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val y = Seq((1L, "a", "bc")).toDF("k", "p", "q")
     val d = Layout.snapshotDiff(x, y, Seq("k")).collect()
     assert(d.length == 1 && d(0).getString(1) == "changed")
+    // NULL-involved changes are real changes (concat_ws silently
+    // skips nulls; the per-column v/n marker must catch these):
+    // (x, NULL) -> (NULL, x) and NULL -> ''
+    val n1 = Seq((1L, Some("x"), Option.empty[String]))
+      .toDF("k", "p", "q")
+    val n2 = Seq((1L, Option.empty[String], Some("x")))
+      .toDF("k", "p", "q")
+    val dn = Layout.snapshotDiff(n1, n2, Seq("k")).collect()
+    assert(dn.length == 1 && dn(0).getString(1) == "changed",
+      "null-position swap must be a change")
+    val e1 = Seq((1L, Option.empty[String])).toDF("k", "p")
+    val e2 = Seq((1L, Some(""))).toDF("k", "p")
+    assert(Layout.snapshotDiff(e1, e2, Seq("k")).collect().length == 1,
+      "NULL -> '' must be a change")
+    // and an identical null row is NOT a change
+    assert(Layout.snapshotDiff(e1, e1, Seq("k")).collect().isEmpty)
   }
 }

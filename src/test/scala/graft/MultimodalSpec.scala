@@ -487,6 +487,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.operators.Multimodal.audioFingerprint(junk).count() == 0)
   }
 
+  test("bands=1 (width 64) masks to the full fingerprint, not zero") {
+    import spark.implicits._
+    // Scala shifts mod 64: (1L << 64) - 1 == 0, so the single-band
+    // degenerate case must special-case its mask or every key is 0
+    val hashes = Seq((1L, 42L), (2L, 42L), (3L, 7L))
+      .toDF("media_id", "fp")
+    val keys = hashes
+      .select(graft.operators.Dedup.bandKeys64(col("fp"), 1).as("ks"))
+      .collect().map(_.getSeq[Long](0))
+    assert(keys.map(_.head).toSet == Set(42L, 7L),
+      s"single-band keys must be the fingerprints themselves: ${keys.toSeq}")
+    val pairs = graft.operators.Dedup.fingerprintNearDupPairs(
+      hashes, "media_id", "fp", bands = 1, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)),
+      "bands=1 must pair exact-equal fingerprints only")
+  }
+
   test("image phash pipeline: payloads hash row-local, one band exchange") {
     val hashed = Multimodal.imagePhash(
       Multimodal.syntheticVariantImages(spark, sf))

@@ -891,4 +891,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Persist the lake's seeded RHP band keys (+ vectors) as a
+    * key-bucketed index table — the write-once half of incremental
+    * EMBEDDING dedup (the d14/t9 economics applied to the vector
+    * family): the lake's hyperplane projections are computed and
+    * shuffled ONCE, and every ingest batch then pays only its own
+    * projection scan plus a bucket-local join. Rows are
+    * (vec_id, v, band, key), bucketed by key so the batch join's
+    * shuffle never touches the index side. */
+  def writeRhpIndex(df: DataFrame, idCol: String, vecCol: String,
+      table: String, bands: Int, bits: Int, nBuckets: Int = 16,
+      dim: Int = 64, seed: String = "graft-rhp"): Unit = {
+    import org.apache.spark.sql.GraftColumns
+    val planes = hyperplanes(bands, bits, dim, seed)
+    val keys = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, bits))
+    Bucketing.writeBucketed(
+      df.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("v"))
+        .select(col("vec_id"), col("v"),
+          posexplode(keys).as(Seq("band", "key"))),
+      table, "key", nBuckets, Seq("key"))
+  }
+
+  /** Batch-vs-lake embedding dedup against a [[writeRhpIndex]] table:
+    * batch vectors whose cosine to ANY banded lake candidate reaches
+    * `threshold` are dropped; survivors return. Must use the SAME
+    * (bands, bits, dim, seed) the index was written with.
+    *
+    * Unlike the symmetric pair path ([[lshNearDupPairs]]) no bucket
+    * cap applies — the candidate set is |batch keys| × bucket rows
+    * and the cosine filter prunes it; exact-duplicate-heavy lakes
+    * should run exact dedup before indexing, the standing contract of
+    * every banding family here. */
+  def incrementalEmbedNewIndexed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 16, bits: Int = 4,
+      dim: Int = 64, seed: String = "graft-rhp"): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val planes = hyperplanes(bands, bits, dim, seed)
+    val keys = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("bv")), planes, bits))
+    val b = batch
+      .select(col(idCol).cast("long").as("bid"), col(vecCol).as("bv"))
+      .select(col("bid"), col("bv"),
+        posexplode(keys).as(Seq("band", "key")))
+    val dup = b.join(spark.table(table), Seq("band", "key"))
+      .filter(cosine(col("bv"), col("v")) >= threshold)
+      .select(col("bid")).distinct()
+    batch.join(dup, batch(idCol) === dup("bid"), "left_anti")
+  }
 }

@@ -171,6 +171,23 @@ object ScaleQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // D17 — incremental embedding dedup against a PERSISTED
+    // key-bucketed RHP index (the d14/t9 write-once pattern for the
+    // vector family): lake band keys computed and shuffled once; each
+    // batch pays its own projection + a bucket-local join. The oracle
+    // replays the same 16×4 seeded hyperplanes (d6's literals), the
+    // %5 split, and the cosine cut directly.
+    "d17_embed_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.writeRhpIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", "d17_rhp_idx", bands = 16, bits = 4)
+      Similarity.incrementalEmbedNewIndexed(s, "d17_rhp_idx",
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "d10_incremental_new" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalNew(
@@ -1497,6 +1514,34 @@ object ScaleQueries {
          |ORDER BY a.vec_id""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
+
+    // d17: d6's hyperplane literals, %5 split, banded candidates,
+    // cosine cut — the direct batch-vs-lake form the index must equal
+    "d17_embed_indexed" ->
+      s"""WITH hyper(band, bit, r) AS (VALUES
+         |$d6PlaneRows),
+         |keyed AS (
+         |  SELECT e.vec_id, h.band,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |        k -> e.embedding[k]::DOUBLE * h.r[k])) >= 0
+         |      THEN (CAST(1 AS BIGINT) << (h.bit - 1))
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+         |  FROM embeddings e CROSS JOIN hyper h
+         |  GROUP BY e.vec_id, h.band),
+         |b AS (SELECT * FROM keyed WHERE vec_id % 5 = 0),
+         |l AS (SELECT * FROM keyed WHERE vec_id % 5 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id AS bid, l.vec_id AS lid
+         |  FROM b JOIN l ON b.band = l.band AND b.key = l.key),
+         |dup AS (
+         |  SELECT DISTINCT c.bid FROM cand c
+         |  JOIN embeddings eb ON eb.vec_id = c.bid
+         |  JOIN embeddings el ON el.vec_id = c.lid
+         |  WHERE ${cosSql("eb.embedding", "el.embedding")} >= 0.35)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id % 5 = 0
+         |  AND vec_id NOT IN (SELECT bid FROM dup)
+         |ORDER BY vec_id""".stripMargin,
 
     // d16: d15's assign CTE, %5 split, NOT EXISTS against the lake
     "d16_incremental_semdedup" ->

@@ -711,4 +711,30 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     val bad = q.filter(col("quality") < 0 || col("quality") > 1).count()
     assert(bad == 0)
   }
+
+  test("persisted RHP index: drops banded cosine-close batch vectors, index side pre-bucketed") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def unit(dim: Int, axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val lake = Seq((100L, unit(64, 0)), (101L, unit(64, 5)))
+      .toDF("vec_id", "embedding")
+    // batch: an exact copy of a lake vector (all bands collide,
+    // cos 1 -> dropped) and an orthogonal new one (cos 0 -> kept
+    // regardless of band collisions)
+    val batch = Seq((0L, unit(64, 0)), (1L, unit(64, 9)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeRhpIndex(lake, "vec_id", "embedding",
+      "spec_rhp_idx", bands = 16, bits = 4)
+    val out = Similarity.incrementalEmbedNewIndexed(spark,
+      "spec_rhp_idx", batch, "vec_id", "embedding", threshold = 0.9)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L))
+    // the index side of the candidate join comes straight off the
+    // bucketed files — no exchange on that branch (the batch side's
+    // repartition is the only hash exchange)
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"index side must not reshuffle:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"), "index scan must be bucketed")
+  }
 }

@@ -892,14 +892,20 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Persist the lake's seeded RHP band keys (+ vectors) as a
-    * key-bucketed index table — the write-once half of incremental
-    * EMBEDDING dedup (the d14/t9 economics applied to the vector
-    * family): the lake's hyperplane projections are computed and
-    * shuffled ONCE, and every ingest batch then pays only its own
-    * projection scan plus a bucket-local join. Rows are
-    * (vec_id, v, band, key), bucketed by key so the batch join's
-    * shuffle never touches the index side. */
+  /** Persist the lake's seeded RHP band keys as a key-bucketed index
+    * table plus an id-bucketed VECTOR table — the write-once half of
+    * incremental EMBEDDING dedup (the d14/t9 economics applied to the
+    * vector family): the lake's hyperplane projections are computed
+    * and shuffled ONCE, and every ingest batch then pays only its own
+    * projection scan plus bucket-local joins.
+    *
+    * The index rows are (band, key, vec_id) ONLY — ~24 bytes each.
+    * Recall-holding geometry grows `bands` with the corpus
+    * ([[rhpGeometry]]: 1311 bands at n = 200k), so an index carrying
+    * the vector per band row would duplicate every vector `bands`
+    * times (measured: 56 MB of vectors ballooned to an unwritable
+    * ~70 GB at sf10). Vectors live once in `<table>_vecs`, joined
+    * back only for the DISTINCT candidate pairs. */
   def writeRhpIndex(df: DataFrame, idCol: String, vecCol: String,
       table: String, bands: Int, bits: Int, nBuckets: Int = 16,
       dim: Int = 64, seed: String = "graft-rhp"): Unit = {
@@ -907,11 +913,12 @@ object Similarity {
     val planes = hyperplanes(bands, bits, dim, seed)
     val keys = GraftColumns.column(graft.functions.RhpBandKeys(
       GraftColumns.expression(col("v")), planes, bits))
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    Bucketing.writeBucketed(base, s"${table}_vecs", "vec_id",
+      nBuckets, Seq("vec_id"))
     Bucketing.writeBucketed(
-      df.select(col(idCol).cast("long").as("vec_id"),
-          col(vecCol).as("v"))
-        .select(col("vec_id"), col("v"),
-          posexplode(keys).as(Seq("band", "key"))),
+      base.select(col("vec_id"), posexplode(keys).as(Seq("band", "key"))),
       table, "key", nBuckets, Seq("key"))
   }
 
@@ -920,11 +927,13 @@ object Similarity {
     * `threshold` are dropped; survivors return. Must use the SAME
     * (bands, bits, dim, seed) the index was written with.
     *
-    * Unlike the symmetric pair path ([[lshNearDupPairs]]) no bucket
-    * cap applies — the candidate set is |batch keys| × bucket rows
-    * and the cosine filter prunes it; exact-duplicate-heavy lakes
-    * should run exact dedup before indexing, the standing contract of
-    * every banding family here. */
+    * Candidates DISTINCT on (batch, lake) id pairs BEFORE any vector
+    * touches the plan — band multiplicity never multiplies cosine
+    * work or vector bytes; the lake vectors join back from the
+    * id-bucketed table only for surviving candidates. Unlike the
+    * symmetric pair path ([[lshNearDupPairs]]) no bucket cap applies
+    * — exact-duplicate-heavy lakes should run exact dedup before
+    * indexing, the standing contract of every banding family here. */
   def incrementalEmbedNewIndexed(
       spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, idCol: String, vecCol: String,
@@ -934,11 +943,17 @@ object Similarity {
     val planes = hyperplanes(bands, bits, dim, seed)
     val keys = GraftColumns.column(graft.functions.RhpBandKeys(
       GraftColumns.expression(col("bv")), planes, bits))
-    val b = batch
+    val bVecs = batch
       .select(col(idCol).cast("long").as("bid"), col(vecCol).as("bv"))
+    val bKeys = bVecs
       .select(col("bid"), col("bv"),
         posexplode(keys).as(Seq("band", "key")))
-    val dup = b.join(spark.table(table), Seq("band", "key"))
+      .select(col("bid"), col("band"), col("key"))
+    val cand = bKeys.join(spark.table(table), Seq("band", "key"))
+      .select(col("bid"), col("vec_id")).distinct()
+    val dup = cand
+      .join(spark.table(s"${table}_vecs"), "vec_id")
+      .join(bVecs, "bid")
       .filter(cosine(col("bv"), col("v")) >= threshold)
       .select(col("bid")).distinct()
     batch.join(dup, batch(idCol) === dup("bid"), "left_anti")

@@ -306,6 +306,29 @@ object R11Scratch {
           cust, cust.filter(col("c_custkey") % 11 =!= 0),
           Seq("c_custkey")).count())
 
+      case "d17" =>
+        val e = Tables.embeddings(spark, d)
+        val n = e.count()
+        val (bands, bits) = graft.operators.Similarity
+          .rhpGeometry(n, threshold = 0.35)
+        println(s"CORPUS $d n=$n geometry=${bands}x$bits")
+        val lake = e.filter(col("vec_id") % 5 =!= 0)
+        val batch = e.filter(col("vec_id") % 5 === 0)
+        val (_, tw) = {
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.writeRhpIndex(lake, "vec_id",
+            "embedding", "d17_sweep_idx", bands, bits)
+          ((), (System.nanoTime() - t0) / 1e9)
+        }
+        var rows = 0L
+        val tq = minOf(2) {
+          rows = graft.operators.Similarity.incrementalEmbedNewIndexed(
+            spark, "d17_sweep_idx", batch, "vec_id", "embedding",
+            threshold = 0.35, bands, bits).count()
+        }
+        println(f"d17 $d write=$tw%.2f s query(min of 2)=$tq%.2f s " +
+          s"survivors=$rows")
+
       case "g1" =>
         val orders = Tables.orders(spark, d)
         val lineitem = Tables.lineitem(spark, d)

@@ -729,12 +729,13 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     val out = Similarity.incrementalEmbedNewIndexed(spark,
       "spec_rhp_idx", batch, "vec_id", "embedding", threshold = 0.9)
     assert(out.collect().map(_.getLong(0)).toSet == Set(1L))
-    // the index side of the candidate join comes straight off the
-    // bucketed files — no exchange on that branch (the batch side's
-    // repartition is the only hash exchange)
+    // both persisted tables scan bucketed (the write-time shuffle is
+    // the one the lake ever pays for keys AND vectors); the candidate
+    // distinct + vector joins add exchanges, but every one of them
+    // carries ids/keys — never band-multiplied vectors
     val p = out.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
-      s"index side must not reshuffle:\n${p.take(2000)}")
-    assert(p.contains("Bucketed: true"), "index scan must be bucketed")
+    assert("Bucketed: true".r.findAllIn(p).length >= 2,
+      s"key index and vector table must both scan bucketed:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
   }
 }

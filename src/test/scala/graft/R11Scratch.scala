@@ -309,9 +309,10 @@ object R11Scratch {
       case "d17" =>
         val e = Tables.embeddings(spark, d)
         val n = e.count()
+        val tau = sys.env.getOrElse("SPARK_GRAFT_TAU", "0.35").toDouble
         val (bands, bits) = graft.operators.Similarity
-          .rhpGeometry(n, threshold = 0.35)
-        println(s"CORPUS $d n=$n geometry=${bands}x$bits")
+          .rhpGeometry(n, threshold = tau)
+        println(s"CORPUS $d n=$n tau=$tau geometry=${bands}x$bits")
         val lake = e.filter(col("vec_id") % 5 =!= 0)
         val batch = e.filter(col("vec_id") % 5 === 0)
         val (_, tw) = {
@@ -324,7 +325,7 @@ object R11Scratch {
         val tq = minOf(2) {
           rows = graft.operators.Similarity.incrementalEmbedNewIndexed(
             spark, "d17_sweep_idx", batch, "vec_id", "embedding",
-            threshold = 0.35, bands, bits).count()
+            threshold = tau, bands, bits).count()
         }
         println(f"d17 $d write=$tw%.2f s query(min of 2)=$tq%.2f s " +
           s"survivors=$rows")

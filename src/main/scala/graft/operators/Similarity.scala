@@ -905,7 +905,15 @@ object Similarity {
     * the vector per band row would duplicate every vector `bands`
     * times (measured: 56 MB of vectors ballooned to an unwritable
     * ~70 GB at sf10). Vectors live once in `<table>_vecs`, joined
-    * back only for the DISTINCT candidate pairs. */
+    * back only for the DISTINCT candidate pairs.
+    *
+    * A third table, `<table>_stats`, holds the per-(band, key) bucket
+    * populations — the write-once half of the probe-time candidate
+    * cap ([[incrementalEmbedNewIndexed]]'s `maxBucket`): probes
+    * consult it bucket-locally instead of re-counting the index per
+    * batch. It is derived from the written key table with a
+    * zero-exchange aggregation (grouping on (band, key) rides the
+    * key bucketing), so the extra write costs one bucket-local pass. */
   def writeRhpIndex(df: DataFrame, idCol: String, vecCol: String,
       table: String, bands: Int, bits: Int, nBuckets: Int = 16,
       dim: Int = 64, seed: String = "graft-rhp"): Unit = {
@@ -920,7 +928,38 @@ object Similarity {
     Bucketing.writeBucketed(
       base.select(col("vec_id"), posexplode(keys).as(Seq("band", "key"))),
       table, "key", nBuckets, Seq("key"))
+    Bucketing.writeBucketed(
+      df.sparkSession.table(table).groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n")),
+      s"${table}_stats", "key", nBuckets, Seq("key"))
   }
+
+  /** Bucket-population telemetry for a [[writeRhpIndex]] table — one
+    * row of `n_buckets`, `max_bucket`, p50/p90/p99 sizes,
+    * `overflow_buckets` / `overflow_rows` (buckets above `maxBucket`
+    * and the index rows inside them), and `probe_expansion_per_hit` =
+    * the candidate rows ONE probe row joining an average surviving
+    * bucket expands to. This is the GUARANTEED audit surface for the
+    * probe-time cap (the in-plan observed metric can be folded away
+    * by AQE when a stage collapses to zero rows); it reads only the
+    * tiny stats table, never the index. Run it before sizing
+    * `maxBucket` or after an ingest reports over-keeps. */
+  def rhpBucketStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucket: Int = 4096): DataFrame =
+    spark.table(s"${table}_stats")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("size_p50_p90_p99"),
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_rows"),
+        (sum(when(col("n") <= maxBucket, col("n")).otherwise(lit(0L))) /
+          greatest(sum(when(col("n") <= maxBucket, lit(1L))
+            .otherwise(lit(0L))), lit(1L)))
+          .as("probe_expansion_per_hit"))
 
   /** Batch-vs-lake embedding dedup against a [[writeRhpIndex]] table:
     * batch vectors whose cosine to ANY banded lake candidate reaches
@@ -930,15 +969,34 @@ object Similarity {
     * Candidates DISTINCT on (batch, lake) id pairs BEFORE any vector
     * touches the plan — band multiplicity never multiplies cosine
     * work or vector bytes; the lake vectors join back from the
-    * id-bucketed table only for surviving candidates. Unlike the
-    * symmetric pair path ([[lshNearDupPairs]]) no bucket cap applies
-    * — exact-duplicate-heavy lakes should run exact dedup before
-    * indexing, the standing contract of every banding family here. */
+    * id-bucketed table only for surviving candidates.
+    *
+    * Candidate cap (the d12 count-first lesson applied to the index
+    * side): index buckets holding more than `maxBucket` rows — the
+    * mass-duplicate shape an exact-dedup-skipping lake produces,
+    * where identical vectors collide in EVERY band and the probe join
+    * emits O(dups × bands) candidates (measured: ~10⁹ rows and a
+    * spill-disk overflow at sf10 on a duplicate-heavy synthetic
+    * corpus) — are EXCLUDED from the probe join, by a bucket-local
+    * join against the write-once `<table>_stats` populations (no
+    * per-batch index re-count). The contract is explicit OVER-KEEP: a
+    * batch vector whose only collisions hit overfull buckets
+    * SURVIVES even if a true near-dup sits inside one, so the cap
+    * trades bounded recall loss (audited, never silent) for a
+    * bounded join: per batch vector ≤ bands × maxBucket candidates.
+    * The exclusion is surfaced twice — an in-plan observed metric
+    * (`rhp_bucket_overflow`: excluded probe hits + the index rows
+    * they skipped) and the exact [[rhpBucketStats]] audit over the
+    * stats table. Exact-duplicate-heavy lakes should STILL run exact
+    * dedup before indexing (the standing contract of every banding
+    * family here); the cap makes skipping it degrade recall instead
+    * of overflowing spill disk. */
   def incrementalEmbedNewIndexed(
       spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 16, bits: Int = 4,
-      dim: Int = 64, seed: String = "graft-rhp"): DataFrame = {
+      dim: Int = 64, seed: String = "graft-rhp",
+      maxBucket: Int = 4096): DataFrame = {
     import org.apache.spark.sql.GraftColumns
     val planes = hyperplanes(bands, bits, dim, seed)
     val keys = GraftColumns.column(graft.functions.RhpBandKeys(
@@ -949,7 +1007,18 @@ object Similarity {
       .select(col("bid"), col("bv"),
         posexplode(keys).as(Seq("band", "key")))
       .select(col("bid"), col("band"), col("key"))
-    val cand = bKeys.join(spark.table(table), Seq("band", "key"))
+    // inner join: a probe (band, key) absent from the stats table has
+    // no index rows either, so dropping it loses nothing
+    val active = bKeys
+      .join(spark.table(s"${table}_stats"), Seq("band", "key"))
+      .observe("rhp_bucket_overflow",
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_probe_hits"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("overflow_candidates_skipped"))
+      .filter(col("n") <= maxBucket)
+      .select(col("bid"), col("band"), col("key"))
+    val cand = active.join(spark.table(table), Seq("band", "key"))
       .select(col("bid"), col("vec_id")).distinct()
     val dup = cand
       .join(spark.table(s"${table}_vecs"), "vec_id")

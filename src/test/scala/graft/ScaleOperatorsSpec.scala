@@ -738,4 +738,49 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       s"key index and vector table must both scan bucketed:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("persisted RHP index: count-first bucket cap excludes mass-duplicate buckets (over-keep, audited)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def unit(dim: Int, axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    // a lake that SKIPPED exact dedup: 300 identical copies of one
+    // vector (they collide in EVERY band -> one 300-row bucket per
+    // band) plus one genuinely distinct vector
+    val lake = ((0 until 300).map(i => (100L + i, unit(64, 0))) :+
+      (900L, unit(64, 5))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (0L, unit(64, 0)), // near-dup of the mass-duplicated vector
+      (1L, unit(64, 5)), // near-dup of the singleton lake vector
+      (2L, unit(64, 9))) // new
+      .toDF("vec_id", "embedding")
+    Similarity.writeRhpIndex(lake, "vec_id", "embedding",
+      "spec_rhp_cap_idx", bands = 16, bits = 4)
+    // capped probe: the duplicate-mass buckets (n = 300 > 100) are
+    // excluded, so batch 0's only collisions vanish and it SURVIVES
+    // (the documented over-keep); batch 1 still collides with the
+    // singleton's small buckets and is dropped
+    val capped = Similarity.incrementalEmbedNewIndexed(spark,
+      "spec_rhp_cap_idx", batch, "vec_id", "embedding",
+      threshold = 0.9, maxBucket = 100)
+    assert(capped.collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // default cap (4096) is far above the bucket sizes -> inert: the
+    // mass near-dup IS dropped, matching the uncapped semantics
+    val inert = Similarity.incrementalEmbedNewIndexed(spark,
+      "spec_rhp_cap_idx", batch, "vec_id", "embedding", threshold = 0.9)
+    assert(inert.collect().map(_.getLong(0)).toSet == Set(2L))
+    // the exact audit sees the exclusion: every band contributes one
+    // overflow bucket of the 300 duplicates (301 in a band where the
+    // singleton happens to share the key) at maxBucket = 100, none
+    // at the default 4096
+    val audit = Similarity.rhpBucketStats(spark, "spec_rhp_cap_idx",
+      maxBucket = 100).collect()(0)
+    assert(audit.getAs[Long]("overflow_buckets") == 16L)
+    val rows = audit.getAs[Long]("overflow_rows")
+    assert(rows >= 16L * 300 && rows <= 16L * 301, s"overflow_rows=$rows")
+    assert(audit.getAs[Long]("max_bucket") >= 300L)
+    val quiet = Similarity.rhpBucketStats(spark, "spec_rhp_cap_idx")
+      .collect()(0)
+    assert(quiet.getAs[Long]("overflow_buckets") == 0L)
+  }
 }

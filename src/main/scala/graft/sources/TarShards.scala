@@ -94,16 +94,45 @@ object TarShards {
     out.result()
   }
 
+  private val ManifestName = "_MANIFEST"
+
   /** Write `df`'s (`nameCol`: string, `payloadCol`: binary) rows as
     * `nShards` tar shards under `outDir` (`shard-NNNNN.tar`), sharded
     * and ordered by the seeded hash of the name (deterministic,
     * retry-safe). One shuffle; each task streams the shards it owns
-    * through the Hadoop FileSystem — no archive buffering. */
+    * through the Hadoop FileSystem — no archive buffering.
+    *
+    * Commit protocol (a failed job must never leave a
+    * complete-LOOKING shard set): each task streams its shards to a
+    * task-attempt-scoped temp path under `_tmp/` and renames each
+    * into place only after its end-of-archive blocks are written —
+    * concurrent attempts of the same task (speculation, retry after a
+    * lost executor) write disjoint temp files, and because a shard is
+    * a pure function of its (name, payload) sequence a losing
+    * attempt's rename-target-exists is benign (the bytes are
+    * identical; the loser deletes its temp copy). The driver then
+    * writes a `_MANIFEST` (shard file name + byte size per line)
+    * ONLY after the job action completes — [[read]] REQUIRES the
+    * manifest and verifies every listed shard's size, so a partial
+    * write (job died mid-flight) or a torn later overwrite is an
+    * error at read time, never a silently truncated epoch. */
   def write(df: DataFrame, nameCol: String, payloadCol: String,
       outDir: String, nShards: Int, seed: String = "tar"): Unit = {
     val h = graft.operators.Curation.seededHash(seed, col(nameCol))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val fsD = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), conf.value)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    // overwrite semantics: a stale manifest must vanish BEFORE any
+    // new shard lands (readers racing a rewrite fail loudly instead
+    // of mixing epochs), and stale shards/temps go with it
+    if (fsD.exists(outP)) {
+      fsD.delete(new org.apache.hadoop.fs.Path(outP, ManifestName), false)
+      fsD.delete(new org.apache.hadoop.fs.Path(outP, "_tmp"), true)
+      fsD.globStatus(new org.apache.hadoop.fs.Path(outP, "shard-*.tar"))
+        .foreach(s => fsD.delete(s.getPath, false))
+    }
     df.select(col(nameCol).cast("string").as("name"),
         col(payloadCol).cast("binary").as("payload"), h.as("h"))
       .withColumn("shard", (col("h") % nShards).cast("int"))
@@ -112,36 +141,86 @@ object TarShards {
       .queryExecution.toRdd.mapPartitions { rows =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(outDir), conf.value)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur = -1
         var out: java.io.OutputStream = null
-        def close(): Unit = if (out != null) {
+        def tmpPath(shard: Int) = new org.apache.hadoop.fs.Path(
+          outDir, f"_tmp/shard-$shard%05d.tar.$attempt")
+        def finalPath(shard: Int) = new org.apache.hadoop.fs.Path(
+          outDir, f"shard-$shard%05d.tar")
+        def commit(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * Block)) // end-of-archive
           out.close(); out = null
+          if (!fs.rename(tmpPath(cur), finalPath(cur))) {
+            // lost the rename race to a twin attempt: its bytes are
+            // identical by construction, so just drop our copy
+            require(fs.exists(finalPath(cur)),
+              s"tar shard commit failed for shard $cur")
+            fs.delete(tmpPath(cur), false)
+          }
         }
         rows.foreach { r =>
           val name = r.getUTF8String(0).toString
           val payload = r.getBinary(1)
           val shard = r.getInt(3)
           if (shard != cur) {
-            close(); cur = shard
-            out = fs.create(new org.apache.hadoop.fs.Path(
-              outDir, f"shard-$shard%05d.tar"), true)
+            commit(); cur = shard
+            out = fs.create(tmpPath(shard), true)
           }
           out.write(header(name, payload.length.toLong))
           out.write(payload)
           out.write(new Array[Byte](padding(payload.length.toLong)))
         }
-        close()
+        commit()
         Iterator.empty
       }.count(): Unit
+    // all tasks committed -> publish the manifest (the read gate)
+    fsD.delete(new org.apache.hadoop.fs.Path(outP, "_tmp"), true)
+    val shards = fsD.globStatus(
+      new org.apache.hadoop.fs.Path(outP, "shard-*.tar"))
+      .map(s => s"${s.getPath.getName}\t${s.getLen}")
+      .sorted
+    val m = fsD.create(
+      new org.apache.hadoop.fs.Path(outP, ManifestName), true)
+    m.write((shards.mkString("\n") + "\n").getBytes("UTF-8"))
+    m.close()
   }
 
   /** Read tar shards back as (shard, name, bytes) — a `binaryFile`
     * scan (one row per shard file, fanned out across tasks) with a
-    * row-local parse. */
+    * row-local parse. Requires the [[write]]-published `_MANIFEST`
+    * and verifies each listed shard's byte size before scanning; a
+    * directory without one is an aborted or in-flight write and is
+    * refused. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/shard-*.tar")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    require(fs.exists(mPath),
+      s"$dir has no $ManifestName — aborted/in-flight tar shard " +
+        "write, refusing to read a possibly-partial shard set")
+    val manifest = {
+      val in = fs.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map { line =>
+          val Array(name, size) = line.split("\t")
+          name -> size.toLong
+        }.toSeq
+      finally in.close()
+    }
+    val paths = manifest.map { case (name, size) =>
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      require(fs.exists(p) && fs.getFileStatus(p).getLen == size,
+        s"tar shard $name missing or size-mismatched vs manifest — " +
+          "shard set is torn")
+      p.toString
+    }
+    if (paths.isEmpty)
+      return spark.emptyDataset[(Int, String, Array[Byte])]
+        .toDF("shard", "name", "bytes")
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -55,7 +55,17 @@ object ExactlyOnceSink {
     *
     * Batches must carry unique keys ([[graft.operators.Layout.upsert]]
     * contract); `seed` is the initial table when no version exists
-    * yet. Returns the version written (or -1 when skipped). */
+    * yet. Returns the version written (or -1 when skipped).
+    *
+    * COST CONTRACT: each batch reads the full previous version and
+    * writes a full new copy — O(lake) read+write per micro-batch, and
+    * disk grows by one lake copy per batch until [[vacuumVersions]]
+    * prunes old versions. That is the right trade only for SMALL
+    * versioned tables (dimension/config lakes) or slow cadences where
+    * the time-travel copies are the point. For a large lake at
+    * streaming cadence use [[upsertBatchInPlace]]: partition-pruned
+    * reads + dynamic-overwrite writes touch only the partitions the
+    * batch lands in. */
   def upsertBatch(lakeDir: String, keyCols: Seq[String],
       seed: DataFrame)(df: DataFrame, batchId: Long): Long = {
     val spark = df.sparkSession
@@ -70,6 +80,88 @@ object ExactlyOnceSink {
       graft.operators.Layout.upsert(prev, df, keyCols)
         .write.mode("overwrite").parquet(dir.toString)
       batchId
+    }
+  }
+
+  /** Retention for [[upsertBatch]] lakes: delete all but the newest
+    * `keep` committed versions, plus any UNcommitted `v=` directory
+    * older than the latest committed one (a partial write a later
+    * batch already superseded — a newer-than-latest partial is left
+    * alone, it may be a write in flight). Run it from the same
+    * `foreachBatch` body after a successful apply, or on a side
+    * cadence; readers pinned to a vacuumed version must re-resolve
+    * [[latestVersion]]. Returns the number of directories removed. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the latest version")
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s.getPath,
+        fs.exists(new Path(s.getPath, "_SUCCESS"))))
+      .sortBy(_._1)
+    val committed = versions.filter(_._3)
+    if (committed.isEmpty) return 0
+    val latest = committed.last._1
+    val keepIds = committed.takeRight(keep).map(_._1).toSet
+    val victims = versions.filter { case (id, _, ok) =>
+      (ok && !keepIds.contains(id)) || (!ok && id < latest) }
+    victims.foreach { case (_, p, _) => fs.delete(p, true) }
+    victims.size
+  }
+
+  /** In-place partitioned CDC apply — the 100 TB form of
+    * [[upsertBatch]]: the lake lives ONCE under `lakeDir/data`,
+    * partitioned by `partCol`, and each micro-batch rewrites ONLY the
+    * partitions it touches (partition-pruned read of the previous
+    * state + dynamic partition overwrite), so per-batch cost is
+    * O(touched partitions), not O(lake), and disk holds one copy.
+    *
+    * Exactly-once comes from idempotence-BY-CONTENT plus a commit
+    * marker, not versioning: a replayed batch id re-derives each
+    * touched partition from (its current state, identical batch
+    * rows) — and [[graft.operators.Layout.upsert]] applied twice is
+    * the same as once — so even a crash that left SOME partitions
+    * rewritten converges on replay; the `_commits/<id>` marker merely
+    * skips the re-work once the apply fully committed. No time
+    * travel: old partition states are gone ([[upsertBatch]] is the
+    * versioned form).
+    *
+    * `partCol` must be a PURE FUNCTION OF THE KEY (stable across
+    * updates of a key, e.g. a key hash bucket or an immutable ingest
+    * date): a key that moved partitions would leave its stale copy in
+    * the old partition — this is the standard partitioned-MERGE
+    * constraint, enforced here only by contract. Returns true when
+    * the batch was applied, false when skipped as already committed. */
+  def upsertBatchInPlace(lakeDir: String, keyCols: Seq[String],
+      partCol: String)(df: DataFrame, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(base, s"_commits/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      val dataDir = new Path(base, "data")
+      // bounded driver state: one row per partition the batch touches
+      val touched = df.select(df(partCol)).distinct().collect()
+        .map(_.get(0))
+      val merged =
+        if (!fs.exists(dataDir)) df
+        else {
+          val prev = spark.read.parquet(dataDir.toString)
+            .filter(org.apache.spark.sql.functions.col(partCol)
+              .isin(touched.toIndexedSeq: _*))
+          graft.operators.Layout.upsert(prev, df, keyCols)
+        }
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(dataDir.toString)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
     }
   }
 

@@ -66,13 +66,35 @@ object IngestGate {
     *
     * `hashes` carries a `hashCol` long column — produce it row-locally
     * with [[graft.operators.Multimodal.imagePhash]], which streams
-    * (stateless mapPartitions). */
+    * (stateless mapPartitions).
+    *
+    * SATURATION LIMIT: each band key has only 64/bands bits (65,536
+    * values at the default 4 bands), so this candidate-level gate is
+    * only meaningful while the lake fills a small fraction of each
+    * band's key space — once ~10⁵-10⁶ distinct fingerprints populate
+    * it, essentially every possible key is GENUINELY present (not a
+    * Bloom artifact) and the gate degenerates to rejecting the whole
+    * stream. The gate therefore REFUSES lakes whose distinct-key fill
+    * exceeds `maxSaturation` (default 1% of the key space — at which
+    * an unrelated image already has a ≈4% chance of some-band
+    * collision); size the unrelated-image drop rate as
+    * 1 − (1 − fill)^bands. Beyond the cap, use [[phashGateExact]]
+    * (row-local exact Hamming confirmation, no saturation regime) or
+    * the batch pair path. */
   def phashGate(hashes: DataFrame, corpusHashes: DataFrame,
       hashCol: String = "phash", bands: Int = 4,
-      fpp: Double = 1e-6): DataFrame = {
+      fpp: Double = 1e-6, maxSaturation: Double = 0.01): DataFrame = {
     import graft.operators.Dedup
     val keys = corpusHashes
       .select(explode(Dedup.bandKeys64(col(hashCol), bands)).as("key"))
+      .distinct()
+    val nKeys = keys.count()
+    val capacity = bands.toDouble * math.pow(2, 64.0 / bands)
+    require(nKeys <= maxSaturation * capacity,
+      f"phashGate: lake fills ${nKeys / capacity}%.3f of the " +
+        f"$bands-band key space (cap $maxSaturation%.3f) — the " +
+        "candidate gate would reject unrelated images; use " +
+        "phashGateExact or the batch pair path for lakes this size")
     val bloom = Bloom.keyBloom(keys, "key", fpp)
     hashes
       .withColumn("__matched",
@@ -80,5 +102,46 @@ object IngestGate {
           x => Bloom.mightContain(bloom, x))))
       .filter(col("__matched") === 0)
       .drop("__matched")
+  }
+
+  /** Exact-confirmation streaming image gate — [[phashGate]] without
+    * the saturation regime: band collisions are CONFIRMED against the
+    * colliding lake fingerprints with an exact Hamming check, so an
+    * image is dropped iff some lake fingerprint shares a band AND
+    * sits within `maxDist` bits — precisely the batch
+    * [[graft.operators.Dedup.fingerprintNearDupPairs]] match rule,
+    * made row-local (the spec pins gate survivors ≡ the batch keep
+    * set). A saturated key space costs lookup work, never wrong
+    * drops.
+    *
+    * State is a broadcast key → fingerprint-list literal map (bands
+    * entries per lake fingerprint, ~tens of MB per million images) —
+    * the projection stays stateless/codegen'd: two nested array
+    * `exists` over `bit_count(xor)`. Per-image work is bands map
+    * lookups × the colliding buckets' sizes (lake/2^16 average per
+    * bucket at 4 bands). Beyond broadcast budget (~10⁷ fingerprints),
+    * shard the lake across gates or fall back to the periodic exact
+    * batch reconciliation. */
+  def phashGateExact(hashes: DataFrame, corpusHashes: DataFrame,
+      hashCol: String = "phash", bands: Int = 4,
+      maxDist: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val keyed = corpusHashes
+      .select(explode(Dedup.bandKeys64(col(hashCol), bands)).as("key"),
+        col(hashCol).as("fp"))
+      .groupBy(col("key")).agg(collect_list(col("fp")).as("fps"))
+      .collect()
+    require(keyed.nonEmpty, "empty corpus: nothing to gate against")
+    val index: Map[Long, Seq[Long]] =
+      keyed.map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val mapCol = typedLit(index)
+    hashes
+      .withColumn("__dup",
+        exists(Dedup.bandKeys64(col(hashCol), bands), k =>
+          exists(
+            coalesce(element_at(mapCol, k), typedLit(Seq.empty[Long])),
+            g => bit_count(col(hashCol).bitwiseXOR(g)) <= lit(maxDist))))
+      .filter(!col("__dup"))
+      .drop("__dup")
   }
 }

@@ -69,6 +69,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("tar shards: read refuses unmanifested or torn shard sets") {
+    import graft.sources.TarShards
+    import org.apache.spark.sql.functions.{col, encode}
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").cast("string").as("name"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("tar-cp").toString
+    TarShards.write(docs, "name", "payload", dir, nShards = 2)
+    assert(TarShards.read(spark, dir).count() == 3)
+    // a job that died before the driver's manifest publish looks like
+    // this: shards present, no _MANIFEST -> read refuses
+    val manifest = new java.io.File(dir, "_MANIFEST")
+    val saved = java.nio.file.Files.readAllBytes(manifest.toPath)
+    assert(manifest.delete())
+    val e1 = intercept[IllegalArgumentException] {
+      TarShards.read(spark, dir)
+    }
+    assert(e1.getMessage.contains("_MANIFEST"))
+    // a torn shard (size != manifest) -> read refuses
+    java.nio.file.Files.write(manifest.toPath, saved)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    java.nio.file.Files.write(shard.toPath, Array[Byte](0))
+    val e2 = intercept[IllegalArgumentException] {
+      TarShards.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("torn"))
+  }
+
   test("fuzzy title match finds near occurrences within tolerance") {
     assert(FuzzyMatch.levenshtein("kitten", "sitting") == 3)
     assert(FuzzyMatch.levenshtein("abc", "abc") == 0)

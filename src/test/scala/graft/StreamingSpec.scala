@@ -336,6 +336,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(ExactlyOnceSink.latestVersion(spark, lakeDir).get._1 == v)
   }
 
+  test("CDC vacuum: keeps newest versions, sweeps stale partials, latest still resolves") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val lakeDir = java.nio.file.Files.createTempDirectory("cdc-vac")
+      .toString
+    val seed = Seq((1L, "a")).toDF("k", "v")
+    (0L to 3L).foreach { id =>
+      ExactlyOnceSink.upsertBatch(lakeDir, Seq("k"), seed)(
+        Seq((10L + id, s"v$id")).toDF("k", "v"), id): Unit
+    }
+    // a stale PARTIAL (no _SUCCESS) older than the latest commit: a
+    // mid-write crash batch 2 superseded
+    val partial = new java.io.File(lakeDir, "v=9")
+    assert(partial.mkdirs())
+    new java.io.File(partial, "part-0.parquet").createNewFile()
+    // an in-flight partial NEWER than latest must survive vacuum
+    val removed = ExactlyOnceSink.vacuumVersions(spark, lakeDir, keep = 2)
+    val left = new java.io.File(lakeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=2", "v=3", "v=9"),
+      s"got $left removed=$removed")
+    assert(removed == 2)
+    assert(ExactlyOnceSink.latestVersion(spark, lakeDir).get._1 == 3L)
+    val table = spark.read.parquet(
+      ExactlyOnceSink.latestVersion(spark, lakeDir).get._2)
+      .collect().map(_.getLong(0)).toSet
+    assert(table == Set(1L, 10L, 11L, 12L, 13L))
+  }
+
+  test("CDC in-place apply: rewrites only touched partitions, idempotent under replay") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val lakeDir = java.nio.file.Files.createTempDirectory("cdc-inplace")
+      .toString
+    // partition column is a pure function of the key (k % 4)
+    def withPart(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("k") % 4)
+    val b0 = withPart(Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e")).toDF("k", "v"))
+    assert(ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(b0, 0L))
+    val dataDir = new java.io.File(lakeDir, "data")
+    def files(part: String): Set[String] =
+      new java.io.File(dataDir, part).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val p3Before = files("p=3")
+    // batch 1 touches partitions 0 (update k=0,4) and 1 (insert k=5)
+    val b1 = withPart(Seq((0L, "A!"), (4L, "E!"), (5L, "f")).toDF("k", "v"))
+    assert(ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(b1, 1L))
+    def table(): Map[Long, String] = spark.read.parquet(dataDir.toString)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(table() == Map(0L -> "A!", 1L -> "b", 2L -> "c", 3L -> "d",
+      4L -> "E!", 5L -> "f"))
+    // untouched partition p=3 kept its exact files (no O(lake) rewrite)
+    assert(files("p=3") == p3Before)
+    // replay of a committed id is skipped and changes nothing
+    assert(!ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(
+      withPart(Seq((9L, "ghost")).toDF("k", "v")), 1L))
+    assert(table() == Map(0L -> "A!", 1L -> "b", 2L -> "c", 3L -> "d",
+      4L -> "E!", 5L -> "f"))
+    // a NEW batch id with identical content converges (idempotent by
+    // content — the crash-mid-overwrite recovery argument)
+    assert(ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(b1, 2L))
+    assert(table() == Map(0L -> "A!", 1L -> "b", 2L -> "c", 3L -> "d",
+      4L -> "E!", 5L -> "f"))
+  }
+
   test("phash ingest gate: streamed image survivors == exact band-collision cut") {
     import graft.operators.{Dedup, Multimodal}
     import graft.streaming.IngestGate
@@ -373,5 +439,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == direct)
     assert(direct.size < arriving.count(),
       "the split must exercise drops")
+  }
+
+  test("phash ingest gate: refuses a band-key-saturated lake") {
+    import graft.streaming.IngestGate
+    // ~1000 spread fingerprints fill >1% of the 4x16-bit key space —
+    // the regime where any-band collision rejects unrelated images
+    val lake = spark.range(1000)
+      .select(xxhash64(col("id")).as("phash"))
+    val arriving = spark.range(5)
+      .select(col("id").as("media_id"), xxhash64(col("id") + 77).as("phash"))
+    val e = intercept[IllegalArgumentException] {
+      IngestGate.phashGate(arriving, lake)
+    }
+    assert(e.getMessage.contains("phashGateExact"))
+  }
+
+  test("phash exact gate: survivors == batch band-collision + Hamming cut, saturation-immune") {
+    import graft.operators.Dedup
+    import graft.streaming.IngestGate
+    // a lake big enough to SATURATE the candidate gate's key space,
+    // where phashGate refuses (previous test); the exact gate keeps
+    // working: unrelated arrivals survive, near-dups drop
+    val lake = spark.range(2000)
+      .select(col("id").as("media_id"), xxhash64(col("id")).as("phash"))
+    // arrivals: 3 exact copies, 2 one-bit flips (hamming 1 <= 3),
+    // 5 unrelated
+    val copies = spark.range(3)
+      .select((col("id") + 10000L).as("media_id"),
+        xxhash64(col("id")).as("phash"))
+    val flips = spark.range(2)
+      .select((col("id") + 20000L).as("media_id"),
+        xxhash64(col("id") + 500).bitwiseXOR(lit(1L)).as("phash"))
+    val fresh = spark.range(5)
+      .select((col("id") + 30000L).as("media_id"),
+        xxhash64(col("id") + 999888L).as("phash"))
+    val arriving = copies.unionByName(flips).unionByName(fresh)
+    val got = IngestGate.phashGateExact(arriving, lake, maxDist = 3)
+      .collect().map(_.getLong(0)).toSet
+    // batch rule, computed directly: shared band key AND hamming <= 3
+    val aK = arriving.select(col("media_id"),
+      explode(Dedup.bandKeys64(col("phash"), 4)).as("key"),
+      col("phash").as("ah"))
+    val lK = lake.select(
+      explode(Dedup.bandKeys64(col("phash"), 4)).as("key"),
+      col("phash").as("lh"))
+    val dropped = aK.join(lK, "key")
+      .filter(bit_count(col("ah").bitwiseXOR(col("lh"))) <= 3)
+      .select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val want = arriving.collect().map(_.getLong(0)).toSet -- dropped
+    assert(got == want)
+    // the designed structure held: copies+flips dropped, and the
+    // unrelated arrivals were NOT rejected by mere band saturation
+    assert((10000L until 10003L).forall(!got.contains(_)))
+    assert((20000L until 20002L).forall(!got.contains(_)))
+    assert((30000L until 30005L).forall(got.contains))
   }
 }

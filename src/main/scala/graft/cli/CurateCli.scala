@@ -16,6 +16,11 @@ import graft.operators.{Curation, Dedup}
   *   [--min-words=20]      x11 quality-rule floor
   *   [--max-overlap=2]     drop docs sharing >= this many eval shingles
   *   [--shards=8]          packed shards per split (x2 layout)
+  *   [--semantic]          d15 semantic dedup over the input dir's
+  *                         embeddings sidecar (vec_id = doc_id)
+  *   [--semantic-tau=0.35] cosine threshold for --semantic
+  *   [--tar-shards]        also write each split as WebDataset tar
+  *                         shards (x13's manifested sink)
   * }}}
   *
   * Stages, each an oracle-checked operator, audited per document:
@@ -46,39 +51,61 @@ object CurateCli {
   case class Args(
       inputDir: String, outputDir: String,
       evalDir: Option[String] = None, minWords: Int = 20,
-      maxOverlap: Int = 2, shards: Int = 8)
+      maxOverlap: Int = 2, shards: Int = 8,
+      semantic: Boolean = false, semanticTau: Double = 0.35,
+      tarShards: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
-    val kv = "--([a-z-]+)=(.*)".r
-    val m = argv.collect { case kv(k, v) => k -> v }.toMap
-    def req(k: String): String = m.getOrElse(k,
+    val kv = "--([a-z-]+)(?:=(.*))?".r
+    val m = argv.collect { case kv(k, v) => k -> Option(v) }.toMap
+    def req(k: String): String = m.getOrElse(k, None).getOrElse(
       throw new IllegalArgumentException(s"missing required --$k=..."))
     Args(
       inputDir = req("input-dir"),
       outputDir = req("output-dir"),
-      evalDir = m.get("eval-dir"),
-      minWords = m.get("min-words").map(_.toInt).getOrElse(20),
-      maxOverlap = m.get("max-overlap").map(_.toInt).getOrElse(2),
-      shards = m.get("shards").map(_.toInt).getOrElse(8))
+      evalDir = m.get("eval-dir").flatten,
+      minWords = m.get("min-words").flatten.map(_.toInt).getOrElse(20),
+      maxOverlap = m.get("max-overlap").flatten.map(_.toInt).getOrElse(2),
+      shards = m.get("shards").flatten.map(_.toInt).getOrElse(8),
+      semantic = m.contains("semantic"),
+      semanticTau =
+        m.get("semantic-tau").flatten.map(_.toDouble).getOrElse(0.35),
+      tarShards = m.contains("tar-shards"))
   }
 
   case class Summary(
       input: Long, lowQuality: Long, exactDups: Long, nearDups: Long,
-      contaminated: Long, curated: Long,
+      semanticDups: Long, contaminated: Long, curated: Long,
       splits: Map[String, Long])
 
-  def run(spark: SparkSession, args: Args): Summary = {
+  /** The stage frames of one pipeline pass: survivors with their
+    * leak-safe split, and the per-document audit rows. */
+  case class Frames(curated: DataFrame, dropped: DataFrame)
+
+  /** Stages 1–5 as pure frames (no writes) — the composition the
+    * c1_curate_pipeline oracle row chains in DuckDB end to end.
+    * `curated` = survivors × (split); `dropped` = (doc_id, stage,
+    * reason), one row per input document across the two frames.
+    *
+    * `embeds` (an embeddings sidecar keyed vec_id = doc_id) enables
+    * the SEMANTIC dedup stage between span dedup and decontamination:
+    * d15's cell-local cosine pruning (first-k-by-id centroid prefix,
+    * k = max(16, n/100) — the SemDeDup sizing) drops every doc whose
+    * embedding has a strictly-more-central τ-close cell neighbor.
+    * Docs without an embedding row pass through unexamined. */
+  def pipeline(spark: SparkSession, docs: DataFrame,
+      eval: Option[DataFrame], minWords: Int, maxOverlap: Int,
+      embeds: Option[DataFrame] = None,
+      semanticTau: Double = 0.35): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
     // cost) would re-run winnowing + clustering per reference.
     import graft.util.Iter.materialize
-    val docs = graft.util.Tables.documents(spark, args.inputDir)
-    val input = docs.count()
 
     // 1. quality filter — keep the reason for the audit frame
     val qf = Curation.qualityFilter(docs, "doc_id", "text",
-        minWords = args.minWords)
+        minWords = minWords)
       .select(col("doc_id"), col("reason"), col("keep"))
     val q1 = materialize(docs.join(qf, "doc_id"))
     val droppedQuality = q1.filter(!col("keep"))
@@ -109,20 +136,48 @@ object CurateCli {
     val kept3 = materialize(
       kept2.join(nearDupIds, Seq("doc_id"), "left_anti"))
 
+    // 3.5 semantic dedup over the embeddings sidecar (optional):
+    // d15's cell-local pruning on the surviving docs' vectors
+    val (kept3s, droppedSem) = embeds match {
+      case Some(em) =>
+        val vecs = materialize(em
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding"))
+          .join(kept3.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"))
+        val n = vecs.count()
+        val k = math.max(16L, n / 100).toInt
+        val centroids: Array[Array[Float]] = vecs
+          .orderBy(col("vec_id")).limit(k)
+          .collect().map(_.getSeq[Float](1).toArray)
+        val semDrops = materialize(
+          Dedup.semDedup(vecs, "vec_id", "embedding", centroids,
+            semanticTau)
+          .filter(!col("keep"))
+          .select(col("vec_id").as("doc_id")))
+        (kept3.join(semDrops, Seq("doc_id"), "left_anti"),
+          semDrops.select(col("doc_id"),
+            lit("semantic_dup").as("stage"),
+            lit("semantic_duplicate").as("reason")))
+      case None =>
+        (kept3, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+    }
+
     // 4. decontamination against the eval corpus (optional)
-    val (kept4, droppedContam) = args.evalDir match {
-      case Some(ed) =>
-        val eval = graft.util.Tables.documents(spark, ed)
-        val contaminated = materialize(Curation.contamination(kept3,
-            eval, "doc_id", "text")
-          .filter(col("n_overlap") >= args.maxOverlap)
+    val (kept4, droppedContam) = eval match {
+      case Some(ev) =>
+        val contaminated = materialize(Curation.contamination(kept3s,
+            ev, "doc_id", "text")
+          .filter(col("n_overlap") >= maxOverlap)
           .select(col("doc_id")))
-        (kept3.join(contaminated, Seq("doc_id"), "left_anti"),
+        (kept3s.join(contaminated, Seq("doc_id"), "left_anti"),
           contaminated.select(col("doc_id"),
             lit("decontaminate").as("stage"),
             lit("eval_overlap").as("reason")))
       case None =>
-        (kept3, spark.emptyDataFrame
+        (kept3s, spark.emptyDataFrame
           .withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
     }
@@ -130,29 +185,59 @@ object CurateCli {
     // 5. leakage-safe split over the SAME near-dup clusters
     val split = Curation.leakSafeSplit(kept4, "doc_id", clusters)
       .select(col("doc_id"), col("split"))
+    val k4 = materialize(kept4)
+    Frames(
+      curated = k4.join(split, "doc_id"),
+      dropped = droppedQuality.union(droppedExact).union(droppedNear)
+        .union(droppedSem).union(droppedContam))
+  }
+
+  def run(spark: SparkSession, args: Args): Summary = {
+    import graft.util.Iter.materialize
+    val docs = graft.util.Tables.documents(spark, args.inputDir)
+    val input = docs.count()
+    val frames = pipeline(spark, docs,
+      args.evalDir.map(ed => graft.util.Tables.documents(spark, ed)),
+      args.minWords, args.maxOverlap,
+      embeds = if (args.semantic)
+        Some(graft.util.Tables.embeddings(spark, args.inputDir))
+      else None,
+      semanticTau = args.semanticTau)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
-    val k4 = materialize(kept4)
-    val shards = Curation.shuffleShards(k4, "doc_id", args.shards,
-      seed = "curate")
-    val curated = materialize(
-      k4.join(split, "doc_id").join(shards, "doc_id"))
+    val shards = Curation.shuffleShards(frames.curated, "doc_id",
+      args.shards, seed = "curate")
+    val curated = materialize(frames.curated.join(shards, "doc_id"))
     curated.write.mode("overwrite").partitionBy("split")
       .parquet(s"${args.outputDir}/curated")
-    droppedQuality.union(droppedExact).union(droppedNear)
-      .union(droppedContam)
-      .write.mode("overwrite").parquet(s"${args.outputDir}/dropped")
+    val dropped = materialize(frames.dropped)
+    dropped.write.mode("overwrite").parquet(s"${args.outputDir}/dropped")
+    // optional delivery format: one tar shard set per split (x13's
+    // manifested sink — the layout trainers stream)
+    if (args.tarShards)
+      curated.select(col("split")).distinct().collect()
+        .map(_.getString(0)).foreach { sp =>
+          graft.sources.TarShards.write(
+            curated.filter(col("split") === sp)
+              .select(col("doc_id").cast("string").as("name"),
+                encode(col("text"), "UTF-8").as("payload")),
+            "name", "payload", s"${args.outputDir}/shards/$sp",
+            nShards = args.shards)
+        }
 
     // summary from the in-plan frame: a fully-dropped corpus leaves an
     // empty (schema-less) parquet dir that a validating re-read would
     // refuse to infer
+    def stageCount(stage: String): Long =
+      dropped.filter(col("stage") === stage).count()
     Summary(
       input = input,
-      lowQuality = droppedQuality.count(),
-      exactDups = droppedExact.count(),
-      nearDups = droppedNear.count(),
-      contaminated = droppedContam.count(),
+      lowQuality = stageCount("quality"),
+      exactDups = stageCount("exact_dup"),
+      nearDups = stageCount("near_dup"),
+      semanticDups = stageCount("semantic_dup"),
+      contaminated = stageCount("decontaminate"),
       curated = curated.count(),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
@@ -170,6 +255,7 @@ object CurateCli {
     println(render(JObj(Seq(
       "input" -> JInt(s.input), "low_quality" -> JInt(s.lowQuality),
       "exact_dups" -> JInt(s.exactDups), "near_dups" -> JInt(s.nearDups),
+      "semantic_dups" -> JInt(s.semanticDups),
       "contaminated" -> JInt(s.contaminated),
       "curated" -> JInt(s.curated),
       "splits" -> JObj(s.splits.toSeq.sorted.map {

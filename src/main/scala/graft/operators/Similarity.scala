@@ -1020,9 +1020,17 @@ object Similarity {
       .select(col("bid"), col("band"), col("key"))
     val cand = active.join(spark.table(table), Seq("band", "key"))
       .select(col("bid"), col("vec_id")).distinct()
+    // the batch side joins BROADCAST: candidate rows grow vector-fat
+    // at the cosine stage (dim floats × up to bands-worth of
+    // collisions per batch vector), and shuffling them to meet the
+    // batch vectors was the measured disk wall at sf10/τ=0.6 (~90 GB
+    // of SMJ spill from a 10 MB batch). Broadcasting the batch keeps
+    // the fat rows in place — only surviving bids shuffle. An ingest
+    // batch is bounded by construction; slice batches above broadcast
+    // budget (~10⁷ vectors) at the caller, as any ingest path does.
     val dup = cand
       .join(spark.table(s"${table}_vecs"), "vec_id")
-      .join(bVecs, "bid")
+      .join(broadcast(bVecs), "bid")
       .filter(cosine(col("bv"), col("v")) >= threshold)
       .select(col("bid")).distinct()
     batch.join(dup, batch(idCol) === dup("bid"), "left_anti")

@@ -771,6 +771,27 @@ object ScaleQueries {
     "d12_winnow_pairs" -> ((s, d) => {
       Dedup.winnowedDupPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // C1 — the composed CurateCli pipeline as ONE driver-checked row:
+    // x11 quality → d1 exact dedup → d12/d7/d9 span dedup →
+    // d8 decontamination (eval = doc_id%10=0 slice) → x12 leak-safe
+    // split. One output row per input document: survivors carry their
+    // split, drops carry (stage, reason) — the audit frame and the
+    // user-facing surface hashed end to end. The oracle chains each
+    // stage's own proven SQL over the same frames.
+    "c1_curate_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val frames = graft.cli.CurateCli.pipeline(s, docs,
+        Some(docs.filter(col("doc_id") % 10 === 0)),
+        minWords = 20, maxOverlap = 2)
+      frames.curated
+        .select(col("doc_id"), lit("curated").as("stage"),
+          lit("").as("reason"), col("split"))
+        .unionByName(frames.dropped
+          .select(col("doc_id"), col("stage"), col("reason"),
+            lit("").as("split")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1683,6 +1704,137 @@ object ScaleQueries {
         |LIMIT 10""".stripMargin
 
   private lazy val sqlMore: Map[String, String] = Map(
+    // c1: the CurateCli composition — each CTE block is the proven
+    // SQL of its own oracle row (x11, d1, d12, d7-over-winnow-pairs,
+    // d9's survivor policy, d8, x12's split hash), chained over the
+    // stage survivor sets exactly as CurateCli.pipeline chains the
+    // operators.
+    "c1_curate_pipeline" ->
+      s"""WITH RECURSIVE
+         |qn AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+         |      AS n_words,
+         |    CAST(CAST(206.835
+         |        - 1.015 * (greatest(len(regexp_split_to_array(trim(text),
+         |              '\\s+')), 1)::DOUBLE
+         |            / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+         |        - 84.6 * (len(regexp_extract_all(lower(text),
+         |              '[aeiouy]+'))::DOUBLE
+         |            / greatest(len(regexp_split_to_array(trim(text),
+         |              '\\s+')), 1))
+         |      AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+         |      AS flesch_e6
+         |  FROM documents),
+         |qe AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_types,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(CAST((ln(CAST(sum(c) AS DOUBLE))
+         |           - sum(c * ln(c)) / sum(c)) / 0.6931471805599453
+         |         AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+         |      AS ent_e6
+         |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+         |      SELECT doc_id,
+         |        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |      FROM documents) GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |qr AS (
+         |  SELECT qn.doc_id,
+         |    CASE WHEN n_words < 20 THEN 'short'
+         |         WHEN flesch_e6 < 0 THEN 'unreadable'
+         |         WHEN 1.0 - n_types::DOUBLE / n_tokens > 0.65
+         |           THEN 'repetitive'
+         |         WHEN ent_e6 < 3800000 THEN 'low_entropy'
+         |         ELSE 'pass' END AS reason
+         |  FROM qn JOIN qe USING (doc_id)),
+         |kept1 AS (SELECT doc_id FROM qr WHERE reason = 'pass'),
+         |canon AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM documents d JOIN kept1 USING (doc_id)
+         |  GROUP BY md5(d.text)),
+         |kept2 AS (SELECT doc_id FROM canon),
+         |wf AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, i, npos,
+         |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                   ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS fp
+         |    FROM (
+         |      SELECT doc_id, i::INT AS i,
+         |        greatest(length(text)-23, 1) AS npos,
+         |        ('0x' || substr(md5(substr(text, i::INT, 24)), 1, 15))::BIGINT
+         |          AS h
+         |      FROM (SELECT d.doc_id, d.text,
+         |              unnest(range(1, greatest(length(d.text)-23, 1)+1)) AS i
+         |            FROM documents d JOIN kept2 USING (doc_id))))
+         |  WHERE i <= greatest(npos-11, 1)),
+         |wb AS (SELECT fp FROM wf GROUP BY fp
+         |       HAVING count(*) > 1 AND count(*) <= 1024),
+         |wp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+         |       FROM wf a JOIN wb USING (fp) JOIN wf c USING (fp)
+         |       WHERE a.doc_id < c.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM wp
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nbr FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, nbr) AS (
+         |  SELECT id, nbr FROM sym
+         |  UNION
+         |  SELECT r.id, s.nbr FROM reach r JOIN sym s ON r.nbr = s.id),
+         |clus AS (
+         |  SELECT id AS member_id, least(id, min(nbr)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sel AS (
+         |  SELECT c.cluster_id, d.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY length(d.text) DESC, d.doc_id) AS rn
+         |  FROM clus c JOIN documents d ON d.doc_id = c.member_id),
+         |drop_near AS (SELECT doc_id FROM sel WHERE rn > 1),
+         |kept3 AS (
+         |  SELECT doc_id FROM kept2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+         |$shinglesCte,
+         |ev AS (
+         |  SELECT DISTINCT md5(u.s) AS h
+         |  FROM (SELECT unnest(sh) AS s FROM base WHERE id % 10 = 0) u),
+         |tr AS (
+         |  SELECT DISTINCT id, md5(u.s) AS h
+         |  FROM (SELECT b.id, unnest(b.sh) AS s
+         |        FROM base b JOIN kept3 ON b.id = kept3.doc_id) u),
+         |contam AS (
+         |  SELECT id AS doc_id FROM tr JOIN ev USING (h)
+         |  GROUP BY id HAVING count(*) >= 2),
+         |kept4 AS (
+         |  SELECT doc_id FROM kept3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sp AS (
+         |  SELECT k4.doc_id,
+         |    CAST(CAST('0x' || substr(md5('split:' ||
+         |        CAST(coalesce(c.cluster_id, k4.doc_id) AS BIGINT)), 1, 8)
+         |      AS BIGINT) % 10 AS INT) AS bucket
+         |  FROM kept4 k4 LEFT JOIN clus c ON k4.doc_id = c.member_id)
+         |SELECT doc_id, stage, reason, split FROM (
+         |  SELECT doc_id, 'curated' AS stage, '' AS reason,
+         |    CASE WHEN bucket <= 7 THEN 'train'
+         |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM sp
+         |  UNION ALL
+         |  SELECT doc_id, 'quality' AS stage, reason, '' AS split
+         |  FROM qr WHERE reason <> 'pass'
+         |  UNION ALL
+         |  SELECT doc_id, 'exact_dup' AS stage, 'duplicate_text' AS reason,
+         |    '' AS split
+         |  FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM kept2)
+         |  UNION ALL
+         |  SELECT doc_id, 'near_dup' AS stage, 'duplicate_span' AS reason,
+         |    '' AS split
+         |  FROM drop_near
+         |  UNION ALL
+         |  SELECT doc_id, 'decontaminate' AS stage, 'eval_overlap' AS reason,
+         |    '' AS split
+         |  FROM contam)
+         |ORDER BY doc_id""".stripMargin,
+
     "t6_repetition" ->
       """WITH c AS (
         |  SELECT doc_id, t, count(*) AS n FROM (

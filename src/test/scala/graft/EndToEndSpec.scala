@@ -158,6 +158,53 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s3 == s2)
   }
 
+  test("CurateCli --tar-shards: curated splits round-trip from manifested tar shards") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("e2e-tar").toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--tar-shards")))
+    val curated = spark.read.parquet(s"$out/curated")
+    // every split directory holds a manifested shard set whose entries
+    // are exactly that split's curated (doc_id -> text) payloads
+    s.splits.foreach { case (sp, n) =>
+      val back = graft.sources.TarShards.read(spark, s"$out/shards/$sp")
+        .collect()
+        .map(r => r.getString(1).toLong ->
+          new String(r.getAs[Array[Byte]]("bytes"), "UTF-8")).toMap
+      assert(back.size.toLong == n, s"split $sp")
+      val want = curated.filter(col("split") === sp)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back == want, s"split $sp payloads")
+    }
+  }
+
+  test("CurateCli --semantic: embeddings sidecar drops semantic dups, accounting closes") {
+    import graft.cli.CurateCli
+    val out = java.nio.file.Files.createTempDirectory("e2e-sem").toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--semantic")))
+    // the sf embeddings corpus is dense at tau=0.35 (the d15 row drops
+    // most cell neighbors), so the stage must fire
+    assert(s.semanticDups > 0)
+    assert(s.input == s.curated + s.lowQuality + s.exactDups +
+      s.nearDups + s.semanticDups + s.contaminated)
+    // audit rows carry the stage
+    val dropped = spark.read.parquet(s"$out/dropped")
+    import org.apache.spark.sql.functions.col
+    assert(dropped.filter(col("stage") === "semantic_dup").count() ==
+      s.semanticDups)
+    assert(dropped.select("doc_id").distinct().count() == dropped.count())
+    // without the flag the stage is inert
+    val out2 = java.nio.file.Files.createTempDirectory("e2e-sem2").toString
+    val s2 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out2", "--shards=4")))
+    assert(s2.semanticDups == 0)
+  }
+
   test("parseConfig accepts both documented and shipped key spellings") {
     val a = Discover.parseConfig(
       """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")

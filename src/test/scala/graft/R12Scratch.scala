@@ -61,11 +61,16 @@ object R12Scratch {
               .select((col("vec_id") + col("c") * 100000000L).as("vec_id"),
                 col("embedding"), col("label")))
         val nRaw = raw.count()
+        val skipDedup = sys.env.get("SPARK_GRAFT_SKIPDEDUP").contains("1")
         // exact-dedup-first: the standing contract of every banding
         // family — identical vectors keep one representative
-        val e = raw.groupBy(col("embedding"))
-          .agg(min(col("vec_id")).as("vec_id"), first(col("label")).as("label"))
-          .select(col("vec_id"), col("embedding"), col("label"))
+        // (SKIPDEDUP=1 measures the contract-violating lake the
+        // bucket cap exists for)
+        val e = (if (skipDedup) raw
+          else raw.groupBy(col("embedding"))
+            .agg(min(col("vec_id")).as("vec_id"),
+              first(col("label")).as("label"))
+            .select(col("vec_id"), col("embedding"), col("label")))
           .localCheckpoint()
         val n = e.count()
         val (bands, bits) = graft.operators.Similarity

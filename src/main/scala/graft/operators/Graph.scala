@@ -23,25 +23,12 @@ import graft.util.Iter
   */
 object Graph {
 
-  /** Damped PageRank after exactly `iters` power-iteration rounds.
-    *
-    * Semantics (mirrored literally by the unrolled oracle SQL):
-    * ranks start uniform at 1/n over the DISTINCT src ∪ dst node set;
-    * each round every edge carries rank(src)/outdeg(src) to its dst
-    * (parallel edges count — outdeg is edge multiplicity), and
-    * `rank' = (1−d)/n + d·Σ inbound`. Dangling nodes (no out-edges)
-    * leak their rank — the plain leaky variant, chosen because the
-    * redistribution variant needs an extra global aggregate per round
-    * and changes no RANKING on graphs whose dangling mass is uniform.
-    *
-    * The node count `n` is ONE count() pre-job (parquet-metadata cheap
-    * for the common case), the same contract as d6's geometry count.
-    *
-    * @return (node, rank) — rank a plain double; callers cut to
-    *         decimal for cross-engine comparison. */
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
-    require(iters >= 0, "iters must be >= 0")
+  /** The per-run static state every round rejoins. */
+  private case class Ctx(nodes: DataFrame, n: Long, contrib: DataFrame,
+      dangling: DataFrame)
+
+  private def prepare(edges: DataFrame, srcCol: String,
+      dstCol: String): Ctx = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // materialized like contrib: the node set is referenced in every
@@ -56,18 +43,113 @@ object Graph {
     // static per-round payload: (src, dst, deg) — materialized once so
     // every round rejoins the SAME frame instead of re-deriving it
     val contrib = Iter.materialize(e.join(deg, "src"))
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val inbound = contrib
-        .join(ranks, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("inb"))
-      ranks = Iter.materialize(
-        nodes.join(inbound, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit((1.0 - damping) / n) + lit(damping) *
-              coalesce(col("inb"), lit(0.0))).as("rank")))
-    }
+    val dangling = Iter.materialize(
+      nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    Ctx(nodes, n, contrib, dangling)
+  }
+
+  /** One power-iteration round. With `redistributeDangling` the
+    * dangling nodes' mass is summed (ONE extra scalar aggregate over
+    * the materialized rank vector — a bounded driver action, the
+    * documented price of the variant) and paid back uniformly, so
+    * total mass is conserved; the leaky form lets it evaporate. */
+  private def round(ctx: Ctx, ranks: DataFrame, damping: Double,
+      redistributeDangling: Boolean): DataFrame = {
+    val inbound = ctx.contrib
+      .join(ranks, col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(col("rank") / col("deg")).as("inb"))
+    val base =
+      if (!redistributeDangling) (1.0 - damping) / ctx.n
+      else {
+        val dm = ranks.join(ctx.dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+        (1.0 - damping) / ctx.n + damping * dm / ctx.n
+      }
+    Iter.materialize(
+      ctx.nodes.join(inbound, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            coalesce(col("inb"), lit(0.0))).as("rank")))
+  }
+
+  /** Damped PageRank after exactly `iters` power-iteration rounds.
+    *
+    * Semantics (mirrored literally by the unrolled oracle SQL):
+    * ranks start uniform at 1/n over the DISTINCT src ∪ dst node set;
+    * each round every edge carries rank(src)/outdeg(src) to its dst
+    * (parallel edges count — outdeg is edge multiplicity), and
+    * `rank' = (1−d)/n + d·Σ inbound`. Dangling nodes (no out-edges)
+    * leak their rank by default — the plain leaky variant, the right
+    * default because the redistribution variant costs an extra global
+    * aggregate per round and changes no RANKING on graphs whose
+    * dangling mass is uniform. Set `redistributeDangling` when rank
+    * VALUES are consumed as a probability distribution (sampling
+    * weights, quota allocation): each round pays the dangling sum
+    * back uniformly, so total mass stays exactly 1 where the leaky
+    * form decays.
+    *
+    * Honesty note on the two variants: at the FIXED POINT, uniform
+    * redistribution cannot reorder ranks — the recycled term
+    * d·(Σ dangling rank)/n is the same constant for every node, so it
+    * folds into the teleport base and the converged vector is a
+    * scalar multiple of the leaky one (r = c·(I−dMᵀ)⁻¹·1 either way,
+    * only c differs). What changes is the VALUES (a true distribution
+    * vs a decayed one) and finite-iteration snapshots; a ranking
+    * CHANGE would require non-uniform (personalized) redistribution,
+    * which this operator deliberately does not do. The spec pins all
+    * three facts (mass conservation, converged order equality, value
+    * difference) on a dangling-heavy graph.
+    *
+    * The node count `n` is ONE count() pre-job (parquet-metadata cheap
+    * for the common case), the same contract as d6's geometry count.
+    *
+    * @return (node, rank) — rank a plain double; callers cut to
+    *         decimal for cross-engine comparison. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val ctx = prepare(edges, srcCol, dstCol)
+    var ranks = ctx.nodes.select(col("node"),
+      lit(1.0 / ctx.n).as("rank"))
+    for (_ <- 1 to iters)
+      ranks = round(ctx, ranks, damping, redistributeDangling)
     ranks
+  }
+
+  /** Iterate-until-converged PageRank: rounds run until the L∞ rank
+    * delta drops below `tol` (one extra max-abs-diff aggregate per
+    * round, over two already-materialized vectors) or `maxIter` is
+    * hit — in which case it THROWS rather than return ranks that look
+    * converged but are not (the d7 non-convergence contract). The
+    * fixed-iteration [[pageRank]] stays the oracle row; this is the
+    * production form for graphs whose mixing time is unknown.
+    *
+    * Sizing maxIter: the worst-case contraction per round is exactly
+    * `damping` (a cycle component realizes it), so tol = ε needs up
+    * to ln ε / ln d rounds — ~85 for 1e-6 at d = 0.85, ~113 for
+    * 1e-8. The defaults pair accordingly.
+    *
+    * @return (ranks, roundsRun). */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      tol: Double = 1e-6, maxIter: Int = 100, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+    require(tol > 0 && maxIter >= 1)
+    val ctx = prepare(edges, srcCol, dstCol)
+    var ranks = Iter.materialize(ctx.nodes.select(col("node"),
+      lit(1.0 / ctx.n).as("rank")))
+    var it = 0
+    while (it < maxIter) {
+      val next = round(ctx, ranks, damping, redistributeDangling)
+      it += 1
+      val delta = next.as("a").join(ranks.as("b"), "node")
+        .agg(max(abs(col("a.rank") - col("b.rank")))).first().getDouble(0)
+      ranks = next
+      if (delta < tol) return (ranks, it)
+    }
+    throw new IllegalStateException(
+      s"pageRank did not converge to $tol within $maxIter rounds")
   }
 }

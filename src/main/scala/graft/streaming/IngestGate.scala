@@ -144,4 +144,73 @@ object IngestGate {
       .filter(!col("__dup"))
       .drop("__dup")
   }
+
+  /** ROW-LOCAL x11 quality verdict — the streaming twin of
+    * [[graft.operators.Curation.qualityFilter]]'s keep column. The
+    * batch form routes token entropy through an exploded
+    * (doc, token) aggregation (vocabulary-bounded shuffle — right for
+    * a corpus pass); a stateless stream projection cannot shuffle, so
+    * the per-document type/entropy statistics are recomputed IN-ROW:
+    * a run-length `aggregate` over the sorted token array yields the
+    * same Σ c·ln c the groupBy computes (summation order differs only
+    * within one document — the e6 decimal cut absorbs it, and the
+    * spec pins gate ≡ batch on the test corpus). Same rules, same
+    * thresholds, same first-failure precedence. */
+  def qualityKeep(textCol: String, minWords: Int = 20,
+      minFleschE6: Long = 0L, maxDupFrac: Double = 0.65,
+      minEntropyE6: Long = 3800000L): Column = {
+    import graft.functions.TextAnalysis
+    val t = coalesce(col(textCol), lit(""))
+    val toks = split(trim(t), "\\s+")
+    val nTok = size(toks).cast("double")
+    val clog = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0.0).as("c"),
+        lit(0.0).as("s")),
+      (a, x) => when(x <=> a.getField("prev"),
+          struct(x.as("prev"), (a.getField("c") + lit(1.0)).as("c"),
+            a.getField("s").as("s")))
+        .otherwise(struct(x.as("prev"), lit(1.0).as("c"),
+          (a.getField("s") + when(a.getField("c") > 0.0,
+            a.getField("c") * log(a.getField("c"))).otherwise(lit(0.0)))
+            .as("s"))),
+      a => a.getField("s") + when(a.getField("c") > 0.0,
+        a.getField("c") * log(a.getField("c"))).otherwise(lit(0.0)))
+    val entE6 = (((log(nTok) - clog / nTok) / lit(math.log(2.0)))
+      .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
+      .cast("bigint")
+    val nWords = TextAnalysis.tokenCount(t)
+    val fleschE6 = (TextAnalysis.fleschScore(t).cast("decimal(24,6)") *
+      lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+    val dupFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks)
+    nWords >= minWords && fleschE6 >= minFleschE6 &&
+      dupFrac <= maxDupFrac && entE6 >= minEntropyE6
+  }
+
+  /** End-to-end streaming curation gate — the stateless composition
+    * of CurateCli's first stages, one fused narrow projection chain
+    * (quality → winnow span-dedup → optional image phash), no state
+    * store, no shuffle, no watermark: a document survives iff it
+    * passes the row-local x11 rules ([[qualityKeep]]), shares fewer
+    * than `minShared` winnowed fingerprints with the corpus Bloom
+    * ([[winnowGate]]), and — when an image lake is given — none of
+    * its `hashCol` band keys collide ([[phashGate]], whose saturation
+    * cap applies). Approximation contract is the conjunction of the
+    * stage contracts: Bloom false positives only over-drop, so
+    * survivors ⊆ the exact batch pipeline's keep set, with equality
+    * at the default fpp on realistic corpora (spec-pinned ≡ the
+    * batch x11 → d13 chain on the test corpus). */
+  def curateGate(stream: DataFrame, corpusFps: DataFrame,
+      textCol: String, corpusHashes: Option[DataFrame] = None,
+      hashCol: String = "phash", minWords: Int = 20,
+      minShared: Int = 2, fpp: Double = 1e-6): DataFrame = {
+    val q = stream.filter(qualityKeep(textCol, minWords))
+    val wg = winnowGate(q, corpusFps, textCol, minShared = minShared,
+      fpp = fpp)
+    corpusHashes match {
+      case Some(ch) => phashGate(wg, ch, hashCol, fpp = fpp)
+      case None => wg
+    }
+  }
 }

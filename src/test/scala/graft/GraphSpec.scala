@@ -57,4 +57,62 @@ class GraphSpec extends AnyFunSuite {
     val r = ranks(edges, 5)
     assert(r(99L) > r(2L) * 4, s"hub should dominate: $r")
   }
+
+  test("pageRank: dangling redistribution — one hand-computed round, mass exactly conserved") {
+    import spark.implicits._
+    // 1->2, 2 dangling, n=2, uniform start 1/2. dm = 1/2.
+    // base = 0.15/2 + 0.85*(1/2)/2 = 0.2875
+    // r(1) = base; r(2) = base + 0.85*(1/2) = 0.7125
+    val r = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", 1, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.2875) < 1e-12)
+    assert(math.abs(r(2L) - 0.7125) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: dangling-heavy graph — redistribution conserves mass, rescales but never reorders the converged vector") {
+    import spark.implicits._
+    // spokes feed a hub that feeds a popular dangling leaf, beside an
+    // independent 2-cycle: a skewed-dangling-mass graph
+    val edges = ((1L to 6L).map(i => (i, 7L)) ++
+      Seq((7L, 8L), (20L, 21L), (21L, 20L))).toDF("src", "dst")
+    val (leaky, itL) = Graph.pageRankConverged(edges, "src", "dst")
+    val (redist, itR) = Graph.pageRankConverged(edges, "src", "dst",
+      redistributeDangling = true)
+    val l = leaky.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = redist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(itL >= 2 && itR >= 2)
+    // mass: leaky decays below 1, redistribution holds exactly 1
+    assert(l.values.sum < 0.999)
+    assert(math.abs(d.values.sum - 1.0) < 1e-9)
+    // values genuinely differ (redistribution pays the leak back)
+    assert(d(20L) > l(20L) * 1.05)
+    // but the converged ORDER is identical — the recycled term is a
+    // uniform constant, so the fixed point is a scalar rescale (the
+    // operator's documented honesty note)
+    assert(l.toSeq.sortBy(x => (-x._2, x._1)).map(_._1) ==
+      d.toSeq.sortBy(x => (-x._2, x._1)).map(_._1))
+  }
+
+  test("pageRankConverged: stops at the fixed point and matches the fixed-round form") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val (r, iters) = Graph.pageRankConverged(edges, "src", "dst",
+      tol = 1e-10, maxIter = 200)
+    assert(iters > 1 && iters < 200)
+    val conv = r.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // the same number of fixed rounds lands on the same vector
+    val fixed = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters)
+    conv.foreach { case (k, v) => assert(math.abs(v - fixed(k)) < 1e-12) }
+    // one more round moves nothing beyond tol
+    val more = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters + 1)
+    conv.foreach { case (k, v) => assert(math.abs(v - more(k)) < 1e-10) }
+    // and an unreachable tolerance throws instead of lying
+    intercept[IllegalStateException] {
+      Graph.pageRankConverged(edges, "src", "dst", tol = 1e-300,
+        maxIter = 3)
+    }
+  }
 }

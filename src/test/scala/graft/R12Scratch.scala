@@ -58,7 +58,9 @@ object R12Scratch {
           else raw0.unionByName(
             raw0.filter(col("vec_id") % 1000 === 0)
               .crossJoin(spark.range(1, dupMass.toLong + 1).toDF("c"))
-              .select((col("vec_id") + col("c") * 100000000L).as("vec_id"),
+              // multiplier coprime to the %5 lake/batch split so the
+              // duplicate mass lands on BOTH sides
+              .select((col("vec_id") + col("c") * 100000001L).as("vec_id"),
                 col("embedding"), col("label")))
         val nRaw = raw.count()
         val skipDedup = sys.env.get("SPARK_GRAFT_SKIPDEDUP").contains("1")
@@ -94,6 +96,35 @@ object R12Scratch {
         }
         println(f"d17 $d write=$tw%.2f s query(min of 2)=$tq%.2f s " +
           s"survivors=$rows")
+
+      case "t12prof" =>
+        // Is t12 explode-bound? Time the halves: (scan) raw text scan,
+        // (model) explode → partial agg → V-row shuffle, (full) both
+        // explodes + broadcast join + doc agg. If model ≈ half of
+        // full and both dwarf the scan, the 2×chars explode (not the
+        // join/agg) is the cost driver and the packed-counts
+        // expression pays.
+        import graft.operators.Curation
+        val docs = Tables.documents(spark, d).localCheckpoint()
+        val nd = docs.count()
+        val (chars, tScan) = {
+          val t0 = System.nanoTime()
+          val c = docs.agg(sum(length(col("text")))).first().getLong(0)
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"CORPUS $d docs=$nd chars=$chars scan=$tScan%.2f s")
+        val tModel = minOf(2) {
+          docs.select(explode(Curation.charBigrams(col("text")))
+              .as("gram"))
+            .groupBy(col("gram")).agg(count(lit(1)))
+            .agg(count(lit(1))).first()
+        }
+        var rows = 0L
+        val tFull = minOf(2) {
+          rows = Curation.charLmScore(docs, "doc_id", "text").count()
+        }
+        println(f"t12prof $d model=$tModel%.2f s full=$tFull%.2f s " +
+          f"docs_scored=$rows (model/full=${tModel / tFull}%.2f)")
 
       case other => sys.error(s"unknown mode $other")
     }

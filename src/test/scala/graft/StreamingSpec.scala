@@ -441,6 +441,43 @@ class StreamingSpec extends AnyFunSuite {
       "the split must exercise drops")
   }
 
+  test("streaming curation gate: survivors == the batch quality→winnow chain, one stateless plan") {
+    import graft.operators.{Curation, Dedup}
+    import graft.streaming.IngestGate
+    val docs = graft.util.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 5 === 0)
+    // batch twin: x11 keep set, then d13's incremental winnow check
+    val q = Curation.qualityFilter(arriving, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val batchKeep = Dedup.incrementalWinnowNew(
+        arriving.join(q, "doc_id"), corpus, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // the gate as a real stream
+    val dir = java.nio.file.Files.createTempDirectory("curate-stream")
+    arriving.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .parquet(dir.toString)
+    val gated = IngestGate.curateGate(stream,
+      Dedup.winnowedFingerprints(corpus, "doc_id", "text"), "text")
+    val sq = gated.select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("curategate")
+      .trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("curategate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep)
+    assert(batchKeep.nonEmpty && batchKeep.size < arriving.count(),
+      "the corpus must exercise both keeps and drops")
+    // the gate is one narrow chain: no exchange, no state store
+    val plan = IngestGate.curateGate(arriving,
+      Dedup.winnowedFingerprints(corpus, "doc_id", "text"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gate must stay shuffle-free:\n${plan.take(1500)}")
+  }
+
   test("phash ingest gate: refuses a band-key-saturated lake") {
     import graft.streaming.IngestGate
     // ~1000 spread fingerprints fill >1% of the 4x16-bit key space —

@@ -812,21 +812,35 @@ object Curation {
     * document's m bigrams, e6-scaled for cross-engine exactness (same
     * decimal-cut convention as [[tokenEntropy]]).
     *
-    * Scale shape (100 TB): the model pass explodes bigrams but
-    * map-side partial aggregation collapses them to ≤V rows per task
-    * BEFORE the one model shuffle (V is the square of the charset —
-    * thousands, independent of corpus size), and the resulting model
-    * broadcasts (ln P precomputed once per gram, not per token). The
-    * scoring pass re-explodes, broadcast-joins, and partial-aggregates
-    * straight back to one row per document — so the only data-sized
-    * shuffle in the whole pipeline carries one row per document.
+    * Scale shape (100 TB): documents collapse to packed
+    * (gram → count) maps in ONE native pass
+    * ([[graft.functions.CharBigramCounts]]), so both downstream
+    * passes process per-document DISTINCT gram rows — already
+    * partially aggregated in-row — instead of one row per bigram
+    * occurrence (the round-11 form pushed 2× corpus characters
+    * through two Generate stages; the sf10 profile showed the whole
+    * query bound by that row volume: 19.9 s → 11.6 s after this
+    * rewrite — on THIS corpus the packing ratio is modest because the
+    * synthetic docs are ~300 chars over a wide charset (~84% of
+    * occurrences are distinct per doc), so most of the measured win
+    * is the removed per-output-row HOF re-evaluation; on real
+    * multi-KB documents the distinct/occurrence ratio, and the win,
+    * grows with document length). The model pass partial-aggregates
+    * the ≤V distinct
+    * grams per task before the one model shuffle (V is the square of
+    * the charset — thousands, independent of corpus size) and
+    * broadcasts ln P; the scoring pass joins the counts rows and
+    * partial-aggregates straight back to one row per document — the
+    * only data-sized shuffle in the whole pipeline carries one row
+    * per document.
     *
     * @return (doc_id, n_bigrams, xent_e6) */
   def charLmScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    graft.functions.CharLmImpl.register(df.sparkSession)
     val grams = df.select(col(idCol),
-      explode(charBigrams(col(textCol))).as("gram"))
-    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      explode(expr(s"char_bigram_counts($textCol)")).as(Seq("gram", "n")))
+    val model = grams.groupBy(col("gram")).agg(sum(col("n")).as("c"))
     // N and V are global aggregates OVER THE MODEL (≤ charset² rows):
     // a single-partition window keeps them in-plan — an .agg branch
     // would re-run the whole bigram count, paying a third corpus scan
@@ -837,7 +851,8 @@ object Curation {
         .as("lnp"))
     grams.join(broadcast(lnp), "gram")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("m"), sum(col("lnp")).as("s"))
+      .agg(sum(col("n")).as("m"),
+        sum(col("n").cast("double") * col("lnp")).as("s"))
       .select(col(idCol),
         col("m").cast("bigint").as("n_bigrams"),
         ((-col("s") / col("m"))

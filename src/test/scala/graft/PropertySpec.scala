@@ -292,4 +292,24 @@ class PropertySpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("char_bigram_counts == occurrence counts of the definitional bigrams, any text") {
+    // include multi-byte chars: the native pass walks code points
+    // exactly like substr
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const('é')), (1, Gen.const('末')))
+    check("charBigramCounts", Prop.forAll(
+      Gen.listOf(charGen).map(_.mkString)) { s =>
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      graft.functions.CharLmImpl.register(spark)
+      val got = Seq(s).toDF("t")
+        .selectExpr("char_bigram_counts(t) AS m")
+        .collect()(0).getMap[String, Long](0)
+      val grams = if (s.length < 2) Seq(s) else s.sliding(2).toSeq
+      val expect = grams.groupBy(identity).map { case (g, o) =>
+        g -> o.size.toLong }
+      got.toMap == expect
+    })
+  }
 }

@@ -133,6 +133,89 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-source dataset card — the one-pass statistics sheet a
+    * training-data release publishes per source/subset (doc and
+    * token totals, language inventory with the dominant language,
+    * exact token-count quantiles): the corpus-level audit a mixture
+    * designer reads before weighting sources (x4/x14 consume exactly
+    * these totals).
+    *
+    * Scale shape: one corpus scan computes row-local token/char
+    * counts; the language rollup aggregates to (source, lang) rows —
+    * thousands at any corpus size — so its window ranks a TINY frame
+    * (never per-doc, the w5/BoundedTopK discipline does not apply);
+    * the quantile branch is the only corpus-sized aggregate and
+    * Spark's exact percentile buffers (value → count) pairs, bounded
+    * by the distinct token-count range, not the corpus. */
+  def datasetCard(df: DataFrame, sourceCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val base = df.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("toks"),
+      length(col(textCol)).as("chars"))
+    val perLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("ch"),
+        sum(col("toks")).as("tk"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang").asc)
+    val rollup = perLang.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("bigint").as("n_docs"),
+        sum(col("ch")).cast("bigint").as("total_chars"),
+        sum(col("tk")).cast("bigint").as("total_tokens"),
+        count(lit(1)).cast("bigint").as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"))
+    val quant = base.groupBy(col("source"))
+      .agg(percentile(col("toks").cast("double"),
+        array(lit(0.5), lit(0.9))).as("qs"))
+      .select(col("source"), element_at(col("qs"), 1).as("p50_tokens"),
+        element_at(col("qs"), 2).as("p90_tokens"))
+    rollup.join(quant, "source")
+  }
+
+  /** FUZZY decontamination — the near-duplicate completion of
+    * [[contamination]]'s exact n-gram check: a train document is
+    * dropped when its minhash-LSH banding collides with ANY eval
+    * document in some band AND the exact shingle-set Jaccard reaches
+    * `threshold`. Exact overlap (d8) catches verbatim inclusion of
+    * eval items; this catches the paraphrase/reformat neighborhood a
+    * hash match misses (the standard eval-set hygiene pair — e.g.
+    * GPT-3's 13-gram dedup plus fuzzy match, Brown et al. 2020 §C,
+    * public).
+    *
+    * Scale shape: the eval side is an EVAL SET — bounded by
+    * construction — so its banded frame broadcasts and the train side
+    * stays a narrow scan → broadcast-hash join → distinct drop-id
+    * shuffle (no bucket caps needed: candidates per train doc ≤
+    * bands × colliding eval docs). The exact Jaccard is re-evaluated
+    * per colliding band rather than deduplicating (train, eval) pairs
+    * first — a ≤`bands`× row-local recompute is cheaper than
+    * shuffling shingle arrays to dedupe. The same recall-floor guard
+    * as [[Dedup.lshNearDupPairs]] applies: a geometry whose expected
+    * recall at `threshold` is below 0.5 throws rather than silently
+    * passing contaminated documents.
+    *
+    * @return surviving train rows. */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val er = Dedup.minhashExpectedRecall(bands, numHashes / bands,
+      threshold)
+    require(er >= 0.5,
+      f"fuzzyDecontaminate geometry $bands bands x ${numHashes / bands} " +
+        f"rows has expected recall $er%.3f at jaccard $threshold%.2f — " +
+        "most contaminated docs would silently pass; see " +
+        "Dedup.minhashGeometry")
+    val tb = Dedup.lshBanded(train, idCol, textCol, k, numHashes, bands)
+    val eb = Dedup.lshBanded(eval, idCol, textCol, k, numHashes, bands)
+      .select(col("band"), col("bh"), col("sh").as("esh"))
+    val drop = tb.join(broadcast(eb), Seq("band", "bh"))
+      .filter(Dedup.jaccard(col("sh"), col("esh")) >= threshold)
+      .select(col("id")).distinct()
+    train.join(drop, train(idCol) === drop("id"), "left_anti")
+  }
+
   /** Pack documents into fixed-token-budget bins ("sequences") for
     * training: documents stream through their shard in seeded-shuffle
     * order and fall into consecutive bins of `budget` tokens — bin =

@@ -226,8 +226,8 @@ object Dedup {
 
   /** (id, sh, band, bh) banding frame shared by [[lshNearDupPairs]] and
     * [[lshBucketOverflow]]. */
-  private def lshBanded(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def lshBanded(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     // shingles + signatures via the native codegen'd expressions (tight
     // JVM loops; interpreted HOFs here would be re-evaluated per explode

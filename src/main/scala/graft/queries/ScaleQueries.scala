@@ -696,6 +696,28 @@ object ScaleQueries {
         .orderBy(col("node"))
     }),
 
+    // G2 — the dangling-redistribution PageRank variant as its own
+    // driver-checked row, on the same orders⋈lineitem graph as g1 —
+    // where EVERY supplier node is dangling (suppkey+1M never appears
+    // as a src), so the recycled mass is the whole supplier side and
+    // the per-round dangling aggregate is genuinely exercised.
+    "g2_pagerank_redistributed" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 5,
+        redistributeDangling = true)
+        .select(col("node"),
+          (col("rank").cast("decimal(24,12)") *
+            lit(1000000000000L).cast("decimal(13,0)")).cast("bigint")
+            .as("rank_e12"))
+        .orderBy(col("node"))
+    }),
+
     // X13 — WebDataset tar-shard round trip: documents stream into
     // deterministic POSIX ustar shards (the training-data delivery
     // format) and come back through the binaryFile scan + row-local
@@ -771,6 +793,29 @@ object ScaleQueries {
     "d12_winnow_pairs" -> ((s, d) => {
       Dedup.winnowedDupPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // C2 — per-source dataset card: doc/char/token totals, language
+    // inventory + dominant language, exact token-count quantiles —
+    // the release-audit sheet mixture weighting reads.
+    "c2_dataset_card" -> ((s, d) => {
+      Curation.datasetCard(Tables.documents(s, d), "source", "text",
+        "lang").orderBy(col("source"))
+    }),
+
+    // D18 — fuzzy decontamination: train docs (doc_id%10<>0) dropped
+    // when LSH-banded against the eval slice (doc_id%10=0) with exact
+    // Jaccard >= 0.8 confirmation — d8's near-duplicate completion.
+    // Same fixed verify-scale geometry as d3 so the oracle replays the
+    // banding literally.
+    "d18_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = d3Hashes, bands = d3Bands)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // C1 — the composed CurateCli pipeline as ONE driver-checked row:
@@ -1535,6 +1580,7 @@ object ScaleQueries {
          |ORDER BY a.vec_id""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
+    "g2_pagerank_redistributed" -> pagerankRedistSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
     // cosine cut — the direct batch-vs-lake form the index must equal
@@ -1666,6 +1712,46 @@ object ScaleQueries {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** g2: [[pagerankSql]] with the per-round dangling-mass recycle —
+    * dm over the previous round's dangling nodes, added to the
+    * teleport base with the same float-op ordering the Scala round
+    * uses (the e12 cut convention absorbs sub-ulp summation-order
+    * noise exactly as g1's inbound sums already do). */
+  private lazy val pagerankRedistSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""dm$i AS (
+         |  SELECT coalesce(sum(p.rank), 0.0::DOUBLE) AS dm
+         |  FROM r${i - 1} p JOIN dang USING (node)),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+         |        + 0.85::DOUBLE * dm$i.dm / nn.n)
+         |      + 0.85::DOUBLE * coalesce(s.inb, 0.0::DOUBLE) AS rank
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN dm$i
+         |  LEFT JOIN (
+         |    SELECT c.dst, sum(p.rank / c.deg) AS inb
+         |    FROM contrib c JOIN r${i - 1} p ON c.src = p.node
+         |    GROUP BY c.dst) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |contrib AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |dang AS (SELECT node FROM nodes
+       |         WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(CAST(rank AS DECIMAL(24,12))
+       |  * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT) AS rank_e12
+       |FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** Shared t8/t9 oracle: the full BM25 recomputation in DuckDB. */
   private lazy val bm25OracleSql: String =
       """WITH d AS (
@@ -1704,6 +1790,61 @@ object ScaleQueries {
         |LIMIT 10""".stripMargin
 
   private lazy val sqlMore: Map[String, String] = Map(
+    "c2_dataset_card" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+        |    length(text) AS chars
+        |  FROM documents),
+        |pl AS (
+        |  SELECT source, lang, count(*) AS n, sum(chars) AS ch,
+        |    sum(toks) AS tk
+        |  FROM b GROUP BY 1, 2),
+        |la AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(ch) AS BIGINT) AS total_chars,
+        |    CAST(sum(tk) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_langs,
+        |    max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY n DESC, lang) AS rn FROM pl)
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT source,
+        |    quantile_cont(toks::DOUBLE, 0.5) AS p50_tokens,
+        |    quantile_cont(toks::DOUBLE, 0.9) AS p90_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT la.source, n_docs, total_chars, total_tokens, n_langs,
+        |  top_lang, p50_tokens, p90_tokens
+        |FROM la JOIN q ON la.source = q.source
+        |ORDER BY la.source""".stripMargin,
+
+    // d18: d3's minhash banding CTEs verbatim, split train/eval by the
+    // %10 slice, exact-jaccard confirmation, NOT IN drop
+    "d18_fuzzy_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT id, sh, list_transform(generate_series(0,${d3Hashes - 1}),
+         |    i -> list_min(list_transform(
+         |      list_transform(sh, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647),
+         |      h -> (h * ((1 + i*2654435761) % 2147483647) + ((7 + i*40503) % 2147483647)) % 2147483647))) AS sg
+         |  FROM base),
+         |banded AS (
+         |$d3BandedCte),
+         |p AS (
+         |  SELECT DISTINCT t.id AS tid, e.id AS eid
+         |  FROM banded t JOIN banded e ON t.band = e.band AND t.bh = e.bh
+         |  WHERE t.id % 10 <> 0 AND e.id % 10 = 0),
+         |dropped AS (
+         |  SELECT DISTINCT p.tid FROM p
+         |  JOIN base x ON x.id = p.tid JOIN base y ON y.id = p.eid
+         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+         |      / len(list_distinct(x.sh || y.sh)) >= 0.8)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id % 10 <> 0
+         |  AND d.doc_id NOT IN (SELECT tid FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // c1: the CurateCli composition — each CTE block is the proven
     // SQL of its own oracle row (x11, d1, d12, d7-over-winnow-pairs,
     // d9's survivor policy, d8, x12's split hash), chained over the

@@ -97,6 +97,45 @@ object R12Scratch {
         println(f"d17 $d write=$tw%.2f s query(min of 2)=$tq%.2f s " +
           s"survivors=$rows")
 
+      case "r12" =>
+        // decade rows for the round-12 operators
+        import graft.operators.{Curation, Dedup, Graph}
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("c1_pipeline") {
+          val f = graft.cli.CurateCli.pipeline(spark, docs,
+            Some(docs.filter(col("doc_id") % 10 === 0)), 20, 2)
+          f.curated.count() + f.dropped.count()
+        }
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val eval = docs.filter(col("doc_id") % 10 === 0)
+        val (b18, r18) = Dedup.minhashGeometry(train.count(), 0.8)
+        m("d18_fuzzy_decon")(Curation.fuzzyDecontaminate(train, eval,
+          "doc_id", "text", numHashes = b18 * r18, bands = b18).count())
+        m("c2_dataset_card")(Curation.datasetCard(docs, "source",
+          "text", "lang").count())
+        val edges = Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        m("g2_pagerank_redist")(Graph.pageRank(edges, "src", "dst", 5,
+          redistributeDangling = true).count())
+        m("curate_gate_batch") {
+          graft.streaming.IngestGate.curateGate(eval,
+            Dedup.winnowedFingerprints(train, "doc_id", "text"),
+            "text").count()
+        }
+        m("t12_charlm_full")(Curation.charLmScore(docs, "doc_id",
+          "text").count())
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

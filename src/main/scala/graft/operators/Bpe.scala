@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.util.Iter
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+  * ACL — "Neural Machine Translation of Rare Words with Subword
+  * Units", public) — the tokenizer-training half of the pipeline the
+  * token-counting surface ([[graft.functions.TextAnalysis]]) consumes.
+  *
+  * Scale shape — the reason this is feasible at 100 TB: BPE training
+  * never iterates over the corpus. ONE corpus scan collapses it to
+  * the word-frequency table (V rows — vocabulary-bounded, independent
+  * of corpus size beyond vocabulary growth), and every merge round
+  * then runs on that V-row frame: adjacent-pair counts weighted by
+  * word frequency (explode → partial-agg'd groupBy), a 1-row argmax
+  * collect (bounded driver state, the kmeans-centroid convention),
+  * and a row-local greedy merge fold over each word's symbol array.
+  * Exactly how reference BPE trainers work on word dicts — here the
+  * dict itself is distributed.
+  *
+  * Determinism: the winning pair is argmax by (count DESC, left ASC,
+  * right ASC) — fully ordered, so retrains are byte-identical and the
+  * DuckDB oracle can replay every round. The merge application is the
+  * standard leftmost-greedy non-overlapping pass ("aaaa" under (a,a)
+  * → [aa][aa], "aaa" → [aa][a]), expressed as an array fold that
+  * merges the accumulator's last symbol with the next.
+  *
+  * Words are whitespace tokens split to code-point symbols, no
+  * end-of-word marker (the marker variant is a trivial symbol-append
+  * on the initial frame).
+  */
+object Bpe {
+
+  /** Train `numMerges` BPE merges over the corpus; returns the merge
+    * table (rank, left, right, n) — rank 1-based in merge order, n
+    * the corpus-weighted pair count that won the round. Stops early
+    * (fewer rows) if the corpus runs out of adjacent pairs. */
+  def bpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = Iter.materialize(
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .select(col("c"),
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))).as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) > 1)
+        .select(col("c"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, n))
+        // leftmost-greedy merge: fold each word's symbols, joining
+        // the accumulator's last symbol with the incoming one when
+        // they form the winning pair
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        words = Iter.materialize(
+          words.select(col("c"), applied.as("syms")))
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Segment `textCol` with an already-trained merge table: applies
+    * the merges IN RANK ORDER to every word — the encode half
+    * (tokenization a trainer runs at corpus scale, so the merge list
+    * is a broadcast-sized driver argument, not a join side). Returns
+    * the input plus a `tokens` array column. */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = transform(split(trim(col(textCol)), "\\s+"),
+      w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+    val encoded = merges.foldLeft(syms) { case (cur, (l, r)) =>
+      transform(cur, word =>
+        aggregate(word, array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    df.withColumn("tokens", flatten(encoded))
+  }
+}

@@ -795,6 +795,17 @@ object ScaleQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // B1 — BPE vocabulary induction: four deterministic merge rounds
+    // over the corpus word-frequency table (count DESC, pair ASC
+    // tie-break; leftmost-greedy application). The oracle unrolls all
+    // four rounds — pair counts, argmax, and the greedy merge replay
+    // via run-parity windows — so any divergence in merge application
+    // flips a later round's argmax and the row goes red.
+    "b1_bpe_merges" -> ((s, d) => {
+      graft.operators.Bpe.bpeMerges(Tables.documents(s, d), "text", 4)
+        .orderBy(col("rank"))
+    }),
+
     // C2 — per-source dataset card: doc/char/token totals, language
     // inventory + dominant language, exact token-count quantiles —
     // the release-audit sheet mixture weighting reads.
@@ -1581,6 +1592,7 @@ object ScaleQueries {
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,
+    "b1_bpe_merges" -> bpeSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
     // cosine cut — the direct batch-vs-lake form the index must equal
@@ -1710,6 +1722,61 @@ object ScaleQueries {
        |SELECT node, CAST(CAST(rank AS DECIMAL(24,12))
        |  * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT) AS rank_e12
        |FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** b1: four unrolled BPE rounds. Each round: weighted adjacent-pair
+    * counts over the symbolized word table, the (n DESC, l, r) argmax,
+    * and the leftmost-greedy merge replayed with run-parity windows
+    * (for l = r, matches in a run of equal symbols merge at odd ranks
+    * only — exactly the fold's non-overlapping semantics; for l ≠ r
+    * adjacent matches are impossible and every match merges). */
+  private lazy val bpeSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, syms, unnest(range(1, greatest(len(syms), 1))) AS i
+         |        FROM s${k - 1})
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |s$k AS (
+         |  SELECT w, c, list(tok ORDER BY i) AS syms FROM (
+         |    SELECT w, c, i, CASE WHEN merged THEN l || r ELSE sym END AS tok,
+         |      merged,
+         |      coalesce(lag(merged) OVER (PARTITION BY w ORDER BY i), false)
+         |        AS prevm
+         |    FROM (
+         |      SELECT w, c, i, sym, l, r,
+         |        mtch AND (l <> r OR row_number() OVER (
+         |          PARTITION BY w, isl, mtch ORDER BY i) % 2 = 1) AS merged
+         |      FROM (
+         |        SELECT w, c, i, sym, l, r, mtch,
+         |          i - sum(CASE WHEN mtch THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY w ORDER BY i) AS isl
+         |        FROM (
+         |          SELECT b.w, b.c, b.i, b.syms[b.i] AS sym, m.l, m.r,
+         |            coalesce(b.syms[b.i] = m.l AND b.syms[b.i+1] = m.r
+         |              AND b.i < len(b.syms), false) AS mtch
+         |          FROM (SELECT w, c, syms,
+         |                  unnest(range(1, len(syms) + 1)) AS i
+         |                FROM s${k - 1}) b CROSS JOIN m$k m))))
+         |  WHERE NOT prevm
+         |  GROUP BY w, c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |s0 AS (SELECT w, c,
+       |  list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+       |  FROM words),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1 AS rank, l AS "left", r AS "right", n FROM m1
+       |  UNION ALL SELECT 2, l, r, n FROM m2
+       |  UNION ALL SELECT 3, l, r, n FROM m3
+       |  UNION ALL SELECT 4, l, r, n FROM m4)
+       |ORDER BY rank""".stripMargin
   }
 
   /** g2: [[pagerankSql]] with the per-round dangling-mass recycle —

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bpeMerges: hand-computed rounds, deterministic tie-break") {
+    import spark.implicits._
+    // corpus: "abab" x3, "ab" x2 → round 1 pairs:
+    //   (a,b): 2*3 + 1*2 = 8; (b,a): 1*3 = 3  → merge (a,b)
+    // round 2 over [ab,ab]x3, [ab]x2: (ab,ab): 3 → merge (ab,ab)
+    val df = Seq("abab abab abab ab ab").toDF("text")
+    val m = Bpe.bpeMerges(df, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+  }
+
+  test("bpeMerges: leftmost-greedy non-overlapping application (l == r runs)") {
+    import spark.implicits._
+    // "aaaa": pairs (a,a) x3 → merge (a,a). Greedy leaves [aa][aa] in
+    // "aaaa" and [aa][a] in "aaa", so round 2's top pair is (aa,aa)
+    // with n=1 — an overlap-cheating application would see n=2+ or a
+    // different pair entirely
+    val df = Seq("aaaa aaa").toDF("text")
+    val m = Bpe.bpeMerges(df, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 5L))) // 3 (aaaa) + 2 (aaa)
+    assert(m(1) == ((2, "aa", "a", 1L)) || m(1) == ((2, "aa", "aa", 1L)),
+      s"got ${m(1)}")
+    // tie at n=1 between (aa,aa) [from aaaa] and (aa,a) [from aaa]:
+    // lexicographic tie-break picks (aa,a)
+    assert(m(1) == ((2, "aa", "a", 1L)))
+  }
+
+  test("bpeMerges: stops early when pairs run out") {
+    import spark.implicits._
+    val df = Seq("ab ab").toDF("text")
+    val m = Bpe.bpeMerges(df, "text", 5).collect()
+    // round 1 merges (a,b); afterwards every word is a single symbol
+    assert(m.length == 1)
+  }
+
+  test("bpeEncode: applying the trained merges segments matching words") {
+    import spark.implicits._
+    val corpus = Seq("abab abab ab cd").toDF("text")
+    val merges = Bpe.bpeMerges(corpus, "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.bpeEncode(Seq("abab ab cd e").toDF("text"), "text",
+        merges)
+      .select("tokens").collect()(0).getSeq[String](0)
+    // merge 1 = (a,b), merge 2 = (ab,ab)
+    assert(got == Seq("abab", "ab", "c", "d", "e"))
+  }
+}

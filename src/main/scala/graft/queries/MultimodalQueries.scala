@@ -144,6 +144,24 @@ object MultimodalQueries {
         Multimodal.audioFingerprint(Multimodal.syntheticVariantWavs(s, d)),
         "media_id", "afp", bands = 4, maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // E9 — the exact-confirmation image ingest gate as a driver-checked
+    // row (the gate is a plain stateless projection, so the batch
+    // evaluation IS the streaming semantics): arriving images
+    // (media_id%5=0) survive iff no lake image (media_id%5=1 — a
+    // sparser slice, so some arriving groups have no lake twin and
+    // the row exercises keeps AND drops) shares
+    // a dHash band key within Hamming 16. The oracle replays m8's
+    // decode→dHash→banding→Hamming machinery across the split.
+    "e9_phash_gate" -> ((s, d) => {
+      val all = Multimodal.imagePhash(Multimodal.syntheticVariantImages(s, d))
+      graft.streaming.IngestGate.phashGateExact(
+        all.filter(col("media_id") % 5 === 0),
+        all.filter(col("media_id") % 5 === 1),
+        "phash", bands = 4, maxDist = 16)
+        .select(col("media_id"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -361,6 +379,51 @@ object MultimodalQueries {
     // m9: window energies from the variant sample formula (65 windows
     // of width frames//65; trailing samples excluded by construction),
     // bit k = E(k+1) > E(k), then the same band/Hamming replay as m8.
+    // e9: m8's bit-formula replay, split arriving (%5=0) vs lake, NOT
+    // EXISTS on (band collision AND hamming <= 16)
+    "e9_phash_gate" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id, doc_id // 9 AS gid, doc_id % 9 AS var,
+        |    (doc_id // 9) % 57 + 8 AS w, (doc_id // 9) % 43 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |cols AS (SELECT unnest(generate_series(0, 7)) AS i),
+        |bits AS (
+        |  SELECT id, j, i,
+        |    CAST((j*8 + i) // 16 AS INT) AS band,
+        |    CAST((j*8 + i) % 16 AS INT) AS pos,
+        |    CASE WHEN
+        |      (gid*31 + (((i+1)*w)//9)*7 + ((j*h)//8)*13
+        |        + (((i+1)*w)//9)*((j*h)//8)*(gid%11)
+        |        + CASE WHEN (j*h)//8 < 2
+        |            THEN var*37*(((i+1)*w)//9) ELSE 0 END) % 256
+        |      >
+        |      (gid*31 + ((i*w)//9)*7 + ((j*h)//8)*13
+        |        + ((i*w)//9)*((j*h)//8)*(gid%11)
+        |        + CASE WHEN (j*h)//8 < 2
+        |            THEN var*37*((i*w)//9) ELSE 0 END) % 256
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM img CROSS JOIN grid CROSS JOIN cols),
+        |keys AS (
+        |  SELECT id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |p AS (
+        |  SELECT DISTINCT a.id AS aid, l.id AS lid
+        |  FROM keys a JOIN keys l ON a.band = l.band AND a.key = l.key
+        |  WHERE a.id % 5 = 0 AND l.id % 5 = 1),
+        |dropped AS (
+        |  SELECT DISTINCT aid FROM (
+        |    SELECT p.aid, p.lid,
+        |      sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS h
+        |    FROM p
+        |    JOIN bits x ON x.id = p.aid
+        |    JOIN bits y ON y.id = p.lid AND x.j = y.j AND x.i = y.i
+        |    GROUP BY 1, 2)
+        |  WHERE h <= 16)
+        |SELECT id AS media_id FROM img
+        |WHERE id % 5 = 0 AND id NOT IN (SELECT aid FROM dropped)
+        |ORDER BY media_id""".stripMargin,
+
     "m9_audio_neardup" ->
       """WITH a AS (
         |  SELECT doc_id AS id, doc_id // 18 AS gid, (doc_id // 6) % 3 AS var,

@@ -136,6 +136,15 @@ object R12Scratch {
         m("t12_charlm_full")(Curation.charLmScore(docs, "doc_id",
           "text").count())
 
+      case "b1" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.Bpe.bpeMerges(docs, "text", 16).count()
+        }
+        println(f"b1 $d wall(min of 2)=$t%.2f s merges=$rows")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** One-pass Gram/moment aggregate for embedding linear algebra: over a
+  * `array<float>` vector column, accumulates the flattened second
+  * moment Σ x·xᵀ (dim² doubles), the first moment Σ x (dim doubles)
+  * and the row count — everything covariance-based ops (PCA, whitening,
+  * Mahalanobis) need, in ONE corpus pass with O(dim²) fixed state.
+  *
+  * Scale rationale: the alternative formulations either explode dim²
+  * rows per vector through a Generate (the t12 pathology — 819 M rows
+  * at sf10/dim 64) or funnel vectors to the driver. As a
+  * [[TypedImperativeAggregate]] the planner runs partial passes: each
+  * input partition folds its vectors into one dim²+dim+1 double
+  * buffer map-side, the shuffle carries ONE buffer per partition, and
+  * the merge adds arrays elementwise. dim 64 → 33 KB of state per
+  * task, invariant in corpus size.
+  *
+  * Summation order note: partials merge in deterministic partition
+  * order, but the order differs from any sequential engine's — exact
+  * floating agreement is not promised; callers cut derived values at
+  * the e6/e12 decimal convention like every float-scoring oracle row.
+  */
+case class GramSum(
+    child: Expression,
+    dim: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  require(dim > 0, s"gram_sum needs dim > 0, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_sum needs array<float|double>, got $other")
+  }
+
+  /** Layout: [0, dim²) gram row-major; [dim², dim²+dim) sums; last n. */
+  private val len = dim * dim + dim + 1
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "gram_sum"
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](len)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == dim,
+        s"gram_sum(dim=$dim) got a ${arr.numElements()}-dim vector")
+      val x = new Array[Double](dim)
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var i = 0
+      while (i < dim) {
+        x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      i = 0
+      while (i < dim) {
+        val xi = x(i)
+        val base = i * dim
+        var j = 0
+        while (j < dim) { buffer(base + j) += xi * x(j); j += 1 }
+        buffer(dim * dim + i) += xi
+        i += 1
+      }
+      buffer(len - 1) += 1.0
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < len) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    new GenericArrayData(buffer.map(d => d: Any))
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(len * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(len)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramSum =
+    copy(child = newChild)
+}

@@ -892,6 +892,76 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Top-principal-component PCA over an embedding column — the
+    * dimensionality-reduction/whitening primitive of embedding
+    * pipelines (compression before ANN, drift monitoring, the
+    * "remove the dominant direction" trick for sentence embeddings —
+    * Arora et al. 2017, ICLR, public).
+    *
+    * Scale shape: ONE corpus pass through the
+    * [[graft.functions.GramSum]] typed aggregate folds every vector
+    * into a dim²+dim+1 double buffer per partition (map-side; the
+    * shuffle carries one buffer per task — no dim²-row explode, no
+    * vector collect); the covariance assembly and the FIXED `iters`
+    * power-iteration rounds then run on the driver over a dim×dim
+    * matrix — O(dim²·iters) scalar work, corpus-independent, the
+    * kmeans-centroid bounded-driver-state convention.
+    *
+    * Determinism: v₀ = 1/√dim ones, each round v ← normalize(C·v)
+    * with ascending-index summation — a fixed arithmetic recipe both
+    * engines replay literally (no eigensolver, no sign ambiguity);
+    * the s10 oracle rebuilds C from SQL moment sums and unrolls the
+    * same rounds. Fixed rounds rather than convergence: the oracle
+    * needs a closed form, and ‖C‖-scaled eigengaps make 8 rounds
+    * plenty for a dominant component (the spec checks the Rayleigh
+    * residual).
+    *
+    * @return (component, mean) — unit-norm principal direction and
+    *         the column means. */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int = 64,
+      iters: Int = 8): (Array[Double], Array[Double]) = {
+    import org.apache.spark.sql.GraftColumns
+    val g = df
+      .select(GraftColumns.column(graft.functions.GramSum(
+        GraftColumns.expression(col(vecCol)), dim).toAggregateExpression())
+        .as("g"))
+      .first().getSeq[Double](0).toArray
+    val n = g(dim * dim + dim)
+    require(n > 0, "pca over an empty corpus")
+    val mu = Array.tabulate(dim)(i => g(dim * dim + i) / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      g(i * dim + j) / n - mu(i) * mu(j))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "covariance annihilated the iterate — " +
+        "degenerate (constant) corpus")
+      v = w.map(_ / norm)
+    }
+    (v, mu)
+  }
+
+  /** Project every vector onto the corpus' top principal component:
+    * (id, proj) with proj = ⟨x − μ, v⟩ — a narrow codegen'd map over
+    * the driver-computed (v, μ) literals. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, iters: Int = 8): DataFrame = {
+    val (v, mu) = pcaTopComponent(df, vecCol, dim, iters)
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, k) => acc +
+        (element_at(col(vecCol), k).cast("double") - element_at(muLit, k)) *
+          element_at(vLit, k))
+    df.select(col(idCol), proj.as("proj"))
+  }
+
   /** Persist the lake's seeded RHP band keys as a key-bucketed index
     * table plus an id-bucketed VECTOR table — the write-once half of
     * incremental EMBEDDING dedup (the d14/t9 economics applied to the

@@ -795,6 +795,22 @@ object ScaleQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // S10 — PCA top-component projection: one GramSum pass → driver
+    // covariance + 8 fixed power-iteration rounds → narrow projection.
+    // The oracle rebuilds the moments in SQL and unrolls the identical
+    // arithmetic recipe (ones/√dim start, ascending sums, per-round
+    // L2 normalization) — no eigensolver on either side, so there is
+    // no sign or convergence ambiguity to paper over.
+    "s10_pca_project" -> ((s, d) => {
+      Similarity.pcaProject(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+        .select(col("vec_id"),
+          (col("proj").cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("proj_e6"))
+        .orderBy(col("vec_id"))
+    }),
+
     // B1 — BPE vocabulary induction: four deterministic merge rounds
     // over the corpus word-frequency table (count DESC, pair ASC
     // tie-break; leftmost-greedy application). The oracle unrolls all
@@ -1593,6 +1609,7 @@ object ScaleQueries {
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
+    "s10_pca_project" -> pcaSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
     // cosine cut — the direct batch-vs-lake form the index must equal
@@ -1722,6 +1739,55 @@ object ScaleQueries {
        |SELECT node, CAST(CAST(rank AS DECIMAL(24,12))
        |  * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT) AS rank_e12
        |FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** s10: moment sums → covariance → 8 unrolled power-iteration
+    * rounds (matvec + L2 normalize as list ops, ascending index order
+    * — the same recipe the Scala driver runs) → centered projection,
+    * e6-cut. */
+  private lazy val pcaSql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""w$k AS (
+         |  SELECT list_transform(cm.m, row ->
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      kk -> row[kk] * v${k - 1}.v[kk]))) AS w
+         |  FROM cm CROSS JOIN v${k - 1}),
+         |v$k AS (
+         |  SELECT list_transform(w.w, x -> x / sqrt(
+         |    list_sum(list_transform(w.w, y -> y * y)))) AS v
+         |  FROM w$k w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       |msum AS (
+       |  SELECT i, sum(embedding[i]::DOUBLE) AS si
+       |  FROM embeddings CROSS JOIN pos GROUP BY i),
+       |mom AS (
+       |  SELECT p1.i, p2.i AS j,
+       |    sum(e.embedding[p1.i]::DOUBLE * e.embedding[p2.i]::DOUBLE)
+       |      AS gij
+       |  FROM embeddings e CROSS JOIN pos p1 CROSS JOIN pos p2
+       |  GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT m.i, m.j,
+       |    m.gij / nn.n - (a.si / nn.n) * (b.si / nn.n) AS c
+       |  FROM mom m CROSS JOIN nn
+       |  JOIN msum a ON a.i = m.i JOIN msum b ON b.i = m.j),
+       |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i),
+       |cm AS (SELECT list(row ORDER BY i) AS m
+       |       FROM (SELECT * FROM crow ORDER BY i)),
+       |mu AS (SELECT list(si / nn.n ORDER BY i) AS u
+       |       FROM msum CROSS JOIN nn),
+       |v0 AS (SELECT list_transform(generate_series(1, 64),
+       |         k -> 1.0 / sqrt(64.0)) AS v),
+       |$rounds
+       |SELECT e.vec_id,
+       |  CAST(CAST(list_sum(list_transform(generate_series(1, 64),
+       |      k -> (e.embedding[k]::DOUBLE - mu.u[k]) * v8.v[k]))
+       |    AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+       |    AS proj_e6
+       |FROM embeddings e CROSS JOIN mu CROSS JOIN v8
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   /** b1: four unrolled BPE rounds. Each round: weighted adjacent-pair

@@ -136,6 +136,16 @@ object R12Scratch {
         m("t12_charlm_full")(Curation.charLmScore(docs, "doc_id",
           "text").count())
 
+      case "s10" =>
+        val e = Tables.embeddings(spark, d)
+        println(s"CORPUS $d n=${e.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.Similarity
+            .pcaProject(e, "vec_id", "embedding").count()
+        }
+        println(f"s10 $d wall(min of 2)=$t%.2f s rows=$rows")
+
       case "b1" =>
         val docs = Tables.documents(spark, d)
         println(s"CORPUS $d n_docs=${docs.count()}")

@@ -91,10 +91,24 @@ object Bpe {
     * the merges IN RANK ORDER to every word — the encode half
     * (tokenization a trainer runs at corpus scale, so the merge list
     * is a broadcast-sized driver argument, not a join side). Returns
-    * the input plus a `tokens` array column. */
+    * the input plus a `tokens` array column.
+    *
+    * Scale shape: the fold is row-local over each word occurrence —
+    * ZERO shuffles, embarrassingly parallel, the narrowest possible
+    * plan for a full-corpus tokenization pass. The alternative
+    * (encode the distinct-word table once, shuffle-join back by word)
+    * trades that CPU for a corpus-wide string-keyed shuffle; at 100 TB
+    * the join's exchange dwarfs the re-encode CPU (words are short,
+    * merges few), so occurrence-local is the default and the
+    * dictionary variant is left to callers with pathological
+    * vocabularies. Applying ranks sequentially to raw words is
+    * byte-identical to the training-time fixpoint (each round of
+    * [[bpeMerges]] applies exactly one merge to the word table, in
+    * the same order). */
   def bpeEncode(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val syms = transform(split(trim(col(textCol)), "\\s+"),
+    val syms = transform(
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""),
       w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
     val encoded = merges.foldLeft(syms) { case (cur, (l, r)) =>
       transform(cur, word =>

@@ -975,4 +975,57 @@ object Curation {
           .when(col("bucket") === 8, "val")
           .otherwise("test"))
   }
+
+  /** Concat-and-chunk layout (the GPT-style pretraining layout:
+    * concatenate every document's token stream in a fixed global
+    * order, then cut into `seqLen`-token training sequences).
+    * Complements [[packSequences]] (greedy whole-document bin packing
+    * into capped per-shard bins) with the OTHER layout trainers use.
+    * Emits, per document, its exact token-range in that virtual
+    * stream: global token `offset`, and the first/last training
+    * chunk it lands in — the manifest a sharded tokenizer-writer
+    * needs to place every document without ever materializing the
+    * concatenation.
+    *
+    * The global order is (`bucketCol` ASC, `idCol` ASC); callers pass
+    * a bucket expression that is order-preserving over ids (an id
+    * prefix, a date, a shard number), which is what makes the prefix
+    * sum distributable: the big window partitions BY BUCKET (parallel
+    * across buckets, one shuffle), and only the per-bucket totals —
+    * one row per bucket — pass through the ordered bucket-base window
+    * before broadcasting back. A naive `Window.orderBy(id)` computes
+    * the same offsets through ONE task holding the whole corpus; this
+    * shape is the standard two-phase scan (local prefix + exclusive
+    * base), all in DataFrame ops.
+    *
+    * Zero-token documents get `chunk_first = chunk_last = offset's
+    * chunk` and contribute nothing to the stream.
+    *
+    * @param nCol token-count column (bigint-castable)
+    * @return (id, n_tokens, offset, chunk_first, chunk_last) */
+  def concatChunkOffsets(df: DataFrame, idCol: String, nCol: String,
+      bucketCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = df.select(col(idCol), col(nCol).cast("bigint").as("n"),
+      bucketCol.cast("bigint").as("bkt"))
+    val inBkt = base.withColumn("loc_end",
+      sum(col("n")).over(Window.partitionBy(col("bkt"))
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per bucket; the ordered window runs over this tiny frame
+    val bktBase = base.groupBy(col("bkt")).agg(sum(col("n")).as("tot"))
+      .withColumn("base",
+        coalesce(sum(col("tot")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("base"))
+    inBkt.join(broadcast(bktBase), Seq("bkt"))
+      .select(col(idCol), col("n").as("n_tokens"),
+        (col("base") + col("loc_end") - col("n")).as("offset"))
+      .withColumn("chunk_first",
+        expr(s"`offset` div ${seqLen.toLong}"))
+      .withColumn("chunk_last",
+        when(col("n_tokens") > 0,
+          expr(s"(`offset` + n_tokens - 1) div ${seqLen.toLong}"))
+          .otherwise(col("chunk_first")))
+  }
 }

@@ -572,6 +572,22 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X15 — concat-and-chunk offsets: every document's exact
+    // token-range in the virtual concatenated stream (global order =
+    // (doc_id div 50, doc_id) — an order-preserving bucket so the
+    // prefix sum is the two-phase distributed scan, not one global
+    // window task). Oracle: a plain ordered window cumsum — bucket
+    // decomposition must be invisible in the result.
+    "x15_chunk_offsets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counted = docs.select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+          .cast("bigint").as("n_tok"))
+      Curation.concatChunkOffsets(counted, "doc_id", "n_tok",
+          expr("doc_id div 50"), seqLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     "x5_packed_payloads" -> ((s, d) => {
       Curation.packedPayloads(Tables.documents(s, d), "doc_id", "text",
         nShards = 8, budget = 2048L, seed = "42")
@@ -820,6 +836,27 @@ object ScaleQueries {
     "b1_bpe_merges" -> ((s, d) => {
       graft.operators.Bpe.bpeMerges(Tables.documents(s, d), "text", 4)
         .orderBy(col("rank"))
+    }),
+
+    // B2 — BPE corpus encode: train the 4 merges (priced in-row, the
+    // t9 build convention), then tokenize every document with the
+    // zero-shuffle occurrence-local fold. Output per doc: exact token
+    // count + md5 of the space-joined token stream, so a single
+    // misplaced merge boundary anywhere in any document flips that
+    // doc's hash. The oracle replays the same four training rounds,
+    // then applies the final symbol table to each document's words in
+    // position order.
+    "b2_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.bpeMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.bpeEncode(docs.select("doc_id", "text"),
+          "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // C2 — per-source dataset card: doc/char/token totals, language
@@ -1609,6 +1646,7 @@ object ScaleQueries {
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
+    "b2_bpe_encode" -> bpeEncodeSql,
     "s10_pca_project" -> pcaSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
@@ -1796,7 +1834,12 @@ object ScaleQueries {
     * (for l = r, matches in a run of equal symbols merge at odd ranks
     * only — exactly the fold's non-overlapping semantics; for l ≠ r
     * adjacent matches are impossible and every match merges). */
-  private lazy val bpeSql: String = {
+  /** Shared b1/b2 oracle prefix: the corpus word-frequency table,
+    * its symbolization, and four unrolled merge rounds (pair counts,
+    * (n DESC, l, r) argmax, leftmost-greedy replay via run-parity
+    * windows). b1 reads the four m_k argmax rows; b2 reads the final
+    * s4 word→symbols table. */
+  private lazy val bpeRoundsCtes: String = {
     val rounds = (1 to 4).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
@@ -1828,7 +1871,7 @@ object ScaleQueries {
          |  WHERE NOT prevm
          |  GROUP BY w, c)""".stripMargin
     }.mkString(",\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents)
@@ -1836,14 +1879,37 @@ object ScaleQueries {
        |s0 AS (SELECT w, c,
        |  list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeSql: String =
+    s"""WITH $bpeRoundsCtes
        |SELECT * FROM (
        |  SELECT 1 AS rank, l AS "left", r AS "right", n FROM m1
        |  UNION ALL SELECT 2, l, r, n FROM m2
        |  UNION ALL SELECT 3, l, r, n FROM m3
        |  UNION ALL SELECT 4, l, r, n FROM m4)
        |ORDER BY rank""".stripMargin
-  }
+
+  /** b2: the same four training rounds, then every document's words
+    * (in position order) joined to the final s4 symbol table; the
+    * token stream's md5 pins merge boundaries document-by-document. */
+  private lazy val bpeEncodeSql: String =
+    s"""WITH $bpeRoundsCtes,
+       |docw AS (
+       |  SELECT doc_id, i, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+       |      unnest(range(1,
+       |        len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS i
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |enc AS (
+       |  SELECT d.doc_id, d.i, s.syms FROM docw d JOIN s4 s ON d.w = s.w)
+       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY i))
+       |    AS tok_md5
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** g2: [[pagerankSql]] with the per-round dangling-mass recycle —
     * dm over the previous round's dangling nodes, added to the
@@ -2157,6 +2223,26 @@ object ScaleQueries {
         |WHERE CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8)
         |        AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // x15: the bucket decomposition is an implementation detail — the
+    // oracle computes the same offsets with ONE plain ordered cumsum.
+    "x15_chunk_offsets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS o
+        |  FROM d)
+        |SELECT doc_id, n AS n_tokens, o AS "offset",
+        |  o // 512 AS chunk_first,
+        |  CASE WHEN n > 0 THEN (o + n - 1) // 512 ELSE o // 512 END
+        |    AS chunk_last
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "x1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

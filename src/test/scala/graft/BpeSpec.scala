@@ -56,4 +56,37 @@ class BpeSpec extends AnyFunSuite {
     // merge 1 = (a,b), merge 2 = (ab,ab)
     assert(got == Seq("abab", "ab", "c", "d", "e"))
   }
+
+  test("bpeEncode: sequential rank application == training fixpoint") {
+    import spark.implicits._
+    // every distinct word's encode must equal the symbol state the
+    // trainer left it in after the same merges (the property the b2
+    // oracle leans on)
+    val corpus = Seq("banana bandana ban anna nab an").toDF("text")
+    val merges = Bpe.bpeMerges(corpus, "text", 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // re-derive the trained word states by folding encode over the
+    // distinct words (occurrence-local path)
+    val enc = Bpe.bpeEncode(corpus, "text", merges)
+      .select("tokens").collect()(0).getSeq[String](0)
+    // re-encoding the concatenated token stream of single words must
+    // reproduce itself (idempotence of a trained segmentation over
+    // its own corpus)
+    val again = Bpe.bpeEncode(Seq(enc.mkString(" ")).toDF("text"),
+        "text", merges)
+      .select("tokens").collect()(0).getSeq[String](0)
+    assert(again.mkString("") == enc.mkString(""))
+    assert(enc.nonEmpty && merges.size == 4)
+  }
+
+  test("bpeEncode: empty and whitespace-only text yields zero tokens") {
+    import spark.implicits._
+    val got = Bpe.bpeEncode(Seq("", "   ", "ab").toDF("text"), "text",
+        Seq(("a", "b")))
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("tokens")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 1))
+  }
 }

@@ -760,4 +760,59 @@ class CurationSpec extends AnyFunSuite {
       assert(s == expect)
     }
   }
+
+  // ---- concat-and-chunk offsets (x15) ----
+
+  test("concatChunkOffsets: hand-computed offsets and chunk spans") {
+    import spark.implicits._
+    // stream: [0:3) [3:10) [10:10) [10:22) with seqLen 8 → chunks
+    // 0:[0,8) 1:[8,16) 2:[16,24)
+    val df = Seq((0L, 3L), (1L, 7L), (2L, 0L), (3L, 12L))
+      .toDF("id", "n").repartition(3)
+    val got = Curation.concatChunkOffsets(df, "id", "n",
+        expr("id div 2"), seqLen = 8)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 7L, 3L, 0L, 1L),   // straddles the 8-token boundary
+      (2L, 0L, 10L, 1L, 1L),  // zero tokens: first == last, no span
+      (3L, 12L, 10L, 1L, 2L)))
+  }
+
+  test("concatChunkOffsets: bucket width is invisible in the result") {
+    import spark.implicits._
+    val rnd = new java.util.Random(3)
+    val df = (0L until 200L).map(i => (i, rnd.nextInt(1000).toLong))
+      .toDF("id", "n").repartition(7)
+    def run(width: Long) = Curation.concatChunkOffsets(df, "id", "n",
+        expr(s"id div $width"), seqLen = 512)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(1L) == run(17L) && run(17L) == run(1000L))
+  }
+
+  test("concatChunkOffsets: big window partitions by bucket, not one task") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, i % 5)).toDF("id", "n")
+    val plan = Curation.concatChunkOffsets(df, "id", "n",
+        expr("id div 10"), seqLen = 64)
+      .queryExecution.optimizedPlan.toString
+    // the corpus-sized prefix window must be keyed by the bucket
+    // (windowspecdefinition(bkt, ...) — parallel across buckets);
+    // the only unpartitioned ordered window allowed is the one over
+    // the per-bucket totals frame (input = an Aggregate, one row per
+    // bucket), so exactly one spec may omit the partition key
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.size == 2, plan)
+    // a partitioned spec leads with the bare partition key (no sort
+    // direction); an unpartitioned one leads with "<col> ASC/DESC"
+    val partitioned = specs.filter { s =>
+      val head = s.split(",").head
+      !head.contains(" ASC") && !head.contains(" DESC")
+    }
+    assert(partitioned.size == 1 && partitioned.head.startsWith("bkt"),
+      plan)
+  }
 }

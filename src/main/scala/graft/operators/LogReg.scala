@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed full-batch logistic-regression training — the
+  * model-in-the-loop half of corpus curation: heuristic rule engines
+  * ([[Curation.qualityFilter]]) label a corpus, a linear classifier is
+  * distilled from those labels, and the classifier's calibrated score
+  * replaces the brittle rule cascade at serving time (the
+  * fastText-style quality-classifier recipe of CCNet/GPT-3 data work
+  * — Wenzek et al. 2020, Brown et al. 2020, public).
+  *
+  * Scale shape: each gradient-descent round is ONE corpus pass — the
+  * current weight vector enters the plan as literals (broadcast by
+  * value, the PageRank round convention), the per-row gradient
+  * contribution `(σ(w·x) − y)·x` is a narrow codegen'd projection,
+  * and the round's only shuffle is the partial-aggregated global sum
+  * of d+1 doubles (map-side combine leaves one d+1-wide row per
+  * task). Driver state is the weight vector itself — O(d), the
+  * bounded-driver-state convention. `rounds` is fixed and small; at
+  * 100 TB one trains on a [[Curation.stratifiedSample]] slice, scores
+  * the full corpus with [[score]] (zero-shuffle), and never iterates
+  * over the full corpus.
+  *
+  * Determinism: fixed zero init, fixed η/λ, and one literal operand
+  * order — logit = ((b + w₁f₁) + w₂f₂) + …, update
+  * wⱼ ← wⱼ − η·(gⱼ/n + λ·wⱼ) — that a SQL oracle replays verbatim as
+  * unrolled round CTEs. The only engine divergence left is
+  * partition-order float-sum jitter in the gradient sums (~1-ulp),
+  * absorbed by the e6 decimal cut every score row exports.
+  */
+object LogReg {
+
+  /** σ(z) with the literal arithmetic both engines share. */
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(negate(z)))
+
+  /** w·x as a left fold: ((w₀ + w₁f₁) + w₂f₂) + … — ONE operand
+    * order, shared with the oracle. */
+  private def logit(w: Array[Double], featureCols: Seq[String]): Column =
+    featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, i)) => acc + lit(w(i + 1)) * col(f)
+    }
+
+  /** Train `rounds` full-batch GD steps of L2-regularized logistic
+    * regression over `featureCols` (bias implicit). Returns the
+    * weight vector [b, w₁, …]. */
+  def train(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      eta: Double = 0.5, lambda: Double = 0.01,
+      rounds: Int = 3): Array[Double] = {
+    require(rounds >= 1 && featureCols.nonEmpty,
+      "need rounds >= 1 and at least one feature")
+    val x = df.select(
+      (col(labelCol).cast("double").as("y") +:
+        featureCols.map(f => col(f).cast("double").as(f))): _*)
+    // cache: `rounds` passes re-read this frame; at corpus scale the
+    // caller hands in a sampled slice so this is executor-memory-sized
+    x.cache()
+    val n = x.count().toDouble
+    require(n > 0, "training frame is empty")
+    var w = Array.fill(featureCols.size + 1)(0.0)
+    for (_ <- 1 to rounds) {
+      val p = sigmoid(logit(w, featureCols))
+      val gradCols = sum(p - col("y")).as("g0") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          sum((p - col("y")) * col(f)).as(s"g${i + 1}") }
+      val g = x.agg(gradCols.head, gradCols.tail: _*).first()
+      w = Array.tabulate(w.length)(j =>
+        w(j) - eta * (g.getDouble(j) / n + lambda * w(j)))
+    }
+    x.unpersist()
+    w
+  }
+
+  /** σ(w·x) as a column — a narrow zero-shuffle projection over the
+    * full corpus. */
+  def score(w: Array[Double], featureCols: Seq[String]): Column =
+    sigmoid(logit(w, featureCols))
+}

@@ -859,6 +859,38 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LR1 — quality-classifier distillation: heuristic labels (length
+    // band + vocabulary-diversity floor) train 3 full-batch GD rounds
+    // of L2 logistic regression; every document then carries the
+    // calibrated score. One corpus pass per round (weights as plan
+    // literals, partial-aggregated 4-double gradient sum); the oracle
+    // unrolls the identical rounds — same zero init, same left-assoc
+    // logit, same update formula — so a single diverged weight moves
+    // every score row.
+    "lr1_quality_lr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+      val feats = docs.select(col("doc_id"),
+          size(toks).cast("double").as("nw"),
+          col("n_chars").cast("double").as("nc"),
+          size(array_distinct(toks)).cast("double").as("nd"))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"),
+          (col("nw") / lit(100.0)).as("f1"),
+          (col("nc") / col("nw") / lit(10.0)).as("f2"),
+          (col("nd") / col("nw")).as("f3"),
+          when(col("nw") >= 30 && col("nw") <= 5000 &&
+              col("nd") / col("nw") >= 0.3, 1.0)
+            .otherwise(0.0).as("y"))
+      val fs = Seq("f1", "f2", "f3")
+      val w = graft.operators.LogReg.train(feats, "y", fs)
+      feats.select(col("doc_id"), col("y").cast("int").as("label"),
+          (graft.operators.LogReg.score(w, fs).cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("score_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C2 — per-source dataset card: doc/char/token totals, language
     // inventory + dominant language, exact token-count quantiles —
     // the release-audit sheet mixture weighting reads.
@@ -1647,6 +1679,7 @@ object ScaleQueries {
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
     "b2_bpe_encode" -> bpeEncodeSql,
+    "lr1_quality_lr" -> logRegSql,
     "s10_pca_project" -> pcaSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
@@ -1890,6 +1923,55 @@ object ScaleQueries {
        |  UNION ALL SELECT 3, l, r, n FROM m3
        |  UNION ALL SELECT 4, l, r, n FROM m4)
        |ORDER BY rank""".stripMargin
+
+  /** lr1: features and heuristic labels, then three unrolled GD
+    * rounds — each a gradient CTE (the same per-row σ(w·x)−y terms
+    * the Spark pass sums) and a weight-update CTE with the identical
+    * literal formula; scores are e6-cut. */
+  private lazy val logRegSql: String = {
+    def p(w: String) =
+      s"1.0::DOUBLE/(1.0::DOUBLE + exp(-($w.b + $w.w1*x.f1 + $w.w2*x.f2 + $w.w3*x.f3)))"
+    val rounds = (1 to 3).map { k =>
+      val pw = p("w")
+      s"""g$k AS (
+         |  SELECT sum($pw - x.y) AS g0,
+         |    sum(($pw - x.y) * x.f1) AS g1,
+         |    sum(($pw - x.y) * x.f2) AS g2,
+         |    sum(($pw - x.y) * x.f3) AS g3
+         |  FROM x CROSS JOIN w${k - 1} w),
+         |w$k AS (
+         |  SELECT w.b - 0.5::DOUBLE*(g.g0/n.n + 0.01::DOUBLE*w.b) AS b,
+         |    w.w1 - 0.5::DOUBLE*(g.g1/n.n + 0.01::DOUBLE*w.w1) AS w1,
+         |    w.w2 - 0.5::DOUBLE*(g.g2/n.n + 0.01::DOUBLE*w.w2) AS w2,
+         |    w.w3 - 0.5::DOUBLE*(g.g3/n.n + 0.01::DOUBLE*w.w3) AS w3
+         |  FROM w${k - 1} w CROSS JOIN g$k g CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS nw,
+       |    CAST(n_chars AS DOUBLE) AS nc,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+       |  FROM (SELECT doc_id, n_chars,
+       |          list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            w -> w <> '') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) > 0),
+       |x AS (
+       |  SELECT doc_id, nw/100.0::DOUBLE AS f1,
+       |    nc/nw/10.0::DOUBLE AS f2, nd/nw AS f3,
+       |    CASE WHEN nw >= 30.0::DOUBLE AND nw <= 5000.0::DOUBLE
+       |      AND nd/nw >= 0.3::DOUBLE THEN 1.0::DOUBLE
+       |      ELSE 0.0::DOUBLE END AS y
+       |  FROM f),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+       |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+       |       0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+       |$rounds
+       |SELECT x.doc_id, CAST(x.y AS INT) AS label,
+       |  CAST(CAST(${p("w")} AS DECIMAL(24,6))
+       |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS score_e6
+       |FROM x CROSS JOIN w3 w ORDER BY x.doc_id""".stripMargin
+  }
 
   /** b2: the same four training rounds, then every document's words
     * (in position order) joined to the final s4 symbol table; the

@@ -136,6 +136,63 @@ object R12Scratch {
         m("t12_charlm_full")(Curation.charLmScore(docs, "doc_id",
           "text").count())
 
+      case "r12b" =>
+        // decade rows for the second round-12 operator batch
+        import graft.operators.{Bpe, Curation, LogReg}
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("b1_bpe_merges_train")(
+          Bpe.bpeMerges(docs, "text", 4).count())
+        val merges = Bpe.bpeMerges(docs, "text", 4)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        m("b2_bpe_encode") {
+          // agg over the outputs so column pruning cannot skip the
+          // encode fold or the md5
+          Bpe.bpeEncode(docs.select("doc_id", "text"), "text", merges)
+            .select(col("doc_id"),
+              size(col("tokens")).cast("bigint").as("n_tokens"),
+              md5(array_join(col("tokens"), " ")).as("tok_md5"))
+            .agg(sum(col("n_tokens")) +
+              sum(length(col("tok_md5")).cast("bigint")))
+            .first().getLong(0)
+        }
+        m("x15_chunk_offsets") {
+          val counted = docs.select(col("doc_id"),
+            size(filter(split(trim(col("text")), "\\s+"),
+              w => w =!= "")).cast("bigint").as("n_tok"))
+          Curation.concatChunkOffsets(counted, "doc_id", "n_tok",
+              expr("doc_id div 50"), seqLen = 512)
+            .agg(sum(col("chunk_last") - col("chunk_first")) +
+              max(col("offset")))
+            .first().getLong(0)
+        }
+        m("lr1_quality_lr") {
+          val toks = filter(split(trim(col("text")), "\\s+"),
+            w => w =!= "")
+          val feats = docs.select(col("doc_id"),
+              size(toks).cast("double").as("nw"),
+              col("n_chars").cast("double").as("nc"),
+              size(array_distinct(toks)).cast("double").as("nd"))
+            .filter(col("nw") > 0)
+            .select(col("doc_id"),
+              (col("nw") / lit(100.0)).as("f1"),
+              (col("nc") / col("nw") / lit(10.0)).as("f2"),
+              (col("nd") / col("nw")).as("f3"),
+              when(col("nw") >= 30 && col("nw") <= 5000 &&
+                  col("nd") / col("nw") >= 0.3, 1.0)
+                .otherwise(0.0).as("y"))
+          val fs = Seq("f1", "f2", "f3")
+          val w = LogReg.train(feats, "y", fs)
+          feats.agg(sum(LogReg.score(w, fs) * lit(1000.0))
+            .cast("bigint")).first().getLong(0)
+        }
+
       case "s10" =>
         val e = Tables.embeddings(spark, d)
         println(s"CORPUS $d n=${e.count()}")

@@ -962,6 +962,37 @@ object Similarity {
     df.select(col(idCol), proj.as("proj"))
   }
 
+  /** Remove-top-component embedding cleanup (the SIF post-processing
+    * of Arora et al. 2017: sentence-embedding quality improves when
+    * the corpus' dominant direction is projected out). Per vector:
+    * the centered projection ⟨x−μ, v⟩ and the L2 norm of the residual
+    * x−μ − proj·v — the norm is the drift/anisotropy diagnostic, and
+    * a caller reconstructing the cleaned vector divides by it.
+    *
+    * Same scale shape as [[pcaProject]]: one GramSum pass + driver
+    * power iteration, then a narrow zero-shuffle map with (v, μ) as
+    * literals. Residual terms are summed in ascending index order —
+    * (x_k − μ_k − proj·v_k)², left-assoc — the recipe the oracle
+    * replays. */
+  def pcaResidual(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, iters: Int = 8): DataFrame = {
+    val (v, mu) = pcaTopComponent(df, vecCol, dim, iters)
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, k) => acc +
+        (element_at(col(vecCol), k).cast("double") - element_at(muLit, k)) *
+          element_at(vLit, k))
+    val rnorm = sqrt(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, k) => {
+        val t = element_at(col(vecCol), k).cast("double") -
+          element_at(muLit, k) - col("proj") * element_at(vLit, k)
+        acc + t * t
+      }))
+    df.select(col(idCol), col(vecCol), proj.as("proj"))
+      .select(col(idCol), col("proj"), rnorm.as("rnorm"))
+  }
+
   /** Persist the lake's seeded RHP band keys as a key-bucketed index
     * table plus an id-bucketed VECTOR table — the write-once half of
     * incremental EMBEDDING dedup (the d14/t9 economics applied to the

@@ -827,6 +827,22 @@ object ScaleQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // S11 — SIF remove-top-component: s10's (μ, v) plus the residual
+    // norm after projecting the dominant direction out — projection
+    // and residual in one narrow pass, both e6-cut.
+    "s11_pca_residual" -> ((s, d) => {
+      Similarity.pcaResidual(Tables.embeddings(s, d), "vec_id",
+          "embedding")
+        .select(col("vec_id"),
+          (col("proj").cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("proj_e6"),
+          (col("rnorm").cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("rnorm_e6"))
+        .orderBy(col("vec_id"))
+    }),
+
     // B1 — BPE vocabulary induction: four deterministic merge rounds
     // over the corpus word-frequency table (count DESC, pair ASC
     // tie-break; leftmost-greedy application). The oracle unrolls all
@@ -1681,6 +1697,7 @@ object ScaleQueries {
     "b2_bpe_encode" -> bpeEncodeSql,
     "lr1_quality_lr" -> logRegSql,
     "s10_pca_project" -> pcaSql,
+    "s11_pca_residual" -> pcaResidualSql,
 
     // d17: d6's hyperplane literals, %5 split, banded candidates,
     // cosine cut — the direct batch-vs-lake form the index must equal
@@ -1816,7 +1833,12 @@ object ScaleQueries {
     * rounds (matvec + L2 normalize as list ops, ascending index order
     * — the same recipe the Scala driver runs) → centered projection,
     * e6-cut. */
-  private lazy val pcaSql: String = {
+  /** Shared s10/s11 oracle prefix: moment sums → covariance → the 8
+    * unrolled power-iteration rounds (matvec + L2 normalize as list
+    * ops, ascending index order — the same recipe the Scala driver
+    * runs), leaving `mu` (column means) and `v8` (the unit principal
+    * direction). */
+  private lazy val pcaRoundsCtes: String = {
     val rounds = (1 to 8).map { k =>
       s"""w$k AS (
          |  SELECT list_transform(cm.m, row ->
@@ -1828,7 +1850,7 @@ object ScaleQueries {
          |    list_sum(list_transform(w.w, y -> y * y)))) AS v
          |  FROM w$k w)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    s"""pos AS (SELECT unnest(generate_series(1, 64)) AS i),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
        |msum AS (
        |  SELECT i, sum(embedding[i]::DOUBLE) AS si
@@ -1851,7 +1873,11 @@ object ScaleQueries {
        |       FROM msum CROSS JOIN nn),
        |v0 AS (SELECT list_transform(generate_series(1, 64),
        |         k -> 1.0 / sqrt(64.0)) AS v),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val pcaSql: String =
+    s"""WITH $pcaRoundsCtes
        |SELECT e.vec_id,
        |  CAST(CAST(list_sum(list_transform(generate_series(1, 64),
        |      k -> (e.embedding[k]::DOUBLE - mu.u[k]) * v8.v[k]))
@@ -1859,7 +1885,27 @@ object ScaleQueries {
        |    AS proj_e6
        |FROM embeddings e CROSS JOIN mu CROSS JOIN v8
        |ORDER BY e.vec_id""".stripMargin
-  }
+
+  /** s11: the same (mu, v8), then per vector the centered projection
+    * and the L2 norm of the residual after removing the component —
+    * projection computed once in a subquery, residual summed in
+    * ascending index order exactly as the Scala expression does. */
+  private lazy val pcaResidualSql: String =
+    s"""WITH $pcaRoundsCtes,
+       |pr AS (
+       |  SELECT e.vec_id, e.embedding, mu.u, v8.v,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      k -> (e.embedding[k]::DOUBLE - mu.u[k]) * v8.v[k])) AS proj
+       |  FROM embeddings e CROSS JOIN mu CROSS JOIN v8)
+       |SELECT vec_id,
+       |  CAST(CAST(proj AS DECIMAL(24,6))
+       |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS proj_e6,
+       |  CAST(CAST(sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      k -> (embedding[k]::DOUBLE - u[k] - proj * v[k])
+       |        * (embedding[k]::DOUBLE - u[k] - proj * v[k]))))
+       |    AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+       |    AS rnorm_e6
+       |FROM pr ORDER BY vec_id""".stripMargin
 
   /** b1: four unrolled BPE rounds. Each round: weighted adjacent-pair
     * counts over the symbolized word table, the (n DESC, l, r) argmax,

@@ -91,4 +91,34 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(variance - av) / av < 0.01,
       s"proj var $variance vs axis var $av")
   }
+
+  test("pcaResidual: Pythagoras — proj² + rnorm² == ‖x − μ‖²") {
+    val dim = 64
+    val rnd = new java.util.Random(23)
+    val data = (1 to 150).map { _ =>
+      val v = Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+      v(3) = (rnd.nextDouble() * 8 - 4).toFloat
+      v
+    }
+    val df = vecs(data)
+    val (_, mu) = Similarity.pcaTopComponent(df, "embedding", dim)
+    val rows = Similarity.pcaResidual(df, "vec_id", "embedding", dim)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { case (id, proj, rnorm) =>
+      val x = data(id.toInt)
+      val c2 = (0 until dim)
+        .map(k => math.pow(x(k).toDouble - mu(k), 2)).sum
+      assert(math.abs(proj * proj + rnorm * rnorm - c2) < 1e-9,
+        s"id=$id proj=$proj rnorm=$rnorm centered²=$c2")
+    }
+    // removing the dominant direction shrinks every vector that has
+    // any spread on it: total residual energy < total centered energy
+    val totR = rows.map(r => r._3 * r._3).sum
+    val totC = rows.map { case (id, _, _) =>
+      val x = data(id.toInt)
+      (0 until dim).map(k => math.pow(x(k).toDouble - mu(k), 2)).sum
+    }.sum
+    assert(totR < totC * 0.5, s"residual energy $totR vs $totC")
+  }
 }

@@ -502,4 +502,35 @@ class PlanAuditSpec extends AnyFunSuite {
       count(p, "Exchange rangepartitioning") == 0,
       "split assignment must not shuffle\n" + p.take(2000))
   }
+
+  test("BPE encode (b2): zero-shuffle occurrence-local fold") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val p = plan(graft.operators.Bpe.bpeEncode(
+      graft.util.Tables.documents(spark, sf).select("doc_id", "text"),
+      "text", merges))
+    // the full-corpus tokenization pass is one scan + one narrow
+    // projection: no exchange of any kind, no join, no generate
+    assert(count(p, "FileScan parquet") == 1)
+    assert(!p.contains("Exchange"), "encode must not shuffle\n" + p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Generate"), p.take(2000))
+  }
+
+  test("PCA moment pass (s10/s11): one partial-aggregated exchange, no explode") {
+    import org.apache.spark.sql.GraftColumns
+    import org.apache.spark.sql.functions.col
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val p = plan(e.select(GraftColumns.column(
+      graft.functions.GramSum(
+        GraftColumns.expression(col("embedding")), 64)
+        .toAggregateExpression()).as("g")))
+    // partial buffers fold map-side (ObjectHashAggregate pair), the
+    // shuffle carries one dim²+dim+1 buffer per task — and the dim²
+    // row explosion GramSum exists to avoid must be absent
+    assert(count(p, "Exchange") == 1, p.take(2000))
+    assert(count(p, "ObjectHashAggregate") == 2 ||
+      count(p, "SortAggregate") == 2, p.take(2000))
+    assert(!p.contains("Generate"), "moment pass must not explode\n" +
+      p.take(2000))
+    assert(count(p, "FileScan parquet") == 1)
+  }
 }

@@ -38,10 +38,13 @@ object LogReg {
 
   /** w·x as a left fold: ((w₀ + w₁f₁) + w₂f₂) + … — ONE operand
     * order, shared with the oracle. */
-  private def logit(w: Array[Double], featureCols: Seq[String]): Column =
-    featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
-      case (acc, (f, i)) => acc + lit(w(i + 1)) * col(f)
+  private def logitOn(w: Array[Double], feats: Seq[Column]): Column =
+    feats.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, i)) => acc + lit(w(i + 1)) * f
     }
+
+  private def logit(w: Array[Double], featureCols: Seq[String]): Column =
+    logitOn(w, featureCols.map(col))
 
   /** Train `rounds` full-batch GD steps of L2-regularized logistic
     * regression over `featureCols` (bias implicit). Returns the
@@ -77,4 +80,24 @@ object LogReg {
     * full corpus. */
   def score(w: Array[Double], featureCols: Seq[String]): Column =
     sigmoid(logit(w, featureCols))
+
+  /** [[score]] over feature expressions instead of named columns —
+    * for stateless stream projections that compute features in-row. */
+  def scoreOn(w: Array[Double], feats: Seq[Column]): Column =
+    sigmoid(logitOn(w, feats))
+
+  /** The lr1 quality-feature recipe over raw text, row-local: token
+    * count / 100, chars-per-token / 10, distinct-token ratio — the
+    * same literal operand order the batch row and its oracle use, so
+    * a stream gate scoring with these features is pinned ≡ the batch
+    * scorer. `nChars` is passed in (a table column where one exists,
+    * `length(text)` otherwise). Zero-token rows yield NaN features —
+    * any threshold comparison is then false, i.e. dropped. */
+  def qualityFeatures(text: Column, nChars: Column)
+      : (Column, Column, Column) = {
+    val toks = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val nw = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    (nw / lit(100.0), nChars.cast("double") / nw / lit(10.0), nd / nw)
+  }
 }

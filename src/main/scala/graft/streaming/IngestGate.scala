@@ -204,13 +204,43 @@ object IngestGate {
   def curateGate(stream: DataFrame, corpusFps: DataFrame,
       textCol: String, corpusHashes: Option[DataFrame] = None,
       hashCol: String = "phash", minWords: Int = 20,
-      minShared: Int = 2, fpp: Double = 1e-6): DataFrame = {
+      minShared: Int = 2, fpp: Double = 1e-6,
+      scoreWeights: Option[Array[Double]] = None,
+      minScoreE6: Long = 500000L): DataFrame = {
     val q = stream.filter(qualityKeep(textCol, minWords))
-    val wg = winnowGate(q, corpusFps, textCol, minShared = minShared,
+    val s = scoreWeights match {
+      case Some(w) => scoreGate(q, w, textCol, minScoreE6)
+      case None => q
+    }
+    val wg = winnowGate(s, corpusFps, textCol, minShared = minShared,
       fpp = fpp)
     corpusHashes match {
       case Some(ch) => phashGate(wg, ch, hashCol, fpp = fpp)
       case None => wg
     }
+  }
+
+  /** Stateless classifier gate: keep a document iff its distilled
+    * quality score σ(w·x) — [[graft.operators.LogReg]] weights as
+    * plan literals, the lr1 feature recipe computed in-row from the
+    * text — clears `minScoreE6` at the e6 decimal cut (the same cut
+    * every score row exports, so the gate's threshold semantics are
+    * bit-stable across engines and retries). The model-in-the-loop
+    * stage of the curation gate: train offline on the lake
+    * ([[graft.operators.LogReg.train]]), ship the weight vector into
+    * the ingest stream as literals — no join, no state, no shuffle;
+    * re-deploying a retrained model is a stream restart with new
+    * literals. Zero-token documents score NaN and are dropped. */
+  def scoreGate(stream: DataFrame, weights: Array[Double],
+      textCol: String, minScoreE6: Long = 500000L): DataFrame = {
+    import graft.operators.LogReg
+    require(weights.length == 4,
+      "scoreGate ships the 3-feature lr1 recipe: weights = [b,w1,w2,w3]")
+    val t = coalesce(col(textCol), lit(""))
+    val (f1, f2, f3) = LogReg.qualityFeatures(t, length(t))
+    val scoreE6 = (LogReg.scoreOn(weights, Seq(f1, f2, f3))
+      .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
+      .cast("bigint")
+    stream.filter(scoreE6 >= minScoreE6)
   }
 }

@@ -478,6 +478,58 @@ class StreamingSpec extends AnyFunSuite {
       s"gate must stay shuffle-free:\n${plan.take(1500)}")
   }
 
+  test("score gate: survivors == batch classifier keep set, stateless plan") {
+    import graft.operators.LogReg
+    import graft.streaming.IngestGate
+    val docs = graft.util.Tables.documents(spark, sf)
+    val lake = docs.filter(col("doc_id") % 5 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 5 === 0)
+    // offline training on the lake with the lr1 recipe
+    val toks = org.apache.spark.sql.functions.filter(
+      split(trim(col("text")), "\\s+"), w => w =!= "")
+    def feats(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        size(toks).cast("double").as("nw"),
+        col("n_chars").cast("double").as("nc"),
+        size(array_distinct(toks)).cast("double").as("nd"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), (col("nw") / lit(100.0)).as("f1"),
+        (col("nc") / col("nw") / lit(10.0)).as("f2"),
+        (col("nd") / col("nw")).as("f3"),
+        when(col("nw") >= 30 && col("nw") <= 5000 &&
+            col("nd") / col("nw") >= 0.3, 1.0).otherwise(0.0).as("y"))
+    val fs = Seq("f1", "f2", "f3")
+    val w = LogReg.train(feats(lake), "y", fs)
+    // batch twin: score the arrivals with the trained weights; tau at
+    // the median arrival score so the gate exercises keeps AND drops
+    val scores = feats(arriving)
+      .select(col("doc_id"), (LogReg.score(w, fs).cast("decimal(24,6)") *
+        lit(1000000L).cast("decimal(7,0)")).cast("bigint").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val tau = scores.map(_._2).sorted.apply(scores.length / 2)
+    val batchKeep = scores.filter(_._2 >= tau).map(_._1).toSet
+    // the gate as a real stream (features recomputed in-row from text)
+    val dir = java.nio.file.Files.createTempDirectory("score-stream")
+    arriving.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .parquet(dir.toString)
+    val sq = IngestGate.scoreGate(stream, w, "text", tau)
+      .select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("scoregate")
+      .trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("scoregate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep)
+    assert(batchKeep.nonEmpty && batchKeep.size < arriving.count(),
+      "the corpus must exercise both keeps and drops")
+    val plan = IngestGate.scoreGate(arriving, w, "text", tau)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"score gate must stay a narrow filter:\n${plan.take(1500)}")
+  }
+
   test("phash ingest gate: refuses a band-key-saturated lake") {
     import graft.streaming.IngestGate
     // ~1000 spread fingerprints fill >1% of the 4x16-bit key space —

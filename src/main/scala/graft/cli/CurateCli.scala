@@ -21,6 +21,13 @@ import graft.operators.{Curation, Dedup}
   *   [--semantic-tau=0.35] cosine threshold for --semantic
   *   [--tar-shards]        also write each split as WebDataset tar
   *                         shards (x13's manifested sink)
+  *   [--distill]           train the lr1 quality classifier on the
+  *                         rule verdicts and write per-doc scores —
+  *                         the weight vector for the next ingest
+  *                         run's streaming scoreGate
+  *   [--chunk-len=N]       write per-split concat-and-chunk manifests
+  *                         (x15; stream order = (shard, doc_id), the
+  *                         shuffled pack order trainers want)
   * }}}
   *
   * Stages, each an oracle-checked operator, audited per document:
@@ -53,7 +60,8 @@ object CurateCli {
       evalDir: Option[String] = None, minWords: Int = 20,
       maxOverlap: Int = 2, shards: Int = 8,
       semantic: Boolean = false, semanticTau: Double = 0.35,
-      tarShards: Boolean = false)
+      tarShards: Boolean = false, distill: Boolean = false,
+      chunkLen: Int = 0)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -70,13 +78,16 @@ object CurateCli {
       semantic = m.contains("semantic"),
       semanticTau =
         m.get("semantic-tau").flatten.map(_.toDouble).getOrElse(0.35),
-      tarShards = m.contains("tar-shards"))
+      tarShards = m.contains("tar-shards"),
+      distill = m.contains("distill"),
+      chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0))
   }
 
   case class Summary(
       input: Long, lowQuality: Long, exactDups: Long, nearDups: Long,
       semanticDups: Long, contaminated: Long, curated: Long,
-      splits: Map[String, Long])
+      splits: Map[String, Long],
+      distillWeights: Option[Seq[Double]] = None)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -226,6 +237,52 @@ object CurateCli {
             nShards = args.shards)
         }
 
+    // optional model distillation: train the lr1 classifier on the
+    // rule verdicts over the FULL input (keeps and drops both carry
+    // signal), write every document's score — the serving artifact
+    // the next ingest run's IngestGate.scoreGate ships as literals
+    val weights =
+      if (!args.distill) None
+      else {
+        import graft.operators.LogReg
+        val t = coalesce(col("text"), lit(""))
+        val (f1, f2, f3) = LogReg.qualityFeatures(t, length(t))
+        val verdict = Curation.qualityFilter(docs, "doc_id", "text",
+            minWords = args.minWords)
+          .select(col("doc_id"), col("keep"))
+        val feats = docs.join(verdict, "doc_id")
+          .select(col("doc_id"), f1.as("f1"), f2.as("f2"), f3.as("f3"),
+            col("keep").cast("double").as("y"))
+          .filter(col("f1") > 0.0) // zero-token rows have NaN features
+        val fs = Seq("f1", "f2", "f3")
+        val w = LogReg.train(feats, "y", fs)
+        feats.select(col("doc_id"),
+            (LogReg.score(w, fs).cast("decimal(24,6)") *
+              lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+              .as("score_e6"))
+          .write.mode("overwrite").parquet(s"${args.outputDir}/scores")
+        Some(w.toSeq)
+      }
+
+    // optional concat-and-chunk manifests (x15): per split, every
+    // document's token-range in the (shard, doc_id)-ordered virtual
+    // stream — the shuffled pack order a trainer consumes
+    if (args.chunkLen > 0) {
+      val counted = curated.select(col("doc_id"), col("split"),
+        col("shard"),
+        size(org.apache.spark.sql.functions.filter(
+          split(trim(col("text")), "\\s+"), w => w =!= ""))
+          .cast("bigint").as("n_tok"))
+      counted.select(col("split")).distinct().collect()
+        .map(_.getString(0)).foreach { sp =>
+          Curation.concatChunkOffsets(
+            counted.filter(col("split") === sp), "doc_id", "n_tok",
+            col("shard"), args.chunkLen)
+          .write.mode("overwrite")
+          .parquet(s"${args.outputDir}/chunks/$sp")
+        }
+    }
+
     // summary from the in-plan frame: a fully-dropped corpus leaves an
     // empty (schema-less) parquet dir that a validating re-read would
     // refuse to infer
@@ -239,6 +296,7 @@ object CurateCli {
       semanticDups = stageCount("semantic_dup"),
       contaminated = stageCount("decontaminate"),
       curated = curated.count(),
+      distillWeights = weights,
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
@@ -259,7 +317,9 @@ object CurateCli {
       "contaminated" -> JInt(s.contaminated),
       "curated" -> JInt(s.curated),
       "splits" -> JObj(s.splits.toSeq.sorted.map {
-        case (k, v) => k -> (JInt(v): JValue) })))))
+        case (k, v) => k -> (JInt(v): JValue) }))
+      ++ s.distillWeights.map(w =>
+        "distill_weights" -> (JArr(w.map(JDouble(_))): JValue)))))
     spark.stop()
   }
 }

@@ -181,6 +181,48 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("CurateCli --distill --chunk-len: scores + chunk manifests compose") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("e2e-distill")
+      .toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--distill", "--chunk-len=256")))
+    // the distilled model: 4 weights in the summary, one score per
+    // non-empty input doc, every score a valid e6 probability
+    assert(s.distillWeights.exists(_.size == 4))
+    val scores = spark.read.parquet(s"$out/scores")
+    assert(scores.count() == s.input,
+      "this corpus has no zero-token docs — every doc scores")
+    assert(scores.filter(col("score_e6") < 0 ||
+      col("score_e6") > 1000000L).count() == 0)
+    // chunk manifests: one per split, row-complete, and the virtual
+    // stream is gapless — offsets cumulate exactly in (shard, doc_id)
+    // order
+    val curated = spark.read.parquet(s"$out/curated")
+    s.splits.foreach { case (sp, n) =>
+      val ch = spark.read.parquet(s"$out/chunks/$sp")
+      assert(ch.count() == n, s"split $sp manifest rows")
+      val rows = ch.join(curated.filter(col("split") === sp)
+          .select(col("doc_id"), col("shard")), "doc_id")
+        .select("shard", "doc_id", "n_tokens", "offset", "chunk_first",
+          "chunk_last")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2))
+      var expect = 0L
+      rows.foreach { case (_, id, nTok, off, cf, cl) =>
+        assert(off == expect, s"doc $id offset")
+        assert(cf == off / 256, s"doc $id chunk_first")
+        assert(cl == (if (nTok > 0) (off + nTok - 1) / 256 else off / 256),
+          s"doc $id chunk_last")
+        expect += nTok
+      }
+    }
+  }
+
   test("CurateCli --semantic: embeddings sidecar drops semantic dups, accounting closes") {
     import graft.cli.CurateCli
     val out = java.nio.file.Files.createTempDirectory("e2e-sem").toString

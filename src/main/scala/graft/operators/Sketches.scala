@@ -97,6 +97,23 @@ object Sketches {
     if (kmv.length < k) kmv.length.toDouble
     else (k - 1).toDouble * HashSpace / kmv(k - 1).toDouble
 
+  /** One-pass Misra-Gries heavy-hitter summary over a string key
+    * column ([[graft.functions.MisraGries]]): ≤ `k` (key, est)
+    * counters, collected to the driver — bounded state, guarantee
+    * verdicts in the Scaladoc there. The CMS complement: CMS
+    * over-counts and needs the probe keys up front; MG under-counts
+    * and SURFACES the heavy keys itself. */
+  def heavyHitterSummary(df: DataFrame, keyCol: String,
+      k: Int): Array[(String, Long)] = {
+    import org.apache.spark.sql.GraftColumns
+    df.select(GraftColumns.column(
+        graft.functions.MisraGries(
+          GraftColumns.expression(col(keyCol)), k)
+          .toAggregateExpression()).as("mg"))
+      .first().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toArray
+  }
+
   /** Intersection estimate from two KMV sketches: the k smallest of
     * the merged hash sets are an unbiased sample of the UNION, the
     * fraction present in both sketches estimates the Jaccard, and

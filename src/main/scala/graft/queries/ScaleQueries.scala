@@ -536,6 +536,36 @@ object ScaleQueries {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // SK4 — Misra-Gries heavy hitters on the envelope pattern: for
+    // the exact top-20 tokens, the summary may only UNDER-count
+    // (le_exact), by at most floor(N/(k+1)) (within_bound), and any
+    // token exceeding that bound must be present (survives_ok) —
+    // k = 8 over a 31-token vocabulary so the decrement and
+    // merge-prune paths both run hot. must_survive is data-derived
+    // and the oracle recomputes it exactly; the verdicts are
+    // guaranteed under any partitioning, which is what makes an
+    // order-dependent summary oracle-checkable.
+    "sk4_mg_envelope" -> ((s, d) => {
+      import s.implicits._
+      val k = 8
+      val toks = Tables.documents(s, d).select(
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val mg = Sketches.heavyHitterSummary(toks, "tok", k).toMap
+      val n = toks.count()
+      val bound = n / (k + 1)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (t, c) =>
+        val est = mg.getOrElse(t, 0L)
+        val mustSurvive = c > bound
+        (t, c, mustSurvive, est <= c, c - est <= bound,
+          !mustSurvive || mg.contains(t))
+      }.toDF("token", "exact_n", "must_survive", "le_exact",
+          "within_bound", "survives_ok")
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     // ---- corpus curation ----
     "x1_stratified_sample" -> ((s, d) => {
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
@@ -1792,6 +1822,19 @@ object ScaleQueries {
         |SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_n,
         |  TRUE AS ge_exact, TRUE AS within_eps
         |FROM toks GROUP BY tok
+        |ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
+
+    // sk4: exact top-20 + the recomputed must_survive cut; the three
+    // guarantee verdicts are literal TRUE — the envelope convention
+    "sk4_mg_envelope" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        |SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_n,
+        |  count(*) > nn.n // 9 AS must_survive,
+        |  TRUE AS le_exact, TRUE AS within_bound, TRUE AS survives_ok
+        |FROM toks CROSS JOIN nn GROUP BY tok, nn.n
         |ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
   )
 

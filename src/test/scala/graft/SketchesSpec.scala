@@ -92,4 +92,55 @@ class SketchesSpec extends AnyFunSuite {
     assert(sk3.nonEmpty)
     assert(sk3.forall(_.getAs[Boolean]("within_envelope")))
   }
+
+  test("Misra-Gries: exact when the key space fits in k counters") {
+    import spark.implicits._
+    val rows = Seq("a", "a", "b", "a", "c", "b").toDF("tok")
+      .repartition(3)
+    val mg = Sketches.heavyHitterSummary(rows, "tok", k = 8).toMap
+    assert(mg == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("Misra-Gries: hand-traced decrement path in one partition") {
+    import spark.implicits._
+    // k=2, stream a a a b c d: c hits a full table (a:3 b:1 → a:2,
+    // b drops), d inserts → {a:2, d:1}
+    val rows = Seq("a", "a", "a", "b", "c", "d").toDF("tok").coalesce(1)
+    val mg = Sketches.heavyHitterSummary(rows, "tok", k = 2).toMap
+    assert(mg == Map("a" -> 2L, "d" -> 1L))
+  }
+
+  test("Misra-Gries: guarantees hold on planted Zipf across partitionings") {
+    import spark.implicits._
+    val rnd = new java.util.Random(5)
+    // 200 distinct keys, heavy head: key i appears ~ 4000/i times
+    val items = (1 to 200).flatMap(i =>
+      Seq.fill(math.max(1, 4000 / i))(s"k$i"))
+    val shuffled = rnd.ints(items.size, 0, items.size).toArray
+      .zip(items).sortBy(_._1).map(_._2)
+    val n = items.size.toLong
+    val exact = items.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    for (parts <- Seq(1, 7, 32); k <- Seq(16, 64)) {
+      val mg = Sketches.heavyHitterSummary(
+        shuffled.toSeq.toDF("tok").repartition(parts), "tok", k).toMap
+      val bound = n / (k + 1)
+      exact.foreach { case (t, c) =>
+        val est = mg.getOrElse(t, 0L)
+        assert(est <= c, s"parts=$parts k=$k $t over-counts")
+        assert(c - est <= bound,
+          s"parts=$parts k=$k $t undercount ${c - est} > $bound")
+        if (c > bound)
+          assert(mg.contains(t), s"parts=$parts k=$k heavy $t missing")
+      }
+      assert(mg.size <= k)
+    }
+  }
+
+  test("Misra-Gries: the sk4 oracle row's verdicts all hold") {
+    val sk4 = SparkEntry.queries("sk4_mg_envelope")(spark, sf).collect()
+    assert(sk4.nonEmpty)
+    assert(sk4.forall(r => r.getAs[Boolean]("le_exact") &&
+      r.getAs[Boolean]("within_bound") && r.getAs[Boolean]("survives_ok")))
+  }
 }

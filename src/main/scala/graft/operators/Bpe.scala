@@ -121,4 +121,30 @@ object Bpe {
     }
     df.withColumn("tokens", flatten(encoded))
   }
+
+  /** Corpus token-frequency table under a trained merge list — the
+    * unigram statistics tokenizer evaluation reads (coverage,
+    * fertility, dead vocab entries). Vocabulary-bounded like
+    * [[bpeMerges]]: ONE corpus scan collapses to the (word, count)
+    * table, the merge folds and the token explode run on those V rows
+    * weighted by count — the corpus text is never re-touched.
+    * @return (token, n) — n the corpus-weighted occurrence count. */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(explode(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val syms0 = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val syms = merges.foldLeft(syms0) { case (cur, (l, r)) =>
+      aggregate(cur, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    }
+    words.select(col("c"), explode(syms).as("token"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+  }
 }

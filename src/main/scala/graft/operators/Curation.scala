@@ -976,6 +976,45 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** Population-stability-index drift monitor between two corpus
+    * slices (the standard credit-scoring PSI applied to pipeline
+    * telemetry: did this week's ingest move the length / quality /
+    * score distribution?). Inputs carry a precomputed integer
+    * `bucketCol` in [0, nBuckets); output is one row per bucket with
+    * both counts and the PSI term
+    * (p − q)·ln(p/q), p/q Laplace-smoothed as (c+1)/(n+B) so empty
+    * buckets are defined and the formula is one fixed operand order
+    * both engines share. Σ psi over buckets is the headline number
+    * (< 0.1 stable, > 0.25 investigate — the industry rule of thumb).
+    *
+    * Scale shape: one partial-aggregated groupBy per slice (B-row
+    * outputs), a broadcast join against the static bucket spine, and
+    * two driver-side counts — nothing corpus-sized ever shuffles. */
+  def driftPsi(ref: DataFrame, cur: DataFrame, bucketCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "need nBuckets > 0")
+    val spark = ref.sparkSession
+    val refTotal = ref.count().toDouble
+    val curTotal = cur.count().toDouble
+    require(refTotal > 0 && curTotal > 0, "both slices must be non-empty")
+    val rc = ref.groupBy(col(bucketCol).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("ref_n"))
+    val cc = cur.groupBy(col(bucketCol).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cur_n"))
+    val spine = spark.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val q = (coalesce(col("ref_n"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(refTotal + nBuckets)
+    val p = (coalesce(col("cur_n"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(curTotal + nBuckets)
+    spine.join(rc, Seq("bucket"), "left")
+      .join(cc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+        ((p - q) * log(p / q)).as("psi"))
+  }
+
   /** Concat-and-chunk layout (the GPT-style pretraining layout:
     * concatenate every document's token stream in a fixed global
     * order, then cut into `seqLen`-token training sequences).

@@ -566,6 +566,28 @@ object ScaleQueries {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // X16 — PSI drift between the even- and odd-id corpus halves over
+    // token-count buckets (div 100, capped at 9): per-bucket counts
+    // plus the Laplace-smoothed (p−q)ln(p/q) term, e9-cut. The halves
+    // of one corpus are near-identical, so the terms hover at zero —
+    // the spec plants real drift to prove the monitor moves.
+    "x16_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucketed = docs.select(col("doc_id"),
+        least(expr(
+          "size(filter(split(trim(text), '\\\\s+'), w -> w != '')) div 100"),
+          lit(9)).cast("int").as("bucket"))
+      Curation.driftPsi(
+          bucketed.filter(col("doc_id") % 2 === 0),
+          bucketed.filter(col("doc_id") % 2 === 1),
+          "bucket", nBuckets = 10)
+        .select(col("bucket"), col("ref_n"), col("cur_n"),
+          (col("psi").cast("decimal(24,9)") *
+            lit(1000000000L).cast("decimal(10,0)")).cast("bigint")
+            .as("psi_e9"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- corpus curation ----
     "x1_stratified_sample" -> ((s, d) => {
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
@@ -903,6 +925,19 @@ object ScaleQueries {
           size(col("tokens")).cast("bigint").as("n_tokens"),
           md5(array_join(col("tokens"), " ")).as("tok_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // B3 — tokenizer unigram stats: token frequencies under the
+    // trained merges, computed on the weighted word table (the corpus
+    // is scanned once; every fold and explode runs on V rows). Top-50
+    // by (n DESC, token) bounds the output.
+    "b3_token_freq" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.bpeMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenFrequencies(docs, "text", merges)
+        .orderBy(col("n").desc, col("token")).limit(50)
     }),
 
     // LR1 — quality-classifier distillation: heuristic labels (length
@@ -1725,6 +1760,10 @@ object ScaleQueries {
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
     "b2_bpe_encode" -> bpeEncodeSql,
+    "b3_token_freq" -> s"""WITH $bpeRoundsCtes,
+       |t AS (SELECT unnest(syms) AS token, c FROM s4)
+       |SELECT token, CAST(sum(c) AS BIGINT) AS n FROM t
+       |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "lr1_quality_lr" -> logRegSql,
     "s10_pca_project" -> pcaSql,
     "s11_pca_residual" -> pcaResidualSql,
@@ -2394,6 +2433,37 @@ object ScaleQueries {
         |WHERE CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8)
         |        AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // x16: both halves re-bucketed, Laplace-smoothed fractions, the
+    // identical (p−q)·ln(p/q) operand order, e9 cut
+    "x16_drift_psi" ->
+      """WITH b0 AS (
+        |  SELECT doc_id,
+        |    least(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '')) // 100, 9) AS bucket
+        |  FROM documents),
+        |r AS (SELECT bucket FROM b0 WHERE doc_id % 2 = 0),
+        |c AS (SELECT bucket FROM b0 WHERE doc_id % 2 = 1),
+        |rt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+        |ct AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+        |sp AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ref_n
+        |       FROM r GROUP BY 1),
+        |cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cur_n
+        |       FROM c GROUP BY 1)
+        |SELECT sp.bucket,
+        |  coalesce(rc.ref_n, 0) AS ref_n,
+        |  coalesce(cc.cur_n, 0) AS cur_n,
+        |  CAST(CAST(
+        |    ((CAST(coalesce(cc.cur_n, 0) AS DOUBLE) + 1.0)/(ct.n + 10.0)
+        |     - (CAST(coalesce(rc.ref_n, 0) AS DOUBLE) + 1.0)/(rt.n + 10.0))
+        |    * ln(((CAST(coalesce(cc.cur_n, 0) AS DOUBLE) + 1.0)/(ct.n + 10.0))
+        |       / ((CAST(coalesce(rc.ref_n, 0) AS DOUBLE) + 1.0)/(rt.n + 10.0)))
+        |    AS DECIMAL(24,9)) * CAST(1000000000 AS DECIMAL(10,0))
+        |    AS BIGINT) AS psi_e9
+        |FROM sp LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)
+        |CROSS JOIN rt CROSS JOIN ct
+        |ORDER BY sp.bucket""".stripMargin,
 
     // x15: the bucket decomposition is an implementation detail — the
     // oracle computes the same offsets with ONE plain ordered cumsum.

@@ -80,6 +80,23 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.nonEmpty && merges.size == 4)
   }
 
+  test("tokenFrequencies == the definitional encode-then-count") {
+    import spark.implicits._
+    val corpus = Seq("abab abab ab cd", "abab dd cd cd", "e abab")
+      .toDF("text").repartition(2)
+    val merges = Bpe.bpeMerges(corpus, "text", 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val fast = Bpe.tokenFrequencies(corpus, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slow = Bpe.bpeEncode(corpus, "text", merges)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("tokens")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fast == slow && fast.nonEmpty)
+  }
+
   test("bpeEncode: empty and whitespace-only text yields zero tokens") {
     import spark.implicits._
     val got = Bpe.bpeEncode(Seq("", "   ", "ab").toDF("text"), "text",

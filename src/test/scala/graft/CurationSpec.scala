@@ -761,6 +761,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- PSI drift monitor (x16) ----
+
+  test("driftPsi: exactly zero on identical slices, fires on planted drift") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i => i % 10).toDF("bucket")
+    val same = graft.operators.Curation.driftPsi(base, base,
+        "bucket", 10)
+      .collect().map(_.getAs[Double]("psi"))
+    // identical counts and totals → p == q → every term is exactly 0
+    assert(same.forall(_ == 0.0))
+    // planted drift: the current slice collapses onto buckets 0-1
+    val drifted = (0 until 1000).map(i => i % 2).toDF("bucket")
+    val moved = graft.operators.Curation.driftPsi(base, drifted,
+        "bucket", 10)
+      .collect().map(_.getAs[Double]("psi")).sum
+    assert(moved > 0.25, s"PSI must cross the investigate line: $moved")
+    // PSI terms are individually non-negative only in aggregate — but
+    // the total is always >= 0 (Jensen); check the reverse direction too
+    val back = graft.operators.Curation.driftPsi(drifted, base,
+        "bucket", 10)
+      .collect().map(_.getAs[Double]("psi")).sum
+    assert(back > 0.25)
+  }
+
+  test("driftPsi: empty buckets are smoothed, never NaN/Inf") {
+    import spark.implicits._
+    val a = Seq(0, 0, 1).toDF("bucket")
+    val b = Seq(2, 2, 3).toDF("bucket")
+    val rows = graft.operators.Curation.driftPsi(a, b, "bucket", 5)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("psi")
+      assert(!p.isNaN && !p.isInfinite, r.toString)
+    }
+  }
+
   // ---- concat-and-chunk offsets (x15) ----
 
   test("concatChunkOffsets: hand-computed offsets and chunk spans") {

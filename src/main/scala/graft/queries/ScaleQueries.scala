@@ -566,6 +566,40 @@ object ScaleQueries {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // SK5 — approximate quantiles (Spark's Greenwald-Khanna summary)
+    // on the envelope pattern, completing the classic sketch set
+    // (HLL, CMS, KMV, MG, quantiles). The GK guarantee: the returned
+    // element's rank is within ±n/accuracy of the target rank, under
+    // any partial-merge order — so the row carries the exact
+    // ceil(q·n)-rank quantile (recomputed by the oracle) plus the
+    // rank-window verdict, never the order-dependent estimate itself.
+    "sk5_quantile_envelope" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.documents(s, d).select(
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+          .cast("long").as("v"))
+      val n = counts.count()
+      val acc = 1000
+      val qs = Seq(0.25, 0.5, 0.75)
+      val ests = counts.agg(percentile_approx(col("v"),
+          array(qs.map(lit): _*), lit(acc)).as("e"))
+        .first().getSeq[Long](0)
+      qs.zip(ests).map { case (q, est) =>
+        // the estimate's exact rank range in the sorted multiset
+        val below = counts.filter(col("v") < est).count()
+        val upto = counts.filter(col("v") <= est).count()
+        val target = q * n
+        val eps = n.toDouble / acc
+        val ok = (below + 1).toDouble <= target + eps &&
+          upto.toDouble >= target - eps
+        val k = math.max(1L, math.ceil(q * n).toLong)
+        val exactV = counts.orderBy(col("v")).limit(k.toInt)
+          .agg(max(col("v"))).first().getLong(0)
+        ((q * 100).toInt, exactV, ok)
+      }.toDF("q_pct", "exact_v", "within_rank_eps")
+        .orderBy(col("q_pct"))
+    }),
+
     // X16 — PSI drift between the even- and odd-id corpus halves over
     // token-count buckets (div 100, capped at 9): per-bucket counts
     // plus the Laplace-smoothed (p−q)ln(p/q) term, e9-cut. The halves
@@ -2433,6 +2467,22 @@ object ScaleQueries {
         |WHERE CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8)
         |        AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // sk5: exact ceil(q·n)-rank quantiles + literal TRUE verdicts
+    "sk5_quantile_envelope" ->
+      """WITH c AS (
+        |  SELECT CAST(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
+        |    AS BIGINT) AS v
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c),
+        |q AS (SELECT unnest([25, 50, 75]) AS q_pct)
+        |SELECT q.q_pct, r.v AS exact_v, TRUE AS within_rank_eps
+        |FROM q CROSS JOIN nn
+        |JOIN r ON r.rk = greatest(CAST(ceil(q.q_pct / 100.0 * nn.n)
+        |  AS BIGINT), 1)
+        |ORDER BY q.q_pct""".stripMargin,
 
     // x16: both halves re-bucketed, Laplace-smoothed fractions, the
     // identical (p−q)·ln(p/q) operand order, e9 cut

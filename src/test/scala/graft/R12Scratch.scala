@@ -193,6 +193,52 @@ object R12Scratch {
             .cast("bigint")).first().getLong(0)
         }
 
+      case "r12c" =>
+        // decade rows for the third round-12 operator batch
+        import graft.operators.{Bpe, Curation, Sketches, Similarity}
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        def m(name: String)(body: => Long): Unit = {
+          var rows = 0L
+          val t = minOf(2) { rows = body }
+          println(f"$name $d wall(min of 2)=$t%.2f s rows=$rows")
+        }
+        m("s11_pca_residual") {
+          Similarity.pcaResidual(Tables.embeddings(spark, d), "vec_id",
+              "embedding")
+            .agg(sum(col("proj")) + sum(col("rnorm"))).first()
+          Tables.embeddings(spark, d).count()
+        }
+        m("sk4_mg") {
+          val toks = docs.select(explode(
+            split(trim(col("text")), "\\s+")).as("tok"))
+          Sketches.heavyHitterSummary(toks, "tok", 8).length.toLong
+        }
+        m("sk5_quantiles") {
+          val counts = docs.select(
+            size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
+          counts.agg(percentile_approx(col("v"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)))
+            .first().getSeq[Long](0).sum
+        }
+        m("x16_drift_psi") {
+          val b = docs.select(col("doc_id"),
+            least(expr(
+              "size(split(trim(text), '\\\\s+')) div 100"),
+              lit(9)).cast("int").as("bucket"))
+          Curation.driftPsi(b.filter(col("doc_id") % 2 === 0),
+              b.filter(col("doc_id") % 2 === 1), "bucket", 10)
+            .agg(sum(col("psi") * lit(1e9)).cast("bigint"))
+            .first().getLong(0)
+        }
+        m("b3_token_freq") {
+          val merges = Bpe.bpeMerges(docs, "text", 4)
+            .orderBy("rank").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          Bpe.tokenFrequencies(docs, "text", merges)
+            .agg(sum(col("n"))).first().getLong(0)
+        }
+
       case "s10" =>
         val e = Tables.embeddings(spark, d)
         println(s"CORPUS $d n=${e.count()}")

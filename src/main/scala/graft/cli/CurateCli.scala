@@ -247,12 +247,16 @@ object CurateCli {
         import graft.operators.LogReg
         val t = coalesce(col("text"), lit(""))
         val (f1, f2, f3) = LogReg.qualityFeatures(t, length(t))
-        val verdict = Curation.qualityFilter(docs, "doc_id", "text",
-            minWords = args.minWords)
-          .select(col("doc_id"), col("keep"))
-        val feats = docs.join(verdict, "doc_id")
+        // the stage-1 verdicts are already materialized in the audit
+        // frame — an anti-join against its quality drops beats
+        // re-running the regex-heavy rule pass over the full corpus
+        val qualityDrops = dropped
+          .filter(col("stage") === "quality").select(col("doc_id"))
+        val feats = docs
+          .join(qualityDrops.withColumn("q_drop", lit(true)),
+            Seq("doc_id"), "left")
           .select(col("doc_id"), f1.as("f1"), f2.as("f2"), f3.as("f3"),
-            col("keep").cast("double").as("y"))
+            col("q_drop").isNull.cast("double").as("y"))
           .filter(col("f1") > 0.0) // zero-token rows have NaN features
         val fs = Seq("f1", "f2", "f3")
         val w = LogReg.train(feats, "y", fs)

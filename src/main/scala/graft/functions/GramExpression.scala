@@ -53,6 +53,10 @@ case class GramSum(
 
   override def createAggregationBuffer(): Array[Double] = new Array[Double](len)
 
+  /** constant of the expression — hoisted out of the per-row loop */
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v != null) {
@@ -60,9 +64,12 @@ case class GramSum(
       require(arr.numElements() == dim,
         s"gram_sum(dim=$dim) got a ${arr.numElements()}-dim vector")
       val x = new Array[Double](dim)
-      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
       var i = 0
       while (i < dim) {
+        // a silent 0.0 for a null slot would corrupt every moment —
+        // fail loudly instead
+        require(!arr.isNullAt(i),
+          s"gram_sum: null element at index $i — clean the vectors first")
         x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }

@@ -994,13 +994,21 @@ object Curation {
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "need nBuckets > 0")
     val spark = ref.sparkSession
-    val refTotal = ref.count().toDouble
-    val curTotal = cur.count().toDouble
+    // enforce the precondition instead of assuming it: rows whose
+    // bucket is null or outside [0, nBuckets) would inflate the
+    // totals while joining to no bucket row, silently deflating every
+    // p/q — drop them from BOTH the counts and the totals
+    def inRange(df: DataFrame): DataFrame = df
+      .select(col(bucketCol).cast("int").as("bucket"))
+      .filter(col("bucket").isNotNull && col("bucket") >= 0 &&
+        col("bucket") < nBuckets)
+    val r = inRange(ref)
+    val c = inRange(cur)
+    val refTotal = r.count().toDouble
+    val curTotal = c.count().toDouble
     require(refTotal > 0 && curTotal > 0, "both slices must be non-empty")
-    val rc = ref.groupBy(col(bucketCol).cast("int").as("bucket"))
-      .agg(count(lit(1)).as("ref_n"))
-    val cc = cur.groupBy(col(bucketCol).cast("int").as("bucket"))
-      .agg(count(lit(1)).as("cur_n"))
+    val rc = r.groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
+    val cc = c.groupBy(col("bucket")).agg(count(lit(1)).as("cur_n"))
     val spine = spark.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
     val q = (coalesce(col("ref_n"), lit(0L)).cast("double") + lit(1.0)) /

@@ -60,20 +60,21 @@ object LogReg {
     // cache: `rounds` passes re-read this frame; at corpus scale the
     // caller hands in a sampled slice so this is executor-memory-sized
     x.cache()
-    val n = x.count().toDouble
-    require(n > 0, "training frame is empty")
-    var w = Array.fill(featureCols.size + 1)(0.0)
-    for (_ <- 1 to rounds) {
-      val p = sigmoid(logit(w, featureCols))
-      val gradCols = sum(p - col("y")).as("g0") +:
-        featureCols.zipWithIndex.map { case (f, i) =>
-          sum((p - col("y")) * col(f)).as(s"g${i + 1}") }
-      val g = x.agg(gradCols.head, gradCols.tail: _*).first()
-      w = Array.tabulate(w.length)(j =>
-        w(j) - eta * (g.getDouble(j) / n + lambda * w(j)))
-    }
-    x.unpersist()
-    w
+    try {
+      val n = x.count().toDouble
+      require(n > 0, "training frame is empty")
+      var w = Array.fill(featureCols.size + 1)(0.0)
+      for (_ <- 1 to rounds) {
+        val p = sigmoid(logit(w, featureCols))
+        val gradCols = sum(p - col("y")).as("g0") +:
+          featureCols.zipWithIndex.map { case (f, i) =>
+            sum((p - col("y")) * col(f)).as(s"g${i + 1}") }
+        val g = x.agg(gradCols.head, gradCols.tail: _*).first()
+        w = Array.tabulate(w.length)(j =>
+          w(j) - eta * (g.getDouble(j) / n + lambda * w(j)))
+      }
+      w
+    } finally x.unpersist()
   }
 
   /** σ(w·x) as a column — a narrow zero-shuffle projection over the

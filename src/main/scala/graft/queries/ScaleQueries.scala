@@ -584,17 +584,27 @@ object ScaleQueries {
       val ests = counts.agg(percentile_approx(col("v"),
           array(qs.map(lit): _*), lit(acc)).as("e"))
         .first().getSeq[Long](0)
+      // exact rank→value via the distinct-value histogram: one
+      // partial-aggregated groupBy (the frame is |distinct lengths|
+      // rows), cumulated on the driver — no corpus-sized TakeOrdered,
+      // no int-bounded limit(k)
+      val hist = counts.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .orderBy(col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def valueAtRank(k: Long): Long = {
+        var cum = 0L
+        hist.find { case (_, c) => cum += c; cum >= k }
+          .map(_._1).getOrElse(hist.last._1)
+      }
       qs.zip(ests).map { case (q, est) =>
         // the estimate's exact rank range in the sorted multiset
-        val below = counts.filter(col("v") < est).count()
-        val upto = counts.filter(col("v") <= est).count()
+        val below = hist.takeWhile(_._1 < est).map(_._2).sum
+        val upto = hist.takeWhile(_._1 <= est).map(_._2).sum
         val target = q * n
         val eps = n.toDouble / acc
         val ok = (below + 1).toDouble <= target + eps &&
           upto.toDouble >= target - eps
-        val k = math.max(1L, math.ceil(q * n).toLong)
-        val exactV = counts.orderBy(col("v")).limit(k.toInt)
-          .agg(max(col("v"))).first().getLong(0)
+        val exactV = valueAtRank(math.max(1L, math.ceil(q * n).toLong))
         ((q * 100).toInt, exactV, ok)
       }.toDF("q_pct", "exact_v", "within_rank_eps")
         .orderBy(col("q_pct"))
@@ -2137,7 +2147,10 @@ object ScaleQueries {
 
   /** b2: the same four training rounds, then every document's words
     * (in position order) joined to the final s4 symbol table; the
-    * token stream's md5 pins merge boundaries document-by-document. */
+    * token stream's md5 pins merge boundaries document-by-document.
+    * The final LEFT JOIN from `documents` keeps zero-token documents
+    * (empty/whitespace-only text) in the result exactly as the Spark
+    * side emits them: n_tokens 0, md5 of the empty string. */
   private lazy val bpeEncodeSql: String =
     s"""WITH $bpeRoundsCtes,
        |docw AS (
@@ -2149,11 +2162,16 @@ object ScaleQueries {
        |    FROM documents)
        |  WHERE w <> ''),
        |enc AS (
-       |  SELECT d.doc_id, d.i, s.syms FROM docw d JOIN s4 s ON d.w = s.w)
-       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
-       |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY i))
-       |    AS tok_md5
-       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  SELECT d.doc_id, d.i, s.syms FROM docw d JOIN s4 s ON d.w = s.w),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY i))
+       |      AS tok_md5
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.tok_md5, md5('')) AS tok_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** g2: [[pagerankSql]] with the per-round dangling-mass recycle —
     * dm over the previous round's dangling nodes, added to the

@@ -785,6 +785,21 @@ class CurationSpec extends AnyFunSuite {
     assert(back > 0.25)
   }
 
+  test("driftPsi: out-of-range and null buckets are excluded from totals") {
+    import spark.implicits._
+    val clean = (0 until 100).map(i => i % 5).toDF("bucket")
+    val noisy = ((0 until 100).map(i => i % 5) ++ Seq(12, 12, -3))
+      .toDF("bucket")
+    val a = graft.operators.Curation.driftPsi(clean, clean, "bucket", 5)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("psi")).toMap
+    val b = graft.operators.Curation.driftPsi(noisy, clean, "bucket", 5)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("psi")).toMap
+    // stray rows outside [0, nBuckets) must not inflate the totals —
+    // with them excluded the two runs are identical (all-zero terms)
+    assert(a == b)
+    assert(a.values.forall(_ == 0.0))
+  }
+
   test("driftPsi: empty buckets are smoothed, never NaN/Inf") {
     import spark.implicits._
     val a = Seq(0, 0, 1).toDF("bucket")

@@ -40,6 +40,25 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("GramSum: a null vector element fails loudly, not as silent 0") {
+    import org.apache.spark.sql.GraftColumns
+    import spark.implicits._
+    val df = Seq(Seq[java.lang.Float](1f, null, 3f))
+      .toDF("embedding")
+    val e = intercept[Exception] {
+      df.select(GraftColumns.column(
+        graft.functions.GramSum(
+          GraftColumns.expression(col("embedding")), 3)
+          .toAggregateExpression()))
+        .first()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("null element")), e.toString)
+  }
+
   test("pcaTopComponent: recovers a planted dominant direction") {
     val dim = 64
     val rnd = new java.util.Random(7)

@@ -976,6 +976,56 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** DSIR importance scores (Xie et al. 2023, NeurIPS — "Data
+    * Selection for Language Models via Importance Resampling",
+    * public): score every raw document by how target-like its hashed
+    * n-gram feature distribution is, log w(x) = Σ_b c_x(b)·ln(p_b/q_b)
+    * with p/q the Laplace-smoothed target/raw bucket frequencies —
+    * the principled replacement for binary quality gates when a small
+    * high-quality target corpus defines "good".
+    *
+    * Scale shape: two corpus passes collapse each side to a ≤`buckets`
+    * -row frequency table (hashed-unigram groupBy, partial-aggregated
+    * — the md5 bucket hash is the engine-shared [[Dedup.tokenHash32]]
+    * so the oracle replays the bucketing literally); the log-ratio
+    * table is B rows, broadcast; scoring is (doc, bucket) partial
+    * aggregation + one broadcast join + a doc-keyed sum. Nothing
+    * wider than 8-byte keys shuffles; the model is O(B) driver state
+    * like every weight vector here.
+    *
+    * @return (idCol, n_tok, logw) for every raw document with ≥1
+    *         token — logw > 0 reads "more target-like than raw". */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "need buckets > 0")
+    val spark = raw.sparkSession
+    def toks(df: DataFrame, cols: Column*): DataFrame = df.select(
+      (cols :+ explode(filter(split(trim(col(textCol)), "\\s+"),
+        w => w =!= "")).as("tok")): _*)
+    def bucketed(df: DataFrame, cols: Column*): DataFrame =
+      toks(df, cols: _*).withColumn("b",
+        Dedup.tokenHash32(col("tok")) % buckets).drop("tok")
+    val tc = bucketed(target).groupBy(col("b"))
+      .agg(count(lit(1)).as("tc"))
+    val rc = bucketed(raw).groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"))
+    val tTot = tc.agg(sum(col("tc"))).first().getLong(0).toDouble
+    val rTot = rc.agg(sum(col("rc"))).first().getLong(0).toDouble
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val p = (coalesce(col("tc"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(tTot + buckets)
+    val q = (coalesce(col("rc"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(rTot + buckets)
+    val ratio = spine.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .select(col("b"), log(p / q).as("lr"))
+    bucketed(raw, col(idCol)).groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("bigint").as("n_tok"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
+  }
+
   /** Population-stability-index drift monitor between two corpus
     * slices (the standard credit-scoring PSI applied to pipeline
     * telemetry: did this week's ingest move the length / quality /

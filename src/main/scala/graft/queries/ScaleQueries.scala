@@ -566,6 +566,25 @@ object ScaleQueries {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // DS1 — DSIR importance scores: the doc_id%7=0 slice plays the
+    // high-quality target; every raw doc gets Σ c_b·ln(p_b/q_b) over
+    // 256 md5-hashed unigram buckets (the engine-shared tokenHash32,
+    // so the oracle replays the bucketing literally). target_like is
+    // derived from the e6-CUT score on both sides, so the boundary
+    // decision can never split engines.
+    "ds1_dsir_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = (col("logw").cast("decimal(24,6)") *
+        lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+      Curation.dsirScores(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tok"), cut.as("logw_e6"),
+          (cut >= 0L).as("target_like"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SK5 — approximate quantiles (Spark's Greenwald-Khanna summary)
     // on the envelope pattern, completing the classic sketch set
     // (HLL, CMS, KMV, MG, quantiles). The GK guarantee: the returned
@@ -2485,6 +2504,47 @@ object ScaleQueries {
         |WHERE CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8)
         |        AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // ds1: the same smoothed bucket-frequency log-ratios over the
+    // identical md5 bucketing, per-doc weighted sum, e6 cut
+    "ds1_dsir_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
+        |    AS tok
+        |  FROM documents),
+        |tgt AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+        |          % 256 AS b FROM t WHERE doc_id % 7 = 0),
+        |rawb AS (SELECT doc_id,
+        |          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+        |          % 256 AS b FROM t WHERE doc_id % 7 <> 0),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+        |       FROM tgt GROUP BY 1),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
+        |       FROM rawb GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) AS n FROM tc),
+        |rt AS (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) AS n FROM rc),
+        |sp AS (SELECT unnest(range(0, 256)) AS b),
+        |ratio AS (
+        |  SELECT sp.b,
+        |    ln(((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0)/(tt.n + 256.0))
+        |     / ((CAST(coalesce(rc.rc, 0) AS DOUBLE) + 1.0)/(rt.n + 256.0)))
+        |      AS lr
+        |  FROM sp LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |       FROM rawb GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    sum(CAST(c AS DOUBLE) * lr) AS logw
+        |  FROM db JOIN ratio USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  CAST(CAST(logw AS DECIMAL(24,6))
+        |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS logw_e6,
+        |  CAST(CAST(logw AS DECIMAL(24,6))
+        |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) >= 0
+        |    AS target_like
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // sk5: exact ceil(q·n)-rank quantiles + literal TRUE verdicts
     "sk5_quantile_envelope" ->

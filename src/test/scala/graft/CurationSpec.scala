@@ -761,6 +761,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- DSIR importance scores (ds1) ----
+
+  test("dsirScores: zero when target IS the raw distribution, ranks planted affinity") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i => (i.toLong,
+      if (i % 2 == 0) "alpha beta gamma delta"
+      else "omega psi chi phi")).toDF("doc_id", "text")
+    // target == raw → p_b == q_b for every bucket → every lr and
+    // every score is exactly 0
+    val self = graft.operators.Curation.dsirScores(docs, docs,
+        "doc_id", "text")
+      .collect().map(_.getAs[Double]("logw"))
+    assert(self.nonEmpty && self.forall(_ == 0.0))
+    // target = only alpha-family docs → alpha docs in raw outrank
+    // omega docs
+    val target = docs.filter(col("doc_id") % 2 === 0)
+    val scored = graft.operators.Curation.dsirScores(docs, target,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+    val alpha = scored.filter(_._1 % 2 == 0).values
+    val omega = scored.filter(_._1 % 2 == 1).values
+    assert(alpha.min > omega.max,
+      s"alpha ${alpha.min} must outrank omega ${omega.max}")
+    assert(alpha.forall(_ > 0) && omega.forall(_ < 0))
+  }
+
+  test("dsirScores: ratio model joins broadcast, token strings never shuffle past the partial agg") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val plan = graft.operators.Curation.dsirScores(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ---- PSI drift monitor (x16) ----
 
   test("driftPsi: exactly zero on identical slices, fires on planted drift") {

@@ -238,6 +238,12 @@ object R12Scratch {
           Bpe.tokenFrequencies(docs, "text", merges)
             .agg(sum(col("n"))).first().getLong(0)
         }
+        m("ds1_dsir_score") {
+          Curation.dsirScores(docs.filter(col("doc_id") % 7 =!= 0),
+              docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+            .agg(sum(col("logw") * lit(1e6)).cast("bigint"))
+            .first().getLong(0)
+        }
 
       case "s10" =>
         val e = Tables.embeddings(spark, d)

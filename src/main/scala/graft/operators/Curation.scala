@@ -1026,6 +1026,23 @@ object Curation {
         sum(col("c").cast("double") * col("lr")).as("logw"))
   }
 
+  /** DSIR resampling epoch: [[dsirScores]] materialized as a
+    * deterministic keep/drop per raw document, acceptance rate
+    * exp(logw − max logw) ≤ 1 (self-normalized importance weights)
+    * against the seeded md5 draw — [[mixtureSample]]'s gate applied
+    * to the importance model, so the epoch is reproducible on any
+    * engine, partitioning, or retry. The max is one extra scalar agg
+    * over the score frame (bounded driver state). */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256,
+      seed: String = "dsir"): DataFrame = {
+    val scores = dsirScores(raw, target, idCol, textCol, buckets)
+    val mx = scores.agg(max(col("logw"))).first().getDouble(0)
+    scores.select(col(idCol), col("n_tok"),
+      (sampleDraw(seed, col(idCol)).cast("double") <
+        exp(col("logw") - lit(mx)) * lit(10000.0)).as("keep"))
+  }
+
   /** Population-stability-index drift monitor between two corpus
     * slices (the standard credit-scoring PSI applied to pipeline
     * telemetry: did this week's ingest move the length / quality /

@@ -585,6 +585,19 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DS2 — ds1 materialized as one deterministic resampled epoch:
+    // acceptance exp(logw − max) against the seeded md5 draw (the x14
+    // gate convention: the draw-vs-rate comparison is the same float
+    // formula on both sides).
+    "ds2_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.dsirResample(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // SK5 — approximate quantiles (Spark's Greenwald-Khanna summary)
     // on the envelope pattern, completing the classic sketch set
     // (HLL, CMS, KMV, MG, quantiles). The GK guarantee: the returned
@@ -1978,6 +1991,41 @@ object ScaleQueries {
     * rounds (matvec + L2 normalize as list ops, ascending index order
     * — the same recipe the Scala driver runs) → centered projection,
     * e6-cut. */
+  /** Shared ds1/ds2 oracle prefix: tokenize, md5-bucket both slices,
+    * smoothed frequency tables, the B-row log-ratio model, and the
+    * per-doc weighted score frame `sc` (doc_id, n_tok, logw). */
+  private lazy val dsirCtes: String =
+    """t AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
+      |    AS tok
+      |  FROM documents),
+      |tgt AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+      |          % 256 AS b FROM t WHERE doc_id % 7 = 0),
+      |rawb AS (SELECT doc_id,
+      |          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+      |          % 256 AS b FROM t WHERE doc_id % 7 <> 0),
+      |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+      |       FROM tgt GROUP BY 1),
+      |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
+      |       FROM rawb GROUP BY 1),
+      |tt AS (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) AS n FROM tc),
+      |rt AS (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) AS n FROM rc),
+      |sp AS (SELECT unnest(range(0, 256)) AS b),
+      |ratio AS (
+      |  SELECT sp.b,
+      |    ln(((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0)/(tt.n + 256.0))
+      |     / ((CAST(coalesce(rc.rc, 0) AS DOUBLE) + 1.0)/(rt.n + 256.0)))
+      |      AS lr
+      |  FROM sp LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+      |  CROSS JOIN tt CROSS JOIN rt),
+      |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      |       FROM rawb GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      |    sum(CAST(c AS DOUBLE) * lr) AS logw
+      |  FROM db JOIN ratio USING (b) GROUP BY doc_id)""".stripMargin
+
   /** Shared s10/s11 oracle prefix: moment sums → covariance → the 8
     * unrolled power-iteration rounds (matvec + L2 normalize as list
     * ops, ascending index order — the same recipe the Scala driver
@@ -2508,36 +2556,7 @@ object ScaleQueries {
     // ds1: the same smoothed bucket-frequency log-ratios over the
     // identical md5 bucketing, per-doc weighted sum, e6 cut
     "ds1_dsir_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
-        |    AS tok
-        |  FROM documents),
-        |tgt AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
-        |          % 256 AS b FROM t WHERE doc_id % 7 = 0),
-        |rawb AS (SELECT doc_id,
-        |          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
-        |          % 256 AS b FROM t WHERE doc_id % 7 <> 0),
-        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
-        |       FROM tgt GROUP BY 1),
-        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
-        |       FROM rawb GROUP BY 1),
-        |tt AS (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) AS n FROM tc),
-        |rt AS (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) AS n FROM rc),
-        |sp AS (SELECT unnest(range(0, 256)) AS b),
-        |ratio AS (
-        |  SELECT sp.b,
-        |    ln(((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0)/(tt.n + 256.0))
-        |     / ((CAST(coalesce(rc.rc, 0) AS DOUBLE) + 1.0)/(rt.n + 256.0)))
-        |      AS lr
-        |  FROM sp LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
-        |  CROSS JOIN tt CROSS JOIN rt),
-        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-        |       FROM rawb GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-        |    sum(CAST(c AS DOUBLE) * lr) AS logw
-        |  FROM db JOIN ratio USING (b) GROUP BY doc_id)
+      s"""WITH $dsirCtes
         |SELECT doc_id, n_tok,
         |  CAST(CAST(logw AS DECIMAL(24,6))
         |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS logw_e6,
@@ -2546,7 +2565,19 @@ object ScaleQueries {
         |    AS target_like
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // ds2: ds1's scores, the global max, the exp(logw−max) rate, and
+    // x14's deterministic seeded gate — one shared formula per side
+    "ds2_dsir_resample" ->
+      s"""WITH $dsirCtes,
+        |mx AS (SELECT max(logw) AS m FROM sc)
+        |SELECT sc.doc_id, sc.n_tok,
+        |  CAST(CAST('0x' || substr(md5('dsir:' || sc.doc_id), 1, 8)
+        |      AS BIGINT) % 10000 AS DOUBLE)
+        |    < exp(sc.logw - mx.m) * 10000.0 AS keep
+        |FROM sc CROSS JOIN mx ORDER BY sc.doc_id""".stripMargin,
+
     // sk5: exact ceil(q·n)-rank quantiles + literal TRUE verdicts
+    // (ds1/ds2 share dsirCtes below)
     "sk5_quantile_envelope" ->
       """WITH c AS (
         |  SELECT CAST(len(list_filter(

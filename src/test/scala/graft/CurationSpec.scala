@@ -798,6 +798,28 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dsirResample: the argmax document always survives; acceptance tracks affinity") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong,
+      if (i % 2 == 0) "alpha beta gamma delta epsilon zeta"
+      else "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 2 === 0)
+    val kept = graft.operators.Curation.dsirResample(docs, target,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // every alpha doc has the max score (identical text) → rate 1 →
+    // all survive; omega docs have exp(large negative) → none survive
+    val (alpha, omega) = kept.partition(_._1 % 2 == 0)
+    assert(alpha.values.forall(identity), "rate-1 docs must all survive")
+    assert(omega.values.count(identity) < omega.size / 10,
+      "anti-target docs must almost all drop")
+    // determinism: a second run is identical
+    val again = graft.operators.Curation.dsirResample(docs, target,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == kept)
+  }
+
   // ---- PSI drift monitor (x16) ----
 
   test("driftPsi: exactly zero on identical slices, fires on planted drift") {

@@ -147,4 +147,38 @@ object Bpe {
     words.select(col("c"), explode(syms).as("token"))
       .groupBy(col("token")).agg(sum(col("c")).as("n"))
   }
+
+  /** Per-stratum tokenizer fertility (tokens emitted per word — THE
+    * cross-language tokenizer health metric: a vocabulary trained on
+    * one language fragments the others). Stratified by `byCol`
+    * (language, source, …). Vocabulary-bounded: the (stratum, word)
+    * frequency table is the only corpus-derived frame; the per-word
+    * token lengths are computed once on the distinct-word table and
+    * joined in (word-keyed, combines map-side — never wider than the
+    * stratified vocabulary).
+    * @return (byCol, n_words, n_tokens, fertility = tokens/words) */
+  def fertilityBy(df: DataFrame, textCol: String, byCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val byWord = df.select(col(byCol), explode(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy(col(byCol), col("w")).agg(count(lit(1)).as("c"))
+    val syms0 = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val folded = merges.foldLeft(syms0) { case (cur, (l, r)) =>
+      aggregate(cur, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    }
+    val wordLens = byWord.select(col("w")).distinct()
+      .select(col("w"), size(folded).cast("bigint").as("tl"))
+    byWord.join(wordLens, Seq("w"))
+      .groupBy(col(byCol))
+      .agg(sum(col("c")).cast("bigint").as("n_words"),
+        sum(col("c") * col("tl")).cast("bigint").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
 }

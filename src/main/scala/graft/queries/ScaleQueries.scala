@@ -1016,6 +1016,22 @@ object ScaleQueries {
         .orderBy(col("n").desc, col("token")).limit(50)
     }),
 
+    // B4 — per-language tokenizer fertility under the trained merges:
+    // the cross-language health audit (a vocab trained on one
+    // language fragments the rest). Vocabulary-bounded; e6-cut ratio.
+    "b4_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.bpeMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.fertilityBy(docs, "text", "lang", merges)
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          (col("fertility").cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("fertility_e6"))
+        .orderBy(col("lang"))
+    }),
+
     // LR1 — quality-classifier distillation: heuristic labels (length
     // band + vocabulary-diversity floor) train 3 full-batch GD rounds
     // of L2 logistic regression; every document then carries the
@@ -1840,6 +1856,24 @@ object ScaleQueries {
        |t AS (SELECT unnest(syms) AS token, c FROM s4)
        |SELECT token, CAST(sum(c) AS BIGINT) AS n FROM t
        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // b4: the trained word→symbols table joined back per (lang, word)
+    "b4_fertility" -> s"""WITH $bpeRoundsCtes,
+       |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM s4),
+       |dw AS (
+       |  SELECT lang, unnest(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''))
+       |    AS w
+       |  FROM documents),
+       |g AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+       |      FROM dw GROUP BY 1, 2)
+       |SELECT g.lang, CAST(sum(g.c) AS BIGINT) AS n_words,
+       |  CAST(sum(g.c * wl.tl) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(CAST(sum(g.c * wl.tl) AS DOUBLE)
+       |      / CAST(sum(g.c) AS DOUBLE) AS DECIMAL(24,6))
+       |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS fertility_e6
+       |FROM g JOIN wl ON g.w = wl.w
+       |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
     "lr1_quality_lr" -> logRegSql,
     "s10_pca_project" -> pcaSql,
     "s11_pca_residual" -> pcaResidualSql,

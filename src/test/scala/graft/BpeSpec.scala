@@ -97,6 +97,28 @@ class BpeSpec extends AnyFunSuite {
     assert(fast == slow && fast.nonEmpty)
   }
 
+  test("fertilityBy: in-vocab strata sit near 1, out-of-vocab strata fragment") {
+    import spark.implicits._
+    // train on the 'good' stratum's vocabulary only
+    val docs = Seq(
+      ("good", "abab abab abab abab"),
+      ("good", "abab abab"),
+      ("bad", "xyzw xyzw qrst")).toDF("lang", "text")
+    val merges = Bpe.bpeMerges(
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "good"),
+      "text", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val f = Bpe.fertilityBy(docs, "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // good: 'abab' collapses to one token (merges (a,b),(ab,ab)) →
+    // fertility exactly 1.0 over 6 words
+    assert(f("good") == ((6L, 6L, 1.0)), f.toString)
+    // bad: 4-char words with no applicable merge → 4 tokens per word
+    assert(f("bad")._3 == 4.0, f.toString)
+  }
+
   test("bpeEncode: empty and whitespace-only text yields zero tokens") {
     import spark.implicits._
     val got = Bpe.bpeEncode(Seq("", "   ", "ab").toDF("text"), "text",

@@ -244,6 +244,18 @@ object R12Scratch {
             .agg(sum(col("logw") * lit(1e6)).cast("bigint"))
             .first().getLong(0)
         }
+        m("ds2_dsir_resample") {
+          Curation.dsirResample(docs.filter(col("doc_id") % 7 =!= 0),
+              docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+            .filter(col("keep")).count()
+        }
+        m("b4_fertility") {
+          val merges = Bpe.bpeMerges(docs, "text", 4)
+            .orderBy("rank").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          Bpe.fertilityBy(docs, "text", "lang", merges)
+            .agg(sum(col("n_tokens"))).first().getLong(0)
+        }
 
       case "s10" =>
         val e = Tables.embeddings(spark, d)

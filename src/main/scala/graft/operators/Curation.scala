@@ -996,12 +996,22 @@ object Curation {
     * @return (idCol, n_tok, logw) for every raw document with ≥1
     *         token — logw > 0 reads "more target-like than raw". */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 256): DataFrame = {
-    require(buckets > 0, "need buckets > 0")
+      textCol: String, buckets: Int = 256, gram: Int = 1): DataFrame = {
+    require(buckets > 0 && gram > 0, "need buckets > 0 and gram > 0")
     val spark = raw.sparkSession
+    // gram > 1: space-joined sliding windows (the DSIR paper defaults
+    // to bigrams); documents with fewer than `gram` tokens contribute
+    // no features and drop out of the scored frame on both engines
+    def features(t: Column): Column =
+      if (gram == 1) t
+      else when(size(t) >= gram,
+        transform(sequence(lit(1), size(t) - (gram - 1)),
+          i => array_join(slice(t, i, lit(gram)), " ")))
+        .otherwise(array().cast("array<string>"))
     def toks(df: DataFrame, cols: Column*): DataFrame = df.select(
-      (cols :+ explode(filter(split(trim(col(textCol)), "\\s+"),
-        w => w =!= "")).as("tok")): _*)
+      (cols :+ explode(features(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")))
+        .as("tok")): _*)
     def bucketed(df: DataFrame, cols: Column*): DataFrame =
       toks(df, cols: _*).withColumn("b",
         Dedup.tokenHash32(col("tok")) % buckets).drop("tok")

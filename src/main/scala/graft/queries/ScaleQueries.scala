@@ -598,6 +598,22 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DS3 — ds1 with the DSIR paper's default bigram features: the
+    // sliding space-joined windows double the feature stream but the
+    // model stays B rows; docs under 2 tokens drop on both engines.
+    "ds3_dsir_bigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.dsirScores(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", gram = 2)
+        .select(col("doc_id"), col("n_tok"),
+          (col("logw").cast("decimal(24,6)") *
+            lit(1000000L).cast("decimal(7,0)")).cast("bigint")
+            .as("logw_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SK5 — approximate quantiles (Spark's Greenwald-Khanna summary)
     // on the envelope pattern, completing the classic sketch set
     // (HLL, CMS, KMV, MG, quantiles). The GK guarantee: the returned
@@ -2025,15 +2041,12 @@ object ScaleQueries {
     * rounds (matvec + L2 normalize as list ops, ascending index order
     * — the same recipe the Scala driver runs) → centered projection,
     * e6-cut. */
-  /** Shared ds1/ds2 oracle prefix: tokenize, md5-bucket both slices,
-    * smoothed frequency tables, the B-row log-ratio model, and the
-    * per-doc weighted score frame `sc` (doc_id, n_tok, logw). */
-  private lazy val dsirCtes: String =
-    """t AS (
-      |  SELECT doc_id, unnest(list_filter(
-      |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
-      |    AS tok
-      |  FROM documents),
+  /** Shared ds1/ds2/ds3 oracle prefix: featurize (the `t` CTE varies
+    * by n-gram order), md5-bucket both slices, smoothed frequency
+    * tables, the B-row log-ratio model, and the per-doc weighted
+    * score frame `sc` (doc_id, n_tok, logw). */
+  private def dsirCtesWith(tCte: String): String =
+    s"""$tCte,
       |tgt AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
       |          % 256 AS b FROM t WHERE doc_id % 7 = 0),
       |rawb AS (SELECT doc_id,
@@ -2059,6 +2072,27 @@ object ScaleQueries {
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
       |    sum(CAST(c AS DOUBLE) * lr) AS logw
       |  FROM db JOIN ratio USING (b) GROUP BY doc_id)""".stripMargin
+
+  private lazy val dsirCtes: String = dsirCtesWith(
+    """t AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))
+      |    AS tok
+      |  FROM documents)""".stripMargin)
+
+  /** ds3: space-joined sliding bigrams; docs with < 2 tokens yield no
+    * features — the same drop rule the Spark explode applies. */
+  private lazy val dsirBigramCtes: String = dsirCtesWith(
+    """t0 AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), w -> w <> '')
+      |    AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS tok
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+      |        FROM t0))""".stripMargin)
 
   /** Shared s10/s11 oracle prefix: moment sums → covariance → the 8
     * unrolled power-iteration rounds (matvec + L2 normalize as list
@@ -2609,6 +2643,14 @@ object ScaleQueries {
         |      AS BIGINT) % 10000 AS DOUBLE)
         |    < exp(sc.logw - mx.m) * 10000.0 AS keep
         |FROM sc CROSS JOIN mx ORDER BY sc.doc_id""".stripMargin,
+
+    // ds3: ds1 with the paper's default bigram features
+    "ds3_dsir_bigram" ->
+      s"""WITH $dsirBigramCtes
+        |SELECT doc_id, n_tok,
+        |  CAST(CAST(logw AS DECIMAL(24,6))
+        |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS logw_e6
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // sk5: exact ceil(q·n)-rank quantiles + literal TRUE verdicts
     // (ds1/ds2 share dsirCtes below)

@@ -798,6 +798,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dsirScores gram=2: sees word order that unigram features cannot") {
+    import spark.implicits._
+    // A repeats the target's bigram; B is the same bag of words
+    // reversed — unigram-identical, bigram-disjoint
+    val target = Seq((100L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "beta alpha beta alpha")).toDF("doc_id", "text")
+    def scores(g: Int) = graft.operators.Curation
+      .dsirScores(raw, target, "doc_id", "text", gram = g)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+    val uni = scores(1)
+    assert(uni(1L) == uni(2L), "unigram features are order-blind")
+    val bi = scores(2)
+    assert(bi(1L) > bi(2L),
+      s"bigram features must prefer the order-matching doc: $bi")
+  }
+
   test("dsirResample: the argmax document always survives; acceptance tracks affinity") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong,

@@ -28,6 +28,9 @@ import graft.operators.{Curation, Dedup}
   *   [--chunk-len=N]       write per-split concat-and-chunk manifests
   *                         (x15; stream order = (shard, doc_id), the
   *                         shuffled pack order trainers want)
+  *   [--dsir-target=DIR]   DSIR importance resampling (ds2) against
+  *                         this target corpus, between the rule
+  *                         filter and dedup
   * }}}
   *
   * Stages, each an oracle-checked operator, audited per document:
@@ -61,7 +64,7 @@ object CurateCli {
       maxOverlap: Int = 2, shards: Int = 8,
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
-      chunkLen: Int = 0)
+      chunkLen: Int = 0, dsirTargetDir: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -80,14 +83,16 @@ object CurateCli {
         m.get("semantic-tau").flatten.map(_.toDouble).getOrElse(0.35),
       tarShards = m.contains("tar-shards"),
       distill = m.contains("distill"),
-      chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0))
+      chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
+      dsirTargetDir = m.get("dsir-target").flatten)
   }
 
   case class Summary(
       input: Long, lowQuality: Long, exactDups: Long, nearDups: Long,
       semanticDups: Long, contaminated: Long, curated: Long,
       splits: Map[String, Long],
-      distillWeights: Option[Seq[Double]] = None)
+      distillWeights: Option[Seq[Double]] = None,
+      dsirDropped: Long = 0L)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -107,7 +112,8 @@ object CurateCli {
   def pipeline(spark: SparkSession, docs: DataFrame,
       eval: Option[DataFrame], minWords: Int, maxOverlap: Int,
       embeds: Option[DataFrame] = None,
-      semanticTau: Double = 0.35): Frames = {
+      semanticTau: Double = 0.35,
+      dsirTarget: Option[DataFrame] = None): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
@@ -121,7 +127,24 @@ object CurateCli {
     val q1 = materialize(docs.join(qf, "doc_id"))
     val droppedQuality = q1.filter(!col("keep"))
       .select(col("doc_id"), lit("quality").as("stage"), col("reason"))
-    val kept1 = q1.filter(col("keep")).drop("keep", "reason")
+    val kept1q = q1.filter(col("keep")).drop("keep", "reason")
+
+    // 1.5 DSIR importance resampling against the target corpus
+    // (optional): ds2's deterministic exp(logw−max) gate — the
+    // distribution-shaping stage between rules and dedup
+    val (kept1, droppedDsir) = dsirTarget match {
+      case Some(tgt) =>
+        val out = materialize(Curation.dsirResample(kept1q, tgt,
+            "doc_id", "text")
+          .filter(!col("keep")).select(col("doc_id")))
+        (kept1q.join(out, Seq("doc_id"), "left_anti"),
+          out.select(col("doc_id"), lit("dsir").as("stage"),
+            lit("importance_resample").as("reason")))
+      case None =>
+        (kept1q, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+    }
 
     // 2. exact dedup: lowest id per content hash survives
     val canon = Dedup.exact(kept1, "doc_id", "text")
@@ -199,7 +222,8 @@ object CurateCli {
     val k4 = materialize(kept4)
     Frames(
       curated = k4.join(split, "doc_id"),
-      dropped = droppedQuality.union(droppedExact).union(droppedNear)
+      dropped = droppedQuality.union(droppedDsir).union(droppedExact)
+        .union(droppedNear)
         .union(droppedSem).union(droppedContam))
   }
 
@@ -213,7 +237,9 @@ object CurateCli {
       embeds = if (args.semantic)
         Some(graft.util.Tables.embeddings(spark, args.inputDir))
       else None,
-      semanticTau = args.semanticTau)
+      semanticTau = args.semanticTau,
+      dsirTarget = args.dsirTargetDir.map(dt =>
+        graft.util.Tables.documents(spark, dt)))
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
@@ -301,6 +327,7 @@ object CurateCli {
       contaminated = stageCount("decontaminate"),
       curated = curated.count(),
       distillWeights = weights,
+      dsirDropped = stageCount("dsir"),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
@@ -319,6 +346,7 @@ object CurateCli {
       "exact_dups" -> JInt(s.exactDups), "near_dups" -> JInt(s.nearDups),
       "semantic_dups" -> JInt(s.semanticDups),
       "contaminated" -> JInt(s.contaminated),
+      "dsir_dropped" -> JInt(s.dsirDropped),
       "curated" -> JInt(s.curated),
       "splits" -> JObj(s.splits.toSeq.sorted.map {
         case (k, v) => k -> (JInt(v): JValue) }))

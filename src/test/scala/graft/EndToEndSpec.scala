@@ -223,6 +223,36 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("CurateCli --dsir-target: importance resampling drops, audits, accounting closes") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("e2e-dsir").toString
+    // target corpus = a thin slice of the same table, staged as its
+    // own documents.parquet (any distribution shift forces drops)
+    val tgtDir = java.nio.file.Files.createTempDirectory("e2e-dsir-t")
+      .toString
+    graft.util.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 === 0)
+      .write.mode("overwrite").parquet(s"$tgtDir/documents.parquet")
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      s"--dsir-target=$tgtDir")))
+    assert(s.dsirDropped > 0, "resampling must drop off-target docs")
+    assert(s.input == s.curated + s.lowQuality + s.dsirDropped +
+      s.exactDups + s.nearDups + s.contaminated)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    assert(dropped.filter(col("stage") === "dsir").count() ==
+      s.dsirDropped)
+    assert(dropped.select("doc_id").distinct().count() == dropped.count())
+    // determinism: the seeded gate replays identically
+    val out2 = java.nio.file.Files.createTempDirectory("e2e-dsir2")
+      .toString
+    val s2 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out2", "--shards=4",
+      s"--dsir-target=$tgtDir")))
+    assert(s2 == s)
+  }
+
   test("CurateCli --semantic: embeddings sidecar drops semantic dups, accounting closes") {
     import graft.cli.CurateCli
     val out = java.nio.file.Files.createTempDirectory("e2e-sem").toString

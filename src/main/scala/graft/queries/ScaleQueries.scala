@@ -1080,6 +1080,38 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // E10 — the streaming classifier gate replayed on batch (the
+    // e-family convention: a stateless stream projection is pinned by
+    // running it over the corpus as a batch frame): train exactly as
+    // lr1 does, ship the weight vector into IngestGate.scoreGate as
+    // plan literals, emit the survivors. Proves the end-to-end
+    // train-then-gate loop — including the gate's in-row feature
+    // recomputation (len(text), not the n_chars column) — against an
+    // oracle that replays both halves.
+    "e10_score_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+      val feats = docs.select(col("doc_id"),
+          size(toks).cast("double").as("nw"),
+          col("n_chars").cast("double").as("nc"),
+          size(array_distinct(toks)).cast("double").as("nd"))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"),
+          (col("nw") / lit(100.0)).as("f1"),
+          (col("nc") / col("nw") / lit(10.0)).as("f2"),
+          (col("nd") / col("nw")).as("f3"),
+          when(col("nw") >= 30 && col("nw") <= 5000 &&
+              col("nd") / col("nw") >= 0.3, 1.0)
+            .otherwise(0.0).as("y"))
+      val w = graft.operators.LogReg.train(feats, "y",
+        Seq("f1", "f2", "f3"))
+      // cut at the corpus's median score (the quota a trainer sets),
+      // not the 0.5 default the whole distribution clears — the row
+      // must exercise the threshold, not rubber-stamp it
+      graft.streaming.IngestGate.scoreGate(docs, w, "text", 646000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // C2 — per-source dataset card: doc/char/token totals, language
     // inventory + dominant language, exact token-count quantiles —
     // the release-audit sheet mixture weighting reads.
@@ -1891,6 +1923,7 @@ object ScaleQueries {
        |FROM g JOIN wl ON g.w = wl.w
        |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
     "lr1_quality_lr" -> logRegSql,
+    "e10_score_gate" -> scoreGateSql,
     "s10_pca_project" -> pcaSql,
     "s11_pca_residual" -> pcaResidualSql,
 
@@ -2235,11 +2268,19 @@ object ScaleQueries {
     * rounds — each a gradient CTE (the same per-row σ(w·x)−y terms
     * the Spark pass sums) and a weight-update CTE with the identical
     * literal formula; scores are e6-cut. */
-  private lazy val logRegSql: String = {
-    def p(w: String) =
-      s"1.0::DOUBLE/(1.0::DOUBLE + exp(-($w.b + $w.w1*x.f1 + $w.w2*x.f2 + $w.w3*x.f3)))"
+  /** σ(w·x) over feature table `t`'s f1..f3 with weight row `w` —
+    * the literal left-assoc operand order [[graft.operators.LogReg]]
+    * uses, shared by every CTE that scores. */
+  private def logRegP(w: String, t: String = "x") =
+    s"1.0::DOUBLE/(1.0::DOUBLE + exp(-($w.b + $w.w1*$t.f1 + $w.w2*$t.f2 + $w.w3*$t.f3)))"
+
+  /** The lr1 training prefix — feature/label CTEs and the three
+    * unrolled GD rounds ending in weight row `w3` — shared verbatim
+    * by lr1 (scores every doc) and e10 (replays the streaming gate
+    * with the trained weights). */
+  private lazy val logRegTrainCtes: String = {
     val rounds = (1 to 3).map { k =>
-      val pw = p("w")
+      val pw = logRegP("w")
       s"""g$k AS (
          |  SELECT sum($pw - x.y) AS g0,
          |    sum(($pw - x.y) * x.f1) AS g1,
@@ -2273,12 +2314,44 @@ object ScaleQueries {
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
        |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
        |       0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val logRegSql: String =
+    s"""$logRegTrainCtes
        |SELECT x.doc_id, CAST(x.y AS INT) AS label,
-       |  CAST(CAST(${p("w")} AS DECIMAL(24,6))
+       |  CAST(CAST(${logRegP("w")} AS DECIMAL(24,6))
        |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS score_e6
        |FROM x CROSS JOIN w3 w ORDER BY x.doc_id""".stripMargin
-  }
+
+  /** e10: the lr1 training rounds, then the STREAMING gate's scoring
+    * recipe replayed over the corpus — features recomputed in-row the
+    * way [[graft.streaming.IngestGate.scoreGate]] does (nc from
+    * len(text), not the n_chars column; null text coalesced to ''),
+    * survivors = score_e6 ≥ a median-of-corpus cut. Zero-token rows
+    * are excluded here by `nw > 0` and on the Spark side by NaN
+    * features failing the filter — the same keep set. */
+  private lazy val scoreGateSql: String =
+    s"""$logRegTrainCtes,
+       |gf AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS nw,
+       |    CAST(len(coalesce(text, '')) AS DOUBLE) AS nc,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+       |  FROM (SELECT doc_id, text,
+       |          list_filter(
+       |            regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+       |            w -> w <> '') AS toks
+       |        FROM documents)),
+       |gx AS (
+       |  SELECT doc_id, nw/100.0::DOUBLE AS f1,
+       |    nc/nw/10.0::DOUBLE AS f2, nd/nw AS f3
+       |  FROM gf WHERE nw > 0)
+       |SELECT gx.doc_id
+       |FROM gx CROSS JOIN w3 w
+       |WHERE CAST(CAST(${logRegP("w", "gx")} AS DECIMAL(24,6))
+       |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) >= 646000
+       |ORDER BY gx.doc_id""".stripMargin
 
   /** b2: the same four training rounds, then every document's words
     * (in position order) joined to the final s4 symbol table; the

@@ -77,6 +77,30 @@ object LogReg {
     } finally x.unpersist()
   }
 
+  /** The 100 TB training recipe, materialized: train on a seeded
+    * deterministic slice of the corpus, score the full corpus with
+    * the returned weights. [[train]] is `rounds` full passes over its
+    * input — affordable on a sample, never on 100 TB — while [[score]]
+    * stays one zero-shuffle projection regardless of corpus size. The
+    * slice is the [[Curation.sampleDraw]] hash gate (rate in rows per
+    * ten-thousand), so it is reproducible across runs and engines and
+    * needs no shuffle or count to draw. The full-batch gradient is an
+    * average, so its sampled estimate is unbiased with variance
+    * ∝ 1/sample-size; LogRegSpec pins the sampled-vs-full weight
+    * drift and score-disagreement bounds on a reference corpus. */
+  def trainSampled(df: DataFrame, labelCol: String,
+      featureCols: Seq[String], idCol: String, ratePerTenK: Int,
+      seed: String = "lr-sample", eta: Double = 0.5,
+      lambda: Double = 0.01, rounds: Int = 3): Array[Double] = {
+    require(ratePerTenK > 0 && ratePerTenK <= 10000,
+      "ratePerTenK must be in (0, 10000]")
+    val slice =
+      if (ratePerTenK == 10000) df
+      else df.filter(
+        Curation.sampleDraw(seed, col(idCol)) < lit(ratePerTenK))
+    train(slice, labelCol, featureCols, eta, lambda, rounds)
+  }
+
   /** σ(w·x) as a column — a narrow zero-shuffle projection over the
     * full corpus. */
   def score(w: Array[Double], featureCols: Seq[String]): Column =

@@ -58,6 +58,46 @@ class LogRegSpec extends AnyFunSuite {
       assert(math.abs(x - y) < 1e-12, s"$x vs $y") }
   }
 
+  test("trainSampled: sampled weights stay close to full training and agree on scores") {
+    import spark.implicits._
+    // reference corpus: separable-with-noise, ids for the seeded draw
+    val rnd = new java.util.Random(23)
+    val rows = (1L to 4000L).map { i =>
+      val y = if (rnd.nextBoolean()) 1.0 else 0.0
+      (i, y, y * 2.0 - 1.0 + rnd.nextGaussian() * 0.4,
+        rnd.nextGaussian() * 0.5)
+    }
+    val df = rows.toDF("doc_id", "y", "f1", "f2").repartition(8)
+    val fs = Seq("f1", "f2")
+    val full = LogReg.train(df, "y", fs, rounds = 10)
+    // 25% slice — the 100 TB recipe's shape (sample rate chosen so the
+    // slice still holds thousands of rows; variance ∝ 1/sample size)
+    val sampled = LogReg.trainSampled(df, "y", fs, "doc_id", 2500,
+      rounds = 10)
+    // deterministic: the seeded slice replays identically
+    val again = LogReg.trainSampled(df, "y", fs, "doc_id", 2500,
+      rounds = 10)
+    assert(sampled.sameElements(again))
+    // weight drift bound: relative L2 distance of the weight vectors
+    val l2 = math.sqrt((full zip sampled)
+      .map { case (a, b) => (a - b) * (a - b) }.sum)
+    val norm = math.sqrt(full.map(x => x * x).sum)
+    assert(l2 / norm < 0.15, s"weight drift ${l2 / norm}: " +
+      s"full=${full.toSeq} sampled=${sampled.toSeq}")
+    // decision drift bound: <2% of the corpus flips side at the 0.5 cut
+    val disagree = df.select(
+        (LogReg.score(full, fs) >= 0.5) =!=
+          (LogReg.score(sampled, fs) >= 0.5)).as[Boolean]
+      .filter((b: Boolean) => b).count()
+    assert(disagree < 80, s"$disagree of 4000 flipped at the 0.5 cut")
+    // rate 10000 = the full corpus, bit-identical to train
+    assert(LogReg.trainSampled(df, "y", fs, "doc_id", 10000,
+      rounds = 3).sameElements(LogReg.train(df, "y", fs, rounds = 3)))
+    intercept[IllegalArgumentException] {
+      LogReg.trainSampled(df, "y", fs, "doc_id", 0)
+    }
+  }
+
   test("train: empty frame and bad args are rejected") {
     import spark.implicits._
     val empty = Seq.empty[(Double, Double)].toDF("y", "f1")

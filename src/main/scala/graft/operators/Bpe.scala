@@ -104,8 +104,26 @@ object Bpe {
     * vocabularies. Applying ranks sequentially to raw words is
     * byte-identical to the training-time fixpoint (each round of
     * [[bpeMerges]] applies exactly one merge to the word table, in
-    * the same order). */
+    * the same order).
+    *
+    * Executes as ONE native call per document
+    * ([[graft.functions.BpeEncodeTokens]]): the declarative
+    * K-nested-fold form (kept as [[bpeEncodeHof]] for the equivalence
+    * spec) costs ~1 s per merge per 5k docs at sf0.1 and its
+    * expression tree grows linearly with K — a real vocabulary
+    * (tens of thousands of merges) is unplannable that way. */
   def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BpeEncodeTokens(
+        org.apache.spark.sql.GraftColumns.expression(col(textCol)),
+        merges)))
+
+  /** The declarative formulation of [[bpeEncode]] — one
+    * `transform`+`aggregate` HOF pass per merge. Reference semantics
+    * for the native expression (BpeSpec pins native ≡ HOF); not the
+    * production path. */
+  private[graft] def bpeEncodeHof(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val syms = transform(
       filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""),

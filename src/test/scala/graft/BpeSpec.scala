@@ -128,4 +128,36 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(0, 0, 1))
   }
+
+  test("bpeEncode: native expression ≡ the declarative HOF fold") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import spark.implicits._
+    // the fold's corner cases: run merges ("aaaa"→[aa][aa],
+    // "aaa"→[aa][a]), merged-symbol chains, merges that only become
+    // applicable mid-list, multi-codepoint symbols (astral plane),
+    // tabs/newlines in the whitespace split, and null text
+    val texts: Seq[String] = Seq(
+      "aaaa aaa aa a", "abab ababab", "a b ab ba",
+      "x\ty \n z  w", "  leading  and trailing   ",
+      "café 😀😀 naïve",
+      "", "   ", null)
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", "ab"),
+      ("aa", "aa"), ("😀", "😀"), ("c", "a"))
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), concat_ws("|", col("tokens")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = render(Bpe.bpeEncode(docs, "text", merges))
+    val hof = render(Bpe.bpeEncodeHof(docs, "text", merges))
+    assert(native == hof)
+    // and on real corpus text with trained merges
+    val corpus = graft.util.Tables.documents(spark,
+      "/root/testdata/sf0.001").limit(40)
+    val trained = Bpe.bpeMerges(corpus, "text", 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(render(Bpe.bpeEncode(corpus, "text", trained)) ==
+      render(Bpe.bpeEncodeHof(corpus, "text", trained)))
+  }
 }

@@ -47,12 +47,14 @@ object BpeScratch {
         Bpe.bpeEncode(docs, "text", merges.take(k))
           .select(sum(size(col("tokens")))).first().getLong(0))
     }
-    // the full b2 tail: md5-of-token-stream agg on top
+    // the full b2 tail: md5-of-token-stream agg on top (forced via
+    // max(tok_md5) — a bare count() would prune the md5 away)
     time("b2-full-agg") {
       Bpe.bpeEncode(docs, "text", merges)
         .select(col("doc_id"),
           md5(concat_ws(" ", col("tokens"))).as("tok_md5"))
-        .count()
+        .agg(max(col("tok_md5"))).first()
+      docs.count()
     }
     spark.stop()
   }

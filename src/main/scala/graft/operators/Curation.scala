@@ -995,30 +995,38 @@ object Curation {
     *
     * @return (idCol, n_tok, logw) for every raw document with ≥1
     *         token — logw > 0 reads "more target-like than raw". */
-  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 256, gram: Int = 1): DataFrame = {
-    require(buckets > 0 && gram > 0, "need buckets > 0 and gram > 0")
-    val spark = raw.sparkSession
-    // gram > 1: space-joined sliding windows (the DSIR paper defaults
-    // to bigrams); documents with fewer than `gram` tokens contribute
-    // no features and drop out of the scored frame on both engines
-    def features(t: Column): Column =
-      if (gram == 1) t
-      else when(size(t) >= gram,
-        transform(sequence(lit(1), size(t) - (gram - 1)),
-          i => array_join(slice(t, i, lit(gram)), " ")))
-        .otherwise(array().cast("array<string>"))
-    def toks(df: DataFrame, cols: Column*): DataFrame = df.select(
-      (cols :+ explode(features(
-        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")))
+  /** The hashed n-gram feature windows [[dsirScores]] and the
+    * streaming [[graft.streaming.IngestGate.dsirGate]] share: the
+    * token array itself for unigrams, space-joined sliding windows
+    * for gram > 1 (documents shorter than `gram` tokens yield no
+    * features). */
+  private[graft] def dsirFeatures(t: Column, gram: Int): Column =
+    if (gram == 1) t
+    else when(size(t) >= gram,
+      transform(sequence(lit(1), size(t) - (gram - 1)),
+        i => array_join(slice(t, i, lit(gram)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc-optional) hashed-feature bucket rows of `df` under the ds1
+    * featurization. */
+  private def dsirBucketed(df: DataFrame, textCol: String,
+      buckets: Int, gram: Int, cols: Column*): DataFrame =
+    df.select(
+      (cols :+ explode(dsirFeatures(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""), gram))
         .as("tok")): _*)
-    def bucketed(df: DataFrame, cols: Column*): DataFrame =
-      toks(df, cols: _*).withColumn("b",
-        Dedup.tokenHash32(col("tok")) % buckets).drop("tok")
-    val tc = bucketed(target).groupBy(col("b"))
-      .agg(count(lit(1)).as("tc"))
-    val rc = bucketed(raw).groupBy(col("b"))
-      .agg(count(lit(1)).as("rc"))
+      .withColumn("b", Dedup.tokenHash32(col("tok")) % buckets)
+      .drop("tok")
+
+  /** The B-row Laplace-smoothed log-ratio table ln(p_b/q_b) over the
+    * full bucket spine — the DSIR model's only learned state. */
+  private def dsirRatio(raw: DataFrame, target: DataFrame,
+      textCol: String, buckets: Int, gram: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val tc = dsirBucketed(target, textCol, buckets, gram)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rc = dsirBucketed(raw, textCol, buckets, gram)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
     val tTot = tc.agg(sum(col("tc"))).first().getLong(0).toDouble
     val rTot = rc.agg(sum(col("rc"))).first().getLong(0).toDouble
     val spine = spark.range(buckets).select(col("id").as("b"))
@@ -1026,14 +1034,31 @@ object Curation {
       lit(tTot + buckets)
     val q = (coalesce(col("rc"), lit(0L)).cast("double") + lit(1.0)) /
       lit(rTot + buckets)
-    val ratio = spine.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+    spine.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
       .select(col("b"), log(p / q).as("lr"))
-    bucketed(raw, col(idCol)).groupBy(col(idCol), col("b"))
+  }
+
+  /** Per-document (n_tok, logw) of `raw` against a ratio table —
+    * (doc, bucket) partial agg, broadcast ratio join, doc-keyed sum. */
+  private def dsirScoreWith(raw: DataFrame, ratio: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      gram: Int): DataFrame =
+    dsirBucketed(raw, textCol, buckets, gram, col(idCol))
+      .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(ratio), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).cast("bigint").as("n_tok"),
         sum(col("c").cast("double") * col("lr")).as("logw"))
+
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, gram: Int = 1): DataFrame = {
+    require(buckets > 0 && gram > 0, "need buckets > 0 and gram > 0")
+    // gram > 1: space-joined sliding windows (the DSIR paper defaults
+    // to bigrams); documents with fewer than `gram` tokens contribute
+    // no features and drop out of the scored frame on both engines
+    dsirScoreWith(raw, dsirRatio(raw, target, textCol, buckets, gram),
+      idCol, textCol, buckets, gram)
   }
 
   /** DSIR resampling epoch: [[dsirScores]] materialized as a
@@ -1051,6 +1076,32 @@ object Curation {
     scores.select(col(idCol), col("n_tok"),
       (sampleDraw(seed, col(idCol)).cast("double") <
         exp(col("logw") - lit(mx)) * lit(10000.0)).as("keep"))
+  }
+
+  /** The [[dsirScores]] model as bounded driver state, for shipping
+    * into a stateless stream projection
+    * ([[graft.streaming.IngestGate.dsirGate]]) as plan literals —
+    * the LogReg-weights convention applied to the importance model:
+    * per-bucket log-ratios ln(p_b/q_b) (B doubles) plus the raw
+    * corpus's max log-weight (the self-normalization constant of the
+    * epoch, so stream acceptance rates match the batch epoch's).
+    * Fitting is the two frequency passes of [[dsirScores]] plus one
+    * scoring pass for the max — all offline, on the lake. */
+  case class DsirModel(buckets: Int, gram: Int, seed: String,
+      logRatios: Array[Double], maxLogw: Double)
+
+  def dsirModel(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, gram: Int = 1,
+      seed: String = "dsir"): DsirModel = {
+    require(buckets > 0 && gram > 0, "need buckets > 0 and gram > 0")
+    val ratio = graft.util.Iter.materialize(
+      dsirRatio(raw, target, textCol, buckets, gram))
+    val mx = dsirScoreWith(ratio = ratio, raw = raw, idCol = idCol,
+        textCol = textCol, buckets = buckets, gram = gram)
+      .agg(max(col("logw"))).first().getDouble(0)
+    val lr = new Array[Double](buckets)
+    ratio.collect().foreach(r => lr(r.getLong(0).toInt) = r.getDouble(1))
+    DsirModel(buckets, gram, seed, lr, mx)
   }
 
   /** Population-stability-index drift monitor between two corpus

@@ -190,7 +190,8 @@ object IngestGate {
 
   /** End-to-end streaming curation gate — the stateless composition
     * of CurateCli's first stages, one fused narrow projection chain
-    * (quality → winnow span-dedup → optional image phash), no state
+    * (quality → optional classifier score → optional DSIR resampling
+    * → winnow span-dedup → optional image phash), no state
     * store, no shuffle, no watermark: a document survives iff it
     * passes the row-local x11 rules ([[qualityKeep]]), shares fewer
     * than `minShared` winnowed fingerprints with the corpus Bloom
@@ -206,18 +207,59 @@ object IngestGate {
       hashCol: String = "phash", minWords: Int = 20,
       minShared: Int = 2, fpp: Double = 1e-6,
       scoreWeights: Option[Array[Double]] = None,
-      minScoreE6: Long = 500000L): DataFrame = {
+      minScoreE6: Long = 500000L,
+      dsirModel: Option[graft.operators.Curation.DsirModel] = None,
+      idCol: String = "doc_id"): DataFrame = {
     val q = stream.filter(qualityKeep(textCol, minWords))
     val s = scoreWeights match {
       case Some(w) => scoreGate(q, w, textCol, minScoreE6)
       case None => q
     }
-    val wg = winnowGate(s, corpusFps, textCol, minShared = minShared,
+    // distribution shaping between the row-local rules and dedup —
+    // the CurateCli --dsir-target stage's streaming position
+    val ds = dsirModel match {
+      case Some(m) => dsirGate(s, m, idCol, textCol)
+      case None => s
+    }
+    val wg = winnowGate(ds, corpusFps, textCol, minShared = minShared,
       fpp = fpp)
     corpusHashes match {
       case Some(ch) => phashGate(wg, ch, hashCol, fpp = fpp)
       case None => wg
     }
+  }
+
+  /** Stateless DSIR importance-resampling gate — the streaming twin
+    * of [[graft.operators.Curation.dsirResample]]: the lake-fitted
+    * importance model ([[graft.operators.Curation.dsirModel]] — B
+    * per-bucket log-ratios plus the epoch's self-normalization max)
+    * ships into the stream as plan literals, and each arriving
+    * document is kept iff its seeded draw clears
+    * exp(logw − max)·10⁴ — the exact ds2 acceptance rule. logw is
+    * recomputed IN-ROW: an `aggregate` fold over the document's
+    * hashed feature windows summing literal-array lookups — no join,
+    * no state, no shuffle; retraining is a stream restart with new
+    * literals (the scoreGate convention applied to distribution
+    * shaping). Documents with no feature windows (shorter than `gram`
+    * tokens) pass through, matching the batch CurateCli stage where
+    * unscored documents survive to dedup. Per-document float-sum
+    * order differs from the batch (doc,bucket)-grouped sum by ~ulps;
+    * an acceptance flip needs the integer draw to sit within ulps of
+    * the rate — the ds2 oracle's own tolerance convention. */
+  def dsirGate(stream: DataFrame,
+      model: graft.operators.Curation.DsirModel,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val lrLit = array(model.logRatios.map(lit).toIndexedSeq: _*)
+    val feats = Curation.dsirFeatures(
+      filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => w =!= ""), model.gram)
+    val logw = aggregate(feats, lit(0.0),
+      (acc, w) => acc + element_at(lrLit,
+        (Dedup.tokenHash32(w) % model.buckets + 1).cast("int")))
+    stream.filter(size(feats) === 0 ||
+      Curation.sampleDraw(model.seed, col(idCol)).cast("double") <
+        exp(logw - lit(model.maxLogw)) * lit(10000.0))
   }
 
   /** Stateless classifier gate: keep a document iff its distilled

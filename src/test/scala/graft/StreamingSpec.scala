@@ -478,6 +478,44 @@ class StreamingSpec extends AnyFunSuite {
       s"gate must stay shuffle-free:\n${plan.take(1500)}")
   }
 
+  test("dsir gate: survivors == the batch resampling epoch's keep set, stateless plan") {
+    import graft.operators.Curation
+    import graft.streaming.IngestGate
+    val docs = graft.util.Tables.documents(spark, sf)
+    // ds2's geometry: target = the %7 slice, raw = the rest; the
+    // model is fitted on the same corpus the gate filters, so the
+    // gate's keep set must equal dsirResample's epoch exactly
+    val raw = docs.filter(col("doc_id") % 7 =!= 0)
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val model = Curation.dsirModel(raw, target, "doc_id", "text")
+    val epoch = Curation.dsirResample(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // zero-token raws pass through the gate (they carry no score row
+    // in the batch epoch and survive to dedup in the CLI composition)
+    val expected = raw.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => epoch.getOrElse(id, true)).toSet
+    assert(expected.nonEmpty && expected.size < epoch.size,
+      "the corpus must exercise both keeps and drops")
+    val dir = java.nio.file.Files.createTempDirectory("dsir-stream")
+    raw.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+    val sq = IngestGate.dsirGate(stream, model, "doc_id", "text")
+      .select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("dsirgate")
+      .trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("dsirgate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected)
+    // stateless: the model rides as literals — no join, no exchange
+    val plan = IngestGate.dsirGate(raw, model, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"dsir gate must stay a narrow filter:\n${plan.take(1500)}")
+  }
+
   test("score gate: survivors == batch classifier keep set, stateless plan") {
     import graft.operators.LogReg
     import graft.streaming.IngestGate

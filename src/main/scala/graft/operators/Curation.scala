@@ -874,6 +874,58 @@ object Curation {
           .as(s"dup${dupK}_frac"))
   }
 
+  /** CROSS-document duplicated n-gram fraction — the corpus-level
+    * companion to [[ngramRepetitionStats]]'s intra-document signals
+    * (the RefinedWeb/Gopher family also cuts on how much of a
+    * document is text that appears ELSEWHERE in the corpus — Penedo
+    * et al. 2023 §4.2 strips duplicated spans corpus-wide): for each
+    * document, the fraction of its word n-gram occurrences whose
+    * n-gram occurs in at least one other document.
+    *
+    * Scale shape: the explode is corpus-token-bound (the t12/x10
+    * budget) but everything after it carries 8-byte hashed gram keys
+    * — (doc, gramHash) partial-agg'd counts, a gram-keyed doc-count
+    * table filtered to the duplicated minority BEFORE the join back
+    * (singleton grams dominate any real corpus, so the join's build
+    * side is the small duplicated-gram set, left-joined so absence
+    * means unique), and one doc-keyed final agg. Hash collisions can
+    * only over-count duplication (two grams colliding makes both look
+    * shared); at oracle scale the DuckDB agreement is the collision
+    * gate, and the hash width is swappable where 32 bits is too few.
+    * Every document is emitted: fewer than n tokens → n_grams 0,
+    * frac 0 (the e6 decimal cut, [[tokenEntropy]]'s convention).
+    * @return (idCol, n_grams, dup_frac_e6) */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(col(idCol), explode(grams).as("gm"))
+      .select(col(idCol), Dedup.tokenHash32(col("gm")).as("gh"))
+    val perDocGram = g.groupBy(col(idCol), col("gh"))
+      .agg(count(lit(1)).as("c"))
+    val dup = perDocGram.groupBy(col("gh"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gh"), lit(1).as("isdup"))
+    val stats = perDocGram.join(dup, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("bigint").as("n_grams"),
+        sum(when(col("isdup") === 1, col("c")).otherwise(lit(0L)))
+          .cast("bigint").as("dup_occ"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(
+          ((col("dup_occ").cast("double") / col("n_grams").cast("double"))
+            .cast("decimal(24,6)") * lit(1000000L).cast("decimal(7,0)"))
+            .cast("bigint"),
+          lit(0L)).as("dup_frac_e6"))
+  }
+
   /** Character bigrams of `text`, in stream order: positions
     * 1..max(len-1, 1), each a 2-char substring (a 1-char document
     * yields its single char — the same `greatest(…, 1)` convention as

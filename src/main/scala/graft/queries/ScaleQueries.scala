@@ -658,6 +658,15 @@ object ScaleQueries {
         .orderBy(col("q_pct"))
     }),
 
+    // X17 — cross-document duplicated 8-gram fraction: how much of
+    // each document is text appearing elsewhere in the corpus (the
+    // corpus-wide companion of x10's intra-doc repetition; the signal
+    // RefinedWeb-style span stripping cuts on).
+    "x17_dup_ngram_frac" -> ((s, d) => {
+      Curation.dupNgramFraction(Tables.documents(s, d), "doc_id",
+        "text").orderBy(col("doc_id"))
+    }),
+
     // X16 — PSI drift between the even- and odd-id corpus halves over
     // token-count buckets (div 100, capped at 9): per-bucket counts
     // plus the Laplace-smoothed (p−q)ln(p/q) term, e9-cut. The halves
@@ -2799,6 +2808,35 @@ object ScaleQueries {
         |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
         |              WHEN 'fr' THEN 2000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "x17_dup_ngram_frac" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> '')
+        |    AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+        |      1, 8) AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+        |        FROM t0)),
+        |dg AS (SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |nd AS (SELECT gh, count(*) AS ndocs FROM dg GROUP BY 1),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS dup_occ
+        |  FROM dg JOIN nd USING (gh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(st.n_grams, 0) AS n_grams,
+        |  coalesce(CAST(CAST(CAST(st.dup_occ AS DOUBLE)
+        |      / CAST(st.n_grams AS DOUBLE) AS DECIMAL(24,6))
+        |    * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT), 0)
+        |    AS dup_frac_e6
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x2_shuffle_shards" ->
       """WITH h AS (

@@ -515,6 +515,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Generate"), p.take(2000))
   }
 
+  test("dup n-gram fraction (x17): hashed gram keys, partial aggs, no cartesian") {
+    val p = plan(graft.operators.Curation.dupNgramFraction(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // every shuffle is keyed (gram hash or doc id) and every agg
+    // partial-combines; the gram strings themselves never shuffle
+    // (the explode feeds straight into the hash) and nothing is a
+    // nested-loop product
+    assert(count(p, "HashAggregate") >= 6, p.take(2000)) // 3 partial pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate"), "the gram explode is the one wide op")
+  }
+
   test("PCA moment pass (s10/s11): one partial-aggregated exchange, no explode") {
     import org.apache.spark.sql.GraftColumns
     import org.apache.spark.sql.functions.col

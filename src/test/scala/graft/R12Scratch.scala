@@ -276,6 +276,17 @@ object R12Scratch {
         }
         println(f"b1 $d wall(min of 2)=$t%.2f s merges=$rows")
 
+      case "x17" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.Curation
+            .dupNgramFraction(docs, "doc_id", "text")
+            .agg(sum(col("dup_frac_e6"))).first().getLong(0)
+        }
+        println(f"x17 $d wall(min of 2)=$t%.2f s sum_frac_e6=$rows")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

@@ -926,6 +926,68 @@ object Curation {
           lit(0L)).as("dup_frac_e6"))
   }
 
+  /** Corpus-wide duplicated-span STRIPPING — the rewrite twin of
+    * [[dupNgramFraction]] (which only measures): every word whose
+    * position falls inside any n-gram occurring in at least one OTHER
+    * document is removed, and the survivors are re-joined in original
+    * order (Penedo et al. 2023 §4.2's span removal; Lee et al. 2021's
+    * motivation that exact duplicated substrings are the highest-value
+    * dedup target).
+    *
+    * Scale shape: three corpus-token-bound explodes (gram starts,
+    * covered-position expansion, token positions) and nothing wider —
+    * after each explode only 8-byte keys or (doc, position) pairs
+    * shuffle. The duplicated-gram set is reduced to its keys BEFORE
+    * the start join (singleton grams dominate, so the probe discards
+    * most rows map-side via the join filter), covered positions are
+    * deduplicated on (doc, pos) so overlapping duplicated grams cost
+    * one row each, and the anti-join + ordered re-assembly are both
+    * doc-keyed. Hash collisions can only over-strip (a unique gram
+    * colliding with a duplicated one loses its span); the oracle uses
+    * the identical 32-bit hash so the cut is deterministic, and the
+    * hash width is swappable where 32 bits is too few. Documents with
+    * no survivors (or no tokens) are emitted with kept_tokens 0 and
+    * empty clean_text — no rows vanish under a rewrite.
+    * @return (idCol, n_tokens, kept_tokens, clean_text) */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val tokDocs = docs.select(col(idCol), toks.as("toks"))
+    // gram start positions (0-based): i covers tokens i .. i+n-1
+    val g = tokDocs
+      .select(col(idCol),
+        explode(when(size(col("toks")) >= n,
+            sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("toks"))
+      .select(col(idCol), col("i"),
+        Dedup.tokenHash32(
+          array_join(slice(col("toks"), col("i") + 1, lit(n)), " "))
+          .as("gh"))
+    val dupKeys = g.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("gh"))
+    val covered = g.join(dupKeys, Seq("gh"))
+      .select(col(idCol),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val tokens = tokDocs
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p", "tok")))
+    val kept = tokens.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("kept_tokens"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    tokDocs.select(col(idCol), size(col("toks")).cast("bigint")
+        .as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Character bigrams of `text`, in stream order: positions
     * 1..max(len-1, 1), each a 2-char substring (a 1-char document
     * yields its single char — the same `greatest(…, 1)` convention as

@@ -667,6 +667,17 @@ object ScaleQueries {
         "text").orderBy(col("doc_id"))
     }),
 
+    // X18 — corpus-wide duplicated-span stripping (the rewrite twin of
+    // x17): tokens covered by any cross-document duplicated 8-gram are
+    // removed and survivors re-joined in order; the row ships an md5 of
+    // the cleaned text so the hash compare covers the full rewrite.
+    "x18_strip_dup_spans" -> ((s, d) => {
+      Curation.stripDupSpans(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X16 — PSI drift between the even- and odd-id corpus halves over
     // token-count buckets (div 100, capped at 9): per-bucket counts
     // plus the Laplace-smoothed (p−q)ln(p/q) term, e9-cut. The halves
@@ -2837,6 +2848,38 @@ object ScaleQueries {
         |    AS dup_frac_e6
         |FROM documents d LEFT JOIN st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x18_strip_dup_spans" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> '')
+        |    AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+        |      1, 8) AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+        |        FROM t0)),
+        |nd AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |       GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+        |        FROM g JOIN nd USING (gh)),
+        |tk AS (SELECT doc_id, i AS p, toks[i] AS tok
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, len(toks) + 1)) AS i
+        |             FROM t0)),
+        |kp AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+        |       ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+        |       FROM kp GROUP BY doc_id)
+        |SELECT t0.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(st.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(st.clean_md5, md5('')) AS clean_md5
+        |FROM t0 LEFT JOIN st USING (doc_id)
+        |ORDER BY t0.doc_id""".stripMargin,
 
     "x2_shuffle_shards" ->
       """WITH h AS (

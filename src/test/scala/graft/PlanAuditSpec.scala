@@ -528,6 +528,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the gram explode is the one wide op")
   }
 
+  test("strip dup spans (x18): hashed/keyed shuffles only, no cartesian") {
+    val p = plan(graft.operators.Curation.stripDupSpans(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // token-bound explodes only: gram starts (appearing twice — the
+    // subtree feeds both the dup-key agg and the covered probe, and
+    // recomputing a scan-bound explode beats materializing it through
+    // a shuffle), covered expansion, token positions. Every join is
+    // hashed on (doc, pos) or the 8-byte gram key, never a
+    // nested-loop product.
+    assert(count(p, "Generate") == 4, p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), "survivor selection is an anti join")
+  }
+
   test("PCA moment pass (s10/s11): one partial-aggregated exchange, no explode") {
     import org.apache.spark.sql.GraftColumns
     import org.apache.spark.sql.functions.col

@@ -287,6 +287,18 @@ object R12Scratch {
         }
         println(f"x17 $d wall(min of 2)=$t%.2f s sum_frac_e6=$rows")
 
+      case "x18" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        var kept = 0L
+        val t = minOf(2) {
+          kept = graft.operators.Curation
+            .stripDupSpans(docs, "doc_id", "text")
+            .agg(sum(col("kept_tokens")), sum(length(col("clean_text"))))
+            .first().getLong(0)
+        }
+        println(f"x18 $d wall(min of 2)=$t%.2f s kept_tokens=$kept")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

@@ -31,6 +31,10 @@ import graft.operators.{Curation, Dedup}
   *   [--dsir-target=DIR]   DSIR importance resampling (ds2) against
   *                         this target corpus, between the rule
   *                         filter and dedup
+  *   [--strip-spans]       corpus-wide duplicated-span stripping
+  *                         (x18's rewrite) over the deduped
+  *                         survivors; a doc stripped to nothing is
+  *                         dropped, not shipped empty
   * }}}
   *
   * Stages, each an oracle-checked operator, audited per document:
@@ -64,7 +68,8 @@ object CurateCli {
       maxOverlap: Int = 2, shards: Int = 8,
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
-      chunkLen: Int = 0, dsirTargetDir: Option[String] = None)
+      chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
+      stripSpans: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -84,7 +89,8 @@ object CurateCli {
       tarShards = m.contains("tar-shards"),
       distill = m.contains("distill"),
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
-      dsirTargetDir = m.get("dsir-target").flatten)
+      dsirTargetDir = m.get("dsir-target").flatten,
+      stripSpans = m.contains("strip-spans"))
   }
 
   case class Summary(
@@ -92,7 +98,7 @@ object CurateCli {
       semanticDups: Long, contaminated: Long, curated: Long,
       splits: Map[String, Long],
       distillWeights: Option[Seq[Double]] = None,
-      dsirDropped: Long = 0L)
+      dsirDropped: Long = 0L, strippedEmpty: Long = 0L)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -113,7 +119,8 @@ object CurateCli {
       eval: Option[DataFrame], minWords: Int, maxOverlap: Int,
       embeds: Option[DataFrame] = None,
       semanticTau: Double = 0.35,
-      dsirTarget: Option[DataFrame] = None): Frames = {
+      dsirTarget: Option[DataFrame] = None,
+      stripSpans: Boolean = false): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
@@ -199,19 +206,44 @@ object CurateCli {
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
     }
 
+    // 3.8 corpus-wide duplicated-span stripping (optional): x18's
+    // rewrite over the deduped survivors — duplicated spans that
+    // outlived near-dup dedup as sub-document fragments are removed
+    // from the TEXT itself (RefinedWeb's span removal, applied after
+    // dedup so whole-document duplicates don't first shred each
+    // other); a doc stripped to nothing is dropped with an audit row,
+    // never shipped empty
+    val (kept3x, droppedStrip) =
+      if (!stripSpans)
+        (kept3s, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+      else {
+        val st = materialize(
+          Curation.stripDupSpans(kept3s, "doc_id", "text")
+            .select(col("doc_id"), col("kept_tokens"), col("clean_text")))
+        (kept3s.drop("text")
+          .join(st.filter(col("kept_tokens") > 0L)
+            .select(col("doc_id"), col("clean_text").as("text")),
+            "doc_id"),
+          st.filter(col("kept_tokens") === 0L)
+            .select(col("doc_id"), lit("strip_spans").as("stage"),
+              lit("fully_duplicated").as("reason")))
+      }
+
     // 4. decontamination against the eval corpus (optional)
     val (kept4, droppedContam) = eval match {
       case Some(ev) =>
-        val contaminated = materialize(Curation.contamination(kept3s,
+        val contaminated = materialize(Curation.contamination(kept3x,
             ev, "doc_id", "text")
           .filter(col("n_overlap") >= maxOverlap)
           .select(col("doc_id")))
-        (kept3s.join(contaminated, Seq("doc_id"), "left_anti"),
+        (kept3x.join(contaminated, Seq("doc_id"), "left_anti"),
           contaminated.select(col("doc_id"),
             lit("decontaminate").as("stage"),
             lit("eval_overlap").as("reason")))
       case None =>
-        (kept3s, spark.emptyDataFrame
+        (kept3x, spark.emptyDataFrame
           .withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
     }
@@ -224,7 +256,7 @@ object CurateCli {
       curated = k4.join(split, "doc_id"),
       dropped = droppedQuality.union(droppedDsir).union(droppedExact)
         .union(droppedNear)
-        .union(droppedSem).union(droppedContam))
+        .union(droppedSem).union(droppedStrip).union(droppedContam))
   }
 
   def run(spark: SparkSession, args: Args): Summary = {
@@ -239,7 +271,8 @@ object CurateCli {
       else None,
       semanticTau = args.semanticTau,
       dsirTarget = args.dsirTargetDir.map(dt =>
-        graft.util.Tables.documents(spark, dt)))
+        graft.util.Tables.documents(spark, dt)),
+      stripSpans = args.stripSpans)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
@@ -328,6 +361,7 @@ object CurateCli {
       curated = curated.count(),
       distillWeights = weights,
       dsirDropped = stageCount("dsir"),
+      strippedEmpty = stageCount("strip_spans"),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
@@ -347,6 +381,7 @@ object CurateCli {
       "semantic_dups" -> JInt(s.semanticDups),
       "contaminated" -> JInt(s.contaminated),
       "dsir_dropped" -> JInt(s.dsirDropped),
+      "stripped_empty" -> JInt(s.strippedEmpty),
       "curated" -> JInt(s.curated),
       "splits" -> JObj(s.splits.toSeq.sorted.map {
         case (k, v) => k -> (JInt(v): JValue) }))

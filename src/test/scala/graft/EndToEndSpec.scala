@@ -277,6 +277,58 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s2.semanticDups == 0)
   }
 
+  test("CurateCli --strip-spans: duplicated spans leave the text, emptied docs leave the corpus") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    // Engineered corpus: the two shared spans are 23 CHARS each —
+    // below the winnow k-gram size (24) — so near-dup dedup cannot
+    // see them, but each is a full word 8-gram, so x18 must. docD is
+    // nothing but the two spans → stripped to empty → dropped.
+    val span1 = "qa qb qc qd qe qf qg qh"
+    val span2 = "za zb zc zd ze zf zg zh"
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val inDir = java.nio.file.Files.createTempDirectory("e2e-strip")
+      .toString
+    val rows = Seq(
+      (1L, s"${words("u", 22)} $span1"),
+      (2L, s"${words("v", 22)} $span2"),
+      (3L, words("w", 30)),
+      (4L, s"$span1 $span2"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+
+    val out = java.nio.file.Files.createTempDirectory("e2e-strip-out")
+      .toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$inDir", s"--output-dir=$out", "--shards=2",
+      "--min-words=5", "--strip-spans")))
+    // docD is fully duplicated text → stripped empty → audited, and
+    // the accounting closes with the new stage in the ledger
+    assert(s.strippedEmpty == 1L)
+    assert(s.lowQuality == 0L && s.exactDups == 0L && s.nearDups == 0L)
+    assert(s.curated == 3L)
+    assert(s.input == s.curated + s.strippedEmpty)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    assert(dropped.filter(col("stage") === "strip_spans")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // survivors lost exactly the shared span, nothing else
+    val curated = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curated(1L) == words("u", 22))
+    assert(curated(2L) == words("v", 22))
+    assert(curated(3L) == words("w", 30))
+    // without the flag the stage is inert and docD survives
+    val out2 = java.nio.file.Files.createTempDirectory("e2e-strip2")
+      .toString
+    val s2 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$inDir", s"--output-dir=$out2", "--shards=2",
+      "--min-words=5")))
+    assert(s2.strippedEmpty == 0L && s2.curated == 4L)
+  }
+
   test("parseConfig accepts both documented and shipped key spellings") {
     val a = Discover.parseConfig(
       """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")

@@ -80,4 +80,48 @@ object EventOps {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"))
   }
+
+  /** Gap fill / resample: the dense per-user time grid at fixed
+    * `widthUs`-microsecond buckets between each user's first and last
+    * event, with the bucket's event count and the forward-filled last
+    * observation (the classic time-series densify: a dashboard or
+    * feature pipeline wants a value for EVERY interval, not just the
+    * ones that happened to see an event).
+    *
+    * Per bucket: `n` = events that fell in it (0 for generated gap
+    * rows), `fill_value` = the latest observed `value` at-or-before
+    * the bucket (argmax by event_id inside a bucket — unique, so
+    * deterministic — then `last(_, ignoreNulls)` carried along the
+    * per-user ordered frame). `bucket` is the integer epoch-index
+    * (epoch_us div widthUs) — bigint out, never a raw timestamp.
+    *
+    * Scale shape: one (user, bucket) partial-agg shuffle compacts raw
+    * events to at most one row per occupied bucket BEFORE anything
+    * else; the grid explode is output-driven (span/width rows per
+    * user, exactly the rows the caller asked to materialize); the
+    * forward-fill window sorts per user AFTER the compaction, so its
+    * partition size is bounded by the user's bucket span — by the
+    * grid's own definition of output — never by raw event volume. */
+  def resampleFill(events: DataFrame,
+      widthUs: Long = 3600000000L): DataFrame = {
+    require(widthUs > 0, "widthUs must be positive")
+    val a = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${widthUs}L").as("bucket"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("value"), col("event_id")).as("lv"))
+    val grid = a.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(a, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("lv"), ignoreNulls = true).over(fillW)
+          .cast("decimal(18,2)").as("fill_value"))
+  }
 }

@@ -83,6 +83,16 @@ object OpsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // W10 — gap fill / resample: dense hourly grid per user between
+    // first and last event, zero-count gap rows, forward-filled last
+    // observation. The time-series densify every dashboard/feature
+    // pipeline needs; bucket is the integer epoch-hour (no raw
+    // timestamp out).
+    "w10_gap_fill" -> ((s, d) => {
+      EventOps.resampleFill(Tables.events(s, d))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // E5 — interval join (batch form; the streaming form in
     // EventStream.intervalJoin is a watermarked stream-stream join over
     // the same predicate, verified equivalent in StreamingSpec)
@@ -206,6 +216,29 @@ object OpsQueries {
         |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_5min
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w10_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |    event_id, value
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    arg_max(value, event_id) AS lv
+        |  FROM b GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |        FROM a GROUP BY 1)),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, coalesce(a.n, 0) AS n, a.lv
+        |  FROM g LEFT JOIN a USING (user_id, bucket))
+        |SELECT user_id, bucket, n,
+        |  CAST(last_value(lv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS fill_value
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "j11_asof_join" ->
       """WITH e AS (

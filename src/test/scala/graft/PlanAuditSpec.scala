@@ -543,6 +543,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivor selection is an anti join")
   }
 
+  test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
+    val p = plan(graft.operators.EventOps.resampleFill(
+      graft.util.Tables.events(spark, sf)))
+    // the (user,bucket) agg partial-combines raw events BEFORE the
+    // grid explode and the forward-fill window, so the window's
+    // partition size is bucket-span-bounded, never event-bounded
+    assert(count(p, "HashAggregate") >= 4, p.take(2000))
+    assert(p.contains("Window"), "forward fill is one ordered pass")
+    assert(count(p, "Generate") == 1, "the grid explode is the only one")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("PCA moment pass (s10/s11): one partial-aggregated exchange, no explode") {
     import org.apache.spark.sql.GraftColumns
     import org.apache.spark.sql.functions.col

@@ -299,6 +299,15 @@ object R12Scratch {
         }
         println(f"x18 $d wall(min of 2)=$t%.2f s kept_tokens=$kept")
 
+      case "w10" =>
+        val ev = Tables.events(spark, d)
+        println(s"CORPUS $d n_events=${ev.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.EventOps.resampleFill(ev).count()
+        }
+        println(f"w10 $d wall(min of 2)=$t%.2f s grid_rows=$rows")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

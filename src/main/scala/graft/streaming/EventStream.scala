@@ -156,4 +156,72 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class FillEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, value: Double)
+  case class FillState(bucket: Long, n: Long, value: Double)
+  case class FillRow(user_id: Long, bucket: Long, n: Long,
+      fill_value: Double, closed: Boolean)
+
+  /** Stateful streaming gap fill — the incremental twin of
+    * [[graft.operators.EventOps.resampleFill]]: per user, per
+    * `widthUs` bucket, the event count and forward-filled last
+    * observation, emitted as the stream advances instead of
+    * recomputed over history.
+    *
+    * A bucket CLOSES (and its gap predecessors are emitted as n=0
+    * carry rows) when the first event of a later bucket arrives —
+    * the sessionize convention: closed rows are final under Append
+    * mode, and each user's currently-open bucket rides along every
+    * micro-batch with `closed=false`, so `closed ∪ open` replayed
+    * over a batch corpus is row-identical to the batch operator
+    * (StreamingSpec pins this). State per user is ONE (bucket, n,
+    * value) triple — O(keys), not O(events), and gap emission cost
+    * is the same output-driven span/width the batch grid pays.
+    *
+    * Late data (an event whose bucket precedes the open one — only
+    * possible across micro-batches from out-of-order files) is
+    * counted into the OPEN bucket's n and cannot move the carry
+    * value: its true bucket is already emitted and Append-mode
+    * output is immutable, so the count is preserved corpus-wide
+    * (totals still reconcile) at the cost of bucket attribution —
+    * the same trade a watermarked window makes when it refuses
+    * late rows entirely. */
+  def gapFill(events: DataFrame,
+      widthUs: Long = 3600000000L): Dataset[FillRow] = {
+    require(widthUs > 0, "widthUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[FillEvent],
+        state: GroupState[FillState]): Iterator[FillRow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[FillRow]
+      var st = state.getOption.orNull
+      for (e <- sorted) {
+        val b = Math.floorDiv(e.ts.getTime * 1000, widthUs)
+        if (st == null) st = FillState(b, 1, e.value)
+        else if (b == st.bucket) st = FillState(b, st.n + 1, e.value)
+        else if (b < st.bucket) st = FillState(st.bucket, st.n + 1, st.value)
+        else {
+          out ::= FillRow(userId, st.bucket, st.n, st.value, closed = true)
+          var g = st.bucket + 1
+          while (g < b) {
+            out ::= FillRow(userId, g, 0, st.value, closed = true)
+            g += 1
+          }
+          st = FillState(b, 1, e.value)
+        }
+      }
+      state.update(st)
+      (FillRow(userId, st.bucket, st.n, st.value, closed = false) :: out)
+        .reverseIterator
+    }
+
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[FillEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

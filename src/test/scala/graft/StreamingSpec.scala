@@ -265,6 +265,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sTotals == bTotals)
   }
 
+  test("stateful streaming gap fill replays to the batch resample exactly") {
+    val stream = EventStream.readEvents(spark, eventsPath)
+    val filled = EventStream.gapFill(stream)
+    val q = filled.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("gapfill")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // closed ∪ open rows == the batch grid, row for row (the batch
+    // operator's final bucket per user is the stream's open bucket)
+    val streamed = spark.table("gapfill")
+      .select(col("user_id"), col("bucket"), col("n"),
+        col("fill_value").cast("decimal(18,2)").as("fill_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.resampleFill(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.exists(r => r(2) == 0L), "the corpus has gap rows")
+  }
+
   test("winnow ingest gate: streamed survivors == exact batch survivors") {
     import graft.operators.Dedup
     import graft.streaming.IngestGate

@@ -83,6 +83,31 @@ object OpsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // A13 — robust per-type outlier screen: median + MAD (median
+    // absolute deviation) per event_type and the count of events
+    // beyond 3 MADs. The robust pair shrugs off the very outliers a
+    // mean/stddev screen absorbs into its own threshold; two exact
+    // grouped percentiles (the a11 machinery) + two broadcast joins
+    // of a 5-row stats dim — no second shuffle of the events.
+    "a13_robust_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("v"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("v") - col("med")).as("ad"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), lit(1L))
+            .otherwise(lit(0L))).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // W10 — gap fill / resample: dense hourly grid per user between
     // first and last event, zero-count gap rows, forward-filled last
     // observation. The time-series densify every dashboard/feature
@@ -216,6 +241,25 @@ object OpsQueries {
         |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_5min
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "a13_robust_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM s GROUP BY 1),
+        |d AS (
+        |  SELECT s.event_type, med, abs(v - med) AS ad
+        |  FROM s JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(med) AS med, max(mad) AS mad,
+        |  CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w10_gap_fill" ->
       """WITH b AS (

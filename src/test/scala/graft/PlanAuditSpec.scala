@@ -543,6 +543,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivor selection is an anti join")
   }
 
+  test("robust outliers (a13): stats dims broadcast back, no event re-shuffle") {
+    val p = plan(graft.SparkEntry.queries("a13_robust_outliers")(
+      spark, sf))
+    // the median and MAD frames are tiny per-type dims — they must
+    // come back as broadcasts, never as a shuffled join of the events
+    // (3: the med-join subtree feeds both the MAD agg and the final
+    // agg and recomputes per consumer, + the mad join itself)
+    assert(count(p, "BroadcastHashJoin") == 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

@@ -124,4 +124,57 @@ object EventOps {
         last(col("lv"), ignoreNulls = true).over(fillW)
           .cast("decimal(18,2)").as("fill_value"))
   }
+
+  /** Linear-interpolation resample — [[resampleFill]]'s smooth
+    * sibling: the same dense per-user grid, but gap buckets take the
+    * straight line between the surrounding observations instead of a
+    * step (prev + (next − prev) · (g − prevB)/(nextB − prevB)), the
+    * other half of every resampling library's fill repertoire.
+    *
+    * Same plan shape as [[resampleFill]] plus one more window pass:
+    * the backward (next-observation) carry runs over the SAME
+    * (user, bucket) sort as the forward one — two Window nodes, one
+    * exchange, one sort. The grid's ends are observations by
+    * construction, so prev/next are always defined; an observed
+    * bucket interpolates to itself (ratio 0). The interpolated value
+    * ships as an e6 FLOOR cut (`lerp_e6`): interpolation ratios are
+    * small rationals (j/gap over 2-dp endpoints), so the usual
+    * decimal cut lands on exact .5e-6 ties where engines disagree on
+    * the rounding mode (measured: 113/105k rows at sf0.01);
+    * floor(x·1e6) of the SAME IEEE double is engine-independent. */
+  def resampleInterp(events: DataFrame,
+      widthUs: Long = 3600000000L): DataFrame = {
+    require(widthUs > 0, "widthUs must be positive")
+    val a = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${widthUs}L").as("bucket"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("value"), col("event_id")).as("lv"))
+    val grid = a.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val byBucket = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket"))
+    val back = byBucket
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byBucket
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("lv").isNotNull, col("bucket"))
+    val lerped = grid.join(a, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("lv"), ignoreNulls = true).over(back).as("pv"),
+        last(obsBucket, ignoreNulls = true).over(back).as("pb"),
+        first(col("lv"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsBucket, ignoreNulls = true).over(fwd).as("nb"))
+    val lerp = when(col("nb") === col("pb"), col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) *
+        (col("bucket") - col("pb")).cast("double") /
+        (col("nb") - col("pb")).cast("double"))
+    lerped.select(col("user_id"), col("bucket"), col("n"),
+      floor(lerp * lit(1000000.0)).cast("bigint").as("lerp_e6"))
+  }
 }

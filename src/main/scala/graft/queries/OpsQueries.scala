@@ -118,6 +118,14 @@ object OpsQueries {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // W11 — linear-interpolation resample: w10's grid with gap
+    // buckets on the straight line between surrounding observations
+    // (the other half of the resampling repertoire; e6 decimal cut).
+    "w11_lerp_fill" -> ((s, d) => {
+      EventOps.resampleInterp(Tables.events(s, d))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // E5 — interval join (batch form; the streaming form in
     // EventStream.intervalJoin is a watermarked stream-stream join over
     // the same predicate, verified equivalent in StreamingSpec)
@@ -283,6 +291,45 @@ object OpsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DECIMAL(18,2)) AS fill_value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+    "w11_lerp_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |    event_id, value
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    arg_max(value, event_id) AS lv
+        |  FROM b GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |        FROM a GROUP BY 1)),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, coalesce(a.n, 0) AS n, a.lv,
+        |    CASE WHEN a.lv IS NOT NULL THEN g.bucket END AS ob
+        |  FROM g LEFT JOIN a USING (user_id, bucket)),
+        |w AS (
+        |  SELECT user_id, bucket, n,
+        |    last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(ob IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(lv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(ob IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT user_id, bucket, n,
+        |  CAST(floor((CASE WHEN nb = pb THEN pv
+        |      ELSE pv + (nv - pv) * CAST(bucket - pb AS DOUBLE)
+        |        / CAST(nb - pb AS DOUBLE) END) * 1000000.0) AS BIGINT)
+        |    AS lerp_e6
+        |FROM w ORDER BY user_id, bucket""".stripMargin,
 
     "j11_asof_join" ->
       """WITH e AS (

@@ -568,6 +568,19 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("lerp resample (w11): both carries share one sort, no cartesian") {
+    val p = plan(graft.operators.EventOps.resampleInterp(
+      graft.util.Tables.events(spark, sf)))
+    // forward and backward carries are Window passes over the SAME
+    // (user, bucket) ordering — they must not introduce a second
+    // sort-exchange of the grid
+    assert(p.contains("Window"), p.take(2000))
+    assert(count(p, "Sort") <= 3, "one grid sort + the window ordering")
+    assert(count(p, "Generate") == 1, "the grid explode is the only one")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("PCA moment pass (s10/s11): one partial-aggregated exchange, no explode") {
     import org.apache.spark.sql.GraftColumns
     import org.apache.spark.sql.functions.col

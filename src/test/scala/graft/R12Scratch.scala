@@ -308,6 +308,25 @@ object R12Scratch {
         }
         println(f"w10 $d wall(min of 2)=$t%.2f s grid_rows=$rows")
 
+      case "a13" =>
+        val ev = Tables.events(spark, d)
+        println(s"CORPUS $d n_events=${ev.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.SparkEntry.queries("a13_robust_outliers")(spark, d)
+            .count()
+        }
+        println(f"a13 $d wall(min of 2)=$t%.2f s rows=$rows")
+
+      case "w11" =>
+        val ev = Tables.events(spark, d)
+        println(s"CORPUS $d n_events=${ev.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.EventOps.resampleInterp(ev).count()
+        }
+        println(f"w11 $d wall(min of 2)=$t%.2f s grid_rows=$rows")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

@@ -684,6 +684,67 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric CONTAINMENT pairs — quote/subset detection: emit
+    * (id_a, id_b, containment) where containment =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ `threshold`, i.e.
+    * document A's k-word-shingle set is (nearly) inside B's. Jaccard
+    * (d5) misses exactly this shape — a paragraph quoted inside a
+    * 100× larger document scores near-zero Jaccard but containment
+    * 1.0 — and it is the shape boilerplate, quotation and
+    * template-expansion duplication actually takes.
+    *
+    * Blocking is a PREFIX-FILTERED inverted-index join (Chaudhuri
+    * et al. 2006 / Bayardo 2007, adapted to containment): under any
+    * global element order, |A∩B| ≥ ⌈τ·|A|⌉ forces at least one of
+    * A's (|A| − ⌈τ·|A|⌉ + 1) smallest elements to lie in B — so the
+    * probe side ships only that prefix (≈(1−τ)·|A| hashes) while the
+    * index side posts every hash, and recall is EXACT, not
+    * probabilistic like the single-min-hash d5 block. Posting lists
+    * longer than `maxPosting` (ultra-common shingles) are dropped
+    * under the standing count-first cap + observed-metric contract
+    * (`containment_posting_overflow`): a pair connected ONLY through
+    * capped shingles can be missed, the audit says how much mass was
+    * capped, and the documented pipeline runs exact dedup first.
+    * The exact set verify runs on the candidate set only, via the
+    * d5 convention (xxhash64-hashed shingle sets; collisions can
+    * only over-count the intersection). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxPosting: Int = 1024): DataFrame = {
+    graft.functions.ShinglesImpl.register(df.sparkSession)
+    val sets = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
+      .withColumn("hs", array_sort(array_distinct(baseHashes(col("shs")))))
+      .select(col("id"), transform(col("shs"), xxhash64(_)).as("sh"),
+        col("hs"))
+    val prefixLen = greatest(
+      size(col("hs")) -
+        ceil(lit(threshold) * size(col("hs"))).cast("int") + 1, lit(1))
+    val prefix = sets
+      .select(col("id").as("id_a"),
+        explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    val postings = sets
+      .select(col("id").as("id_b"), explode(col("hs")).as("h"))
+    val active = postings.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .observe("containment_posting_overflow",
+        sum(when(col("n") > maxPosting, lit(1L)).otherwise(lit(0L)))
+          .as("overflow_buckets"),
+        sum(when(col("n") > maxPosting, col("n")).otherwise(lit(0L)))
+          .as("overflow_docs"))
+      .filter(col("n") <= maxPosting)
+      .select(col("h"))
+    val cand = prefix.join(postings.join(active, "h"), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental duplicate-SPAN dedup: drop arriving documents that
     * share at least `minShared` winnowed fingerprints with the
     * reference corpus — the cross-run form of [[winnowedDupPairs]],

@@ -120,6 +120,16 @@ object ScaleQueries {
         .orderBy(col("member_id"))
     }),
 
+    // D19 — asymmetric containment (quote detection): A's shingle set
+    // ≥80% inside B's. Prefix-filtered inverted-index join — exact
+    // recall, unlike d5's probabilistic min-hash block; posting lists
+    // capped under the standing overflow-audit contract.
+    "d19_containment_pairs" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // NOTE: the oracle enumerates every in-bucket pair while the Spark
     // side inherits ngramJaccardPairs' maxBucket=1024 drop contract —
     // equivalent at oracle scale (buckets are tiny), and at corpus
@@ -1245,6 +1255,37 @@ object ScaleQueries {
          |      / len(list_distinct(sh_a || sh_b)) AS jaccard
          |  FROM cand)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d19_containment_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-2, 1)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |hs AS (
+        |  SELECT id, sh, list_sort(list_distinct(list_transform(sh,
+        |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT)
+        |      % 2147483647))) AS h
+        |  FROM base),
+        |pre AS (
+        |  SELECT id AS id_a,
+        |    unnest(h[1:greatest(len(h)
+        |      - CAST(ceil(0.8*len(h)) AS INT) + 1, 1)]) AS hv
+        |  FROM hs),
+        |post AS (SELECT id AS id_b, unnest(h) AS hv FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM pre JOIN post USING (hv)
+        |  WHERE id_a <> id_b)
+        |SELECT * FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+        |      AS containment
+        |  FROM cand JOIN hs a ON cand.id_a = a.id
+        |    JOIN hs b ON cand.id_b = b.id)
+        |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

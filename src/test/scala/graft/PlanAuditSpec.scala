@@ -555,6 +555,19 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("containment pairs (d19): posting join on 8-byte keys, no cartesian") {
+    val p = plan(graft.operators.Dedup.containmentPairs(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // prefix-probe ⋈ capped postings ⋈ verify joins — every one a
+    // hash join on the gram hash or the doc id, never a product; the
+    // shingle arrays only travel on the two verify joins
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftSemi") || p.contains("Join"), p.take(500))
+    assert(count(p, "HashAggregate") >= 2,
+      "the posting cap partial-aggregates before the probe")
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

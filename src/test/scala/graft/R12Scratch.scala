@@ -327,6 +327,16 @@ object R12Scratch {
         }
         println(f"w11 $d wall(min of 2)=$t%.2f s grid_rows=$rows")
 
+      case "d19" =>
+        val docs = Tables.documents(spark, d)
+        println(s"CORPUS $d n_docs=${docs.count()}")
+        var rows = 0L
+        val t = minOf(2) {
+          rows = graft.operators.Dedup
+            .containmentPairs(docs, "doc_id", "text").count()
+        }
+        println(f"d19 $d wall(min of 2)=$t%.2f s pairs=$rows")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

@@ -693,38 +693,33 @@ object Dedup {
     * 1.0 — and it is the shape boilerplate, quotation and
     * template-expansion duplication actually takes.
     *
-    * Blocking is a PREFIX-FILTERED inverted-index join (Chaudhuri
-    * et al. 2006 / Bayardo 2007, adapted to containment): under any
-    * global element order, |A∩B| ≥ ⌈τ·|A|⌉ forces at least one of
-    * A's (|A| − ⌈τ·|A|⌉ + 1) smallest elements to lie in B — so the
-    * probe side ships only that prefix (≈(1−τ)·|A| hashes) while the
-    * index side posts every hash, and recall is EXACT, not
-    * probabilistic like the single-min-hash d5 block. Posting lists
-    * longer than `maxPosting` (ultra-common shingles) are dropped
-    * under the standing count-first cap + observed-metric contract
-    * (`containment_posting_overflow`): a pair connected ONLY through
-    * capped shingles can be missed, the audit says how much mass was
-    * capped, and the documented pipeline runs exact dedup first.
-    * The exact set verify runs on the candidate set only, via the
-    * d5 convention (xxhash64-hashed shingle sets; collisions can
-    * only over-count the intersection). */
+    * Shape: an inverted-index CO-OCCURRENCE COUNT join — postings
+    * (hash, id) of every distinct shingle, posting lists longer than
+    * `maxPosting` dropped under the standing count-first cap +
+    * observed-metric contract (`containment_posting_overflow`), then
+    * the self-join on the hash grouped by (id_a, id_b) so the group
+    * count IS |A∩B| and only 16-byte pair rows ever shuffle. A
+    * first-cut variant verified candidates by shipping both
+    * documents' full hashed-shingle arrays through two joins and
+    * intersecting per row; at sf10's 53M candidates that moved
+    * ~150 GB of arrays and the verify ate 80 of 95 s — the count
+    * join computes the same intersection as a partial-combining
+    * aggregate over narrow rows (measured below). Join volume is
+    * Σ_h n_h², bounded by `maxPosting`·|postings| by the cap; a pair
+    * connected ONLY through capped (ultra-common) shingles can be
+    * missed — the audit says how much mass was capped, and the
+    * documented pipeline runs exact dedup first. Sets are hashed
+    * (md5-family, the d5 oracle domain): a collision INSIDE one
+    * document's set can only over-count the intersection, the
+    * standing convention. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxPosting: Int = 1024): DataFrame = {
     graft.functions.ShinglesImpl.register(df.sparkSession)
     val sets = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
-      .withColumn("hs", array_sort(array_distinct(baseHashes(col("shs")))))
-      .select(col("id"), transform(col("shs"), xxhash64(_)).as("sh"),
-        col("hs"))
-    val prefixLen = greatest(
-      size(col("hs")) -
-        ceil(lit(threshold) * size(col("hs"))).cast("int") + 1, lit(1))
-    val prefix = sets
-      .select(col("id").as("id_a"),
-        explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
-    val postings = sets
-      .select(col("id").as("id_b"), explode(col("hs")).as("h"))
+      .select(col("id"), array_distinct(baseHashes(col("shs"))).as("hs"))
+    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
     val active = postings.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .observe("containment_posting_overflow",
         sum(when(col("n") > maxPosting, lit(1L)).otherwise(lit(0L)))
@@ -733,15 +728,18 @@ object Dedup {
           .as("overflow_docs"))
       .filter(col("n") <= maxPosting)
       .select(col("h"))
-    val cand = prefix.join(postings.join(active, "h"), "h")
+    val capped = postings.join(active, "h")
+    val shared = capped.select(col("h"), col("id").as("id_a"))
+      .join(capped.select(col("h"), col("id").as("id_b")), "h")
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sets.select(col("id").as("id_a"),
+        size(col("hs")).as("sz_a")), "id_a")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")).cast("double")).as("containment"))
+        (col("c").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
       .filter(col("containment") >= threshold)
   }
 

@@ -1266,25 +1266,18 @@ object ScaleQueries {
         |          regexp_split_to_array(trim(text), '\s+') AS toks
         |        FROM documents)),
         |hs AS (
-        |  SELECT id, sh, list_sort(list_distinct(list_transform(sh,
+        |  SELECT id, list_distinct(list_transform(sh,
         |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT)
-        |      % 2147483647))) AS h
+        |      % 2147483647)) AS h
         |  FROM base),
-        |pre AS (
-        |  SELECT id AS id_a,
-        |    unnest(h[1:greatest(len(h)
-        |      - CAST(ceil(0.8*len(h)) AS INT) + 1, 1)]) AS hv
-        |  FROM hs),
-        |post AS (SELECT id AS id_b, unnest(h) AS hv FROM hs),
-        |cand AS (
-        |  SELECT DISTINCT id_a, id_b FROM pre JOIN post USING (hv)
-        |  WHERE id_a <> id_b)
+        |post AS (SELECT id, unnest(h) AS hv FROM hs),
+        |shared AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        |  FROM post a JOIN post b ON a.hv = b.hv AND a.id <> b.id
+        |  GROUP BY 1, 2)
         |SELECT * FROM (
-        |  SELECT id_a, id_b,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
-        |      AS containment
-        |  FROM cand JOIN hs a ON cand.id_a = a.id
-        |    JOIN hs b ON cand.id_b = b.id)
+        |  SELECT id_a, id_b, c::DOUBLE / len(hs.h) AS containment
+        |  FROM shared JOIN hs ON shared.id_a = hs.id)
         |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "d7_dup_clusters" ->

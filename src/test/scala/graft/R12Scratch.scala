@@ -337,6 +337,41 @@ object R12Scratch {
         }
         println(f"d19 $d wall(min of 2)=$t%.2f s pairs=$rows")
 
+      case "d19prof" =>
+        // where do d19's sf10 seconds go? time the candidate stage
+        // alone (prefix ⋈ capped postings ⋈ distinct) vs the full op
+        import graft.operators.Dedup
+        val docs = Tables.documents(spark, d)
+        val sets = docs
+          .select(col("doc_id").as("id"), col("text"))
+          .withColumn("shs", array_distinct(expr("word_shingles(text, 3)")))
+          .withColumn("hs",
+            array_sort(array_distinct(Dedup.baseHashes(col("shs")))))
+          .select(col("id"), col("hs"))
+        graft.functions.ShinglesImpl.register(spark)
+        val prefixLen = greatest(size(col("hs")) -
+          ceil(lit(0.8) * size(col("hs"))).cast("int") + 1, lit(1))
+        val prefix = sets.select(col("id").as("id_a"),
+          explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+        val postings = sets.select(col("id").as("id_b"),
+          explode(col("hs")).as("h"))
+        val active = postings.groupBy(col("h"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= 1024).select(col("h"))
+        var nc = 0L
+        val tc = minOf(2) {
+          nc = prefix.join(postings.join(active, "h"), "h")
+            .filter(col("id_a") =!= col("id_b"))
+            .select(col("id_a"), col("id_b")).distinct().count()
+        }
+        var nraw = 0L
+        val traw = minOf(2) {
+          nraw = prefix.join(postings.join(active, "h"), "h")
+            .filter(col("id_a") =!= col("id_b")).count()
+        }
+        println(f"d19prof $d cand_distinct=$nc ($tc%.2f s) " +
+          f"cand_raw=$nraw ($traw%.2f s)")
+
       case "t12prof" =>
         // Is t12 explode-bound? Time the halves: (scan) raw text scan,
         // (model) explode → partial agg → V-row shuffle, (full) both

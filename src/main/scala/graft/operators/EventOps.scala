@@ -89,10 +89,15 @@ object EventOps {
     * ones that happened to see an event).
     *
     * Per bucket: `n` = events that fell in it (0 for generated gap
-    * rows), `fill_value` = the latest observed `value` at-or-before
+    * rows), `fill_e6` = the latest observed `value` at-or-before
     * the bucket (argmax by event_id inside a bucket — unique, so
     * deterministic — then `last(_, ignoreNulls)` carried along the
-    * per-user ordered frame). `bucket` is the integer epoch-index
+    * per-user ordered frame), shipped as a floor(x·1e6) bigint cut:
+    * the previous decimal(18,2) cast landed on .5 rounding ties
+    * where Spark and DuckDB disagree (the exact pathology measured
+    * for [[resampleInterp]]'s lerp_e6 — 113/105k rows at sf0.01),
+    * while the e6 floor of the SAME IEEE double is
+    * engine-independent. `bucket` is the integer epoch-index
     * (epoch_us div widthUs) — bigint out, never a raw timestamp.
     *
     * Scale shape: one (user, bucket) partial-agg shuffle compacts raw
@@ -121,8 +126,8 @@ object EventOps {
     grid.join(a, Seq("user_id", "bucket"), "left")
       .select(col("user_id"), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"),
-        last(col("lv"), ignoreNulls = true).over(fillW)
-          .cast("decimal(18,2)").as("fill_value"))
+        floor(last(col("lv"), ignoreNulls = true).over(fillW) *
+          lit(1000000.0)).cast("bigint").as("fill_e6"))
   }
 
   /** Linear-interpolation resample — [[resampleFill]]'s smooth

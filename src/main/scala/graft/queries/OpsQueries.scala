@@ -286,10 +286,10 @@ object OpsQueries {
         |  SELECT g.user_id, g.bucket, coalesce(a.n, 0) AS n, a.lv
         |  FROM g LEFT JOIN a USING (user_id, bucket))
         |SELECT user_id, bucket, n,
-        |  CAST(last_value(lv IGNORE NULLS) OVER (
+        |  CAST(floor(last_value(lv IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS fill_value
+        |    * 1000000) AS BIGINT) AS fill_e6
         |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "w11_lerp_fill" ->

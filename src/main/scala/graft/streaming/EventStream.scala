@@ -119,6 +119,12 @@ object EventStream {
           .as("lag_us"))
   }
 
+  /** Lossless epoch-microseconds: `getTime` is ms-truncated, so a
+    * sub-millisecond ts (or a widthUs not divisible by 1000) would
+    * bucket/gap differently than the batch operators' unix_micros(ts). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,
@@ -134,11 +140,11 @@ object EventStream {
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionUpdate] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[SessionUpdate]
       var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
       for (e <- sorted) {
-        val us = e.ts.getTime * 1000
+        val us = micros(e.ts)
         if (st.n == 0) st = SessionState(us, us, 1)
         else if (us - st.last > gapUs) {
           out ::= SessionUpdate(userId, st.n, st.start, st.last, closed = true)
@@ -159,7 +165,8 @@ object EventStream {
 
   case class FillEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, value: Double)
-  case class FillState(bucket: Long, n: Long, value: Double)
+  case class FillState(bucket: Long, n: Long, value: Double,
+      maxId: Long)
   case class FillRow(user_id: Long, bucket: Long, n: Long,
       fill_value: Double, closed: Boolean)
 
@@ -195,14 +202,19 @@ object EventStream {
 
     def update(userId: Long, rows: Iterator[FillEvent],
         state: GroupState[FillState]): Iterator[FillRow] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[FillRow]
       var st = state.getOption.orNull
       for (e <- sorted) {
-        val b = Math.floorDiv(e.ts.getTime * 1000, widthUs)
-        if (st == null) st = FillState(b, 1, e.value)
-        else if (b == st.bucket) st = FillState(b, st.n + 1, e.value)
-        else if (b < st.bucket) st = FillState(st.bucket, st.n + 1, st.value)
+        val b = Math.floorDiv(micros(e.ts), widthUs)
+        if (st == null) st = FillState(b, 1, e.value, e.event_id)
+        else if (b == st.bucket)
+          // In-bucket carry = value of the MAX event_id — the batch
+          // operator's max_by(value, event_id), not arrival order.
+          st =
+            if (e.event_id > st.maxId) FillState(b, st.n + 1, e.value, e.event_id)
+            else st.copy(n = st.n + 1)
+        else if (b < st.bucket) st = st.copy(n = st.n + 1)
         else {
           out ::= FillRow(userId, st.bucket, st.n, st.value, closed = true)
           var g = st.bucket + 1
@@ -210,7 +222,7 @@ object EventStream {
             out ::= FillRow(userId, g, 0, st.value, closed = true)
             g += 1
           }
-          st = FillState(b, 1, e.value)
+          st = FillState(b, 1, e.value, e.event_id)
         }
       }
       state.update(st)

@@ -277,7 +277,8 @@ class StreamingSpec extends AnyFunSuite {
     // operator's final bucket per user is the stream's open bucket)
     val streamed = spark.table("gapfill")
       .select(col("user_id"), col("bucket"), col("n"),
-        col("fill_value").cast("decimal(18,2)").as("fill_value"))
+        floor(col("fill_value") * lit(1000000.0)).cast("bigint")
+          .as("fill_e6"))
       .collect().map(_.toSeq).toSet
     val batch = EventOps.resampleFill(Tables.events(spark, sf))
       .collect().map(_.toSeq).toSet

@@ -79,11 +79,17 @@ object Bpe {
                 element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        words = Iter.materialize(
+        val next = Iter.materialize(
           words.select(col("c"), applied.as("syms")))
+        // drop the prior round's checkpointed copy once the new one is
+        // live — a real training run is thousands of merges, and
+        // without the release storage grows linearly with numMerges
+        Iter.release(words)
+        words = next
         k += 1
       }
     }
+    Iter.release(words)
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 

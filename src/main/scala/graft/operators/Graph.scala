@@ -24,25 +24,41 @@ import graft.util.Iter
 object Graph {
 
   /** The per-run static state every round rejoins. */
-  private case class Ctx(nodes: DataFrame, n: Long, contrib: DataFrame,
-      dangling: DataFrame)
+  private[graft] case class Ctx(nodes: DataFrame, n: Long, contrib: DataFrame,
+      dangling: DataFrame) {
+    /** Free the checkpointed static frames once the final rank vector
+      * is materialized — it no longer depends on them. */
+    def release(): Unit = {
+      Iter.release(nodes); Iter.release(contrib); Iter.release(dangling)
+    }
+  }
 
-  private def prepare(edges: DataFrame, srcCol: String,
+  private[graft] def prepare(edges: DataFrame, srcCol: String,
       dstCol: String): Ctx = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // materialized like contrib: the node set is referenced in every
     // round (and twice more for n and the initial vector) — left live
-    // it would re-run the full edge scan + distinct per reference
-    val nodes = Iter.materialize(
+    // it would re-run the full edge scan + distinct per reference.
+    // Clustered on node so the per-round rank-update join (node = dst
+    // of the freshly aggregated inbound mass) is exchange-free on
+    // this side too.
+    val nodes = Iter.materializeClustered(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .distinct())
+        .distinct(), Seq("node"))
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // static per-round payload: (src, dst, deg) — materialized once so
-    // every round rejoins the SAME frame instead of re-deriving it
-    val contrib = Iter.materialize(e.join(deg, "src"))
+    // static per-round payload: (src, dst, deg) — materialized ONCE,
+    // hash-clustered on src with the layout DECLARED on the
+    // checkpoint scan (Iter.materializeClustered), so every round's
+    // edge⋈rank join sees the edge side already placed on the join
+    // key and only the rank vector moves: the per-round cost
+    // collapses to one V-row rank exchange plus the dst-keyed
+    // partial-agg shuffle — the edge table, the 100 TB side, never
+    // moves again (plan-gated in PlanAuditSpec; measured at sf10 in
+    // BENCH_NOTES).
+    val contrib = Iter.materializeClustered(e.join(deg, "src"), Seq("src"))
     val dangling = Iter.materialize(
       nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"))
@@ -54,7 +70,7 @@ object Graph {
     * the materialized rank vector — a bounded driver action, the
     * documented price of the variant) and paid back uniformly, so
     * total mass is conserved; the leaky form lets it evaporate. */
-  private def round(ctx: Ctx, ranks: DataFrame, damping: Double,
+  private[graft] def round(ctx: Ctx, ranks: DataFrame, damping: Double,
       redistributeDangling: Boolean): DataFrame = {
     val inbound = ctx.contrib
       .join(ranks, col("src") === col("node"))
@@ -114,8 +130,15 @@ object Graph {
     val ctx = prepare(edges, srcCol, dstCol)
     var ranks = ctx.nodes.select(col("node"),
       lit(1.0 / ctx.n).as("rank"))
-    for (_ <- 1 to iters)
-      ranks = round(ctx, ranks, damping, redistributeDangling)
+    for (i <- 1 to iters) {
+      val next = round(ctx, ranks, damping, redistributeDangling)
+      // round i-1's checkpointed vector is dead once round i is live —
+      // without the release a long run pins one rank copy per round
+      // (i == 1 skips: the initial vector is a view over ctx.nodes)
+      if (i > 1) Iter.release(ranks)
+      ranks = next
+    }
+    if (iters >= 1) ctx.release()
     ranks
   }
 
@@ -146,9 +169,13 @@ object Graph {
       it += 1
       val delta = next.as("a").join(ranks.as("b"), "node")
         .agg(max(abs(col("a.rank") - col("b.rank")))).first().getDouble(0)
+      // the previous vector is dead once the delta is taken — release
+      // it, or a slow-mixing graph pins maxIter copies of the ranks
+      Iter.release(ranks)
       ranks = next
-      if (delta < tol) return (ranks, it)
+      if (delta < tol) { ctx.release(); return (ranks, it) }
     }
+    ctx.release()
     throw new IllegalStateException(
       s"pageRank did not converge to $tol within $maxIter rounds")
   }

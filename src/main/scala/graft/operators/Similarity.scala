@@ -1109,9 +1109,18 @@ object Similarity {
         posexplode(keys).as(Seq("band", "key")))
       .select(col("bid"), col("band"), col("key"))
     // inner join: a probe (band, key) absent from the stats table has
-    // no index rows either, so dropping it loses nothing
+    // no index rows either, so dropping it loses nothing. Indexes
+    // written before the stats table existed degrade gracefully: the
+    // populations are re-derived from the index (one extra per-batch
+    // bucket-local aggregation — the cost writeRhpIndex's stats table
+    // pays once instead), not a table-not-found failure.
+    val stats =
+      if (spark.catalog.tableExists(s"${table}_stats"))
+        spark.table(s"${table}_stats")
+      else spark.table(table).groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
     val active = bKeys
-      .join(spark.table(s"${table}_stats"), Seq("band", "key"))
+      .join(stats, Seq("band", "key"))
       .observe("rhp_bucket_overflow",
         sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
           .as("overflow_probe_hits"),

@@ -120,14 +120,21 @@ object ExactlyOnceSink {
     * O(touched partitions), not O(lake), and disk holds one copy.
     *
     * Exactly-once comes from idempotence-BY-CONTENT plus a commit
-    * marker, not versioning: a replayed batch id re-derives each
-    * touched partition from (its current state, identical batch
-    * rows) — and [[graft.operators.Layout.upsert]] applied twice is
-    * the same as once — so even a crash that left SOME partitions
-    * rewritten converges on replay; the `_commits/<id>` marker merely
-    * skips the re-work once the apply fully committed. No time
-    * travel: old partition states are gone ([[upsertBatch]] is the
-    * versioned form).
+    * marker plus ATOMIC per-partition swaps: the merged output is
+    * staged under `_stage/<id>` (so the pruned read of the previous
+    * state never overlaps the write), then each touched partition
+    * flips into `data/` by directory rename — old parked in
+    * `_old/<id>` first — so at every instant a partition is fully-old
+    * or fully-new, never a torn file set. A replayed batch id then
+    * re-derives each touched partition from (its current state —
+    * old or new, both converge because
+    * [[graft.operators.Layout.upsert]] applied twice is the same as
+    * once — identical batch rows); the one non-atomic window (between
+    * the park and the swap-in renames) leaves the partition ONLY in
+    * `_old/<id>`, which replay restores before merging. The
+    * `_commits/<id>` marker merely skips the re-work once the apply
+    * fully committed. No time travel: old partition states are gone
+    * after commit ([[upsertBatch]] is the versioned form).
     *
     * `partCol` must be a PURE FUNCTION OF THE KEY (stable across
     * updates of a key, e.g. a key hash bucket or an immutable ingest
@@ -141,9 +148,29 @@ object ExactlyOnceSink {
     val base = new Path(lakeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(base, s"_commits/$batchId")
-    if (fs.exists(marker)) false
-    else {
+    val stage = new Path(base, s"_stage/$batchId")
+    val parked = new Path(base, s"_old/$batchId")
+    if (fs.exists(marker)) {
+      // a crash after the marker but before cleanup leaves superseded
+      // stage/old leftovers — drop them on the skip path
+      fs.delete(stage, true)
+      fs.delete(parked, true)
+      false
+    } else {
       val dataDir = new Path(base, "data")
+      // crash recovery: a prior attempt of THIS batch may have parked
+      // a partition in _old without completing its swap-in — restore
+      // it so the merge below reads a complete state. (A partition in
+      // both places means the swap-in finished; the parked copy is
+      // superseded.)
+      if (fs.exists(parked)) {
+        fs.listStatus(parked).foreach { s =>
+          val live = new Path(dataDir, s.getPath.getName)
+          if (!fs.exists(live)) fs.rename(s.getPath, live)
+          else fs.delete(s.getPath, true)
+        }
+        fs.delete(parked, true)
+      }
       // bounded driver state: one row per partition the batch touches
       val touched = df.select(df(partCol)).distinct().collect()
         .map(_.get(0))
@@ -155,12 +182,28 @@ object ExactlyOnceSink {
               .isin(touched.toIndexedSeq: _*))
           graft.operators.Layout.upsert(prev, df, keyCols)
         }
+      fs.delete(stage, true)
       merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
-        .parquet(dataDir.toString)
+        .parquet(stage.toString)
+      // atomic per-partition swap: park the old directory, rename the
+      // staged one in — a directory rename is atomic, so a partition
+      // is fully-old or fully-new at every instant
+      fs.mkdirs(parked)
+      fs.mkdirs(dataDir)
+      fs.listStatus(stage).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partCol="))
+        .foreach { s =>
+          val live = new Path(dataDir, s.getPath.getName)
+          if (fs.exists(live))
+            fs.rename(live, new Path(parked, s.getPath.getName))
+          fs.rename(s.getPath, live)
+        }
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      fs.delete(stage, true)
+      fs.delete(parked, true)
       true
     }
   }

@@ -487,6 +487,35 @@ class PlanAuditSpec extends AnyFunSuite {
         p2.take(2000))
   }
 
+  test("pagerank rounds: clustered edge checkpoint never re-shuffles, only ranks move") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum, coalesce}
+    val e = Seq.tabulate(200)(i => (i.toLong % 23, (i.toLong * 7) % 23))
+      .toDF("src", "dst")
+    val ctx = graft.operators.Graph.prepare(e, "src", "dst")
+    val r1 = graft.operators.Graph.round(ctx,
+      ctx.nodes.select(col("node"), lit(1.0 / ctx.n).as("rank")),
+      0.85, redistributeDangling = false)
+    // the steady-state (round-2+) plan, pre-AQE: the edge and node
+    // checkpoints DECLARE their hash clustering
+    // (Iter.materializeClustered), so EnsureRequirements plans NO
+    // exchange and NO sort over either ExistingRDD scan — per round
+    // only the V-row rank vector exchanges (once into the edge join,
+    // once as the dst-keyed partial agg); the E-row edge table never
+    // moves again
+    val inbound = ctx.contrib.join(r1, col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(col("rank") / col("deg")).as("inb"))
+    val round2 = ctx.nodes.join(inbound, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(0.15 / ctx.n) + lit(0.85) * coalesce(col("inb"), lit(0.0)))
+          .as("rank"))
+    val p = plan(round2)
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"steady-state round must exchange ranks twice and edges never:\n$p")
+    assert(!p.contains("Sort [src#"),
+      s"edge side must read pre-sorted, no per-round re-sort:\n$p")
+  }
+
   test("leak-safe split (x12): pure hash map over a broadcast cluster join") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("member_id", "cluster_id")

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 measurement harness (dev-only; excluded from LoC, like
+  * R11/R12Scratch). Run pieces via
+  * `sbt 'Test/runMain graft.R13Scratch <what> <args...>'`. */
+object R13Scratch {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption.getOrElse("") match {
+      case "prplan" =>
+        import spark.implicits._
+        import graft.operators.Graph
+        val e = (0L until 10000L).map(i => (i % 997, (i * 31) % 997))
+          .toDF("src", "dst")
+        val ctx = Graph.prepare(e, "src", "dst")
+        val r0 = graft.util.Iter.materialize(
+          ctx.nodes.select(col("node"), lit(1.0 / ctx.n).as("rank")))
+        val r1 = Graph.round(ctx, r0, 0.85, false)
+        // the plan of a STEADY-STATE round (round 2+): lazy form
+        val inbound = ctx.contrib
+          .join(r1, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("deg")).as("inb"))
+        val lazyRound = ctx.nodes
+          .join(inbound, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(0.15 / ctx.n) + lit(0.85) *
+            coalesce(col("inb"), lit(0.0))).as("rank"))
+        lazyRound.collect()
+        println("=== steady-state round executedPlan ===")
+        println(lazyRound.queryExecution.executedPlan.toString)
+      case "prpart" =>
+        import spark.implicits._
+        import graft.operators.Graph
+        val e = (0L until 10000L).map(i => (i % 997, (i * 31) % 997))
+          .toDF("src", "dst")
+        val ctx = Graph.prepare(e, "src", "dst")
+        def part(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          df.queryExecution.optimizedPlan.collectLeaves().foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              println(s"$name partitioning=${l.outputPartitioning} " +
+                s"ordering=${l.outputOrdering.mkString(",")}")
+            case o => println(s"$name leaf=${o.getClass.getSimpleName}")
+          }
+        part(ctx.contrib, "contrib")
+        part(ctx.nodes, "nodes")
+      case "g1" =>
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf10"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val edges = Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        var rows = 0L
+        val t1 = (1 to 2).map(_ => time {
+          rows = graft.operators.Graph.pageRank(edges, "src", "dst", 5)
+            .count()
+        }).min
+        println(f"g1_pagerank $d wall(min of 2)=$t1%.2f s nodes=$rows")
+        val t2 = (1 to 2).map(_ => time {
+          rows = graft.operators.Graph.pageRank(edges, "src", "dst", 5,
+            redistributeDangling = true).count()
+        }).min
+        println(f"g2_pagerank_redist $d wall(min of 2)=$t2%.2f s nodes=$rows")
+      case "g1old" =>
+        // round-12 shape: plain (unclustered) checkpoints — the
+        // before side of the round-13 clustered-edge measurement
+        import graft.util.{Iter, Tables}
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf10"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val edges = Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        def run(redistribute: Boolean): Long = {
+          val e = edges.select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          val nodes = Iter.materialize(
+            e.select(col("src").as("node"))
+              .union(e.select(col("dst").as("node"))).distinct())
+          val n = nodes.count()
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          val contrib = Iter.materialize(e.join(deg, "src"))
+          val dangling = Iter.materialize(
+            nodes.join(e.select(col("src").as("node")).distinct(),
+              Seq("node"), "left_anti"))
+          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+          var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+          for (_ <- 1 to 5)
+            ranks = graft.operators.Graph.round(ctx, ranks, 0.85,
+              redistribute)
+          val c = ranks.count()
+          ctx.release()
+          c
+        }
+        var rows = 0L
+        val t1 = (1 to 2).map(_ => time { rows = run(false) }).min
+        println(f"g1_pagerank_OLD $d wall(min of 2)=$t1%.2f s nodes=$rows")
+        val t2 = (1 to 2).map(_ => time { rows = run(true) }).min
+        println(f"g2_pagerank_OLD $d wall(min of 2)=$t2%.2f s nodes=$rows")
+      case "g2ab" =>
+        // interleaved A/B: OLD (plain checkpoints) vs NEW (clustered)
+        // on the redistributing variant, every rep printed
+        import graft.util.{Iter, Tables}
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf10"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val edges = Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        def runOld(): Long = {
+          val e = edges.select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          val nodes = Iter.materialize(
+            e.select(col("src").as("node"))
+              .union(e.select(col("dst").as("node"))).distinct())
+          val n = nodes.count()
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          val contrib = Iter.materialize(e.join(deg, "src"))
+          val dangling = Iter.materialize(
+            nodes.join(e.select(col("src").as("node")).distinct(),
+              Seq("node"), "left_anti"))
+          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+          var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+          for (_ <- 1 to 5)
+            ranks = graft.operators.Graph.round(ctx, ranks, 0.85, true)
+          val c = ranks.count(); ctx.release(); c
+        }
+        // warm the page cache once
+        edges.count()
+        for (rep <- 1 to 3) {
+          val tn = time { graft.operators.Graph.pageRank(edges, "src",
+            "dst", 5, redistributeDangling = true).count() }
+          val to = time { runOld() }
+          println(f"g2ab rep=$rep NEW=$tn%.2f s OLD=$to%.2f s")
+        }
+      case "g2phase" =>
+        // per-phase timing: prepare vs each round, OLD vs NEW layout
+        import graft.util.{Iter, Tables}
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf10"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val edges = Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        edges.count() // warm cache
+        def phases(clustered: Boolean): Unit = {
+          val e = edges.select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          var ctx: graft.operators.Graph.Ctx = null
+          val tp = time {
+            ctx =
+              if (clustered) graft.operators.Graph.prepare(e, "src", "dst")
+              else {
+                val nodes = Iter.materialize(
+                  e.select(col("src").as("node"))
+                    .union(e.select(col("dst").as("node"))).distinct())
+                val n = nodes.count()
+                val deg = e.groupBy(col("src"))
+                  .agg(count(lit(1)).as("deg"))
+                val contrib = Iter.materialize(e.join(deg, "src"))
+                val dangling = Iter.materialize(
+                  nodes.join(e.select(col("src").as("node")).distinct(),
+                    Seq("node"), "left_anti"))
+                graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+              }
+          }
+          var ranks = ctx.nodes.select(col("node"),
+            lit(1.0 / ctx.n).as("rank"))
+          val nRounds =
+            if (args.length > 2) args(2).toInt else 5
+          val rts = (1 to nRounds).map { _ =>
+            time { ranks = graft.operators.Graph.round(ctx, ranks, 0.85,
+              true) }
+          }
+          ctx.release()
+          println(f"g2phase clustered=$clustered prepare=$tp%.2f s " +
+            f"roundsSum=${rts.sum}%.2f s " +
+            s"rounds=${rts.map(t => f"$t%.2f").mkString(",")}")
+        }
+        for (_ <- 1 to 2) { phases(true); phases(false) }
+      case other =>
+        println(s"unknown: $other")
+    }
+    spark.stop()
+  }
+}

@@ -737,6 +737,13 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert("Bucketed: true".r.findAllIn(p).length >= 2,
       s"key index and vector table must both scan bucketed:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
+    // pre-stats index (written before <table>_stats existed): the
+    // probe degrades gracefully by re-deriving bucket populations
+    // from the index instead of failing table-not-found
+    spark.sql("DROP TABLE spec_rhp_idx_stats")
+    val noStats = Similarity.incrementalEmbedNewIndexed(spark,
+      "spec_rhp_idx", batch, "vec_id", "embedding", threshold = 0.9)
+    assert(noStats.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("persisted RHP index: count-first bucket cap excludes mass-duplicate buckets (over-keep, audited)") {

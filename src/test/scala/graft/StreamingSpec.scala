@@ -421,6 +421,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(b1, 2L))
     assert(table() == Map(0L -> "A!", 1L -> "b", 2L -> "c", 3L -> "d",
       4L -> "E!", 5L -> "f"))
+    // crash-torn state: a prior attempt of batch 3 parked p=1 in _old
+    // without swapping the staged copy in (the one non-atomic window) —
+    // replay must restore the parked partition before merging, so no
+    // key is lost
+    val oldDir = new java.io.File(lakeDir, "_old/3")
+    assert(oldDir.mkdirs())
+    assert(new java.io.File(dataDir, "p=1")
+      .renameTo(new java.io.File(oldDir, "p=1")))
+    assert(ExactlyOnceSink.upsertBatchInPlace(lakeDir, Seq("k"), "p")(
+      withPart(Seq((5L, "F2")).toDF("k", "v")), 3L))
+    assert(table() == Map(0L -> "A!", 1L -> "b", 2L -> "c", 3L -> "d",
+      4L -> "E!", 5L -> "F2"))
+    // commit cleaned up its staging/park dirs
+    assert(!new java.io.File(lakeDir, "_old/3").exists())
+    assert(!new java.io.File(lakeDir, "_stage/3").exists())
   }
 
   test("phash ingest gate: streamed image survivors == exact band-collision cut") {

@@ -162,8 +162,58 @@ object MultimodalQueries {
         "phash", bands = 4, maxDist = 16)
         .select(col("media_id"))
         .orderBy(col("media_id"))
+    }),
+
+    // E7 — the candidate-level BLOOM image gate on e9's split (the
+    // e-family promotion convention): the lake's dHash band keys
+    // compact to the production Bloom and an arriving image drops on
+    // ANY band collision, no Hamming confirmation. The oracle replays
+    // the band-collision cut exactly; Spark's BloomFilter is
+    // deterministic and at fpp = 1e-6 no false positive flips a
+    // verdict on this corpus, so a driver mismatch is a real gate
+    // regression, not Bloom noise.
+    "e7_phash_gate" -> ((s, d) => {
+      val all = Multimodal.imagePhash(Multimodal.syntheticVariantImages(s, d))
+      graft.streaming.IngestGate.phashGate(
+        all.filter(col("media_id") % 5 === 0),
+        all.filter(col("media_id") % 5 === 1),
+        "phash", bands = 4)
+        .select(col("media_id"))
+        .orderBy(col("media_id"))
     })
   )
+
+  /** Shared oracle prefix for the image-gate rows (e7/e9): rebuild
+    * every synthetic image's dHash bits from the variant render
+    * formula and fold them into the 4-band keys — identical to m8's
+    * machinery, split-agnostic. */
+  private val phashBitsSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS id, doc_id // 9 AS gid, doc_id % 9 AS var,
+      |    (doc_id // 9) % 57 + 8 AS w, (doc_id // 9) % 43 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |grid AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |cols AS (SELECT unnest(generate_series(0, 7)) AS i),
+      |bits AS (
+      |  SELECT id, j, i,
+      |    CAST((j*8 + i) // 16 AS INT) AS band,
+      |    CAST((j*8 + i) % 16 AS INT) AS pos,
+      |    CASE WHEN
+      |      (gid*31 + (((i+1)*w)//9)*7 + ((j*h)//8)*13
+      |        + (((i+1)*w)//9)*((j*h)//8)*(gid%11)
+      |        + CASE WHEN (j*h)//8 < 2
+      |            THEN var*37*(((i+1)*w)//9) ELSE 0 END) % 256
+      |      >
+      |      (gid*31 + ((i*w)//9)*7 + ((j*h)//8)*13
+      |        + ((i*w)//9)*((j*h)//8)*(gid%11)
+      |        + CASE WHEN (j*h)//8 < 2
+      |            THEN var*37*((i*w)//9) ELSE 0 END) % 256
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM img CROSS JOIN grid CROSS JOIN cols),
+      |keys AS (
+      |  SELECT id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS key
+      |  FROM bits GROUP BY 1, 2),
+      |""".stripMargin
 
   val sql: Map[String, String] = Map(
     "m1_media_metadata" ->
@@ -381,33 +431,8 @@ object MultimodalQueries {
     // bit k = E(k+1) > E(k), then the same band/Hamming replay as m8.
     // e9: m8's bit-formula replay, split arriving (%5=0) vs lake, NOT
     // EXISTS on (band collision AND hamming <= 16)
-    "e9_phash_gate" ->
-      """WITH img AS (
-        |  SELECT doc_id AS id, doc_id // 9 AS gid, doc_id % 9 AS var,
-        |    (doc_id // 9) % 57 + 8 AS w, (doc_id // 9) % 43 + 8 AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |grid AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |cols AS (SELECT unnest(generate_series(0, 7)) AS i),
-        |bits AS (
-        |  SELECT id, j, i,
-        |    CAST((j*8 + i) // 16 AS INT) AS band,
-        |    CAST((j*8 + i) % 16 AS INT) AS pos,
-        |    CASE WHEN
-        |      (gid*31 + (((i+1)*w)//9)*7 + ((j*h)//8)*13
-        |        + (((i+1)*w)//9)*((j*h)//8)*(gid%11)
-        |        + CASE WHEN (j*h)//8 < 2
-        |            THEN var*37*(((i+1)*w)//9) ELSE 0 END) % 256
-        |      >
-        |      (gid*31 + ((i*w)//9)*7 + ((j*h)//8)*13
-        |        + ((i*w)//9)*((j*h)//8)*(gid%11)
-        |        + CASE WHEN (j*h)//8 < 2
-        |            THEN var*37*((i*w)//9) ELSE 0 END) % 256
-        |    THEN 1 ELSE 0 END AS bit
-        |  FROM img CROSS JOIN grid CROSS JOIN cols),
-        |keys AS (
-        |  SELECT id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS key
-        |  FROM bits GROUP BY 1, 2),
-        |p AS (
+    "e9_phash_gate" -> (phashBitsSql +
+      """p AS (
         |  SELECT DISTINCT a.id AS aid, l.id AS lid
         |  FROM keys a JOIN keys l ON a.band = l.band AND a.key = l.key
         |  WHERE a.id % 5 = 0 AND l.id % 5 = 1),
@@ -422,7 +447,19 @@ object MultimodalQueries {
         |  WHERE h <= 16)
         |SELECT id AS media_id FROM img
         |WHERE id % 5 = 0 AND id NOT IN (SELECT aid FROM dropped)
-        |ORDER BY media_id""".stripMargin,
+        |ORDER BY media_id""".stripMargin),
+
+    // e7: e9's band-key replay with the candidate-level cut — an
+    // arriving image drops on ANY band-key collision with the lake,
+    // no Hamming confirmation (the Bloom gate's exact semantics)
+    "e7_phash_gate" -> (phashBitsSql +
+      """dropped AS (
+        |  SELECT DISTINCT a.id AS aid
+        |  FROM keys a JOIN keys l ON a.band = l.band AND a.key = l.key
+        |  WHERE a.id % 5 = 0 AND l.id % 5 = 1)
+        |SELECT id AS media_id FROM img
+        |WHERE id % 5 = 0 AND id NOT IN (SELECT aid FROM dropped)
+        |ORDER BY media_id""".stripMargin),
 
     "m9_audio_neardup" ->
       """WITH a AS (

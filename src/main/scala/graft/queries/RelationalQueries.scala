@@ -341,6 +341,46 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // E8 — streaming CDC apply replayed on batch (the e-family
+    // promotion convention): three foreachBatch invocations of the
+    // versioned exactly-once MERGE sink against a REAL on-disk lake —
+    // seed-from-empty, a second merge on top, then a crash-replay of
+    // the same batch id carrying poisoned data, which the _SUCCESS
+    // protocol must SKIP. The row's output is the latest committed
+    // version read back; the oracle replays the two real merges and
+    // knows nothing of the poisoned replay — equality proves both the
+    // merge chain and the idempotence cut.
+    "e8_cdc_apply" -> ((s, d) => {
+      import graft.streaming.ExactlyOnceSink
+      val lakeDir = java.nio.file.Files
+        .createTempDirectory("e8-cdc-lake").toString
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          dec(col("c_acctbal")).as("bal"))
+      val seed = cust.filter(col("c_custkey") % 3 =!= 0)
+      val sink = ExactlyOnceSink.upsertBatch(lakeDir,
+        Seq("c_custkey"), seed) _
+      val b0 = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" (v1)")).as("c_name"),
+          (col("bal") + lit(50).cast("decimal(18,2)")).as("bal"))
+      sink(b0, 0L)
+      val b1 = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" (v2)")).as("c_name"),
+          (col("bal") - lit(25).cast("decimal(18,2)")).as("bal"))
+      sink(b1, 1L)
+      // crash-replay of id 1 with DIFFERENT data: must be skipped —
+      // if it applied, the " (v2) (v2)" names and zeroed balances
+      // would break the oracle compare
+      sink(b1.withColumn("bal", lit(0).cast("decimal(18,2)")), 1L)
+      val (_, path) = ExactlyOnceSink.latestVersion(s, lakeDir).get
+      s.read.parquet(path)
+        .select(col("c_custkey"), col("c_name"),
+          col("bal").cast("double").as("bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // W8 — running totals: an unbounded-preceding frame is O(1) window
     // state per row (no buffering), partition-parallel by priority
     "w8_running_total" -> ((s, d) => {
@@ -716,6 +756,35 @@ object RelationalQueries {
         |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
         |   OR b.c_name <> a.c_name OR b.bal <> a.bal
         |ORDER BY 1""".stripMargin,
+
+    // e8: replay the two committed merges (v0 = seed MERGE b0,
+    // v1 = v0 MERGE b1); the skipped poisoned replay never happened
+    "e8_cdc_apply" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |seed AS (SELECT * FROM cust WHERE c_custkey % 3 <> 0),
+        |b0 AS (
+        |  SELECT c_custkey, c_name || ' (v1)' AS c_name,
+        |    bal + CAST(50 AS DECIMAL(18,2)) AS bal
+        |  FROM cust WHERE c_custkey % 7 = 0),
+        |v0 AS (
+        |  SELECT * FROM b0
+        |  UNION ALL
+        |  SELECT * FROM seed
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM b0)),
+        |b1 AS (
+        |  SELECT c_custkey, c_name || ' (v2)' AS c_name,
+        |    bal - CAST(25 AS DECIMAL(18,2)) AS bal
+        |  FROM cust WHERE c_custkey % 11 = 0),
+        |v1 AS (
+        |  SELECT * FROM b1
+        |  UNION ALL
+        |  SELECT * FROM v0
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM b1))
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal
+        |FROM v1 ORDER BY c_custkey""".stripMargin,
 
     "w8_running_total" ->
       """WITH g AS (

@@ -974,6 +974,23 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // E6 — the streaming winnow ingest gate replayed on batch (the
+    // e-family promotion convention): the corpus fingerprint set
+    // compacts to the PRODUCTION Bloom and each batch doc tests its
+    // own fingerprint array row-locally — same split, same minShared
+    // as d13, so the exact d13 oracle pins the Bloom path end to end
+    // (fingerprint expression, Bloom build, codegen'd membership fold).
+    "e6_winnow_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.IngestGate.winnowGate(
+        docs.filter(col("doc_id") % 5 === 0),
+        Dedup.winnowedFingerprints(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -1190,7 +1207,13 @@ object ScaleQueries {
   val sql: Map[String, String] = sqlCore ++ sqlMore +
     // d14 is the indexed path of d13 — result-identical by contract,
     // so the oracle is d13's SQL verbatim
-    ("d14_winnow_indexed" -> sqlMore("d13_incremental_winnow"))
+    ("d14_winnow_indexed" -> sqlMore("d13_incremental_winnow")) +
+    // e6 is the streaming BLOOM gate over d13's exact split: Spark's
+    // BloomFilter is deterministic (same items, same fpp, same bits),
+    // and at fpp = 1e-6 no false positive flips a verdict on this
+    // corpus — so the exact d13 replay IS the oracle, and a driver
+    // mismatch would mean a REAL gate regression, not Bloom noise
+    ("e6_winnow_gate" -> sqlMore("d13_incremental_winnow"))
 
   private lazy val sqlCore: Map[String, String] = Map(
     "d1_exact_dedup" ->

@@ -37,11 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WinnowImpl {
 
-  /** Distinct winnowed 60-bit fingerprints of `text`, as described
-    * above. Window j covers hash positions [j, j+w) truncated at the
-    * end of the document; only the max(npos − w + 1, 1) full windows
-    * are evaluated (the oracle applies the same position filter). */
-  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+  /** All per-position 60-bit k-gram hashes of `text`, in position
+    * order — the pre-winnow hash vector (positions 1..max(len−k+1, 1);
+    * a document shorter than k contributes its whole text as one
+    * truncated gram). Shared by [[winnow]] and the exact-substring
+    * operators ([[GramHashes]]), and recomputed verbatim by the
+    * oracles as `('0x' || substr(md5(substr(text,i,k)),1,15))::BIGINT`. */
+  def gramHashLongs(text: UTF8String, k: Int): Array[Long] = {
     // work on the raw UTF-8 bytes: a gram's UTF-8 encoding is exactly
     // the byte slice between two code-point start offsets, so hashing
     // slices directly skips the String round-trip and the per-gram
@@ -73,13 +75,32 @@ object WinnowImpl {
       hs(i) = (acc << 4) | ((d(7) & 0xFF) >>> 4)
       i += 1
     }
+    hs
+  }
+
+  /** [[gramHashLongs]] boxed for the [[GramHashes]] expression. */
+  def gramHashes(text: UTF8String, k: Int): GenericArrayData = {
+    val hs = gramHashLongs(text, k)
+    val arr = new Array[Any](hs.length)
+    var i = 0
+    while (i < hs.length) { arr(i) = hs(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Distinct winnowed 60-bit fingerprints of `text`, as described
+    * above. Window j covers hash positions [j, j+w) truncated at the
+    * end of the document; only the max(npos − w + 1, 1) full windows
+    * are evaluated (the oracle applies the same position filter). */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val hs = gramHashLongs(text, k)
+    val npos = hs.length
     // sliding minimum over windows [j, j+w) via monotonic index deque
     val nWin = math.max(npos - w + 1, 1)
     val out = new java.util.LinkedHashSet[Long]()
     val deque = new Array[Int](npos)
     var head = 0
     var tail = 0 // deque holds indices of increasing hash values
-    i = 0
+    var i = 0
     while (i < npos) {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i; tail += 1
@@ -119,6 +140,36 @@ object WinnowImpl {
           intLit(exprs(2), "w"))
       },
       "built-in")
+}
+
+/** ALL per-position 60-bit k-gram hashes, in position order — the
+  * exact-substring sibling of [[WinnowFingerprints]]: no window
+  * selection, one hash per character position (see
+  * [[WinnowImpl.gramHashLongs]]). Feeds
+  * [[graft.operators.Dedup.exactDupSpans]]. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"gram_hashes needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_hashes needs a string column, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowImpl.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowImpl.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Distinct winnowed fingerprints — see [[WinnowImpl.winnow]]. */

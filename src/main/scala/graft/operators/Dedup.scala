@@ -712,6 +712,74 @@ object Dedup {
     * (md5-family, the d5 oracle domain): a collision INSIDE one
     * document's set can only over-count the intersection, the
     * standing convention. */
+  /** EXACT duplicated-substring spans (Lee et al. 2021,
+    * arXiv:2107.06499 — ExactSubstr): the maximal character intervals
+    * of each document covered by some length-`minLen` substring that
+    * occurs at ≥ 2 positions corpus-wide (other documents OR a repeat
+    * inside the same one — the suffix-array definition). [[
+    * winnowedDupPairs]] (d12) is the scan-bandwidth DOCUMENT-level
+    * stand-in; this is the exact SPAN form, and
+    * [[graft.operators.Curation.stripDupSpans]]' exact sibling.
+    *
+    * Suffix arrays don't distribute; the sorted k-gram table computes
+    * the identical cover set: hash every position's `minLen`-gram
+    * ([[graft.functions.GramHashes]], the winnow family's 60-bit
+    * md5-prefix — collisions can only over-mark, the standing
+    * convention), count occurrences per hash (partial-combining — one
+    * output row per DISTINCT gram, never a pair expansion; this is
+    * the operator family's only corpus-wide shuffle and it is bounded
+    * by input positions), semi-join each document's positions against
+    * the duplicated hashes, then RUN-MERGE per document: positions
+    * within `minLen` of each other cover overlapping/adjacent windows
+    * and fuse into one maximal span (a per-document sort whose
+    * partition is one document's duplicated positions — bounded by
+    * document length, never corpus size).
+    *
+    * Scale honesty: the position explode is O(total chars) rows of
+    * (8-byte hash, id, int pos) — ~20 bytes per character through one
+    * exchange. That is the inherent price of EXACTNESS (every
+    * position must be witnessed); d12's winnowing at ~2/(w+1) density
+    * is the prescribed scale path when document-level detection
+    * suffices, and this operator is the bounded-span exact pass run
+    * where Lee-et-al-grade span removal is the point. No pair stage
+    * exists anywhere: group-count + semi-join keeps the plan linear
+    * in corpus size at any duplication rate (a hash occurring a
+    * million times is ONE count row, not 10¹² pairs).
+    *
+    * Documents shorter than `minLen` hash their whole text as one
+    * truncated gram (the winnow short-document rule): two identical
+    * short documents therefore mark each other whole — the right
+    * reading of "duplicated span" for them.
+    *
+    * @return (idCol, start, span_len): 1-based character start and
+    *         covered length of each maximal duplicated span. */
+  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 35): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.GraftColumns
+    import org.apache.spark.sql.expressions.Window
+    val hashes = GraftColumns.column(graft.functions.GramHashes(
+      GraftColumns.expression(col(textCol)), minLen))
+    val pos = df
+      .select(col(idCol), posexplode(hashes).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("i"), col("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val marked = pos.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val runs = marked
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= minLen, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy(col(idCol), col("g"))
+      .agg(min(col("i")).cast("bigint").as("start"),
+        (max(col("i")) + lit(minLen) - min(col("i"))).cast("bigint")
+          .as("span_len"))
+      .drop("g")
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxPosting: Int = 1024): DataFrame = {

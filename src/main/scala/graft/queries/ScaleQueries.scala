@@ -991,6 +991,17 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D20 — EXACT duplicated-substring spans (Lee et al. ExactSubstr):
+    // maximal character intervals covered by a 35-char substring
+    // occurring >= 2 times corpus-wide — the suffix-array-grade exact
+    // sibling of d12's winnowing and x18's stripping, via the sorted
+    // k-gram table + run-merge (group-count + semi-join; no pair
+    // stage at any duplication rate).
+    "d20_exact_spans" -> ((s, d) => {
+      Dedup.exactDupSpans(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -3228,6 +3239,37 @@ object ScaleQueries {
         |SELECT doc_id, n_words, flesch_e6, dup_frac, ent_e6, reason,
         |  reason = 'pass' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d20: replay the per-position 60-bit gram hashes (the d13 hash
+    // recipe at k = 35), keep positions whose hash repeats anywhere,
+    // run-merge positions within 35 of each other, emit the merged
+    // intervals
+    "d20_exact_spans" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT doc_id, i::INT AS i,
+        |    ('0x' || substr(md5(substr(text, i::INT, 35)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-34, 1)+1)) AS i
+        |        FROM documents)),
+        |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM dup)),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |           <= 35
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS grp
+        |  FROM r)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS start,
+        |  CAST(max(i) + 35 - min(i) AS BIGINT) AS span_len
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, start""".stripMargin,
 
     "d13_incremental_winnow" ->
       """WITH f AS MATERIALIZED (

@@ -213,6 +213,20 @@ object R13Scratch {
             s"rounds=${rts.map(t => f"$t%.2f").mkString(",")}")
         }
         for (_ <- 1 to 2) { phases(true); phases(false) }
+      case "d20" =>
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val docs = Tables.documents(spark, d)
+        var rows = 0L
+        val t = (1 to 2).map(_ => time {
+          rows = graft.operators.Dedup.exactDupSpans(docs, "doc_id",
+            "text").count()
+        }).min
+        println(f"d20_exact_spans $d wall(min of 2)=$t%.2f s spans=$rows")
       case other =>
         println(s"unknown: $other")
     }

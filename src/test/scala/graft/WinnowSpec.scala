@@ -107,4 +107,52 @@ class WinnowSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 1L)
     }
   }
+
+  test("exactDupSpans: the shared run is recovered exactly, nothing else marked") {
+    import spark.implicits._
+    // the shared run sits in four DISTINCT contexts (reusing
+    // filler1/filler2 across docs would make the fillers duplicated
+    // spans too). The TRUE common run is " $shared " — the separator
+    // spaces on both sides are identical too — 43 chars, so exactly
+    // the 43 - 35 + 1 = 9 fully-interior grams repeat; run-merge must
+    // return ONE span per doc, at the space before the run, length 43
+    val ctxA = "quick brown foxes jump over entirely lazy sleeping dogs"
+    val ctxB = "pack my box with five dozen assorted liquor jugs today"
+    val ctxC = "sphinx of black quartz judge my vow said the curator"
+    val ctxD = "how vexingly quick daft zebras jump around the paddock"
+    val docs = Seq(
+      (1L, s"$ctxA $shared $ctxB"),
+      (2L, s"$ctxC $shared $ctxD")).toDF("doc_id", "text")
+    val spans = Dedup.exactDupSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(spans.toSeq == Seq(
+      (1L, ctxA.length + 1L, 43L),
+      (2L, ctxC.length + 1L, 43L)))
+  }
+
+  test("exactDupSpans: a repeat INSIDE one document is a duplicated span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"$shared $filler1 $shared"),
+      (2L, filler2)).toDF("doc_id", "text")
+    val spans = Dedup.exactDupSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(spans.toSeq == Seq(
+      (1L, 1L, 41L),
+      (1L, shared.length + filler1.length + 3L, 41L)))
+  }
+
+  test("exactDupSpans: identical short documents mark each other whole") {
+    import spark.implicits._
+    val docs = Seq((1L, "short text"), (2L, "short text"),
+      (3L, "unique one")).toDF("doc_id", "text")
+    val spans = Dedup.exactDupSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // the truncated-gram rule: one whole-text gram each, span_len is
+    // the nominal minLen window
+    assert(spans.toSeq == Seq((1L, 1L, 35L), (2L, 1L, 35L)))
+  }
 }

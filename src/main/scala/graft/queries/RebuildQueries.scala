@@ -40,6 +40,81 @@ object RebuildQueries {
 
   private def box: Column = array(lit(0), lit(0), lit(1), lit(1))
 
+  /** One synthetic KB DIDL issue on disk for the i1 row: the layout
+    * KbImporter.detectIssues walks (newspaper/YYYY/MM/DD/
+    * DDD_<record>_mpeg21/didl.xml + ALTO), a single page whose one
+    * TextBlock holds the document's first 20 whitespace tokens, one
+    * article zoned onto that block. Dates are pure doc_id arithmetic
+    * (day/month/year below) so the DuckDB oracle can mint the same
+    * issue ids; PPN `graft1` makes every issue share the alias
+    * `kbgraft1` while years vary — the partitioned write writes real
+    * multi-partition output. */
+  private def writeKbIssue(base: java.nio.file.Path, docId: Long,
+      text: String): Unit = {
+    val n = docId / 10
+    val day = 1 + n % 28
+    val month = 1 + (n / 28) % 12
+    val year = 1900 + n / 336
+    val num = f"$docId%09d"
+    val dir = base.resolve(f"newspaper/$year%04d/$month%02d/$day%02d/" +
+      f"DDD_${num}_mpeg21")
+    java.nio.file.Files.createDirectories(dir)
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty).take(20)
+    val strings = toks.zipWithIndex.map { case (t, j) =>
+      s"""<String ID="S$j" HPOS="${20 + 40 * j}" VPOS="24" WIDTH="38" """ +
+        s"""HEIGHT="20" CONTENT="$t" WC="1.00"/>"""
+    }.mkString("\n          ")
+    val alto =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<alto xmlns="http://schema.ccs-gmbh.com/ALTO">
+         | <Layout><Page ID="PAGE1"><PrintSpace ID="PS1" HPOS="0" VPOS="0" WIDTH="2000" HEIGHT="3000">
+         |  <TextBlock ID="TB1" HPOS="10" VPOS="10" WIDTH="1000" HEIGHT="1000">
+         |   <TextLine ID="TL1" HPOS="10" VPOS="20" WIDTH="990" HEIGHT="30">
+         |          $strings
+         |   </TextLine>
+         |  </TextBlock>
+         | </PrintSpace></Page></Layout>
+         |</alto>
+         |""".stripMargin
+    val didl =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<didl:DIDL xmlns:didl="urn:mpeg:mpeg21:2002:02-DIDL-NS" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/" xmlns:dcx="http://krait.kb.nl/coop/tel/handbook/telterms.html" xmlns:ddd="http://www.kb.nl/namespaces/ddd" xmlns:srw_dc="info:srw/schema/1/dc-v1.1" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+         | <didl:Item dc:identifier="ddd:$num:mpeg21">
+         |  <didl:Component dc:identifier="ddd:$num:mpeg21:metadata">
+         |   <didl:Resource mimeType="text/xml"><srw_dc:dcx>
+         |    <dc:identifier xsi:type="dcx:PPN">graft1</dc:identifier>
+         |    <dc:language xsi:type="dcterms:ISO639-1">nl</dc:language>
+         |   </srw_dc:dcx></didl:Resource>
+         |  </didl:Component>
+         |  <didl:Item dc:identifier="ddd:$num:mpeg21:p001">
+         |   <didl:Component dc:identifier="ddd:$num:mpeg21:p001:alto">
+         |    <didl:Resource mimeType="text/xml" dcx:filename="alto_001.xml"/>
+         |   </didl:Component>
+         |   <didl:Item dc:identifier="ddd:$num:mpeg21:p001:a0001" ddd:article_id="ddd:$num:mpeg21:a0001">
+         |    <didl:Component dc:identifier="ddd:$num:mpeg21:p001:a0001:zoning">
+         |     <didl:Resource mimeType="text/xml"><dcx:zoning>
+         |      <dcx:coordinates image="page.jp2">
+         |       <dcx:area hpos="10" vpos="10" width="1000" height="1000"/>
+         |      </dcx:coordinates>
+         |     </dcx:zoning></didl:Resource>
+         |    </didl:Component>
+         |   </didl:Item>
+         |  </didl:Item>
+         |  <didl:Item dc:identifier="ddd:$num:mpeg21:a0001">
+         |   <didl:Component dc:identifier="ddd:$num:mpeg21:a0001:metadata">
+         |    <didl:Resource mimeType="text/xml"><srw_dc:dcx>
+         |     <dc:subject>artikel</dc:subject>
+         |     <dc:title>T$docId</dc:title>
+         |    </srw_dc:dcx></didl:Resource>
+         |   </didl:Component>
+         |  </didl:Item>
+         | </didl:Item>
+         |</didl:DIDL>
+         |""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("didl.xml"), didl)
+    java.nio.file.Files.writeString(dir.resolve("alto_001.xml"), alto)
+  }
+
   /** Canonical-shaped issues frame derived from `documents`. The img CI
     * (every 5th document) carries a page-level `info.json` IIIF link in
     * `m` plus image coords in `m.c`, exercising the reconstruction path
@@ -172,6 +247,48 @@ object RebuildQueries {
         .orderBy(col("id"))
     }),
 
+    // I1 — the ENTIRE import pipeline as one driver-checked row
+    // (SURVEY.md §3.1, the c1 whole-pipeline convention applied to
+    // import): synthesize a KB DIDL issue tree on disk from
+    // `documents` (one issue/page/article per 10th document, the
+    // first 20 whitespace tokens as ALTO strings), then run the REAL
+    // chain — KbImporter.detectIssues directory walk → generic
+    // ImportJob.run XML parse → quarantine (must stay empty: a lost
+    // issue is a missing oracle row) → validated partitioned bz2
+    // write → declared-schema read-back → rebuildSolr — and emit
+    // per-CI fulltext facts DuckDB recomputes from `documents`
+    // directly. One row exercising S1+S2+S3+S7/S8+S6+R1-R5 end to
+    // end under the driver's check.
+    "i1_import_pipeline" -> ((s, d) => {
+      import graft.jobs.ImportJob
+      import graft.parse.KbImporter
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded: corpus/10 driver rows, the c1 contract
+      val base = java.nio.file.Files.createTempDirectory("i1-kb-tree")
+      docs.foreach { r =>
+        writeKbIssue(base, r.getLong(0), r.getString(1))
+      }
+      val refs = KbImporter.detectIssues(base.toString)
+      val results = ImportJob.run[KbImporter.IssueRef](s, refs,
+        _.issueId,
+        r => { val p = KbImporter.parseIssue(r,
+          "2020-01-01 00:00:00", "2020-01-01 00:00:00")
+          (p.issueId, p.issueJson, p.pageJsons) })
+      val out = java.nio.file.Files.createTempDirectory("i1-out").toString
+      ImportJob.write(results, out)
+      val issues = RebuildJob.readIssues(s, s"$out/issues")
+      val pages = RebuildJob.readPages(s, s"$out/pages")
+      RebuildJob.rebuildSolr(s, issues, pages,
+        ts = "2020-01-01T00:00:00Z")
+        .toDF()
+        .select(col("id"),
+          length(col("ft")).cast("bigint").as("n_chars"),
+          md5(col("ft")).as("ft_md5"))
+        .orderBy(col("id"))
+    }),
+
     // S12 manifest — canonical stats nested per title with totals
     "s12_manifest" -> ((s, d) => {
       graft.operators.Manifest.byTitle(
@@ -263,6 +380,27 @@ object RebuildQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // i1: mint the same issue ids from the doc_id date arithmetic and
+    // rebuild the fulltext facts directly — first 20 whitespace
+    // tokens, single-space joined, the solr trailing space
+    "i1_import_pipeline" ->
+      """WITH src AS (
+        |  SELECT doc_id, doc_id // 10 AS n,
+        |    list_slice(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'), t -> t <> ''),
+        |      1, 20) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ft AS (
+        |  SELECT 'kbgraft1-' ||
+        |      lpad(CAST(1900 + n // 336 AS VARCHAR), 4, '0') || '-' ||
+        |      lpad(CAST(1 + (n // 28) % 12 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(1 + n % 28 AS VARCHAR), 2, '0') || '-a-i0001'
+        |      AS id,
+        |    array_to_string(toks, ' ') || ' ' AS t
+        |  FROM src)
+        |SELECT id, CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS ft_md5
+        |FROM ft ORDER BY id""".stripMargin,
+
     "r4_rebuild_audio" ->
       s"""WITH toks AS (
          |  SELECT doc_id, n_chars, $issueIdSql AS iid,

@@ -227,6 +227,12 @@ object R13Scratch {
             "text").count()
         }).min
         println(f"d20_exact_spans $d wall(min of 2)=$t%.2f s spans=$rows")
+      case "i1" =>
+        val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+        val df = graft.queries.RebuildQueries.q("i1_import_pipeline")(
+          spark, d)
+        df.show(5, truncate = false)
+        println("I1ROWS=" + df.count())
       case other =>
         println(s"unknown: $other")
     }

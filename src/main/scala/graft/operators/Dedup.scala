@@ -782,7 +782,7 @@ object Dedup {
 
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
-      maxPosting: Int = 1024): DataFrame = {
+      maxPosting: Int = 1024, denseCut: Int = 64): DataFrame = {
     graft.functions.ShinglesImpl.register(df.sparkSession)
     val sets = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
@@ -795,13 +795,41 @@ object Dedup {
         sum(when(col("n") > maxPosting, col("n")).otherwise(lit(0L)))
           .as("overflow_docs"))
       .filter(col("n") <= maxPosting)
-      .select(col("h"))
+      .select(col("h"), col("n"))
     val capped = postings.join(active, "h")
-    val shared = capped.select(col("h"), col("id").as("id_a"))
-      .join(capped.select(col("h"), col("id").as("id_b")), "h")
+    // Two pair paths split at `denseCut`, summed exactly:
+    //  - SMALL buckets (the organic mass — singletons and few-doc
+    //    shingles) pair through the plain co-occurrence count join,
+    //    the cheapest possible aggregate;
+    //  - DENSE buckets (a quote shared by hundreds of documents puts
+    //    EVERY one of its ~k·|quote| shingles into an identical
+    //    posting set) collapse BY POSTING SET before expansion: one
+    //    n² expansion per DISTINCT set carrying multiplicity m,
+    //    instead of m expansions — the adversarial quote-mass sweep
+    //    measured Σ_h n_h² at 1.4×10⁸ rows/56 s at sf0.1-dense, and
+    //    the collapse removes the ×(shingles-per-quote) factor
+    //    (measured in BENCH_NOTES round 13). The collect_list is
+    //    memory-bounded by maxPosting, the winnowedDupPairs
+    //    convention.
+    val small = capped.filter(col("n") < denseCut)
+    val cSmall = small.select(col("h"), col("id").as("id_a"))
+      .join(small.select(col("h"), col("id").as("id_b")), "h")
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("c"))
+    val denseSets = capped.filter(col("n") >= denseCut)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy(col("ids")).agg(count(lit(1)).as("m"))
+    val cDense = denseSets
+      .select(col("m"), explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("m"), col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("m")).as("c"))
+    val shared = cSmall.unionByName(cDense)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("c")).as("c"))
     shared
       .join(sets.select(col("id").as("id_a"),
         size(col("hs")).as("sz_a")), "id_a")

@@ -233,6 +233,70 @@ object R13Scratch {
           spark, d)
         df.show(5, truncate = false)
         println("I1ROWS=" + df.count())
+      case "d19" =>
+        // adversarial quote-mass sweep for containmentPairs (the d17
+        // DUPMASS convention): inject shared quotes so shingle
+        // postings form (a) mass buckets far above the cap and
+        // (b) dense buckets just UNDER the cap — the Σ_h n_h² pair
+        // stream the cap is supposed to bound.
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        val shape = sys.env.getOrElse("SPARK_GRAFT_D19", "none")
+        val maxPosting = sys.env.getOrElse("SPARK_GRAFT_MAXPOSTING",
+          "1024").toInt
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val docs0 = Tables.documents(spark, d)
+        val nDocs = docs0.count()
+        val docs = shape match {
+          case "none" => docs0
+          case "mass" =>
+            // one global quote on every 5th doc: ~n/5-deep buckets,
+            // far above any cap — must be EXCLUDED with metrics, not
+            // expanded
+            docs0.withColumn("text",
+              when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" "), expr(
+                  "array_join(transform(sequence(0, 29), " +
+                    "i -> concat('qmass', cast(i as string))), ' ')")))
+                .otherwise(col("text")))
+          case "dense" =>
+            // per-group quotes sized to land each bucket JUST under
+            // the default cap: group size n/groups ≈ 1000 at sf1
+            // (50 groups) and sf10 (500) — the legal worst case the
+            // cap admits, Σ_h n_h² pair-stream stress
+            val groups = math.max(1, (nDocs / 1000).toInt)
+            docs0.withColumn("text",
+              concat(col("text"), lit(" "), expr(
+                s"array_join(transform(sequence(0, 29), i -> " +
+                  s"concat('qg', cast(doc_id % $groups as string), " +
+                  s"'w', cast(i as string))), ' ')")))
+          case o => sys.error(s"bad SPARK_GRAFT_D19 $o")
+        }
+        var rows = 0L
+        val t = (1 to 2).map(_ => time {
+          rows = graft.operators.Dedup.containmentPairs(docs,
+            "doc_id", "text", maxPosting = maxPosting).count()
+        }).min
+        // posting audit recomputed exactly (the observe metric's
+        // guaranteed sibling): buckets above the cap and the bounded
+        // pair mass the survivors imply
+        graft.functions.ShinglesImpl.register(spark)
+        val p = docs.select(col("doc_id"),
+            explode(array_distinct(expr("word_shingles(text, 3)")))
+              .as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") > maxPosting, lit(1L)).otherwise(0L)),
+            sum(when(col("n") > maxPosting, col("n")).otherwise(0L)),
+            sum(when(col("n") <= maxPosting, col("n") * col("n"))
+              .otherwise(0L)))
+          .first()
+        println(f"d19sweep $d shape=$shape maxPosting=$maxPosting " +
+          f"wall(min of 2)=$t%.2f s pairs=$rows " +
+          s"overflowBuckets=${p.getLong(0)} overflowDocs=${p.getLong(1)} " +
+          s"pairStreamRows=${p.getLong(2)}")
       case other =>
         println(s"unknown: $other")
     }

@@ -48,7 +48,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     "img.sniff" -> (ImageCodec.sniff(_)),
     "img.decode" -> (ImageCodec.decode(_)),
     "img.resize" -> (ImageCodec.resize(_, 8, 8)),
+    "pdf.extract" -> (graft.parse.Pdf.extract(_)),
   )
+
+  /** A tiny one-page PDF whose content varies with `id` — the valid
+    * seed for the splat/truncation properties over pdf.extract. */
+  private def encodeSyntheticPdf(id: Long): Array[Byte] = {
+    val c = s"BT /F1 10 Tf 1 0 0 1 ${20 + id % 400} 700 Tm (doc $id) Tj ET\n"
+    val s = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${c.length} >> stream\n" + c +
+      "endstream endobj\n%%EOF\n"
+    s.getBytes("ISO-8859-1")
+  }
 
   private def survives(bytes: Array[Byte]): Prop = {
     decoders.foreach { case (name, fn) =>
@@ -65,7 +80,7 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val encoders: Seq[Long => Array[Byte]] = Seq(
     AviCodec.encodeSyntheticAvi, Mp4Codec.encodeSyntheticMp4,
     Mp3Codec.encodeSyntheticMp3, AudioCodec.encodeSyntheticWav,
-    ImageCodec.encodeSynthetic)
+    ImageCodec.encodeSynthetic, encodeSyntheticPdf)
 
   private val validPayload: Gen[Array[Byte]] = for {
     enc <- Gen.oneOf(encoders)

@@ -595,6 +595,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") || p.contains("Join"), p.take(500))
     assert(count(p, "HashAggregate") >= 2,
       "the posting cap partial-aggregates before the probe")
+    // the dense path's set-collapse is in the plan: a collect_list
+    // aggregate (bounded by the posting cap) feeding a second
+    // aggregation keyed by the list, then pair Generates — never a
+    // per-bucket join re-expansion
+    assert(p.contains("collect_list"), "dense buckets collapse by posting set")
+    assert(count(p, "Generate") >= 2, "multiplicity pairs explode from sets")
+  }
+
+  test("exact substring spans (d20): group-count + semi-join, no pair stage") {
+    val p = plan(graft.operators.Dedup.exactDupSpans(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // the plan's only corpus-wide shuffles are the hash count and the
+    // per-document window — a hash occurring a million times is ONE
+    // count row, never a self-join expansion
+    assert(p.contains("LeftSemi"),
+      "duplicated positions come from a semi-join, not an inner join\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the position explode appears once per branch (count + probe) —
+    // a narrow scan→project→generate recompute, cheaper at scale than
+    // materializing ~20 B/char; both branches end in the SAME h-keyed
+    // exchange, the shape AQE exchange-reuse collapses
+    assert(count(p, "Generate") <= 2, p.take(2000))
+    assert(p.contains("Window"), "run-merge rides a per-document window")
+    assert(p.contains("gram_hashes"),
+      "positions hash through the native expression")
   }
 
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {

@@ -819,6 +819,94 @@ object Curation {
       .withColumn("keep", col("reason") === "pass")
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A) — the published heuristic battery a
+    * web-scale pretraining pipeline runs BEFORE model-based scoring,
+    * complementing [[qualityFilter]] (x11's entropy/readability cut)
+    * and the repetition family ([[dupNgramFraction]] x17,
+    * x10's in-document n-gram mass):
+    *
+    *  1. word count within [minWords, maxWords]        (50 … 100 000)
+    *  2. mean word length within [3, 10] characters
+    *  3. symbol-to-word ratio ≤ 0.1 ('#' and '…'/'...')
+    *  4. ≤ 90% of lines start with a bullet ('•', '-', '*')
+    *  5. ≤ 30% of lines end with an ellipsis
+    *  6. ≥ 80% of words contain at least one alphabetic character
+    *  7. ≥ 2 hits of the 8-word English stop list (the "harsh but
+    *     effective" English-ID proxy: the, be, to, of, and, that,
+    *     have, with)
+    *  8. duplicate-LINE fraction ≤ 30% (the document-local half of
+    *     Gopher's repetition table; the n-gram halves are x10/x17)
+    *
+    * Every rule's measured value ships alongside the verdict (the
+    * x11 audit contract — a dropped document says WHY), ratios as
+    * floor(x·1e6) bigints (the engine-stable cut this round settled
+    * on). ENTIRELY row-local: one narrow projection, zero shuffles,
+    * the cheapest full-corpus pass there is — at 100 TB this is a
+    * map-only scan whose cost is the read itself.
+    *
+    * Empty/NULL text yields n_words 0 → fails rule 1, never a crash;
+    * single-line documents make the line rules trivially pass,
+    * matching the reference semantics (they bound LINE structure,
+    * which such documents don't have). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
+      l => l =!= "")
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    def e6(x: Column): Column =
+      floor(x * lit(1000000.0)).cast("bigint")
+    val nW = size(toks).cast("bigint")
+    val nL = size(lines).cast("bigint")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, w) => acc + length(w).cast("bigint")).cast("double") /
+      nW.cast("double")
+    val nHash = (length(t) - length(regexp_replace(t, "#", "")))
+      .cast("bigint")
+    val nEll = ((length(t) - length(regexp_replace(t, "…", "")))
+      + (length(regexp_replace(t, "…", "")) -
+        length(regexp_replace(regexp_replace(t, "…", ""),
+          "\\.\\.\\.", ""))) / 3).cast("bigint")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+      .cast("bigint")
+    val ellLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("bigint")
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("bigint")
+    val stopHits = size(filter(toks,
+      w => lower(w).isInCollection(stop))).cast("bigint")
+    val distinctLines = size(array_distinct(lines)).cast("bigint")
+    val out = df.select(col(idCol),
+      nW.as("n_words"),
+      when(nW > 0, e6(meanLen)).otherwise(lit(0L)).as("mean_word_len_e6"),
+      when(nW > 0, e6((nHash + nEll).cast("double") / nW.cast("double")))
+        .otherwise(lit(0L)).as("symbol_ratio_e6"),
+      when(nL > 0, e6(bulletLines.cast("double") / nL.cast("double")))
+        .otherwise(lit(0L)).as("bullet_frac_e6"),
+      when(nL > 0, e6(ellLines.cast("double") / nL.cast("double")))
+        .otherwise(lit(0L)).as("ellipsis_frac_e6"),
+      when(nW > 0, e6(alphaWords.cast("double") / nW.cast("double")))
+        .otherwise(lit(0L)).as("alpha_word_frac_e6"),
+      stopHits.as("n_stopwords"),
+      when(nL > 0, e6(lit(1.0) -
+        distinctLines.cast("double") / nL.cast("double")))
+        .otherwise(lit(0L)).as("dup_line_frac_e6"))
+    out.withColumn("keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len_e6") >= 3000000L &&
+        col("mean_word_len_e6") <= 10000000L &&
+        col("symbol_ratio_e6") <= 100000L &&
+        col("bullet_frac_e6") <= 900000L &&
+        col("ellipsis_frac_e6") <= 300000L &&
+        col("alpha_word_frac_e6") >= 800000L &&
+        col("n_stopwords") >= 2L &&
+        col("dup_line_frac_e6") <= 300000L)
+  }
+
   /** Gopher-style N-GRAM repetition fractions — the char-mass
     * companions to [[repetitionStats]]'s unigram signals (Rae et al.
     * 2021 §A1.1 cut documents on "fraction of characters in the most

@@ -947,6 +947,16 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X19 — the Gopher rule set (Rae et al. 2021 Appendix A): the
+    // published heuristic battery with every measured value exported
+    // alongside the verdict, entirely row-local (zero shuffles — the
+    // cheapest full-corpus pass). The oracle replays each rule's
+    // arithmetic on the same whitespace tokens and trimmed lines.
+    "x19_gopher_rules" -> ((s, d) => {
+      Curation.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // D14 — incremental span dedup against a PERSISTED fp-bucketed
     // winnow index (the t9 write-once/check-many pattern): the oracle
     // is d13's SQL verbatim, so a green row proves the indexed path is
@@ -3195,6 +3205,73 @@ object ScaleQueries {
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // x19: each Gopher rule's arithmetic replayed on the same
+    // whitespace tokens / trimmed non-empty lines, floor-e6 cuts
+    "x19_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS toks,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '…', ''))) +
+        |      (length(replace(text, '…', '')) -
+        |       length(replace(replace(text, '…', ''), '...', ''))) / 3
+        |      AS n_ell
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS nw,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+        |      AS sumlen,
+        |    n_hash + n_ell AS nsym,
+        |    CAST(len(list_filter(lines, l ->
+        |      l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %')) AS BIGINT)
+        |      AS nbullet,
+        |    CAST(len(list_filter(lines, l ->
+        |      l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS nelll,
+        |    CAST(len(list_filter(toks, w ->
+        |      regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    CAST(len(list_filter(toks, w -> lower(w) IN
+        |      ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS nstop,
+        |    CAST(len(list_distinct(lines)) AS BIGINT) AS ndl
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, nw AS n_words,
+        |    CASE WHEN nw > 0 THEN
+        |      CAST(floor(sumlen / nw * 1000000) AS BIGINT)
+        |      ELSE 0 END AS mean_word_len_e6,
+        |    CASE WHEN nw > 0 THEN
+        |      CAST(floor(nsym::DOUBLE / nw * 1000000) AS BIGINT)
+        |      ELSE 0 END AS symbol_ratio_e6,
+        |    CASE WHEN nl > 0 THEN
+        |      CAST(floor(nbullet::DOUBLE / nl * 1000000) AS BIGINT)
+        |      ELSE 0 END AS bullet_frac_e6,
+        |    CASE WHEN nl > 0 THEN
+        |      CAST(floor(nelll::DOUBLE / nl * 1000000) AS BIGINT)
+        |      ELSE 0 END AS ellipsis_frac_e6,
+        |    CASE WHEN nw > 0 THEN
+        |      CAST(floor(nalpha::DOUBLE / nw * 1000000) AS BIGINT)
+        |      ELSE 0 END AS alpha_word_frac_e6,
+        |    nstop AS n_stopwords,
+        |    CASE WHEN nl > 0 THEN
+        |      CAST(floor((1.0 - ndl::DOUBLE / nl) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS dup_line_frac_e6
+        |  FROM m)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len_e6 BETWEEN 3000000 AND 10000000
+        |   AND symbol_ratio_e6 <= 100000
+        |   AND bullet_frac_e6 <= 900000
+        |   AND ellipsis_frac_e6 <= 300000
+        |   AND alpha_word_frac_e6 >= 800000
+        |   AND n_stopwords >= 2
+        |   AND dup_line_frac_e6 <= 300000) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x11_quality_filter" ->
       """WITH n AS (

@@ -945,4 +945,60 @@ class CurationSpec extends AnyFunSuite {
     assert(partitioned.size == 1 && partitioned.head.startsWith("bkt"),
       plan)
   }
+
+  test("gopherRules: each rule trips on its crafted document, good text passes") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over a lazy dog and " +
+      "carries it off to have dinner with all of its friends ") * 3)
+      .trim // 69 words, alphabetic, stopwords present, no symbols
+    val fillTo50 = "the one and that of have be with more words " +
+      "keep the count above fifty so only the targeted rule trips " +
+      "and nothing else interferes with the verdict in any way at " +
+      "all here now then"
+    val docs = Seq(
+      (0L, good),
+      (1L, "too short to pass"), // rule 1: word count
+      (2L, ("a " * 60).trim + " " + fillTo50), // rule 2: mean len < 3
+      (3L, ("#word " * 30).trim + " " + fillTo50), // rule 3: symbols
+      (4L, (0 until 50).map(i => s"- bullet item $i the of").mkString("\n")
+        + "\nthe of and that have be with plain line here to of"),
+      (5L, (0 until 9).map(i => s"line number $i trails off...")
+        .mkString("\n") + "\nthe of and be that have with solid end"
+        + ("\nmore words fill the count to fifty and beyond here" * 3)),
+      (6L, ("12345 9876 " * 30).trim + " the of and to"), // rule 6: alpha
+      (7L, ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore magna aliqua ") * 2),
+      (8L, (("same line of the text here with plenty of words\n") * 20)
+        .trim) // rule 8: duplicate lines
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"), r(0L).toString)
+    assert(!r(1L).getAs[Boolean]("keep") && r(1L).getAs[Long]("n_words") < 50)
+    assert(!r(2L).getAs[Boolean]("keep") &&
+      r(2L).getAs[Long]("mean_word_len_e6") < 3000000L)
+    assert(!r(3L).getAs[Boolean]("keep") &&
+      r(3L).getAs[Long]("symbol_ratio_e6") > 100000L)
+    assert(!r(4L).getAs[Boolean]("keep") &&
+      r(4L).getAs[Long]("bullet_frac_e6") > 900000L)
+    assert(!r(5L).getAs[Boolean]("keep") &&
+      r(5L).getAs[Long]("ellipsis_frac_e6") > 300000L)
+    assert(!r(6L).getAs[Boolean]("keep") &&
+      r(6L).getAs[Long]("alpha_word_frac_e6") < 800000L)
+    assert(!r(7L).getAs[Boolean]("keep") &&
+      r(7L).getAs[Long]("n_stopwords") < 2L, r(7L).toString)
+    assert(!r(8L).getAs[Boolean]("keep") &&
+      r(8L).getAs[Long]("dup_line_frac_e6") > 300000L)
+  }
+
+  test("gopherRules: null and empty text get a verdict, never a crash") {
+    import spark.implicits._
+    val docs = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "  "))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Curation.gopherRules(docs, "doc_id", "text")
+      .collect()
+    assert(r.length == 3)
+    r.foreach(x => assert(!x.getAs[Boolean]("keep") &&
+      x.getAs[Long]("n_words") == 0L))
+  }
 }

@@ -1120,6 +1120,78 @@ object Curation {
     * per document.
     *
     * @return (doc_id, n_bigrams, xent_e6) */
+  /** Corpus-trained interpolated Kneser–Ney TOKEN-bigram language
+    * model + per-document cross-entropy — the token-level sibling of
+    * [[charLmScore]] (t12's char-bigram floor) and the classic
+    * CCNet-style (Wenzek et al. 2020) perplexity quality signal,
+    * reproduced without an external LM toolchain:
+    *
+    *   P(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D·N₁₊(w₁·)·P_cont(w₂))
+    *              / c(w₁·)
+    *   P_cont(w₂) = N₁₊(·w₂) / |distinct bigrams|,  D = 0.75
+    *
+    * (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form.)
+    * Self-scoring the training corpus means every context and bigram
+    * is observed, so no OOV branch exists — low scores flag documents
+    * whose transitions are RARE corpus-wide, the duplication-robust
+    * fluency signal.
+    *
+    * Scale shape: per-document bigram counts explode token-bound
+    * (one (doc, w₁, w₂, n) row per DISTINCT in-doc bigram); the model
+    * is three partial-aggregated groupBys over the bigram table
+    * (bigram, context, continuation) with |bigrams| as a
+    * single-partition window over the already-collapsed model — the
+    * t12 trick, no extra corpus scan; scoring is ONE token-bound
+    * shuffle join of the doc bigrams against the model (the model is
+    * corpus-sized — distinct bigrams — so unlike t12's charset² frame
+    * it joins hashed, never broadcast). Documents with < 2 tokens
+    * emit n_bigrams 0 / xent 0 (the x17 convention — no rows vanish).
+    *
+    * xent_e6 = floor(−Σ n·ln P / Σ n · 10⁶): both engines compute the
+    * identical double expression tree; per-document sum order differs
+    * by ulps that the e6 cut absorbs (the t12 precedent). */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))),
+      "\\s+"), w => w =!= "")
+    val db = df
+      .select(col(idCol), toks.as("tk"))
+      .select(col(idCol), explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val bg = db.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("cb"))
+    val ctx = bg.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cctx"), count(lit(1)).as("nfwd"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nback"))
+    val w = Window.partitionBy(lit(1))
+    val p = bg
+      .withColumn("b", count(lit(1)).over(w).cast("double"))
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .select(col("w1"), col("w2"),
+        log((greatest(col("cb").cast("double") - lit(discount), lit(0.0))
+          + lit(discount) * col("nfwd").cast("double") *
+            (col("nback").cast("double") / col("b")))
+          / col("cctx").cast("double")).as("lnp"))
+    val scored = db.join(p, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("m"),
+        sum(col("n").cast("double") * col("lnp")).as("s"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(floor(-col("s") / col("m").cast("double") *
+          lit(1000000.0)).cast("bigint"), lit(0L)).as("xent_e6"))
+  }
+
   def charLmScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.CharLmImpl.register(df.sparkSession)

@@ -947,6 +947,15 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T13 — interpolated Kneser–Ney token-bigram cross-entropy: the
+    // CCNet-style perplexity quality signal without an external LM
+    // toolchain. Self-scoring the training corpus, so every context
+    // is observed (no OOV branch); low scores = rare transitions.
+    "t13_kn_bigram" -> ((s, d) => {
+      Curation.knBigramScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // X19 — the Gopher rule set (Rae et al. 2021 Appendix A): the
     // published heuristic battery with every measured value exported
     // alongside the verdict, entirely row-local (zero shuffles — the
@@ -3205,6 +3214,42 @@ object ScaleQueries {
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // t13: the KN model replayed with the identical double expression
+    // tree — same association order, ln in double, floor-e6 cut
+    "t13_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS tk
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |bg AS (SELECT w1, w2, sum(n) AS cb FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS cctx, count(*) AS nfwd
+        |        FROM bg GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nback FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS b FROM bg),
+        |p AS (
+        |  SELECT bg.w1, bg.w2,
+        |    ln((greatest(cb::DOUBLE - 0.75, 0.0)
+        |        + 0.75 * nfwd::DOUBLE * (nback::DOUBLE / b))
+        |      / cctx::DOUBLE) AS lnp
+        |  FROM bg CROSS JOIN tot
+        |  JOIN ctx USING (w1) JOIN cont USING (w2)),
+        |s AS (
+        |  SELECT doc_id, sum(n) AS m, sum(n::DOUBLE * lnp) AS sv
+        |  FROM db JOIN p USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(m, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(floor(-sv / m::DOUBLE * 1000000), 0) AS BIGINT)
+        |    AS xent_e6
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // x19: each Gopher rule's arithmetic replayed on the same
     // whitespace tokens / trimmed non-empty lines, floor-e6 cuts

@@ -946,6 +946,49 @@ class CurationSpec extends AnyFunSuite {
       plan)
   }
 
+  test("knBigramScore matches a by-hand Kneser-Ney model; KN normalizes to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b c"),
+      (1L, "b c b a"),
+      (2L, "c c a b"),
+      (3L, "solo"), // < 2 tokens: n_bigrams 0, xent 0
+      (4L, "a b")).toDF("doc_id", "text")
+    // by-hand interpolated KN over the same corpus
+    val corpus = Seq("a b a b c", "b c b a", "c c a b", "a b")
+      .map(_.split(" ").toSeq)
+    val dbAll = corpus.flatMap(tk => tk.zip(tk.tail))
+    val cb = dbAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cctx = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nfwd = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nback = cb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = cb.size.toDouble
+    val d = 0.75
+    def pkn(w1: String, w2: String): Double =
+      (math.max(cb.getOrElse((w1, w2), 0L).toDouble - d, 0.0) +
+        d * nfwd(w1) * (nback.getOrElse(w2, 0L) / b)) / cctx(w1)
+    // the model is a true conditional distribution: sums to 1 over
+    // the vocabulary for every observed context
+    val vocab = corpus.flatten.distinct
+    for (w1 <- cctx.keys)
+      assert(math.abs(vocab.map(pkn(w1, _)).sum - 1.0) < 1e-12, w1)
+    def xentE6(text: String): Long = {
+      val tk = text.split(" ").toSeq
+      val pairs = tk.zip(tk.tail)
+      math.floor(-pairs.map { case (x, y) => math.log(pkn(x, y)) }.sum /
+        pairs.size * 1e6).toLong
+    }
+    val got = graft.operators.Curation
+      .knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(3L) == (0L, 0L))
+    assert(got(0L) == (4L, xentE6("a b a b c")), got(0L).toString)
+    assert(got(1L) == (3L, xentE6("b c b a")))
+    assert(got(2L) == (3L, xentE6("c c a b")))
+    assert(got(4L) == (1L, xentE6("a b")))
+  }
+
   test("gopherRules: each rule trips on its crafted document, good text passes") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over a lazy dog and " +

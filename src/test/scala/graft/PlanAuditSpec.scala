@@ -624,6 +624,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "positions hash through the native expression")
   }
 
+  test("KN bigram score (t13): token-bound aggs, keyed joins, no cartesian") {
+    val p = plan(graft.operators.Curation.knBigramScore(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    // per-doc bigram counts partial-aggregate at the explode, the
+    // model is three more partial-agged groupBys, |bigrams| rides a
+    // single-partition window over the collapsed model (never a
+    // fourth corpus scan), and every join is keyed on w1/w2/doc
+    assert(count(p, "HashAggregate") >= 6, p.take(2000))
+    assert(p.contains("Window"), "|bigrams| is an in-plan window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

@@ -31,6 +31,8 @@ import graft.operators.{Curation, Dedup}
   *   [--dsir-target=DIR]   DSIR importance resampling (ds2) against
   *                         this target corpus, between the rule
   *                         filter and dedup
+  *   [--gopher]            the Gopher rule battery (x19) after the
+  *                         x11 rules, failing rule = audit reason
   *   [--strip-spans]       corpus-wide duplicated-span stripping
   *                         (x18's rewrite) over the deduped
   *                         survivors; a doc stripped to nothing is
@@ -69,7 +71,7 @@ object CurateCli {
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
       chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
-      stripSpans: Boolean = false)
+      stripSpans: Boolean = false, gopher: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -90,7 +92,8 @@ object CurateCli {
       distill = m.contains("distill"),
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
       dsirTargetDir = m.get("dsir-target").flatten,
-      stripSpans = m.contains("strip-spans"))
+      stripSpans = m.contains("strip-spans"),
+      gopher = m.contains("gopher"))
   }
 
   case class Summary(
@@ -98,7 +101,8 @@ object CurateCli {
       semanticDups: Long, contaminated: Long, curated: Long,
       splits: Map[String, Long],
       distillWeights: Option[Seq[Double]] = None,
-      dsirDropped: Long = 0L, strippedEmpty: Long = 0L)
+      dsirDropped: Long = 0L, strippedEmpty: Long = 0L,
+      gopherDropped: Long = 0L)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -120,7 +124,7 @@ object CurateCli {
       embeds: Option[DataFrame] = None,
       semanticTau: Double = 0.35,
       dsirTarget: Option[DataFrame] = None,
-      stripSpans: Boolean = false): Frames = {
+      stripSpans: Boolean = false, gopher: Boolean = false): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
@@ -136,19 +140,38 @@ object CurateCli {
       .select(col("doc_id"), lit("quality").as("stage"), col("reason"))
     val kept1q = q1.filter(col("keep")).drop("keep", "reason")
 
+    // 1.2 the Gopher rule battery (optional): the published
+    // web-scale heuristic set, entirely row-local, with the first
+    // failing rule as the per-document audit reason
+    val (kept1gp, droppedGopher) =
+      if (!gopher)
+        (kept1q, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+      else {
+        val gr = materialize(
+          Curation.gopherRules(kept1q, "doc_id", "text")
+            .select(col("doc_id"), col("reason"), col("keep")))
+        (kept1q.join(gr.filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+          gr.filter(!col("keep"))
+            .select(col("doc_id"), lit("gopher").as("stage"),
+              col("reason")))
+      }
+
     // 1.5 DSIR importance resampling against the target corpus
     // (optional): ds2's deterministic exp(logw−max) gate — the
     // distribution-shaping stage between rules and dedup
     val (kept1, droppedDsir) = dsirTarget match {
       case Some(tgt) =>
-        val out = materialize(Curation.dsirResample(kept1q, tgt,
+        val out = materialize(Curation.dsirResample(kept1gp, tgt,
             "doc_id", "text")
           .filter(!col("keep")).select(col("doc_id")))
-        (kept1q.join(out, Seq("doc_id"), "left_anti"),
+        (kept1gp.join(out, Seq("doc_id"), "left_anti"),
           out.select(col("doc_id"), lit("dsir").as("stage"),
             lit("importance_resample").as("reason")))
       case None =>
-        (kept1q, spark.emptyDataFrame
+        (kept1gp, spark.emptyDataFrame
           .withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
     }
@@ -254,7 +277,8 @@ object CurateCli {
     val k4 = materialize(kept4)
     Frames(
       curated = k4.join(split, "doc_id"),
-      dropped = droppedQuality.union(droppedDsir).union(droppedExact)
+      dropped = droppedQuality.union(droppedGopher)
+        .union(droppedDsir).union(droppedExact)
         .union(droppedNear)
         .union(droppedSem).union(droppedStrip).union(droppedContam))
   }
@@ -272,7 +296,7 @@ object CurateCli {
       semanticTau = args.semanticTau,
       dsirTarget = args.dsirTargetDir.map(dt =>
         graft.util.Tables.documents(spark, dt)),
-      stripSpans = args.stripSpans)
+      stripSpans = args.stripSpans, gopher = args.gopher)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
@@ -362,6 +386,7 @@ object CurateCli {
       distillWeights = weights,
       dsirDropped = stageCount("dsir"),
       strippedEmpty = stageCount("strip_spans"),
+      gopherDropped = stageCount("gopher"),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }

@@ -849,9 +849,12 @@ object Curation {
     * single-line documents make the line rules trivially pass,
     * matching the reference semantics (they bound LINE structure,
     * which such documents don't have). */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+  /** The eight Gopher measurement Columns over one text Column —
+    * the SINGLE expression tree both [[gopherRules]] (the audited
+    * batch frame) and [[gopherKeep]] (the stateless streaming gate)
+    * evaluate, so the two forms cannot drift: same tokenization, same
+    * floor-e6 cuts, same thresholds. */
+  private def gopherCols(t: Column): Seq[(String, Column)] = {
     val toks = filter(split(trim(t), "\\s+"), w => w =!= "")
     val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
       l => l =!= "")
@@ -866,46 +869,80 @@ object Curation {
       nW.cast("double")
     val nHash = (length(t) - length(regexp_replace(t, "#", "")))
       .cast("bigint")
-    val nEll = ((length(t) - length(regexp_replace(t, "…", "")))
-      + (length(regexp_replace(t, "…", "")) -
-        length(regexp_replace(regexp_replace(t, "…", ""),
+    val nEll = ((length(t) - length(regexp_replace(t, "\u2026", "")))
+      + (length(regexp_replace(t, "\u2026", "")) -
+        length(regexp_replace(regexp_replace(t, "\u2026", ""),
           "\\.\\.\\.", ""))) / 3).cast("bigint")
     val bulletLines = size(filter(lines, l =>
-      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+      l.startsWith("\u2022") || l.startsWith("- ") || l.startsWith("* ")))
       .cast("bigint")
     val ellLines = size(filter(lines, l =>
-      l.endsWith("...") || l.endsWith("…"))).cast("bigint")
+      l.endsWith("...") || l.endsWith("\u2026"))).cast("bigint")
     val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
       .cast("bigint")
     val stopHits = size(filter(toks,
       w => lower(w).isInCollection(stop))).cast("bigint")
     val distinctLines = size(array_distinct(lines)).cast("bigint")
-    val out = df.select(col(idCol),
-      nW.as("n_words"),
-      when(nW > 0, e6(meanLen)).otherwise(lit(0L)).as("mean_word_len_e6"),
-      when(nW > 0, e6((nHash + nEll).cast("double") / nW.cast("double")))
-        .otherwise(lit(0L)).as("symbol_ratio_e6"),
-      when(nL > 0, e6(bulletLines.cast("double") / nL.cast("double")))
-        .otherwise(lit(0L)).as("bullet_frac_e6"),
-      when(nL > 0, e6(ellLines.cast("double") / nL.cast("double")))
-        .otherwise(lit(0L)).as("ellipsis_frac_e6"),
-      when(nW > 0, e6(alphaWords.cast("double") / nW.cast("double")))
-        .otherwise(lit(0L)).as("alpha_word_frac_e6"),
-      stopHits.as("n_stopwords"),
-      when(nL > 0, e6(lit(1.0) -
-        distinctLines.cast("double") / nL.cast("double")))
-        .otherwise(lit(0L)).as("dup_line_frac_e6"))
-    out.withColumn("keep",
-      col("n_words") >= minWords && col("n_words") <= maxWords &&
-        col("mean_word_len_e6") >= 3000000L &&
-        col("mean_word_len_e6") <= 10000000L &&
-        col("symbol_ratio_e6") <= 100000L &&
-        col("bullet_frac_e6") <= 900000L &&
-        col("ellipsis_frac_e6") <= 300000L &&
-        col("alpha_word_frac_e6") >= 800000L &&
-        col("n_stopwords") >= 2L &&
-        col("dup_line_frac_e6") <= 300000L)
+    Seq(
+      "n_words" -> nW,
+      "mean_word_len_e6" ->
+        when(nW > 0, e6(meanLen)).otherwise(lit(0L)),
+      "symbol_ratio_e6" ->
+        when(nW > 0, e6((nHash + nEll).cast("double") / nW.cast("double")))
+          .otherwise(lit(0L)),
+      "bullet_frac_e6" ->
+        when(nL > 0, e6(bulletLines.cast("double") / nL.cast("double")))
+          .otherwise(lit(0L)),
+      "ellipsis_frac_e6" ->
+        when(nL > 0, e6(ellLines.cast("double") / nL.cast("double")))
+          .otherwise(lit(0L)),
+      "alpha_word_frac_e6" ->
+        when(nW > 0, e6(alphaWords.cast("double") / nW.cast("double")))
+          .otherwise(lit(0L)),
+      "n_stopwords" -> stopHits,
+      "dup_line_frac_e6" ->
+        when(nL > 0, e6(lit(1.0) -
+          distinctLines.cast("double") / nL.cast("double")))
+          .otherwise(lit(0L)))
   }
+
+  /** First failing Gopher rule in published order over the measured
+    * columns — the x11 audit-reason convention, shared by the batch
+    * frame and the streaming gate. Expects the [[gopherCols]] names
+    * in scope. */
+  private def gopherReason(c: Map[String, Column], minWords: Int,
+      maxWords: Int): Column =
+    when(c("n_words") < minWords || c("n_words") > maxWords,
+      "word_count")
+      .when(c("mean_word_len_e6") < 3000000L ||
+        c("mean_word_len_e6") > 10000000L, "word_length")
+      .when(c("symbol_ratio_e6") > 100000L, "symbol_ratio")
+      .when(c("bullet_frac_e6") > 900000L, "bullet_lines")
+      .when(c("ellipsis_frac_e6") > 300000L, "ellipsis_lines")
+      .when(c("alpha_word_frac_e6") < 800000L, "non_alpha_words")
+      .when(c("n_stopwords") < 2L, "no_stopwords")
+      .when(c("dup_line_frac_e6") > 300000L, "duplicate_lines")
+      .otherwise("pass")
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val cols = gopherCols(coalesce(col(textCol), lit("")))
+    val out = df.select(
+      (col(idCol) +: cols.map { case (n, c) => c.as(n) }): _*)
+    out.withColumn("reason",
+        gopherReason(cols.map { case (n, _) => n -> col(n) }.toMap,
+          minWords, maxWords))
+      .withColumn("keep", col("reason") === "pass")
+  }
+
+  /** [[gopherRules]]' verdict as one ROW-LOCAL Column — the streaming
+    * form ([[graft.streaming.IngestGate.curateGate]]'s gopher stage):
+    * the SAME [[gopherCols]] expression tree inlined, so batch and
+    * stream agree by construction. */
+  def gopherKeep(textCol: String, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    gopherReason(gopherCols(coalesce(col(textCol), lit(""))).toMap,
+      minWords, maxWords) === "pass"
 
   /** Gopher-style N-GRAM repetition fractions — the char-mass
     * companions to [[repetitionStats]]'s unigram signals (Rae et al.

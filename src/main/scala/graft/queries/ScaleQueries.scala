@@ -3306,17 +3306,23 @@ object ScaleQueries {
         |    CASE WHEN nl > 0 THEN
         |      CAST(floor((1.0 - ndl::DOUBLE / nl) * 1000000) AS BIGINT)
         |      ELSE 0 END AS dup_line_frac_e6
-        |  FROM m)
-        |SELECT *,
-        |  (n_words BETWEEN 50 AND 100000
-        |   AND mean_word_len_e6 BETWEEN 3000000 AND 10000000
-        |   AND symbol_ratio_e6 <= 100000
-        |   AND bullet_frac_e6 <= 900000
-        |   AND ellipsis_frac_e6 <= 300000
-        |   AND alpha_word_frac_e6 >= 800000
-        |   AND n_stopwords >= 2
-        |   AND dup_line_frac_e6 <= 300000) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |  FROM m),
+        |wr AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+        |      WHEN mean_word_len_e6 < 3000000
+        |        OR mean_word_len_e6 > 10000000 THEN 'word_length'
+        |      WHEN symbol_ratio_e6 > 100000 THEN 'symbol_ratio'
+        |      WHEN bullet_frac_e6 > 900000 THEN 'bullet_lines'
+        |      WHEN ellipsis_frac_e6 > 300000 THEN 'ellipsis_lines'
+        |      WHEN alpha_word_frac_e6 < 800000 THEN 'non_alpha_words'
+        |      WHEN n_stopwords < 2 THEN 'no_stopwords'
+        |      WHEN dup_line_frac_e6 > 300000 THEN 'duplicate_lines'
+        |      ELSE 'pass' END AS reason
+        |  FROM r)
+        |SELECT *, reason = 'pass' AS keep
+        |FROM wr ORDER BY doc_id""".stripMargin,
 
     "x11_quality_filter" ->
       """WITH n AS (

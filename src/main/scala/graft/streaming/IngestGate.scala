@@ -209,8 +209,12 @@ object IngestGate {
       scoreWeights: Option[Array[Double]] = None,
       minScoreE6: Long = 500000L,
       dsirModel: Option[graft.operators.Curation.DsirModel] = None,
-      idCol: String = "doc_id"): DataFrame = {
-    val q = stream.filter(qualityKeep(textCol, minWords))
+      idCol: String = "doc_id", gopher: Boolean = false): DataFrame = {
+    val q0 = stream.filter(qualityKeep(textCol, minWords))
+    // the Gopher battery rides the SAME expression tree as the batch
+    // x19 frame (Curation.gopherCols), so gate ≡ batch by construction
+    val q = if (gopher)
+      q0.filter(graft.operators.Curation.gopherKeep(textCol)) else q0
     val s = scoreWeights match {
       case Some(w) => scoreGate(q, w, textCol, minScoreE6)
       case None => q

@@ -158,6 +158,40 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s3 == s2)
   }
 
+  test("CurateCli --gopher: the rule battery drops with per-rule audit reasons") {
+    import graft.cli.CurateCli
+    val out = java.nio.file.Files.createTempDirectory("e2e-gopher")
+      .toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--gopher")))
+    // accounting closes with the new stage included
+    assert(s.input == s.curated + s.lowQuality + s.gopherDropped +
+      s.exactDups + s.nearDups + s.contaminated)
+    // the synthetic corpus has docs under Gopher's 50-word floor that
+    // pass x11's 20-word floor — the stage must do real work
+    assert(s.gopherDropped > 0, s.toString)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    val reasons = dropped
+      .filter(org.apache.spark.sql.functions.col("stage") === "gopher")
+      .select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.nonEmpty &&
+      reasons.subsetOf(Set("word_count", "word_length", "symbol_ratio",
+        "bullet_lines", "ellipsis_lines", "non_alpha_words",
+        "no_stopwords", "duplicate_lines")), reasons.toString)
+    // the batch stage and the streaming gate agree document for
+    // document (one shared expression tree)
+    val docs = graft.util.Tables.documents(spark, sf)
+    val batchKeep = graft.operators.Curation
+      .gopherRules(docs, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gateKeep = docs.filter(
+      graft.operators.Curation.gopherKeep("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep == gateKeep)
+  }
+
   test("CurateCli --tar-shards: curated splits round-trip from manifested tar shards") {
     import graft.cli.CurateCli
     import org.apache.spark.sql.functions.col

@@ -227,6 +227,24 @@ object R13Scratch {
             "text").count()
         }).min
         println(f"d20_exact_spans $d wall(min of 2)=$t%.2f s spans=$rows")
+      case "row" =>
+        // decade wall for any single oracle row: R13Scratch row <name> <sfDir>
+        val name = args(1)
+        val d = if (args.length > 2) args(2) else "/root/repo/target/sf1"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        var rows = 0L
+        val t = (1 to 2).map(_ => time {
+          // checksum over every output column so Catalyst cannot
+          // prune the computation under a bare count()
+          val q = graft.SparkEntry.queries(name)(spark, d)
+          rows = q.select(xxhash64(struct(q.columns.map(col): _*))
+            .as("h")).agg(count(lit(1)), sum(col("h").cast("double")))
+            .first().getLong(0)
+        }).min
+        println(f"rowsweep $name $d wall(min of 2)=$t%.2f s rows=$rows")
       case "i1" =>
         val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
         val df = graft.queries.RebuildQueries.q("i1_import_pipeline")(
@@ -276,7 +294,8 @@ object R13Scratch {
           case o => sys.error(s"bad SPARK_GRAFT_D19 $o")
         }
         var rows = 0L
-        val t = (1 to 2).map(_ => time {
+        val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+        val t = (1 to reps).map(_ => time {
           rows = graft.operators.Dedup.containmentPairs(docs,
             "doc_id", "text", maxPosting = maxPosting).count()
         }).min

@@ -849,6 +849,69 @@ object Curation {
     * single-line documents make the line rules trivially pass,
     * matching the reference semantics (they bound LINE structure,
     * which such documents don't have). */
+  /** CCNet-style text normalization (Wenzek et al. 2020's
+    * `normalize_line`, the preprocessing every hash-based dedup and
+    * LM-scoring stage expects): accent stripping (native NFD
+    * [[graft.functions.StripAccents]]), lowercasing, digits → 0,
+    * ASCII punctuation removal, whitespace collapse + trim — IN THAT
+    * ORDER (the order is part of the contract; the oracle replays it
+    * literally). Entirely row-local, codegen-fused; at 100 TB this
+    * rides whatever scan already touches the text.
+    *
+    * Composition contract: run dedup fingerprints over
+    * `normalizedText` to catch case/accent/digit variants the raw
+    * hashes miss — the spec pins exact dedup over the normal form
+    * collapsing exactly those variants. */
+  def normalizedText(text: Column): Column = {
+    val stripped = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.StripAccents(
+        org.apache.spark.sql.GraftColumns.expression(
+          coalesce(text, lit("")))))
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(stripped), "\\d", "0"),
+        "\\p{Punct}", ""),
+      "\\s+", " "))
+  }
+
+  /** Frame form of [[normalizedText]]: (id, norm_text, norm_md5) —
+    * the md5 doubles as the normalized-form dedup key. */
+  def normalizeText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), normalizedText(col(textCol)).as("norm_text"))
+      .withColumn("norm_md5", md5(col("norm_text")))
+
+  /** CCNet's head/middle/tail perplexity partition (Wenzek et al.
+    * 2020 §4.3): score every document with the corpus-trained KN
+    * bigram model ([[knBigramScore]]), cut each LANGUAGE at its exact
+    * 1/3 and 2/3 cross-entropy quantiles, and label documents
+    * head (fluent) / middle / tail (noisy) — the bucketing CCNet uses
+    * to keep the head+middle of each language.
+    *
+    * Scale shape: scoring is t13's token-bound pipeline; the tertile
+    * thresholds are a per-language aggregate collapsing to B = 2
+    * doubles per language (exact interpolated percentiles, the a13
+    * convention — DuckDB's quantile_cont computes the same formula)
+    * BROADCAST back, so the labeling pass is a narrow map — no
+    * corpus-wide ntile sort, whose single-partition-per-language
+    * window would be the naive formulation's wall. Boundary rule:
+    * xent ≤ p33 → head, ≤ p67 → middle, else tail (documents AT a
+    * threshold take the better bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = knBigramScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(
+        percentile(col("xent_e6"), lit(1.0 / 3)).as("p33"),
+        percentile(col("xent_e6"), lit(2.0 / 3)).as("p67"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col(idCol), col("lang"), col("n_bigrams"), col("xent_e6"),
+        when(col("xent_e6").cast("double") <= col("p33"), "head")
+          .when(col("xent_e6").cast("double") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** The eight Gopher measurement Columns over one text Column —
     * the SINGLE expression tree both [[gopherRules]] (the audited
     * batch frame) and [[gopherKeep]] (the stateless streaming gate)

@@ -956,6 +956,26 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X21 — CCNet text normalization: accent strip → lower →
+    // digits→0 → strip ASCII punctuation → collapse whitespace, in
+    // that order; md5 of the normal form doubles as the dedup key.
+    "x21_normalize" -> ((s, d) => {
+      Curation.normalizeText(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), length(col("norm_text")).cast("bigint")
+          .as("n_chars_norm"), col("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T14 — CCNet head/middle/tail perplexity buckets: t13's KN
+    // scores cut at each language's exact 1/3 and 2/3 quantiles
+    // (broadcast B-row thresholds, never a corpus-wide ntile sort).
+    "t14_ppl_buckets" -> ((s, d) => {
+      Curation.perplexityBuckets(Tables.documents(s, d), "doc_id",
+        "text", "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X19 — the Gopher rule set (Rae et al. 2021 Appendix A): the
     // published heuristic battery with every measured value exported
     // alongside the verdict, entirely row-local (zero shuffles — the
@@ -3214,6 +3234,69 @@ object ScaleQueries {
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // x21: the same normalization chain in the same order (the
+    // corpus is ASCII so strip_accents is identity on both engines;
+    // the accent path is spec-pinned on crafted fixtures)
+    "x21_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(strip_accents(text)),
+        |          '\d', '0', 'g'),
+        |        '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_norm,
+        |  md5(t) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // t14: t13's model + per-language quantile_cont thresholds (the
+    // a13 exact-interpolated-percentile convention), boundary docs
+    // take the better bucket
+    "t14_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS tk
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |bg AS (SELECT w1, w2, sum(n) AS cb FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS cctx, count(*) AS nfwd
+        |        FROM bg GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nback FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS b FROM bg),
+        |p AS (
+        |  SELECT bg.w1, bg.w2,
+        |    ln((greatest(cb::DOUBLE - 0.75, 0.0)
+        |        + 0.75 * nfwd::DOUBLE * (nback::DOUBLE / b))
+        |      / cctx::DOUBLE) AS lnp
+        |  FROM bg CROSS JOIN tot
+        |  JOIN ctx USING (w1) JOIN cont USING (w2)),
+        |s AS (
+        |  SELECT doc_id, sum(n) AS m, sum(n::DOUBLE * lnp) AS sv
+        |  FROM db JOIN p USING (w1, w2) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(floor(-sv / m::DOUBLE * 1000000), 0) AS BIGINT)
+        |      AS xent_e6
+        |  FROM documents d LEFT JOIN s USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang, quantile_cont(xent_e6::DOUBLE, 1.0/3) AS p33,
+        |    quantile_cont(xent_e6::DOUBLE, 2.0/3) AS p67
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, scored.lang,
+        |  CASE WHEN xent_e6::DOUBLE <= p33 THEN 'head'
+        |       WHEN xent_e6::DOUBLE <= p67 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     // t13: the KN model replayed with the identical double expression
     // tree — same association order, ln in double, floor-e6 cut

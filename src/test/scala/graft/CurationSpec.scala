@@ -946,6 +946,65 @@ class CurationSpec extends AnyFunSuite {
       plan)
   }
 
+  test("normalizedText: accents, case, digits, punctuation, whitespace — in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Héllo, WÖRLD!  Café №5 has 42 naïve piñatas…"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   spaced\t\tout\n\nlines   ")).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .normalizeText(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // é→e ö→o ï→i ñ→n; №/… are not ASCII punct and carry no
+    // decomposition-mark, so they survive — the documented scope
+    assert(got(1L) == "hello world cafe №0 has 00 naive pinatas…",
+      got(1L))
+    assert(got(2L) == "")
+    assert(got(3L) == "spaced out lines")
+  }
+
+  test("exact dedup over the normal form collapses case/accent/digit variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Café opened in 1982."),
+      (2L, "the cafe opened in 2024!"),
+      (3L, "THE CAFÉ OPENED IN 1999"),
+      (4L, "a different sentence entirely")).toDF("doc_id", "text")
+    val norm = graft.operators.Curation
+      .normalizeText(docs, "doc_id", "text")
+    val canon = graft.operators.Dedup
+      .exact(norm, "doc_id", "norm_text")
+      .select(org.apache.spark.sql.functions.col("canonical_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 4L), canon.toString)
+  }
+
+  test("perplexityBuckets: tertiles per language, ordered by fluency") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val b = graft.operators.Curation
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+    val counts = b.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = counts.keys.map(_._1).toSet
+    for (l <- langs) {
+      val h = counts.getOrElse((l, "head"), 0L)
+      val m = counts.getOrElse((l, "middle"), 0L)
+      val t = counts.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      // exact-quantile cuts: each bucket within one of n/3
+      assert(math.abs(h - n / 3.0) <= 1.5, s"$l head=$h n=$n")
+      assert(math.abs(t - n / 3.0) <= 1.5, s"$l tail=$t n=$n")
+    }
+    // bucket order respects the score: max(head) <= min(tail) per lang
+    import org.apache.spark.sql.functions.{col, max => mx, min => mn}
+    val agg = b.groupBy("lang").agg(
+      mx(org.apache.spark.sql.functions.when(col("bucket") === "head",
+        col("xent_e6"))).as("hmax"),
+      mn(org.apache.spark.sql.functions.when(col("bucket") === "tail",
+        col("xent_e6"))).as("tmin")).collect()
+    agg.foreach(r => assert(r.getLong(1) <= r.getLong(2), r.toString))
+  }
+
   test("knBigramScore matches a by-hand Kneser-Ney model; KN normalizes to 1") {
     import spark.implicits._
     val docs = Seq(

@@ -93,6 +93,147 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** The unigram trainer's SEED vocabulary as a frame — every
+    * ≤ `maxPieceLen`-char substring of every corpus word weighted by
+    * word frequency, cut to ALL single chars plus the `seedSize`
+    * heaviest multi-char pieces by (freq DESC, piece ASC). Exposed as
+    * its own operator so the driver oracle checks the seed
+    * construction directly (the EM rounds' Viterbi DP is not
+    * SQL-expressible; the by-hand spec gates those).
+    * @return (piece, freq). */
+  def unigramSeed(df: DataFrame, textCol: String,
+      seedSize: Int = 4000, maxPieceLen: Int = 8): DataFrame = {
+    val words = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    unigramSeedFromWords(words, seedSize, maxPieceLen)
+  }
+
+  private def unigramSeedFromWords(words: DataFrame, seedSize: Int,
+      maxPieceLen: Int): DataFrame = {
+    val subs = words.select(col("c"), explode(sequence(lit(1),
+        length(col("w")))).as("i"), col("w"))
+      .select(col("c"), col("i"), explode(sequence(lit(1),
+        least(lit(maxPieceLen), length(col("w")) - col("i") + 1)))
+        .as("l"), col("w"))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("c"))
+    val pieceFreq = subs.groupBy(col("piece"))
+      .agg(sum(col("c")).as("freq"))
+    val chars = pieceFreq.filter(length(col("piece")) === 1)
+    val multi = pieceFreq.filter(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece").asc)
+      .limit(math.max(0, seedSize))
+    chars.unionByName(multi)
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 —
+    * the SentencePiece unigram model, the other major subword
+    * algorithm beside [[bpeMerges]]' BPE), as deterministic hard-EM
+    * (Viterbi-EM) over the corpus word table:
+    *
+    *  1. SEED: every ≤ `maxPieceLen`-char substring of every word,
+    *     weighted by corpus word frequency; keep the `seedSize`
+    *     heaviest by (freq DESC, piece ASC) plus ALL single
+    *     characters (they guarantee total segmentation forever).
+    *     Initial log P = ln(freq / Σ freq).
+    *  2. E-step: Viterbi-segment each distinct word under the current
+    *     model ([[graft.functions.UnigramSegment]] — ties to the
+    *     longest piece, unknown chars at −100) and count piece usages
+    *     weighted by word frequency — ONE narrow pass over the V-row
+    *     word table plus a piece-keyed partial agg, never a corpus
+    *     scan.
+    *  3. M-step: log P = ln(usage / Σ usage) over the surviving
+    *     pieces (unused pieces drop; single chars are pinned with a
+    *     usage floor of 1 so coverage never breaks).
+    *  4. After `rounds` EM iterations, PRUNE to `vocabSize`: single
+    *     chars first, then heaviest by (usage DESC, piece ASC); one
+    *     final EM round re-normalizes the pruned model.
+    *
+    * Hard-EM keeps every step exactly replayable (the spec's by-hand
+    * model matches piece-for-piece and the Viterbi likelihood is
+    * non-decreasing across rounds — the monotonicity invariant the
+    * spec pins); soft-EM's forward-backward expectations would buy
+    * slightly better vocabularies at the cost of float-order
+    * nondeterminism across engines and partitionings.
+    *
+    * Scale shape: the corpus collapses ONCE to the (word, count)
+    * table (the [[bpeMerges]] economics); every EM round is a narrow
+    * map over V rows with the model as expression literals
+    * (vocabSize-bounded broadcast) and a vocabSize-bounded collect —
+    * bounded driver model state, the kmeans-centroid convention.
+    *
+    * @return (piece, usage, lp) — the trained vocabulary, usage the
+    *         final-round weighted count, lp its ln-probability. */
+  def unigramTrain(df: DataFrame, textCol: String,
+      vocabSize: Int = 1000, seedSize: Int = 4000, rounds: Int = 2,
+      maxPieceLen: Int = 8): DataFrame = {
+    require(vocabSize >= 1 && seedSize >= 1 && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Iter.materialize(
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
+    // 1. seed pieces: all bounded substrings, corpus-weighted
+    val seed = unigramSeedFromWords(words, seedSize, maxPieceLen)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total0 = seed.map(_._2).sum.toDouble
+    var model: Map[String, Double] =
+      seed.map { case (p, f) => p -> math.log(f / total0) }.toMap
+
+    // 2-4. EM rounds + prune + one re-normalizing round
+    def eStep(m: Map[String, Double]): Array[(String, Long)] = {
+      val segCol = org.apache.spark.sql.GraftColumns.column(
+        graft.functions.UnigramSegment(
+          org.apache.spark.sql.GraftColumns.expression(col("w")),
+          m.toSeq.sortBy(_._1), maxPieceLen))
+      words.select(col("c"), explode(segCol).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    }
+    def mStep(usages: Array[(String, Long)]): Map[String, Double] = {
+      val used = usages.toMap
+      // single chars pinned at a usage floor so coverage never breaks
+      val pinned = model.keys.filter(_.length == 1)
+        .map(p => p -> math.max(used.getOrElse(p, 0L), 1L)).toMap
+      val kept = used.filter { case (p, _) => p.length > 1 } ++ pinned
+      val tot = kept.values.sum.toDouble
+      kept.map { case (p, u) => p -> math.log(u / tot) }
+    }
+    for (_ <- 1 to rounds) model = mStep(eStep(model))
+    // prune: chars first, then heaviest multi-char pieces
+    val lastUsage = eStep(model).toMap
+    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val budget = math.max(0, vocabSize - charPieces.size)
+    val keptMulti = model.keys.filter(_.length > 1).toSeq
+      .map(p => (p, lastUsage.getOrElse(p, 0L)))
+      .sortBy { case (p, u) => (-u, p) }
+      .take(budget).map(_._1)
+    model = model.filter { case (p, _) =>
+      p.length == 1 || keptMulti.contains(p) }
+    model = mStep(eStep(model))
+
+    val finalUsage = eStep(model).toMap
+    Iter.release(words)
+    model.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, finalUsage.getOrElse(p, 0L), lp) }
+      .toDF("piece", "usage", "lp")
+  }
+
+  /** Segment `textCol` with a trained unigram vocabulary — the encode
+    * half: whitespace words each Viterbi-segmented row-locally (the
+    * [[bpeEncode]] zero-shuffle shape; the model rides as expression
+    * literals). Returns the input plus a `pieces` array column. */
+  def unigramEncode(df: DataFrame, textCol: String,
+      vocab: Seq[(String, Double)], maxPieceLen: Int = 8): DataFrame =
+    df.withColumn("pieces",
+      org.apache.spark.sql.GraftColumns.column(
+        graft.functions.UnigramEncodeTokens(
+          org.apache.spark.sql.GraftColumns.expression(col(textCol)),
+          vocab.sortBy(_._1), maxPieceLen)))
+
   /** Segment `textCol` with an already-trained merge table: applies
     * the merges IN RANK ORDER to every word — the encode half
     * (tokenization a trainer runs at corpus scale, so the merge list

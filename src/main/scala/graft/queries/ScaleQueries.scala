@@ -1095,6 +1095,19 @@ object ScaleQueries {
         .orderBy(col("rank"))
     }),
 
+    // B5 — the unigram-LM trainer's seed vocabulary (Kudo 2018):
+    // every <= 8-char substring of every corpus word, frequency-
+    // weighted, cut to all single chars + the 200 heaviest multi-char
+    // pieces (freq DESC, piece ASC — a total order, so the limit is
+    // deterministic). The EM rounds' Viterbi DP is spec-gated
+    // (UnigramSpec by-hand model); this row drives the seed
+    // construction under the driver's oracle.
+    "b5_unigram_seed" -> ((s, d) => {
+      graft.operators.Bpe.unigramSeed(Tables.documents(s, d), "text",
+        seedSize = 200)
+        .orderBy(col("piece"))
+    }),
+
     // B2 — BPE corpus encode: train the 4 merges (priced in-row, the
     // t9 build convention), then tokenize every document with the
     // zero-shuffle occurrence-local fold. Output per doc: exact token
@@ -2026,6 +2039,31 @@ object ScaleQueries {
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
+
+    // b5: substring explode bounded at 8 chars, freq-weighted, single
+    // chars unioned with the top-200 multi-char cut on the same
+    // (freq DESC, piece ASC) total order
+    "b5_unigram_seed" ->
+      """WITH w AS (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |          AS wd FROM documents)
+        |  WHERE wd <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(wd, i::INT, l::INT) AS piece, c
+        |  FROM (
+        |    SELECT wd, c, i,
+        |      unnest(range(1, least(8, length(wd) - i + 1) + 1)) AS l
+        |    FROM (SELECT wd, c, unnest(range(1, length(wd) + 1)) AS i
+        |          FROM w))),
+        |pf AS (SELECT piece, sum(c) AS freq FROM subs GROUP BY 1),
+        |multi AS (
+        |  SELECT piece, freq FROM pf WHERE length(piece) > 1
+        |  ORDER BY freq DESC, piece ASC LIMIT 200)
+        |SELECT piece, freq FROM pf WHERE length(piece) = 1
+        |UNION ALL
+        |SELECT piece, freq FROM multi
+        |ORDER BY piece""".stripMargin,
     "b2_bpe_encode" -> bpeEncodeSql,
     "b3_token_freq" -> s"""WITH $bpeRoundsCtes,
        |t AS (SELECT unnest(syms) AS token, c FROM s4)

@@ -624,6 +624,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "positions hash through the native expression")
   }
 
+  test("unigram encode (b6): one native call per document, zero shuffles") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val vocab = Seq("l" -> -1.0, "o" -> -1.0, "w" -> -1.0, "e" -> -1.5,
+      "r" -> -1.5, "s" -> -2.0, "t" -> -2.0, "low" -> -0.5)
+    val p = plan(graft.operators.Bpe.unigramEncode(
+      graft.util.Tables.documents(spark, sf), "text", vocab))
+    assert(p.contains("unigram_encode"), "the native expression runs")
+    assert(!p.contains("Exchange"),
+      "encode is a narrow map — the corpus never shuffles\n" + p.take(1500))
+  }
+
   test("KN bigram score (t13): token-bound aggs, keyed joins, no cartesian") {
     val p = plan(graft.operators.Curation.knBigramScore(
       graft.util.Tables.documents(spark, sf), "doc_id", "text"))

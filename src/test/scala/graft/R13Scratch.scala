@@ -245,6 +245,29 @@ object R13Scratch {
             .first().getLong(0)
         }).min
         println(f"rowsweep $name $d wall(min of 2)=$t%.2f s rows=$rows")
+      case "unigram" =>
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        def time(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val docs = Tables.documents(spark, d)
+        var vocabN = 0L
+        val tt = time {
+          vocabN = graft.operators.Bpe.unigramTrain(docs, "text",
+            vocabSize = 400, seedSize = 2000, rounds = 2).count()
+        }
+        val vocab = graft.operators.Bpe.unigramTrain(docs, "text",
+          vocabSize = 400, seedSize = 2000, rounds = 2)
+          .collect().map(r => r.getString(0) -> r.getDouble(2)).toSeq
+        var toks = 0L
+        val te = (1 to 2).map(_ => time {
+          toks = graft.operators.Bpe.unigramEncode(docs, "text", vocab)
+            .select(explode(col("pieces"))).count()
+        }).min
+        println(f"unigram $d train=$tt%.2f s vocab=$vocabN " +
+          f"encode(min of 2)=$te%.2f s pieces=$toks")
       case "i1" =>
         val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
         val df = graft.queries.RebuildQueries.q("i1_import_pipeline")(

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** Unigram-LM tokenizer (Kudo 2018): the hard-EM trainer against a
+  * by-hand replica, the Viterbi determinism contract, segmentation
+  * totality, and the EM monotonicity invariant. */
+class UnigramSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- by-hand replica of the trainer's contract ----
+  private def handViterbi(word: String, m: Map[String, Double],
+      maxLen: Int): Seq[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i
+         if best(j) > Double.NegativeInfinity) {
+      val piece = word.substring(j, i)
+      val lp = m.get(piece)
+        .orElse(if (i - j == 1) Some(-100.0) else None)
+      lp.foreach { p =>
+        if (best(j) + p > best(i)) { best(i) = best(j) + p; back(i) = j }
+      }
+    }
+    var k = n
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+    out.reverse.toSeq
+  }
+
+  private def handTrain(corpus: Seq[String], vocabSize: Int,
+      seedSize: Int, rounds: Int, maxLen: Int)
+      : (Map[String, Double], Map[String, Long]) = {
+    val wc = corpus.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pf = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i))
+      pf(w.substring(i, i + l)) = pf.getOrElse(w.substring(i, i + l), 0L) + c
+    val chars = pf.filter(_._1.length == 1)
+    val multi = pf.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(seedSize)
+    val seed = (chars ++ multi).toMap
+    val tot0 = seed.values.sum.toDouble
+    var model = seed.map { case (p, f) => p -> math.log(f / tot0) }
+    def eStep(m: Map[String, Double]): Map[String, Long] = {
+      val u = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- wc; p <- handViterbi(w, m, maxLen))
+        u(p) = u.getOrElse(p, 0L) + c
+      u.toMap
+    }
+    def mStep(u: Map[String, Long]): Map[String, Double] = {
+      val pinned = model.keys.filter(_.length == 1)
+        .map(p => p -> math.max(u.getOrElse(p, 0L), 1L)).toMap
+      val kept = u.filter(_._1.length > 1) ++ pinned
+      val tot = kept.values.sum.toDouble
+      kept.map { case (p, c) => p -> math.log(c / tot) }
+    }
+    for (_ <- 1 to rounds) model = mStep(eStep(model))
+    val lastU = eStep(model)
+    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val budget = math.max(0, vocabSize - charPieces.size)
+    val keptMulti = model.keys.filter(_.length > 1).toSeq
+      .map(p => (p, lastU.getOrElse(p, 0L)))
+      .sortBy { case (p, u) => (-u, p) }.take(budget).map(_._1).toSet
+    model = model.filter { case (p, _) =>
+      p.length == 1 || keptMulti.contains(p) }
+    model = mStep(eStep(model))
+    (model, eStep(model))
+  }
+
+  private val corpus = Seq(
+    "lower lower lowest newer newest wider widest low new",
+    "newer lower wide wide wide lowest newest",
+    "low low low new new wider")
+
+  test("trainer matches the by-hand hard-EM model piece for piece") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.unigramTrain(docs, "text", vocabSize = 20,
+        seedSize = 40, rounds = 2, maxPieceLen = 6)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (handModel, handUsage) = handTrain(corpus, 20, 40, 2, 6)
+    assert(got.keySet == handModel.keySet,
+      s"extra=${got.keySet -- handModel.keySet} " +
+        s"missing=${handModel.keySet -- got.keySet}")
+    for ((p, lp) <- handModel) {
+      assert(math.abs(got(p)._2 - lp) < 1e-12, s"$p lp")
+      assert(got(p)._1 == handUsage.getOrElse(p, 0L), s"$p usage")
+    }
+  }
+
+  test("Viterbi ties resolve to the longest piece; unknown chars survive") {
+    // 'ab' and the two singles have probabilities making both splits
+    // equal: lp(ab) == lp(a) + lp(b) → the 1-piece segmentation wins
+    val m = Map("a" -> math.log(0.25), "b" -> math.log(0.25),
+      "ab" -> math.log(0.0625))
+    assert(handViterbi("ab", m, 8) == Seq("ab"))
+    val segd = graft.functions.UnigramImpl.viterbi("ab",
+      toJMap(m), 8).toSeq
+    assert(segd == Seq("ab"))
+    // an unknown char segments as itself at the penalty, never a crash
+    assert(graft.functions.UnigramImpl.viterbi("aXb",
+      toJMap(m), 8).toSeq == Seq("a", "X", "b"))
+  }
+
+  private def toJMap(m: Map[String, Double]) = {
+    val j = new java.util.HashMap[String, java.lang.Double]()
+    m.foreach { case (k, v) => j.put(k, java.lang.Double.valueOf(v)) }
+    j
+  }
+
+  test("encode is total: pieces concatenate back to the words, in order") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val vocab = Bpe.unigramTrain(docs, "text", vocabSize = 20,
+        seedSize = 40, rounds = 2, maxPieceLen = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toSeq
+    val enc = Bpe.unigramEncode(docs, "text", vocab, maxPieceLen = 6)
+      .select(col("doc_id"), concat_ws("", col("pieces")).as("glued"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      assert(enc(i.toLong) == t.split("\\s+").mkString(""), s"doc $i")
+    }
+  }
+
+  test("Viterbi corpus likelihood is non-decreasing across EM rounds") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // vocabSize >= seed size so pruning never bites and pure EM
+    // monotonicity is observable through the returned models
+    def lik(rounds: Int): Double = {
+      val vocab = Bpe.unigramTrain(docs, "text", vocabSize = 1000,
+          seedSize = 40, rounds = rounds, maxPieceLen = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val wc = corpus.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      wc.map { case (w, c) =>
+        c * handViterbi(w, vocab, 6).map(vocab).sum
+      }.sum
+    }
+    val l1 = lik(1); val l2 = lik(2); val l3 = lik(3)
+    assert(l2 >= l1 - 1e-9, s"$l1 -> $l2")
+    assert(l3 >= l2 - 1e-9, s"$l2 -> $l3")
+  }
+}

@@ -35,8 +35,14 @@ object Graph {
 
   private[graft] def prepare(edges: DataFrame, srcCol: String,
       dstCol: String): Ctx = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // materialized FIRST: nodes, deg, contrib and dangling all derive
+    // from the edge frame, and an un-materialized `e` would re-run
+    // the caller's edge construction (often a join) once per derived
+    // frame — four scans where one suffices. Released before return:
+    // the derived frames are checkpoints of their own.
+    val e = Iter.materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
     // materialized like contrib: the node set is referenced in every
     // round (and twice more for n and the initial vector) — left live
     // it would re-run the full edge scan + distinct per reference.
@@ -62,6 +68,7 @@ object Graph {
     val dangling = Iter.materialize(
       nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"))
+    Iter.release(e)
     Ctx(nodes, n, contrib, dangling)
   }
 

@@ -27,9 +27,15 @@ object StripAccentsImpl {
     }
     if (ascii) s
     else UTF8String.fromString(
-      Marks.replaceAllIn(
-        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD),
-        ""))
+      // NFC at the end recomposes what NFD pulled apart beyond the
+      // dropped marks (Hangul syllables decompose to conjoining Jamo,
+      // category Lo, which mark-stripping alone would leave
+      // decomposed — changing text that carries no accents at all)
+      java.text.Normalizer.normalize(
+        Marks.replaceAllIn(
+          java.text.Normalizer.normalize(str,
+            java.text.Normalizer.Form.NFD), ""),
+        java.text.Normalizer.Form.NFC))
   }
 }
 

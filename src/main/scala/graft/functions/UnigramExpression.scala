@@ -27,11 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * makes each lookup O(1), and the whole evaluation is one codegen'd
   * static call. */
 object UnigramImpl {
-  /** DP over [0, n]: best log-prob and backpointer per position. */
+  /** DP over [0, n] CODE POINTS (not Java chars: an astral character
+    * must fall back as one unknown piece, never two lone surrogates,
+    * and `maxLen` must mean the same unit as the Spark-side seed's
+    * `length(w)`): best log-prob and backpointer per position. */
   def viterbi(word: String, vocab: java.util.HashMap[String, java.lang.Double],
       maxLen: Int): Array[String] = {
-    val n = word.length
-    if (n == 0) return Array.empty
+    if (word.isEmpty) return Array.empty
+    // code-point start offsets (chars), offs(n) = word.length
+    val offs = new Array[Int](word.length + 1)
+    var n = 0
+    var ci = 0
+    while (ci < word.length) {
+      offs(n) = ci
+      n += 1
+      ci += Character.charCount(word.codePointAt(ci))
+    }
+    offs(n) = word.length
     val best = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)
     java.util.Arrays.fill(best, Double.NegativeInfinity)
@@ -41,11 +53,11 @@ object UnigramImpl {
       var j = math.max(0, i - maxLen)
       while (j < i) {
         if (best(j) > Double.NegativeInfinity) {
-          val piece = word.substring(j, i)
+          val piece = word.substring(offs(j), offs(i))
           val lp = vocab.get(piece)
           val plp: Double =
             if (lp != null) lp.doubleValue()
-            else if (i - j == 1) -100.0 // unknown single char
+            else if (i - j == 1) -100.0 // unknown single code point
             else Double.NegativeInfinity
           if (plp > Double.NegativeInfinity && best(j) + plp > best(i)) {
             best(i) = best(j) + plp
@@ -60,7 +72,7 @@ object UnigramImpl {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var k = n
     while (k > 0) {
-      out += word.substring(back(k), k)
+      out += word.substring(offs(back(k)), offs(k))
       k = back(k)
     }
     out.reverseIterator.toArray

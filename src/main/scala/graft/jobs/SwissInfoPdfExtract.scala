@@ -73,7 +73,7 @@ object SwissInfoPdfExtract {
     * `pdf_to_jp2_and_ocr_json` output (script:243-334). */
   def ocrJson(filename: String, originalPath: String,
       pdfBytes: Array[Byte], outBaseDir: String,
-      dpi: Int = 200): (String, String, String) = {
+      dpi: Int = 200): (String, String, String, Int) = {
     val (canPath, lang) = canonicalPath(filename)
     val canId = canPath.replace("/", "-")
     val pages = Pdf.extract(pdfBytes)
@@ -111,7 +111,7 @@ object SwissInfoPdfExtract {
       "original_path" -> JStr(originalPath),
       "jp2_full_paths" -> Json.strs(jp2Paths),
       "ocr_pages" -> JArr(ocrPages)))
-    (canPath, canId, Json.render(doc))
+    (canPath, canId, Json.render(doc), pages.length)
   }
 
   /** Run the pre-extraction over every `*.pdf` under `inputDir`,
@@ -122,7 +122,10 @@ object SwissInfoPdfExtract {
   def run(spark: SparkSession, inputDir: String, outDir: String,
       dpi: Int = 200): DataFrame = {
     import spark.implicits._
-    val files = new java.io.File(inputDir).listFiles()
+    val listed = new java.io.File(inputDir).listFiles()
+    require(listed != null,
+      s"SwissInfoPdfExtract: input dir not found or unreadable: $inputDir")
+    val files = listed
       .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".pdf"))
       .map(_.getAbsolutePath).sorted.toIndexedSeq
     val filesB = spark.sparkContext.broadcast(files)
@@ -137,12 +140,11 @@ object SwissInfoPdfExtract {
         try {
           val bytes = java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path))
-          val (canPath, canId, json) = ocrJson(name, path, bytes,
-            outDir, dpi)
+          val (canPath, canId, json, nPages) = ocrJson(name, path,
+            bytes, outDir, dpi)
           val dir = java.nio.file.Paths.get(dataRoot, canPath)
           java.nio.file.Files.createDirectories(dir)
           java.nio.file.Files.writeString(dir.resolve(s"$canId.json"), json)
-          val nPages = Pdf.extract(bytes).size
           (canId, nPages, None: Option[String])
         } catch {
           case e: Exception =>

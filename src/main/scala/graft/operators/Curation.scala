@@ -899,8 +899,12 @@ object Curation {
     * threshold take the better bucket). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
+    // NULL languages coalesce to '' so those documents are bucketed
+    // within their own stratum instead of silently vanishing through
+    // the groupBy/join (the no-rows-vanish convention)
     val scored = knBigramScore(df, idCol, textCol)
-      .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+      .join(df.select(col(idCol),
+        coalesce(col(langCol), lit("")).as("lang")), Seq(idCol))
     val cuts = scored.groupBy(col("lang"))
       .agg(
         percentile(col("xent_e6"), lit(1.0 / 3)).as("p33"),
@@ -1239,9 +1243,10 @@ object Curation {
     * Scale shape: per-document bigram counts explode token-bound
     * (one (doc, w₁, w₂, n) row per DISTINCT in-doc bigram); the model
     * is three partial-aggregated groupBys over the bigram table
-    * (bigram, context, continuation) with |bigrams| as a
-    * single-partition window over the already-collapsed model — the
-    * t12 trick, no extra corpus scan; scoring is ONE token-bound
+    * (bigram, context, continuation) with |bigrams| as Σ N₁₊(w₁·)
+    * over the vocabulary-bounded context frame, broadcast back as one
+    * row — no extra corpus scan, and never a single-partition pass
+    * over the corpus-sized model; scoring is ONE token-bound
     * shuffle join of the doc bigrams against the model (the model is
     * corpus-sized — distinct bigrams — so unlike t12's charset² frame
     * it joins hashed, never broadcast). Documents with < 2 tokens
@@ -1271,9 +1276,16 @@ object Curation {
     val ctx = bg.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cctx"), count(lit(1)).as("nfwd"))
     val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nback"))
-    val w = Window.partitionBy(lit(1))
+    // |distinct bigrams| = Σ nfwd over contexts — derived from the
+    // vocabulary-bounded ctx frame as a broadcast 1-row cross join.
+    // (A single-partition window over bg — the t12 trick — would move
+    // the CORPUS-SIZED model through one task; t12 could afford it
+    // only because a char-bigram model is charset²-bounded. ctx's
+    // aggregation branch re-plans bg, but both branches end in the
+    // identical bigram exchange, which physical planning reuses.)
+    val b = ctx.agg(sum(col("nfwd")).cast("double").as("b"))
     val p = bg
-      .withColumn("b", count(lit(1)).over(w).cast("double"))
+      .crossJoin(broadcast(b))
       .join(ctx, "w1")
       .join(cont, "w2")
       .select(col("w1"), col("w2"),

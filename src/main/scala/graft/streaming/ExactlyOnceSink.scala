@@ -124,8 +124,13 @@ object ExactlyOnceSink {
     * staged under `_stage/<id>` (so the pruned read of the previous
     * state never overlaps the write), then each touched partition
     * flips into `data/` by directory rename — old parked in
-    * `_old/<id>` first — so at every instant a partition is fully-old
-    * or fully-new, never a torn file set. A replayed batch id then
+    * `_old/<id>` first — so a partition's FILE SET is always fully-old
+    * or fully-new, never torn. (Atomicity is per RENAME, for
+    * crash-replay: between the park and the swap-in a concurrent
+    * reader of `data/` would see that partition absent — readers that
+    * need point-in-time consistency during writes belong on the
+    * versioned [[upsertBatch]], whose committed `v=` directories are
+    * immutable.) A replayed batch id then
     * re-derives each touched partition from (its current state —
     * old or new, both converge because
     * [[graft.operators.Layout.upsert]] applied twice is the same as

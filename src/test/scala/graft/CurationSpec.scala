@@ -961,6 +961,13 @@ class CurationSpec extends AnyFunSuite {
       got(1L))
     assert(got(2L) == "")
     assert(got(3L) == "spaced out lines")
+    // non-accented decomposable scripts survive UNCHANGED: the NFC
+    // recompose puts Hangul syllables back together after NFD
+    val hangul = Seq((9L, "한국 text")).toDF("doc_id", "text")
+    val h = graft.operators.Curation
+      .normalizeText(hangul, "doc_id", "text")
+      .collect()(0).getString(1)
+    assert(h == "한국 text", h)
   }
 
   test("exact dedup over the normal form collapses case/accent/digit variants") {

@@ -640,13 +640,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.operators.Curation.knBigramScore(
       graft.util.Tables.documents(spark, sf), "doc_id", "text"))
     // per-doc bigram counts partial-aggregate at the explode, the
-    // model is three more partial-agged groupBys, |bigrams| rides a
-    // single-partition window over the collapsed model (never a
-    // fourth corpus scan), and every join is keyed on w1/w2/doc
+    // model is three more partial-agged groupBys, |bigrams| is the
+    // broadcast 1-row Σ nfwd over the vocabulary-bounded ctx frame —
+    // NEVER a single-partition window over the corpus-sized model
     assert(count(p, "HashAggregate") >= 6, p.take(2000))
-    assert(p.contains("Window"), "|bigrams| is an in-plan window")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "|bigrams| must not move the model through one partition")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row total broadcasts")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {

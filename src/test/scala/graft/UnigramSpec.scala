@@ -109,6 +109,11 @@ class UnigramSpec extends AnyFunSuite {
     // an unknown char segments as itself at the penalty, never a crash
     assert(graft.functions.UnigramImpl.viterbi("aXb",
       toJMap(m), 8).toSeq == Seq("a", "X", "b"))
+    // an unknown ASTRAL char (U+1D11E, a surrogate pair) stays one
+    // piece — code-point DP, never two lone surrogates
+    val astral = new String(Character.toChars(0x1D11E))
+    assert(graft.functions.UnigramImpl.viterbi(s"a${astral}b",
+      toJMap(m), 8).toSeq == Seq("a", astral, "b"))
   }
 
   private def toJMap(m: Map[String, Double]) = {

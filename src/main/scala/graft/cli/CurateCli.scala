@@ -33,6 +33,8 @@ import graft.operators.{Curation, Dedup}
   *                         filter and dedup
   *   [--gopher]            the Gopher rule battery (x19) after the
   *                         x11 rules, failing rule = audit reason
+  *   [--ppl-cut]           CCNet tail cut (t14): drop each language's
+  *                         worst KN-perplexity tertile
   *   [--strip-spans]       corpus-wide duplicated-span stripping
   *                         (x18's rewrite) over the deduped
   *                         survivors; a doc stripped to nothing is
@@ -71,7 +73,8 @@ object CurateCli {
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
       chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
-      stripSpans: Boolean = false, gopher: Boolean = false)
+      stripSpans: Boolean = false, gopher: Boolean = false,
+      pplCut: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -93,7 +96,8 @@ object CurateCli {
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
       dsirTargetDir = m.get("dsir-target").flatten,
       stripSpans = m.contains("strip-spans"),
-      gopher = m.contains("gopher"))
+      gopher = m.contains("gopher"),
+      pplCut = m.contains("ppl-cut"))
   }
 
   case class Summary(
@@ -102,7 +106,7 @@ object CurateCli {
       splits: Map[String, Long],
       distillWeights: Option[Seq[Double]] = None,
       dsirDropped: Long = 0L, strippedEmpty: Long = 0L,
-      gopherDropped: Long = 0L)
+      gopherDropped: Long = 0L, pplTailDropped: Long = 0L)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -124,7 +128,8 @@ object CurateCli {
       embeds: Option[DataFrame] = None,
       semanticTau: Double = 0.35,
       dsirTarget: Option[DataFrame] = None,
-      stripSpans: Boolean = false, gopher: Boolean = false): Frames = {
+      stripSpans: Boolean = false, gopher: Boolean = false,
+      pplCut: Boolean = false): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
@@ -159,19 +164,36 @@ object CurateCli {
               col("reason")))
       }
 
+    // 1.3 CCNet perplexity tail cut (optional): score the survivors
+    // with the corpus-trained KN model, keep each language's head and
+    // middle tertiles (Wenzek et al. 2020's `head+middle` recipe)
+    val (kept1pp, droppedPpl) =
+      if (!pplCut)
+        (kept1gp, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+      else {
+        val tails = materialize(
+          Curation.perplexityBuckets(kept1gp, "doc_id", "text", "lang")
+            .filter(col("bucket") === "tail").select(col("doc_id")))
+        (kept1gp.join(tails, Seq("doc_id"), "left_anti"),
+          tails.select(col("doc_id"), lit("ppl").as("stage"),
+            lit("tail_bucket").as("reason")))
+      }
+
     // 1.5 DSIR importance resampling against the target corpus
     // (optional): ds2's deterministic exp(logw−max) gate — the
     // distribution-shaping stage between rules and dedup
     val (kept1, droppedDsir) = dsirTarget match {
       case Some(tgt) =>
-        val out = materialize(Curation.dsirResample(kept1gp, tgt,
+        val out = materialize(Curation.dsirResample(kept1pp, tgt,
             "doc_id", "text")
           .filter(!col("keep")).select(col("doc_id")))
-        (kept1gp.join(out, Seq("doc_id"), "left_anti"),
+        (kept1pp.join(out, Seq("doc_id"), "left_anti"),
           out.select(col("doc_id"), lit("dsir").as("stage"),
             lit("importance_resample").as("reason")))
       case None =>
-        (kept1gp, spark.emptyDataFrame
+        (kept1pp, spark.emptyDataFrame
           .withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
     }
@@ -277,7 +299,7 @@ object CurateCli {
     val k4 = materialize(kept4)
     Frames(
       curated = k4.join(split, "doc_id"),
-      dropped = droppedQuality.union(droppedGopher)
+      dropped = droppedQuality.union(droppedGopher).union(droppedPpl)
         .union(droppedDsir).union(droppedExact)
         .union(droppedNear)
         .union(droppedSem).union(droppedStrip).union(droppedContam))
@@ -296,7 +318,8 @@ object CurateCli {
       semanticTau = args.semanticTau,
       dsirTarget = args.dsirTargetDir.map(dt =>
         graft.util.Tables.documents(spark, dt)),
-      stripSpans = args.stripSpans, gopher = args.gopher)
+      stripSpans = args.stripSpans, gopher = args.gopher,
+      pplCut = args.pplCut)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
@@ -387,6 +410,7 @@ object CurateCli {
       dsirDropped = stageCount("dsir"),
       strippedEmpty = stageCount("strip_spans"),
       gopherDropped = stageCount("gopher"),
+      pplTailDropped = stageCount("ppl"),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }

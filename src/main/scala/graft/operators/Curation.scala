@@ -916,6 +916,52 @@ object Curation {
           .otherwise("tail").as("bucket"))
   }
 
+  /** The C4 line/page rule set (Raffel et al. 2020 §2.2, the
+    * Colossal Clean Crawled Corpus filters) — the third published
+    * battery beside [[gopherRules]] (x19) and [[qualityFilter]]
+    * (x11), line-granular where those are document-granular:
+    *
+    *  - a LINE is retained iff it ends in terminal punctuation
+    *    (. ! ? or a closing quote after one), has ≥ `minLineWords`
+    *    words, and does not contain "javascript" (case-insensitive);
+    *  - the PAGE is dropped when fewer than `minSentences` lines
+    *    survive, when "lorem ipsum" appears anywhere, or when it
+    *    contains a curly brace (the code-fragment tell).
+    *    (The paper's dirty-word list is an external artifact; plug it
+    *    in upstream as a token filter if licensing allows.)
+    *
+    * Returns per-document accounting plus the CLEANED text (surviving
+    * lines re-joined with newlines) — C4 is a rewrite, not just a
+    * verdict. Entirely row-local, zero shuffles. NOTE: corpora
+    * without line structure or terminal punctuation (the synthetic
+    * oracle tables) degenerate to keep = false everywhere; the
+    * crafted-fixture spec carries the real semantics.
+    * @return (idCol, n_lines, n_kept_lines, has_lorem, has_brace,
+    *          keep, clean_md5) */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
+      l => l =!= "")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?][\"»”’']?$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{") || t.contains("}")
+    df.select(col(idCol),
+        size(lines).cast("bigint").as("n_lines"),
+        size(keptLines).cast("bigint").as("n_kept_lines"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        array_join(keptLines, "\n").as("clean"))
+      .withColumn("keep",
+        col("n_kept_lines") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+      .withColumn("clean_md5", md5(col("clean")))
+      .drop("clean")
+  }
+
   /** The eight Gopher measurement Columns over one text Column —
     * the SINGLE expression tree both [[gopherRules]] (the audited
     * batch frame) and [[gopherKeep]] (the stateless streaming gate)

@@ -976,6 +976,18 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X22 — the C4 rule set (Raffel et al. 2020 §2.2): line-granular
+    // terminal-punctuation/min-words/javascript retention + the
+    // lorem-ipsum/curly-brace page drops, with the cleaned text's
+    // md5. The synthetic corpus has no line structure or punctuation,
+    // so every page degenerates to keep=false with zero kept lines —
+    // the row pins that arithmetic exactly; the crafted-fixture spec
+    // carries the rich semantics.
+    "x22_c4_rules" -> ((s, d) => {
+      Curation.c4Rules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // X19 — the Gopher rule set (Rae et al. 2021 Appendix A): the
     // published heuristic battery with every measured value exported
     // alongside the verdict, entirely row-local (zero shuffles — the
@@ -3371,6 +3383,33 @@ object ScaleQueries {
         |    AS xent_e6
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // x22: the C4 line/page arithmetic replayed — same trimmed
+    // non-empty lines, same terminal-punct regex, same page drops
+    "x22_c4_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    (contains(text, '{') OR contains(text, '}')) AS has_brace
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lines, has_lorem, has_brace,
+        |    list_filter(lines, l ->
+        |      regexp_matches(l, '[.!?]["»”’'']?$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |        w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  has_lorem, has_brace,
+        |  (len(kept) >= 5 AND NOT has_lorem AND NOT has_brace) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), ''))
+        |    AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // x19: each Gopher rule's arithmetic replayed on the same
     // whitespace tokens / trimmed non-empty lines, floor-e6 cuts

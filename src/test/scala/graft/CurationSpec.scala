@@ -1055,6 +1055,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == (1L, xentE6("a b")))
   }
 
+  test("c4Rules: line retention, page drops, and the cleaned rewrite") {
+    import spark.implicits._
+    val goodLines = (1 to 6)
+      .map(i => s"This is proper sentence number $i.").mkString("\n")
+    val docs = Seq(
+      (0L, goodLines), // 6 terminal-punct lines of >= 3 words: keep
+      (1L, goodLines + "\nshort."), // the 2-word line drops, page keeps
+      (2L, goodLines + "\nEnable Javascript to view this."), // js line drops
+      (3L, goodLines + "\nfiller lorem ipsum dolor."), // page drop
+      (4L, goodLines + "\nvar f = function() { return 1; };"), // brace
+      (5L, "Only three good sentences here.\nAnother one right now.\n" +
+        "And a third to finish."), // < 5 sentences: page drop
+      (6L, "no punctuation lines at all\njust plain text")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.c4Rules(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep") &&
+      r(0L).getAs[Long]("n_kept_lines") == 6L)
+    assert(r(1L).getAs[Boolean]("keep") &&
+      r(1L).getAs[Long]("n_kept_lines") == 6L &&
+      r(1L).getAs[Long]("n_lines") == 7L)
+    assert(r(2L).getAs[Boolean]("keep") &&
+      r(2L).getAs[Long]("n_kept_lines") == 6L)
+    assert(!r(3L).getAs[Boolean]("keep") &&
+      r(3L).getAs[Boolean]("has_lorem"))
+    assert(!r(4L).getAs[Boolean]("keep") &&
+      r(4L).getAs[Boolean]("has_brace"))
+    assert(!r(5L).getAs[Boolean]("keep") &&
+      r(5L).getAs[Long]("n_kept_lines") == 3L)
+    assert(!r(6L).getAs[Boolean]("keep") &&
+      r(6L).getAs[Long]("n_kept_lines") == 0L)
+    // the rewrite is exactly the surviving lines, newline-joined
+    val md0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(goodLines.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0L).getAs[String]("clean_md5") == md0)
+    assert(r(1L).getAs[String]("clean_md5") == md0)
+  }
+
   test("gopherRules: each rule trips on its crafted document, good text passes") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over a lazy dog and " +

@@ -192,6 +192,31 @@ class EndToEndSpec extends AnyFunSuite {
     assert(batchKeep == gateKeep)
   }
 
+  test("CurateCli --ppl-cut: each language's worst tertile drops with audit rows") {
+    import graft.cli.CurateCli
+    val out = java.nio.file.Files.createTempDirectory("e2e-ppl").toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--ppl-cut")))
+    assert(s.input == s.curated + s.lowQuality + s.pplTailDropped +
+      s.exactDups + s.nearDups + s.contaminated)
+    assert(s.pplTailDropped > 0, s.toString)
+    // roughly a third of the post-quality survivors drop (exact
+    // tertiles per language over the stage-1 survivors)
+    val survivors = s.input - s.lowQuality
+    assert(s.pplTailDropped >= survivors / 4 &&
+      s.pplTailDropped <= survivors / 2, s.toString)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    assert(dropped.filter(
+      org.apache.spark.sql.functions.col("stage") === "ppl")
+      .count() == s.pplTailDropped)
+    // determinism: a re-run reproduces the same summary
+    val s2 = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--ppl-cut")))
+    assert(s2 == s)
+  }
+
   test("CurateCli --tar-shards: curated splits round-trip from manifested tar shards") {
     import graft.cli.CurateCli
     import org.apache.spark.sql.functions.col

@@ -901,10 +901,15 @@ object Curation {
       langCol: String): DataFrame = {
     // NULL languages coalesce to '' so those documents are bucketed
     // within their own stratum instead of silently vanishing through
-    // the groupBy/join (the no-rows-vanish convention)
-    val scored = knBigramScore(df, idCol, textCol)
-      .join(df.select(col(idCol),
-        coalesce(col(langCol), lit("")).as("lang")), Seq(idCol))
+    // the groupBy/join (the no-rows-vanish convention).
+    // Materialized: the scored frame feeds BOTH the quantile branch
+    // and the labeling join — left live, the entire KN model build
+    // would run twice (measured: 22.5 s vs t13's 15.5 s at sf10 was
+    // mostly this).
+    val scored = graft.util.Iter.materialize(
+      knBigramScore(df, idCol, textCol)
+        .join(df.select(col(idCol),
+          coalesce(col(langCol), lit("")).as("lang")), Seq(idCol)))
     val cuts = scored.groupBy(col("lang"))
       .agg(
         percentile(col("xent_e6"), lit(1.0 / 3)).as("p33"),

@@ -946,14 +946,7 @@ object Curation {
   def c4Rules(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
-      l => l =!= "")
-    val keptLines = filter(lines, l =>
-      l.rlike("[.!?][\"»”’']?$") &&
-        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
-        !lower(l).contains("javascript"))
-    val hasLorem = lower(t).contains("lorem ipsum")
-    val hasBrace = t.contains("{") || t.contains("}")
+    val (lines, keptLines, hasLorem, hasBrace) = c4Cols(t, minLineWords)
     df.select(col(idCol),
         size(lines).cast("bigint").as("n_lines"),
         size(keptLines).cast("bigint").as("n_kept_lines"),
@@ -965,6 +958,35 @@ object Curation {
           !col("has_lorem") && !col("has_brace"))
       .withColumn("clean_md5", md5(col("clean")))
       .drop("clean")
+  }
+
+  /** [[c4Rules]]' page verdict as one ROW-LOCAL Column — the
+    * streaming form (curateGate's c4 stage): the same line-retention
+    * and page-drop expressions, so batch and stream agree by
+    * construction. (The gate is verdict-only; the REWRITE half stays
+    * a batch concern — a stream stage that rewrote text would change
+    * the payload downstream stages fingerprint.) */
+  def c4Keep(textCol: String, minLineWords: Int = 3,
+      minSentences: Int = 5): Column = {
+    val (_, keptLines, hasLorem, hasBrace) =
+      c4Cols(coalesce(col(textCol), lit("")), minLineWords)
+    size(keptLines) >= minSentences && !hasLorem && !hasBrace
+  }
+
+  /** The C4 measurement Columns over one text Column — the single
+    * expression tree [[c4Rules]] (batch frame + rewrite) and
+    * [[c4Keep]] (streaming gate) both evaluate, so the two forms
+    * cannot drift. */
+  private def c4Cols(t: Column, minLineWords: Int)
+      : (Column, Column, Column, Column) = {
+    val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
+      l => l =!= "")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?][\"»”’']?$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    (lines, keptLines, lower(t).contains("lorem ipsum"),
+      t.contains("{") || t.contains("}"))
   }
 
   /** The eight Gopher measurement Columns over one text Column —

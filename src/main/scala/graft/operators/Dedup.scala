@@ -756,28 +756,87 @@ object Dedup {
   def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 35): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    import org.apache.spark.sql.GraftColumns
-    import org.apache.spark.sql.expressions.Window
-    val hashes = GraftColumns.column(graft.functions.GramHashes(
-      GraftColumns.expression(col(textCol)), minLen))
-    val pos = df
-      .select(col(idCol), posexplode(hashes).as(Seq("p0", "h")))
-      .select(col(idCol), (col("p0") + 1).as("i"), col("h"))
+    val pos = gramPositions(df, idCol, textCol, minLen)
     val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("h"))
-    val marked = pos.join(dup, Seq("h"), "left_semi")
+    runMergeSpans(pos.join(dup, Seq("h"), "left_semi"), idCol, minLen)
+  }
+
+  /** Per-position gram-hash rows (id, i, h), 1-based positions — the
+    * shared front of the exact-substring family. */
+  private def gramPositions(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val hashes = GraftColumns.column(graft.functions.GramHashes(
+      GraftColumns.expression(col(textCol)), minLen))
+    df.select(col(idCol), posexplode(hashes).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("i"), col("h"))
+  }
+
+  /** The run-merge tail shared by the exact-substring family: fuse
+    * marked positions within `minLen` of each other into maximal
+    * covered intervals, per document. */
+  private def runMergeSpans(marked: DataFrame, idCol: String,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val runs = marked
+    marked
       .withColumn("brk",
         when(col("i") - lag(col("i"), 1).over(byDoc) <= minLen, lit(0))
           .otherwise(lit(1)))
       .withColumn("g", sum(col("brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    runs.groupBy(col(idCol), col("g"))
+      .groupBy(col(idCol), col("g"))
       .agg(min(col("i")).cast("bigint").as("start"),
         (max(col("i")) + lit(minLen) - min(col("i"))).cast("bigint")
           .as("span_len"))
       .drop("g")
+  }
+
+  /** Incremental exact-substring spans — [[exactDupSpans]]' batch-vs-
+    * lake form (the d13 economics applied to the exact family): the
+    * maximal intervals of BATCH documents covered by a `minLen`-gram
+    * occurring ANYWHERE in the reference corpus. The corpus reduces
+    * to its DISTINCT 8-byte gram-hash set (compute once per lake —
+    * or persist it with [[writeGramIndex]] and pay only the batch
+    * explode per ingest); each batch position then semi-joins that
+    * set and run-merges. No count stage: presence in the corpus is
+    * the mark, so a gram shared with a million lake documents costs
+    * the same one semi-join probe.
+    * @return (idCol, start, span_len) over batch documents. */
+  def incrementalExactSpans(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minLen: Int = 35): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val corpusGrams = gramPositions(corpus, idCol, textCol, minLen)
+      .select(col("h")).distinct()
+    val pos = gramPositions(batch, idCol, textCol, minLen)
+    runMergeSpans(pos.join(corpusGrams, Seq("h"), "left_semi"), idCol,
+      minLen)
+  }
+
+  /** Persist a corpus' distinct `minLen`-gram hash set as a
+    * hash-bucketed table (8 bytes/row — the d14/t9 write-once
+    * economics for the exact-substring family): every subsequent
+    * [[incrementalExactSpansIndexed]] probe joins bucket-locally and
+    * pays only its own batch explode. */
+  def writeGramIndex(df: DataFrame, idCol: String, textCol: String,
+      table: String, minLen: Int = 35, nBuckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      gramPositions(df, idCol, textCol, minLen).select(col("h"))
+        .distinct(),
+      table, "h", nBuckets, Seq("h"))
+
+  /** [[incrementalExactSpans]] against a [[writeGramIndex]] table —
+    * result-identical by contract (the d14 convention; the shared
+    * oracle proves it). */
+  def incrementalExactSpansIndexed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 35): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val pos = gramPositions(batch, idCol, textCol, minLen)
+    runMergeSpans(pos.join(spark.table(table), Seq("h"), "left_semi"),
+      idCol, minLen)
   }
 
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,

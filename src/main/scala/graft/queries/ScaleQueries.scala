@@ -1053,6 +1053,28 @@ object ScaleQueries {
         .orderBy(col("doc_id"), col("start"))
     }),
 
+    // D21 — incremental exact-substring spans: batch docs (doc_id%5=0)
+    // against the corpus (doc_id%5<>0) — presence in the corpus gram
+    // set is the mark, no count stage.
+    "d21_incremental_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactSpans(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
+    // D22 — the same check against a PERSISTED bucketed gram index
+    // (the d14 write-once convention; d21's oracle proves identity).
+    "d22_spans_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "d22_gram_idx")
+      Dedup.incrementalExactSpansIndexed(s, "d22_gram_idx",
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -1283,6 +1305,9 @@ object ScaleQueries {
     // d14 is the indexed path of d13 — result-identical by contract,
     // so the oracle is d13's SQL verbatim
     ("d14_winnow_indexed" -> sqlMore("d13_incremental_winnow")) +
+    // d22 is the indexed path of d21 — result-identical by contract,
+    // so the oracle is d21's SQL verbatim (the d14 convention)
+    ("d22_spans_indexed" -> sqlMore("d21_incremental_spans")) +
     // e6 is the streaming BLOOM gate over d13's exact split: Spark's
     // BloomFilter is deterministic (same items, same fpp, same bits),
     // and at fpp = 1e-6 no false positive flips a verdict on this
@@ -3527,6 +3552,36 @@ object ScaleQueries {
         |SELECT doc_id, n_words, flesch_e6, dup_frac, ent_e6, reason,
         |  reason = 'pass' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d21: d20's replay with the corpus gram SET as the mark and the
+    // batch side as the probe (presence, not a count)
+    "d21_incremental_spans" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT doc_id, i::INT AS i,
+        |    ('0x' || substr(md5(substr(text, i::INT, 35)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-34, 1)+1)) AS i
+        |        FROM documents)),
+        |cg AS (SELECT DISTINCT h FROM pos WHERE doc_id % 5 <> 0),
+        |m AS (SELECT doc_id, i FROM pos
+        |      WHERE doc_id % 5 = 0 AND h IN (SELECT h FROM cg)),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |           <= 35
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS grp
+        |  FROM r)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS start,
+        |  CAST(max(i) + 35 - min(i) AS BIGINT) AS span_len
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, start""".stripMargin,
 
     // d20: replay the per-position 60-bit gram hashes (the d13 hash
     // recipe at k = 35), keep positions whose hash repeats anywhere,

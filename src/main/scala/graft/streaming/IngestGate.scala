@@ -209,12 +209,17 @@ object IngestGate {
       scoreWeights: Option[Array[Double]] = None,
       minScoreE6: Long = 500000L,
       dsirModel: Option[graft.operators.Curation.DsirModel] = None,
-      idCol: String = "doc_id", gopher: Boolean = false): DataFrame = {
+      idCol: String = "doc_id", gopher: Boolean = false,
+      c4: Boolean = false): DataFrame = {
     val q0 = stream.filter(qualityKeep(textCol, minWords))
-    // the Gopher battery rides the SAME expression tree as the batch
-    // x19 frame (Curation.gopherCols), so gate ≡ batch by construction
-    val q = if (gopher)
+    // the Gopher and C4 batteries ride the SAME expression trees as
+    // the batch x19/x22 frames (Curation.gopherCols/c4Cols), so
+    // gate ≡ batch by construction. The C4 gate is verdict-only —
+    // the rewrite half stays a batch concern.
+    val q1 = if (gopher)
       q0.filter(graft.operators.Curation.gopherKeep(textCol)) else q0
+    val q = if (c4)
+      q1.filter(graft.operators.Curation.c4Keep(textCol)) else q1
     val s = scoreWeights match {
       case Some(w) => scoreGate(q, w, textCol, minScoreE6)
       case None => q

@@ -1094,6 +1094,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1L).getAs[String]("clean_md5") == md0)
   }
 
+  test("c4Keep gate verdict == c4Rules batch verdict, doc for doc") {
+    import spark.implicits._
+    val goodLines = (1 to 6)
+      .map(i => s"This is proper sentence number $i.").mkString("\n")
+    val docs = Seq(
+      (0L, goodLines),
+      (1L, goodLines + "\nfiller lorem ipsum dolor."),
+      (2L, "short page. one line."),
+      (3L, goodLines + "\ncode { fragment }")).toDF("doc_id", "text")
+    val batch = graft.operators.Curation.c4Rules(docs, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gate = docs.filter(graft.operators.Curation.c4Keep("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == gate && batch == Set(0L))
+  }
+
   test("gopherRules: each rule trips on its crafted document, good text passes") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over a lazy dog and " +

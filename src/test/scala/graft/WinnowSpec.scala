@@ -144,6 +144,32 @@ class WinnowSpec extends AnyFunSuite {
       (1L, shared.length + filler1.length + 3L, 41L)))
   }
 
+  test("incrementalExactSpans: only corpus-present grams mark the batch; indexed path identical") {
+    import spark.implicits._
+    val ctxA = "quick brown foxes jump over entirely lazy sleeping dogs"
+    val ctxB = "pack my box with five dozen assorted liquor jugs today"
+    // the batch doc contains the corpus run " $shared " (43 chars)
+    // and an internal repeat of its OWN phrase — the latter must NOT
+    // mark (presence in the corpus is the rule, not self-repetition)
+    val selfRep = "my own repeated phrase stays unmarked forever"
+    val batch = Seq(
+      (10L, s"$selfRep $shared $selfRep")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$ctxA $shared $ctxB")).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.incrementalExactSpans(
+      batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq(
+      (10L, selfRep.length + 1L, 43L)), spans.mkString(","))
+    // persisted-index path is result-identical
+    graft.operators.Dedup.writeGramIndex(corpus, "doc_id", "text",
+      "spec_gram_idx")
+    val viaIdx = graft.operators.Dedup.incrementalExactSpansIndexed(
+      spark, "spec_gram_idx", batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIdx.toSeq == spans.toSeq)
+  }
+
   test("exactDupSpans: identical short documents mark each other whole") {
     import spark.implicits._
     val docs = Seq((1L, "short text"), (2L, "short text"),

@@ -138,9 +138,48 @@ object Pdf {
     }
   }
 
+  /** Objects packed inside `/Type /ObjStm` object streams (the
+    * modern-PDF layout for catalogs/page dicts; content streams are
+    * forbidden inside one by the spec, so they stay regular objects):
+    * the stream is `/N` pairs of `objNum offset` followed at `/First`
+    * by the concatenated object bodies. Expanded objects never
+    * override a regular object of the same number (regular wins —
+    * incremental updates append regular objects). */
+  private def expandObjStm(objs: Map[Int, Obj]): Map[Int, Obj] = {
+    val packed = objs.values.filter(o =>
+      o.dict.contains("/ObjStm") && o.stream.isDefined)
+    if (packed.isEmpty) return objs
+    val NRe = """/N\s+(\d+)""".r
+    val FirstRe = """/First\s+(\d+)""".r
+    val extra = mutable.Map.empty[Int, Obj]
+    for (os <- packed) {
+      val data = contentOf(os)
+      val text = s8(data, 0, data.length)
+      for (n <- NRe.findFirstMatchIn(os.dict).flatMap(_.group(1).toIntOption);
+           first <- FirstRe.findFirstMatchIn(os.dict)
+             .flatMap(_.group(1).toIntOption)
+           if first <= text.length) {
+        val header = text.substring(0, first).trim
+          .split("\\s+").flatMap(_.toIntOption)
+        val pairs = header.grouped(2).collect {
+          case Array(num, off) => (num, off)
+        }.toSeq.take(n)
+        for (((num, off), idx) <- pairs.zipWithIndex) {
+          val start = first + off
+          val end =
+            if (idx + 1 < pairs.length) first + pairs(idx + 1)._2
+            else text.length
+          if (start >= 0 && start <= end && end <= text.length)
+            extra(num) = Obj(num, text.substring(start, end), None)
+        }
+      }
+    }
+    extra.toMap ++ objs // regular objects win on collision
+  }
+
   /** All pages of the PDF, in document page order. */
   def extract(bytes: Array[Byte]): Seq[Page] = {
-    val objs = parseObjects(bytes)
+    val objs = expandObjStm(parseObjects(bytes))
     val pageObjs: Seq[Obj] = {
       // catalog → /Pages → recursive /Kids order when resolvable
       def kidsWalk(o: Obj, seen: Set[Int]): Seq[Obj] =

@@ -79,6 +79,37 @@ class PdfExtractSpec extends AnyFunSuite {
       Seq("Kerned", " arr(a)y"))
   }
 
+  test("objects packed in a /ObjStm object stream resolve (modern layout)") {
+    // catalog + pages + page dict live INSIDE a Flate-compressed
+    // object stream; only the content stream is a regular object
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (Packed hello) Tj ET\n"
+    val inner =
+      "<< /Type /Catalog /Pages 2 0 R >>\n" +
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n" +
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>\n"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >>\n"
+    val header = s"1 0 2 ${o1.length} 3 ${o1.length + o2.length} "
+    val body = header + inner
+    val z = deflate(body)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${z.length} /Filter /FlateDecode >> stream\n")
+    out.write(z)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n")
+    w(c1)
+    w("endstream endobj\n%%EOF\n")
+    val pages = Pdf.extract(out.toByteArray)
+    assert(pages.length == 1, pages.toString)
+    assert(pages.head.blocks.head.lines.head.spans.head.text ==
+      "Packed hello")
+    assert(math.abs(pages.head.width - 612.0) < 1e-9)
+  }
+
   test("canonicalPath ports the filename convention, edition letter intent") {
     assert(SwissInfoPdfExtract.canonicalPath("SRI_XY_CJ_19450712_FR.pdf") ==
       ("SOC_CJ/1945/07/12/a", "fr"))

@@ -1191,6 +1191,49 @@ object Curation {
           lit(0L)).as("dup_frac_e6"))
   }
 
+  /** EXACT duplicated-span stripping — the rewrite half of Lee et
+    * al.'s ExactSubstr dedup ([[stripDupSpans]] is the winnowed
+    * token-level cousin): remove from each document precisely the
+    * character intervals [[graft.operators.Dedup.exactDupSpans]]
+    * marks (maximal, non-overlapping, sorted — the run-merge
+    * guarantees), keeping everything else byte-for-byte.
+    *
+    * Plan shape: d20's span pipeline, then the spans collapse to ONE
+    * bounded array per affected document (≤ doc-length/minLen
+    * entries) joined back LEFT so untouched documents pass through
+    * whole; the excision itself is a row-local fold over the sorted
+    * interval array (pos carries the copy cursor, each span
+    * contributes the gap before it, the finish lambda flushes the
+    * tail). No second corpus shuffle beyond d20's own.
+    * @return (idCol, n_chars, kept_chars, clean_md5). */
+  def stripExactSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 35): DataFrame = {
+    val spans = graft.operators.Dedup
+      .exactDupSpans(docs, idCol, textCol, minLen)
+    val spanList = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("start"), col("span_len")))).as("sp"))
+    val t = coalesce(col(textCol), lit(""))
+    val excised = aggregate(col("sp"),
+      struct(lit(1L).as("pos"), lit("").as("sb")),
+      (acc, sp) => struct(
+        (sp.getField("start") + sp.getField("span_len")).as("pos"),
+        concat(acc.getField("sb"),
+          t.substr(acc.getField("pos").cast("int"),
+            (sp.getField("start") - acc.getField("pos")).cast("int")))
+          .as("sb")),
+      acc => concat(acc.getField("sb"),
+        t.substr(acc.getField("pos").cast("int"), length(t))))
+    docs.select(col(idCol), t.as(textCol))
+      .join(spanList, Seq(idCol), "left")
+      .select(col(idCol),
+        length(t).cast("bigint").as("n_chars"),
+        when(col("sp").isNull, t).otherwise(excised).as("clean"))
+      .select(col(idCol), col("n_chars"),
+        length(col("clean")).cast("bigint").as("kept_chars"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
   /** Corpus-wide duplicated-span STRIPPING — the rewrite twin of
     * [[dupNgramFraction]] (which only measures): every word whose
     * position falls inside any n-gram occurring in at least one OTHER

@@ -1075,6 +1075,14 @@ object ScaleQueries {
         .orderBy(col("doc_id"), col("start"))
     }),
 
+    // X23 — exact duplicated-span stripping: remove precisely the
+    // d20 intervals from each document, keep the rest byte-for-byte
+    // (the rewrite half of Lee et al.'s ExactSubstr).
+    "x23_strip_exact" -> ((s, d) => {
+      Curation.stripExactSpans(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -3552,6 +3560,59 @@ object ScaleQueries {
         |SELECT doc_id, n_words, flesch_e6, dup_frac, ent_e6, reason,
         |  reason = 'pass' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x23: d20's span chain, then the kept text is the ordered
+    // concatenation of the gaps between spans plus the tail
+    "x23_strip_exact" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT doc_id, i::INT AS i,
+        |    ('0x' || substr(md5(substr(text, i::INT, 35)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-34, 1)+1)) AS i
+        |        FROM documents)),
+        |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM dup)),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |           <= 35
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS grp
+        |  FROM r),
+        |sp AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 35 AS e
+        |  FROM g GROUP BY doc_id, grp),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+        |      AS gs,
+        |    s AS ge
+        |  FROM sp),
+        |mids AS (
+        |  SELECT sg.doc_id,
+        |    string_agg(substr(d.text, sg.gs::INT, (sg.ge - sg.gs)::INT),
+        |      '' ORDER BY sg.gs) AS mid
+        |  FROM segs sg JOIN documents d ON sg.doc_id = d.doc_id
+        |  GROUP BY 1),
+        |tails AS (SELECT doc_id, max(e) AS ts FROM sp GROUP BY 1),
+        |cleaned AS (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN t.ts IS NULL THEN d.text
+        |         ELSE coalesce(m.mid, '') || substr(d.text, t.ts::INT)
+        |    END AS clean
+        |  FROM documents d
+        |  LEFT JOIN tails t ON d.doc_id = t.doc_id
+        |  LEFT JOIN mids m ON d.doc_id = m.doc_id)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(clean) AS BIGINT) AS kept_chars,
+        |  md5(clean) AS clean_md5
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     // d21: d20's replay with the corpus gram SET as the mark and the
     // batch side as the probe (presence, not a count)

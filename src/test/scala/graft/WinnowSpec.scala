@@ -170,6 +170,32 @@ class WinnowSpec extends AnyFunSuite {
     assert(viaIdx.toSeq == spans.toSeq)
   }
 
+  test("stripExactSpans: exactly the shared run leaves, the rest stays byte-for-byte") {
+    import spark.implicits._
+    val ctxA = "quick brown foxes jump over entirely lazy sleeping dogs"
+    val ctxB = "pack my box with five dozen assorted liquor jugs today"
+    val ctxC = "sphinx of black quartz judge my vow said the curator"
+    val ctxD = "how vexingly quick daft zebras jump around the paddock"
+    val docs = Seq(
+      (1L, s"$ctxA $shared $ctxB"),
+      (2L, s"$ctxC $shared $ctxD"),
+      (3L, "completely unique and untouched")).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .stripExactSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // the marked span is " $shared " (43 chars, the separator spaces
+    // are shared too) — stripping glues ctxA directly to ctxB
+    assert(got(1L) == ((ctxA.length + shared.length + ctxB.length + 2L),
+      (ctxA.length + ctxB.length).toLong, md5(ctxA + ctxB)), got(1L))
+    assert(got(2L)._3 == md5(ctxC + ctxD))
+    assert(got(3L)._2 == got(3L)._1 &&
+      got(3L)._3 == md5("completely unique and untouched"))
+  }
+
   test("exactDupSpans: identical short documents mark each other whole") {
     import spark.implicits._
     val docs = Seq((1L, "short text"), (2L, "short text"),

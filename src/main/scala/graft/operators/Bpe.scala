@@ -210,7 +210,7 @@ object Bpe {
     val keptMulti = model.keys.filter(_.length > 1).toSeq
       .map(p => (p, lastUsage.getOrElse(p, 0L)))
       .sortBy { case (p, u) => (-u, p) }
-      .take(budget).map(_._1)
+      .take(budget).map(_._1).toSet
     model = model.filter { case (p, _) =>
       p.length == 1 || keptMulti.contains(p) }
     model = mStep(eStep(model))

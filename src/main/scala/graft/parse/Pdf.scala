@@ -54,7 +54,12 @@ object Pdf {
   private val ObjRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
   private val RefRe = """(\d+)\s+0\s+R""".r
 
-  private val LenRe = """/Length\s+(\d+)(?![\s]*0\s+R)""".r
+  // (?!\d) forbids a partial-number match: for an indirect length like
+  // `/Length 100 0 R` the old lookahead rejected '100' but then matched
+  // the prefix '10', silently mis-slicing the stream. A full-number
+  // match that is followed by `0 R` is still rejected, so indirect
+  // lengths fall through to the endstream-marker scan.
+  private val LenRe = """/Length\s+(\d+)(?!\d)(?!\s*0\s+R)""".r
 
   private def parseObjects(bytes: Array[Byte]): Map[Int, Obj] = {
     val text = s8(bytes, 0, bytes.length)

@@ -2101,7 +2101,7 @@ object ScaleQueries {
         |      unnest(range(1, least(8, length(wd) - i + 1) + 1)) AS l
         |    FROM (SELECT wd, c, unnest(range(1, length(wd) + 1)) AS i
         |          FROM w))),
-        |pf AS (SELECT piece, sum(c) AS freq FROM subs GROUP BY 1),
+        |pf AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM subs GROUP BY 1),
         |multi AS (
         |  SELECT piece, freq FROM pf WHERE length(piece) > 1
         |  ORDER BY freq DESC, piece ASC LIMIT 200)

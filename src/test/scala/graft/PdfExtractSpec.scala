@@ -79,6 +79,33 @@ class PdfExtractSpec extends AnyFunSuite {
       Seq("Kerned", " arr(a)y"))
   }
 
+  test("multi-digit indirect /Length falls through to the endstream scan") {
+    // `/Length 100 0 R` must NOT partial-match as a direct length of
+    // 10 (the old lookahead let the regex retreat to the '10' prefix,
+    // mis-slicing the stream); the whole content must survive
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm " +
+      "(A line far longer than ten bytes so a prefix-sliced stream " +
+      "would lose it) Tj ET\n"
+    assert(c1.length > 100)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w("4 0 obj << /Length 100 0 R >> stream\n")
+    w(c1)
+    w("endstream endobj\n")
+    w(s"100 0 obj ${c1.length} endobj\n")
+    w("%%EOF\n")
+    val pages = Pdf.extract(out.toByteArray)
+    assert(pages.length == 1)
+    val txt = pages.head.blocks.flatMap(_.lines)
+      .flatMap(_.spans).map(_.text).mkString(" ")
+    assert(txt.contains("would lose it"), txt)
+  }
+
   test("objects packed in a /ObjStm object stream resolve (modern layout)") {
     // catalog + pages + page dict live INSIDE a Flate-compressed
     // object stream; only the content stream is a regular object

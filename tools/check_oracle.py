@@ -28,6 +28,43 @@ def norm(v):
     return v
 
 
+def kind(dtype):
+    """Collapse a pandas dtype to a comparison class. The driver's hash
+    is type-strict, so DuckDB HUGEINT (object) vs Spark BIGINT (int64)
+    must FAIL locally even when pandas value equality would pass
+    (round-13 b5 escaped this way; round-12 w10 was the same class)."""
+    k = dtype.kind  # i/u int, f float, b bool, O object, M datetime, ...
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
+def dtype_mismatches(odf, sdf):
+    """Per-column dtype-kind differences, with DuckDB's HUGEINT (which
+    pandas surfaces as object-of-int) called out as int vs what Spark
+    wrote. Empty columns are skipped (no values to classify)."""
+    bad = []
+    for c in odf.columns:
+        ok, sk = kind(odf[c].dtype), kind(sdf[c].dtype)
+        # A HUGEINT column arrives as object dtype holding python ints;
+        # classify by the first non-null value so the report is precise.
+        if ok == "object" and len(odf) and isinstance(
+                odf[c].dropna().iloc[0] if odf[c].notna().any() else None, int):
+            ok = "int(object/HUGEINT)"
+        if sk == "object" and len(sdf) and isinstance(
+                sdf[c].dropna().iloc[0] if sdf[c].notna().any() else None, int):
+            sk = "int(object)"
+        if ok != sk:
+            bad.append((c, ok, sk))
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -60,6 +97,13 @@ def main():
             n_fail += 1
             continue
         odf, sdf = odf[ocols], sdf[scols]
+        dt_bad = dtype_mismatches(odf, sdf)
+        if dt_bad:
+            print(f"FAIL {name}: dtype kind differs (driver hash is "
+                  f"type-strict): " +
+                  "; ".join(f"{c}: oracle={o} spark={s}" for c, o, s in dt_bad))
+            n_fail += 1
+            continue
         if len(odf) != len(sdf):
             print(f"FAIL {name}: rows differ: oracle={len(odf)} spark={len(sdf)}")
             n_fail += 1

@@ -926,12 +926,15 @@ object Curation {
     * battery beside [[gopherRules]] (x19) and [[qualityFilter]]
     * (x11), line-granular where those are document-granular:
     *
-    *  - a LINE is retained iff it ends in terminal punctuation
-    *    (. ! ? or a closing quote after one), has ≥ `minLineWords`
-    *    words, and does not contain "javascript" (case-insensitive);
+    *  - a LINE is retained iff it ends in a terminal mark — . ! ?
+    *    (optionally followed by a closing quote) or a bare closing
+    *    double-quote, Raffel et al.'s ('.','?','!','"') — has ≥
+    *    `minLineWords` words, and does not contain "javascript"
+    *    (case-insensitive);
     *  - the PAGE is dropped when fewer than `minSentences` lines
     *    survive, when "lorem ipsum" appears anywhere, or when it
-    *    contains a curly brace (the code-fragment tell).
+    *    contains '{' (the paper's code-fragment tell; a lone '}'
+    *    does not fire it).
     *    (The paper's dirty-word list is an external artifact; plug it
     *    in upstream as a token filter if licensing allows.)
     *
@@ -981,15 +984,20 @@ object Curation {
       : (Column, Column, Column, Column) = {
     val lines = filter(transform(split(t, "\n", -1), l => trim(l)),
       l => l =!= "")
+    // terminal marks are . ! ? (optionally followed by a closing
+    // quote) or a BARE closing double-quote — Raffel et al.'s list is
+    // ('.', '?', '!', '"'), so a quote alone terminates a line
     val keptLines = filter(lines, l =>
-      l.rlike("[.!?][\"»”’']?$") &&
+      l.rlike("([.!?][\"»”’']?|\")$") &&
         size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
         !lower(l).contains("javascript"))
+    // the paper drops pages containing '{' (the code tell); a lone
+    // '}' does not fire the drop
     (lines, keptLines, lower(t).contains("lorem ipsum"),
-      t.contains("{") || t.contains("}"))
+      t.contains("{"))
   }
 
-  /** The eight Gopher measurement Columns over one text Column —
+  /** The nine Gopher measurement Columns over one text Column —
     * the SINGLE expression tree both [[gopherRules]] (the audited
     * batch frame) and [[gopherKeep]] (the stateless streaming gate)
     * evaluate, so the two forms cannot drift: same tokenization, same
@@ -1027,8 +1035,14 @@ object Curation {
       "n_words" -> nW,
       "mean_word_len_e6" ->
         when(nW > 0, e6(meanLen)).otherwise(lit(0L)),
-      "symbol_ratio_e6" ->
-        when(nW > 0, e6((nHash + nEll).cast("double") / nW.cast("double")))
+      // Rae et al. 2021 Appendix A applies the 0.1 symbol-to-word cut
+      // to EACH symbol ('#', '…') separately, not to their sum — keep
+      // the two ratios as distinct columns so the rule is faithful.
+      "hash_ratio_e6" ->
+        when(nW > 0, e6(nHash.cast("double") / nW.cast("double")))
+          .otherwise(lit(0L)),
+      "ellipsis_ratio_e6" ->
+        when(nW > 0, e6(nEll.cast("double") / nW.cast("double")))
           .otherwise(lit(0L)),
       "bullet_frac_e6" ->
         when(nL > 0, e6(bulletLines.cast("double") / nL.cast("double")))
@@ -1056,7 +1070,8 @@ object Curation {
       "word_count")
       .when(c("mean_word_len_e6") < 3000000L ||
         c("mean_word_len_e6") > 10000000L, "word_length")
-      .when(c("symbol_ratio_e6") > 100000L, "symbol_ratio")
+      .when(c("hash_ratio_e6") > 100000L ||
+        c("ellipsis_ratio_e6") > 100000L, "symbol_ratio")
       .when(c("bullet_frac_e6") > 900000L, "bullet_lines")
       .when(c("ellipsis_frac_e6") > 300000L, "ellipsis_lines")
       .when(c("alpha_word_frac_e6") < 800000L, "non_alpha_words")

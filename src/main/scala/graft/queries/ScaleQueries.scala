@@ -3366,7 +3366,10 @@ object ScaleQueries {
         |  SELECT doc_id, sum(n) AS m, sum(n::DOUBLE * lnp) AS sv
         |  FROM db JOIN p USING (w1, w2) GROUP BY 1),
         |scored AS (
-        |  SELECT d.doc_id, d.lang,
+        |  -- coalesce(lang,'') mirrors the engine: NULL-language docs
+        |  -- bucket within their own stratum instead of vanishing
+        |  -- through the cuts join
+        |  SELECT d.doc_id, coalesce(d.lang, '') AS lang,
         |    CAST(coalesce(floor(-sv / m::DOUBLE * 1000000), 0) AS BIGINT)
         |      AS xent_e6
         |  FROM documents d LEFT JOIN s USING (doc_id)),
@@ -3425,12 +3428,12 @@ object ScaleQueries {
         |    list_filter(list_transform(string_split(text, chr(10)),
         |      l -> trim(l)), l -> l <> '') AS lines,
         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
-        |    (contains(text, '{') OR contains(text, '}')) AS has_brace
+        |    contains(text, '{') AS has_brace
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, lines, has_lorem, has_brace,
         |    list_filter(lines, l ->
-        |      regexp_matches(l, '[.!?]["»”’'']?$')
+        |      regexp_matches(l, '([.!?]["»”’'']?|")$')
         |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
         |        w -> w <> '')) >= 3
         |      AND NOT contains(lower(l), 'javascript')) AS kept
@@ -3465,7 +3468,7 @@ object ScaleQueries {
         |    CAST(len(lines) AS BIGINT) AS nl,
         |    list_sum(list_transform(toks, w -> length(w)))::DOUBLE
         |      AS sumlen,
-        |    n_hash + n_ell AS nsym,
+        |    n_hash AS nhash, n_ell AS nell,
         |    CAST(len(list_filter(lines, l ->
         |      l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %')) AS BIGINT)
         |      AS nbullet,
@@ -3484,8 +3487,11 @@ object ScaleQueries {
         |      CAST(floor(sumlen / nw * 1000000) AS BIGINT)
         |      ELSE 0 END AS mean_word_len_e6,
         |    CASE WHEN nw > 0 THEN
-        |      CAST(floor(nsym::DOUBLE / nw * 1000000) AS BIGINT)
-        |      ELSE 0 END AS symbol_ratio_e6,
+        |      CAST(floor(nhash::DOUBLE / nw * 1000000) AS BIGINT)
+        |      ELSE 0 END AS hash_ratio_e6,
+        |    CASE WHEN nw > 0 THEN
+        |      CAST(floor(nell::DOUBLE / nw * 1000000) AS BIGINT)
+        |      ELSE 0 END AS ellipsis_ratio_e6,
         |    CASE WHEN nl > 0 THEN
         |      CAST(floor(nbullet::DOUBLE / nl * 1000000) AS BIGINT)
         |      ELSE 0 END AS bullet_frac_e6,
@@ -3506,7 +3512,8 @@ object ScaleQueries {
         |      WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
         |      WHEN mean_word_len_e6 < 3000000
         |        OR mean_word_len_e6 > 10000000 THEN 'word_length'
-        |      WHEN symbol_ratio_e6 > 100000 THEN 'symbol_ratio'
+        |      WHEN hash_ratio_e6 > 100000
+        |        OR ellipsis_ratio_e6 > 100000 THEN 'symbol_ratio'
         |      WHEN bullet_frac_e6 > 900000 THEN 'bullet_lines'
         |      WHEN ellipsis_frac_e6 > 300000 THEN 'ellipsis_lines'
         |      WHEN alpha_word_frac_e6 < 800000 THEN 'non_alpha_words'

@@ -1067,7 +1067,13 @@ class CurationSpec extends AnyFunSuite {
       (4L, goodLines + "\nvar f = function() { return 1; };"), // brace
       (5L, "Only three good sentences here.\nAnother one right now.\n" +
         "And a third to finish."), // < 5 sentences: page drop
-      (6L, "no punctuation lines at all\njust plain text")
+      (6L, "no punctuation lines at all\njust plain text"),
+      // a bare closing double-quote is a terminal mark in Raffel et
+      // al.'s list — the quoted line counts as a kept sentence
+      (7L, goodLines + "\nshe said \"these exact words\""),
+      // a lone '}' (no '{') does NOT fire the page drop; its line
+      // lacks a terminal mark so it drops as a line only
+      (8L, goodLines + "\nclosing brace } alone")
     ).toDF("doc_id", "text")
     val r = graft.operators.Curation.c4Rules(docs, "doc_id", "text")
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
@@ -1086,6 +1092,11 @@ class CurationSpec extends AnyFunSuite {
       r(5L).getAs[Long]("n_kept_lines") == 3L)
     assert(!r(6L).getAs[Boolean]("keep") &&
       r(6L).getAs[Long]("n_kept_lines") == 0L)
+    assert(r(7L).getAs[Boolean]("keep") &&
+      r(7L).getAs[Long]("n_kept_lines") == 7L, r(7L).toString)
+    assert(r(8L).getAs[Boolean]("keep") &&
+      !r(8L).getAs[Boolean]("has_brace") &&
+      r(8L).getAs[Long]("n_kept_lines") == 6L, r(8L).toString)
     // the rewrite is exactly the surviving lines, newline-joined
     val md0 = java.security.MessageDigest.getInstance("MD5")
       .digest(goodLines.getBytes("UTF-8"))
@@ -1134,7 +1145,11 @@ class CurationSpec extends AnyFunSuite {
       (7L, ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
         "sed do eiusmod tempor incididunt ut labore magna aliqua ") * 2),
       (8L, (("same line of the text here with plenty of words\n") * 20)
-        .trim) // rule 8: duplicate lines
+        .trim), // rule 8: duplicate lines
+      // each symbol's OWN ratio ≤ 0.1 (4 hashes, 4 ellipses over 75
+      // words) though the sum exceeds it — per Rae et al. the cut is
+      // per-symbol, so this page must PASS
+      (9L, good + " #x #y #z #w " + ("… " * 4) + "more the of and")
     ).toDF("doc_id", "text")
     val r = graft.operators.Curation.gopherRules(docs, "doc_id", "text")
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
@@ -1143,7 +1158,7 @@ class CurationSpec extends AnyFunSuite {
     assert(!r(2L).getAs[Boolean]("keep") &&
       r(2L).getAs[Long]("mean_word_len_e6") < 3000000L)
     assert(!r(3L).getAs[Boolean]("keep") &&
-      r(3L).getAs[Long]("symbol_ratio_e6") > 100000L)
+      r(3L).getAs[Long]("hash_ratio_e6") > 100000L)
     assert(!r(4L).getAs[Boolean]("keep") &&
       r(4L).getAs[Long]("bullet_frac_e6") > 900000L)
     assert(!r(5L).getAs[Boolean]("keep") &&
@@ -1154,6 +1169,12 @@ class CurationSpec extends AnyFunSuite {
       r(7L).getAs[Long]("n_stopwords") < 2L, r(7L).toString)
     assert(!r(8L).getAs[Boolean]("keep") &&
       r(8L).getAs[Long]("dup_line_frac_e6") > 300000L)
+    assert(r(9L).getAs[Boolean]("keep") &&
+      r(9L).getAs[Long]("hash_ratio_e6") <= 100000L &&
+      r(9L).getAs[Long]("ellipsis_ratio_e6") <= 100000L &&
+      r(9L).getAs[Long]("hash_ratio_e6") +
+        r(9L).getAs[Long]("ellipsis_ratio_e6") > 100000L,
+      r(9L).toString)
   }
 
   test("gopherRules: null and empty text get a verdict, never a crash") {

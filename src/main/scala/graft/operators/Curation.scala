@@ -1386,13 +1386,13 @@ object Curation {
     * xent_e6 = floor(−Σ n·ln P / Σ n · 10⁶): both engines compute the
     * identical double expression tree; per-document sum order differs
     * by ulps that the e6 cut absorbs (the t12 precedent). */
-  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+  /** Per-document DISTINCT token-bigram counts (idCol, w1, w2, n) —
+    * the shared front of [[knBigramScore]] and [[knGateModel]]. */
+  private def knDocBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = filter(split(trim(coalesce(col(textCol), lit(""))),
       "\\s+"), w => w =!= "")
-    val db = df
-      .select(col(idCol), toks.as("tk"))
+    df.select(col(idCol), toks.as("tk"))
       .select(col(idCol), explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(1), size(col("tk")) - 1),
             i => struct(element_at(col("tk"), i).as("w1"),
@@ -1402,6 +1402,29 @@ object Curation {
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val db = knDocBigrams(df, idCol, textCol)
+    val p = knModel(db, discount).select(col("w1"), col("w2"),
+      col("lnp"))
+    val scored = db.join(p, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("m"),
+        sum(col("n").cast("double") * col("lnp")).as("s"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(floor(-col("s") / col("m").cast("double") *
+          lit(1000000.0)).cast("bigint"), lit(0L)).as("xent_e6"))
+  }
+
+  /** The interpolated-KN model over a [[knDocBigrams]] frame:
+    * (w1, w2, cb, lnp) — cb retained so [[knGateModel]] can rank
+    * bigrams by corpus count; [[knBigramScore]] drops it. */
+  private def knModel(db: DataFrame, discount: Double): DataFrame = {
     val bg = db.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("cb"))
     val ctx = bg.groupBy(col("w1"))
@@ -1415,24 +1438,69 @@ object Curation {
     // aggregation branch re-plans bg, but both branches end in the
     // identical bigram exchange, which physical planning reuses.)
     val b = ctx.agg(sum(col("nfwd")).cast("double").as("b"))
-    val p = bg
-      .crossJoin(broadcast(b))
+    bg.crossJoin(broadcast(b))
       .join(ctx, "w1")
       .join(cont, "w2")
-      .select(col("w1"), col("w2"),
+      .select(col("w1"), col("w2"), col("cb"),
         log((greatest(col("cb").cast("double") - lit(discount), lit(0.0))
           + lit(discount) * col("nfwd").cast("double") *
             (col("nback").cast("double") / col("b")))
           / col("cctx").cast("double")).as("lnp"))
-    val scored = db.join(p, Seq("w1", "w2"))
-      .groupBy(col(idCol))
-      .agg(sum(col("n")).as("m"),
-        sum(col("n").cast("double") * col("lnp")).as("s"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("m"), lit(0L)).cast("bigint").as("n_bigrams"),
-        coalesce(floor(-col("s") / col("m").cast("double") *
-          lit(1000000.0)).cast("bigint"), lit(0L)).as("xent_e6"))
+  }
+
+  /** Bounded Kneser–Ney gate model — the shippable artifact of the
+    * streaming perplexity gate ([[graft.streaming.IngestGate.knGate]]):
+    * the full [[knBigramScore]] model cannot ride an ingest stream
+    * (its bigram table is CORPUS-sized), so this keeps the `topN`
+    * bigrams by corpus count — carrying their EXACT full-model lnp,
+    * the same [[knModel]] expression t13 scores with — plus one
+    * unseen-transition backoff `lnUnseen` = min lnp over the WHOLE
+    * model, applied to any transition outside the kept set.
+    *
+    * Contract (the gate's ⊆ guarantee): every dropped or novel
+    * bigram's true full-model lnp is ≥ the global minimum, so the
+    * gate's per-document cross-entropy is ≥ the full-model score and
+    * gate survivors (xent ≤ cut) are a SUBSET of the full-model
+    * survivors — bounding the model can only tighten the gate, never
+    * leak a low-quality document (spec-measured; equality when topN
+    * covers the corpus). Driver-side state is topN rows (two tokens
+    * + a double each — size topN against the broadcast budget, ~10⁷
+    * entries; beyond that, raise the cut-off or reconcile with the
+    * periodic batch t13/t14 pass).
+    * @param discount the KN discount D, pinned to t13's default. */
+  case class KnGateModel(bigrams: Map[String, Double],
+      lnUnseen: Double, discount: Double) {
+    /** Lookup key for one transition — the two tokens space-joined
+      * (tokens are whitespace-split, so neither can contain a space
+      * and the key is unambiguous). */
+    def key(w1: String, w2: String): String = w1 + " " + w2
+  }
+
+  /** Train a [[KnGateModel]] on a corpus: build the full KN model
+    * once (two vocabulary-bounded aggregation passes over the bigram
+    * frame — the t13 shape), keep the topN bigrams by
+    * (count DESC, w1, w2) — the deterministic total order both the
+    * engine and the DuckDB oracle replay — and floor everything else
+    * to the model-wide min lnp. */
+  def knGateModel(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 100000, discount: Double = 0.75): KnGateModel = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    require(topN > 0, s"topN must be positive, got $topN")
+    // the model frame feeds BOTH the top-N cut and the global min —
+    // materialized once (the t14 lesson: left live, the whole model
+    // build runs twice)
+    val p = graft.util.Iter.materialize(
+      knModel(knDocBigrams(df, idCol, textCol), discount))
+    val top = p.orderBy(col("cb").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("lnp"))
+      .collect() // bounded: topN rows of gate-model state
+    require(top.nonEmpty, "knGateModel: corpus has no bigrams")
+    val lnUnseen = p.agg(min(col("lnp"))).head().getDouble(0)
+    graft.util.Iter.release(p)
+    val m = KnGateModel(Map.empty, lnUnseen, discount)
+    m.copy(bigrams = top.map(r =>
+      m.key(r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap)
   }
 
   def charLmScore(df: DataFrame, idCol: String,

@@ -1031,6 +1031,23 @@ object ScaleQueries {
     // own fingerprint array row-locally — same split, same minShared
     // as d13, so the exact d13 oracle pins the Bloom path end to end
     // (fingerprint expression, Bloom build, codegen'd membership fold).
+    // E11 — streaming CCNet-style perplexity gate: the corpus-trained
+    // KN bigram model bounded to its top-2000 transitions (+ min-lnp
+    // unseen floor) ships into the gate as literals; stream docs
+    // (doc_id%5=0) survive iff their bounded xent clears the cut.
+    // Bounding only RAISES xent, so survivors ⊆ full-model survivors.
+    "e11_kn_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Curation.knGateModel(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        topN = 2000)
+      val (nb, xe) = graft.streaming.IngestGate.knScoreCols(model, "text")
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), nb.as("n_bigrams"), xe.as("xent_e6"))
+        .filter(col("xent_e6") <= lit(3410000L))
+        .orderBy(col("doc_id"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -3338,6 +3355,59 @@ object ScaleQueries {
     // t14: t13's model + per-language quantile_cont thresholds (the
     // a13 exact-interpolated-percentile convention), boundary docs
     // take the better bucket
+    // e11: the bounded-KN gate replayed — full corpus-side KN model
+    // (the t13 CTEs restricted to doc_id%5<>0), top-2000 transitions
+    // by (cb DESC, w1, w2) — the same deterministic total order the
+    // engine's knGateModel collects — min-lnp unseen floor, stream
+    // docs scored via LEFT JOIN + coalesce, literal cut.
+    "e11_kn_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS tk
+        |  FROM documents),
+        |dbc AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2 AND doc_id % 5 <> 0)
+        |  GROUP BY 1, 2, 3),
+        |bg AS (SELECT w1, w2, sum(n) AS cb FROM dbc GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS cctx, count(*) AS nfwd
+        |        FROM bg GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nback FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS b FROM bg),
+        |p AS (
+        |  SELECT bg.w1, bg.w2, bg.cb,
+        |    ln((greatest(cb::DOUBLE - 0.75, 0.0)
+        |        + 0.75 * nfwd::DOUBLE * (nback::DOUBLE / b))
+        |      / cctx::DOUBLE) AS lnp
+        |  FROM bg CROSS JOIN tot
+        |  JOIN ctx USING (w1) JOIN cont USING (w2)),
+        |topn AS (SELECT w1, w2, lnp FROM p
+        |         ORDER BY cb DESC, w1, w2 LIMIT 2000),
+        |u AS (SELECT min(lnp) AS lnu FROM p),
+        |dbs AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2 AND doc_id % 5 = 0)
+        |  GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT doc_id, sum(n) AS m,
+        |    sum(n::DOUBLE * coalesce(t.lnp, u.lnu)) AS sv
+        |  FROM dbs LEFT JOIN topn t USING (w1, w2) CROSS JOIN u
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(m, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(floor(-sv / m::DOUBLE * 1000000), 0)
+        |      AS BIGINT) AS xent_e6
+        |  FROM documents d LEFT JOIN s USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0)
+        |SELECT doc_id, n_bigrams, xent_e6 FROM scored
+        |WHERE xent_e6 <= 3410000 ORDER BY doc_id""".stripMargin,
+
     "t14_ppl_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id,

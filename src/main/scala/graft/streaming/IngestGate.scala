@@ -190,7 +190,8 @@ object IngestGate {
 
   /** End-to-end streaming curation gate — the stateless composition
     * of CurateCli's first stages, one fused narrow projection chain
-    * (quality → optional classifier score → optional DSIR resampling
+    * (quality → optional Gopher/C4/KN-perplexity rules → optional
+    * classifier score → optional DSIR resampling
     * → winnow span-dedup → optional image phash), no state
     * store, no shuffle, no watermark: a document survives iff it
     * passes the row-local x11 rules ([[qualityKeep]]), shares fewer
@@ -210,7 +211,9 @@ object IngestGate {
       minScoreE6: Long = 500000L,
       dsirModel: Option[graft.operators.Curation.DsirModel] = None,
       idCol: String = "doc_id", gopher: Boolean = false,
-      c4: Boolean = false): DataFrame = {
+      c4: Boolean = false,
+      knModel: Option[(graft.operators.Curation.KnGateModel, Long)] =
+        None): DataFrame = {
     val q0 = stream.filter(qualityKeep(textCol, minWords))
     // the Gopher and C4 batteries ride the SAME expression trees as
     // the batch x19/x22 frames (Curation.gopherCols/c4Cols), so
@@ -218,8 +221,14 @@ object IngestGate {
     // the rewrite half stays a batch concern.
     val q1 = if (gopher)
       q0.filter(graft.operators.Curation.gopherKeep(textCol)) else q0
-    val q = if (c4)
+    val q2 = if (c4)
       q1.filter(graft.operators.Curation.c4Keep(textCol)) else q1
+    // the CCNet perplexity cut sits with the other quality signals,
+    // before classifier scoring — (model, maxXentE6)
+    val q = knModel match {
+      case Some((m, cut)) => knGate(q2, m, textCol, cut)
+      case None => q2
+    }
     val s = scoreWeights match {
       case Some(w) => scoreGate(q, w, textCol, minScoreE6)
       case None => q
@@ -270,6 +279,54 @@ object IngestGate {
       Curation.sampleDraw(model.seed, col(idCol)).cast("double") <
         exp(logw - lit(model.maxLogw)) * lit(10000.0))
   }
+
+  /** Row-local (n_bigrams, xent_e6) under a bounded
+    * [[graft.operators.Curation.KnGateModel]] — the streaming twin of
+    * [[graft.operators.Curation.knBigramScore]]'s scoring (t13/t14's
+    * CCNet-style perplexity signal), with the model as expression
+    * literals backing an O(1) hash lookup
+    * ([[graft.functions.KnScore]]) instead of the corpus-sized join
+    * the batch form shuffles through. Per-bigram lnp is the EXACT
+    * full-model value for the model's top-N transitions and the
+    * model-wide min for everything else, so xent here ≥ the
+    * full-model xent (the gate's ⊆ side).
+    *
+    * The per-document sum replays the batch arithmetic: distinct
+    * bigrams are counted and their n·lnp products summed in sorted
+    * bigram order — the same products the batch (doc,w1,w2)-grouped
+    * aggregation sums; only the ADDITION order differs, which the e6
+    * floor cut absorbs (the t13 precedent). */
+  def knScoreCols(model: graft.operators.Curation.KnGateModel,
+      textCol: String): (Column, Column) = {
+    val scored = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.KnScore(
+        org.apache.spark.sql.GraftColumns.expression(
+          coalesce(col(textCol), lit(""))),
+        model.bigrams.toSeq, model.lnUnseen))
+    (scored.getField("n_bigrams"), scored.getField("xent_e6"))
+  }
+
+  /** Stateless CCNet-style perplexity gate — keep a document iff its
+    * cross-entropy under the BOUNDED corpus KN model
+    * ([[graft.operators.Curation.knGateModel]]) clears `maxXentE6` at
+    * the e6 decimal cut. No join, no state, no shuffle: the model
+    * rides the plan as a literal map (topN entries — size against
+    * the broadcast budget like [[phashGateExact]]'s index);
+    * retraining is a stream restart with new literals (the scoreGate
+    * convention).
+    *
+    * Approximation contract: bounding the model can only RAISE a
+    * document's xent (dropped/novel transitions floor to the
+    * model-wide min lnp), so survivors are a SUBSET of the full-model
+    * survivors — the gate never leaks a document the full t13 scoring
+    * would cut, and equality holds when topN covers the corpus
+    * (spec-pinned on the test corpus). Documents with < 2 tokens
+    * score 0 and pass (the x17/dsirGate convention — unscored
+    * documents survive to downstream stages). */
+  def knGate(stream: DataFrame,
+      model: graft.operators.Curation.KnGateModel, textCol: String,
+      maxXentE6: Long): DataFrame =
+    stream.filter(knScoreCols(model, textCol)._2 <= maxXentE6)
 
   /** Stateless classifier gate: keep a document iff its distilled
     * quality score σ(w·x) — [[graft.operators.LogReg]] weights as

@@ -50,6 +50,48 @@ object R14Scratch {
         println(f"d22split $d corpus=$nC batch=$nB spans=$rows " +
           f"write(min2)=$tWrite%.2f s probe(min5)=$tProbe%.3f s " +
           f"d21_unindexed(min3)=$tD21%.2f s")
+      case "e11cut" =>
+        // probe the stream-side xent distribution to pick the e11
+        // row's literal threshold
+        import graft.operators.Curation
+        import graft.streaming.IngestGate
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+        val docs = Tables.documents(spark, d)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val model = Curation.knGateModel(corpus, "doc_id", "text",
+          topN = 2000)
+        val xs = docs.filter(col("doc_id") % 5 === 0)
+          .select(IngestGate.knScoreCols(model, "text")._2.as("x"))
+          .collect().map(_.getLong(0)).sorted
+        println(s"e11cut $d n=${xs.length} min=${xs.head} " +
+          s"p25=${xs(xs.length / 4)} median=${xs(xs.length / 2)} " +
+          s"p75=${xs(3 * xs.length / 4)} max=${xs.last} " +
+          s"lnUnseenE6=${math.floor(-model.lnUnseen * 1e6).toLong}")
+      case "knsweep" =>
+        // decade sweep for the e11 family: bounded-model TRAIN wall
+        // (full KN model + top-N collect) and per-ingest GATE wall
+        // (stateless projection over the stream split)
+        import graft.operators.Curation
+        import graft.streaming.IngestGate
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val docs = Tables.documents(spark, d)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val nC = corpus.count(); val nB = batch.count()
+        var model: Curation.KnGateModel = null
+        val tTrain = (1 to 2).map(_ => time {
+          model = Curation.knGateModel(corpus, "doc_id", "text",
+            topN = 2000)
+        }).min
+        var kept = 0L
+        val tGate = (1 to 5).map(_ => time {
+          kept = IngestGate.knGate(batch, model, "text", 3410000L)
+            .count()
+        }).min
+        println(f"knsweep $d corpus=$nC batch=$nB kept=$kept " +
+          f"train(min2)=$tTrain%.2f s gate(min5)=$tGate%.3f s")
       case other =>
         System.err.println(s"unknown scratch target '$other'")
         sys.exit(2)

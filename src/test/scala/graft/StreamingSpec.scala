@@ -317,6 +317,98 @@ class StreamingSpec extends AnyFunSuite {
       "the split must exercise both keeps and drops")
   }
 
+  test("kn perplexity gate: bounded model only raises xent; full-coverage == batch scoring") {
+    import graft.operators.Curation
+    import graft.streaming.IngestGate
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val streamDocs = docs.filter(col("doc_id") % 5 === 0)
+    // topN far beyond the corpus' distinct-bigram count = full model
+    val full = Curation.knGateModel(corpus, "doc_id", "text",
+      topN = 10000000)
+    val bounded = Curation.knGateModel(corpus, "doc_id", "text",
+      topN = 50)
+    assert(bounded.bigrams.size == 50 &&
+      full.bigrams.size > bounded.bigrams.size)
+    assert(full.lnUnseen == bounded.lnUnseen) // same whole-model min
+    def score(m: Curation.KnGateModel) = {
+      val (nb, xe) = IngestGate.knScoreCols(m, "text")
+      streamDocs.select(col("doc_id"), nb.as("m"), xe.as("x"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    val sFull = score(full)
+    val sBounded = score(bounded)
+    // the ⊆ side: flooring dropped transitions to min lnp can only
+    // RAISE xent, so bounded survivors ⊆ full survivors at ANY cut
+    sFull.foreach { case (id, (m, x)) =>
+      assert(sBounded(id)._1 == m)
+      assert(sBounded(id)._2 >= x, s"doc $id: bounded < full")
+    }
+    assert(sBounded.exists { case (id, (_, x)) => x > sFull(id)._2 },
+      "the 50-bigram bound must actually floor some transition")
+    // full-coverage gate scoring == the batch t13 self-score, doc for
+    // doc (same n·lnp products; addition order differs by ulps the
+    // e6 floor absorbs)
+    val batch = Curation.knBigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (nb, xe) = IngestGate.knScoreCols(full, "text")
+    val gateSelf = corpus
+      .select(col("doc_id"), nb.as("m"), xe.as("x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(gateSelf.keySet == batch.keySet)
+    batch.foreach { case (id, (m, x)) =>
+      assert(gateSelf(id)._1 == m, s"doc $id n_bigrams")
+      assert(gateSelf(id)._2 == x, s"doc $id xent: ${gateSelf(id)._2} vs $x")
+    }
+  }
+
+  test("kn perplexity gate: streamed survivors == static gate; short docs pass") {
+    import graft.operators.Curation
+    import graft.streaming.IngestGate
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val streamDocs = docs.filter(col("doc_id") % 5 === 0)
+    val model = Curation.knGateModel(corpus, "doc_id", "text",
+      topN = 2000)
+    // a cut at the stream's median score must split it
+    val xents = streamDocs
+      .select(IngestGate.knScoreCols(model, "text")._2.as("x"))
+      .collect().map(_.getLong(0)).sorted
+    val cut = xents(xents.length / 2)
+    val direct = IngestGate.knGate(streamDocs, model, "text", cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct.nonEmpty && direct.size < xents.length)
+    val dir = java.nio.file.Files.createTempDirectory("kn-stream")
+    streamDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(streamDocs.schema).parquet(dir.toString)
+    val q = IngestGate.knGate(stream, model, "text", cut)
+      .select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("kngate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kngate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == direct)
+    // < 2 tokens → xent 0 → passes any non-negative cut; novel-token
+    // docs score via the unseen floor, never NULL/crash
+    val edge = Seq((1L, "solo"), (2L, ""), (3L, null),
+      (4L, "zzz qqq zzz qqq")).toDF("doc_id", "text")
+    val kept = IngestGate.knGate(edge, model, "text", 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    val novel = edge.filter(col("doc_id") === 4L)
+      .select(IngestGate.knScoreCols(model, "text")._2).head().getLong(0)
+    assert(novel ==
+      math.floor(-model.lnUnseen * 1000000.0).toLong,
+      s"novel transitions must score the unseen floor, got $novel")
+  }
+
   test("streaming CDC apply: versioned upserts, idempotent under replay") {
     import spark.implicits._
     import graft.streaming.ExactlyOnceSink

@@ -1167,6 +1167,33 @@ object ScaleQueries {
         .orderBy(col("piece"))
     }),
 
+    // B6 — unigram-LM document ENCODE under the seed-normalized model
+    // (the driver-checkable half of Kudo's recipe: the EM rounds stay
+    // spec-gated, but the Viterbi encode itself replays in DuckDB as
+    // a bounded recursive CTE — one DP level per iteration, the
+    // best/back arrays carried as lists, list_reduce's left-to-right
+    // scan reproducing the strictly-better/smallest-j tie contract).
+    // Scores are e6-floored BIGINTs so the DP comparisons are EXACT
+    // in both engines (integer-valued doubles sum exactly ≪ 2^53);
+    // the -100 unknown-char fallback is dead here — self-encoding
+    // means every char is in the seed. Output: per-doc piece count +
+    // md5 of the space-joined piece stream (the b2 convention: one
+    // misplaced split boundary anywhere flips the hash).
+    "b6_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val seed = graft.operators.Bpe.unigramSeed(docs, "text",
+        seedSize = 200).collect() // bounded: seedSize + charset rows
+      val total = seed.map(_.getLong(1)).sum.toDouble
+      val vocab = seed.map(r => r.getString(0) ->
+        math.floor(math.log(r.getLong(1).toDouble / total) * 1e6))
+        .toSeq
+      graft.operators.Bpe.unigramEncode(docs, "text", vocab)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("bigint").as("n_pieces"),
+          md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // B2 — BPE corpus encode: train the 4 merges (priced in-row, the
     // t9 build convention), then tokenize every document with the
     // zero-shuffle occurrence-local fold. Output per doc: exact token
@@ -2126,6 +2153,108 @@ object ScaleQueries {
         |UNION ALL
         |SELECT piece, freq FROM multi
         |ORDER BY piece""".stripMargin,
+    // b6: the Viterbi encode replayed — seed model from the b5 CTEs,
+    // lp = floor(1e6·ln(freq/Σfreq)) as BIGINT (exact DP arithmetic),
+    // the DP as a recursive CTE over (word, position) with best/back
+    // carried as lists; list_reduce scans candidates j ascending and
+    // replaces only on strict improvement — exactly UnigramImpl's
+    // smallest-j/longest-piece tie contract. Candidate (word, i, j)
+    // piece lps resolve through a PLAIN JOIN outside the recursion
+    // and enter the step as per-position lists (a MAP literal crossed
+    // into the recursive term mis-resolved lookups on multi-row
+    // recursions in DuckDB — join-then-list sidesteps it). Backtrack
+    // is a second bounded recursion; documents reassemble their word
+    // streams by position and hash them.
+    "b6_unigram_encode" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |          AS wd FROM documents)
+        |  WHERE wd <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(wd, i::INT, l::INT) AS piece, c
+        |  FROM (
+        |    SELECT wd, c, i,
+        |      unnest(range(1, least(8, length(wd) - i + 1) + 1)) AS l
+        |    FROM (SELECT wd, c, unnest(range(1, length(wd) + 1)) AS i
+        |          FROM w))),
+        |pf AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+        |       FROM subs GROUP BY 1),
+        |multi AS (
+        |  SELECT piece, freq FROM pf WHERE length(piece) > 1
+        |  ORDER BY freq DESC, piece ASC LIMIT 200),
+        |seed AS (
+        |  SELECT piece, freq FROM pf WHERE length(piece) = 1
+        |  UNION ALL SELECT piece, freq FROM multi),
+        |tot AS (SELECT sum(freq)::DOUBLE AS t FROM seed),
+        |model AS (
+        |  SELECT piece, CAST(floor(ln(freq / t) * 1000000) AS BIGINT)
+        |    AS lp
+        |  FROM seed CROSS JOIN tot),
+        |words AS (SELECT DISTINCT wd FROM w),
+        |pos AS (
+        |  SELECT wd, i, j,
+        |    substr(wd, (j + 1)::INT, (i - j)::INT) AS piece
+        |  FROM (SELECT wd, i, unnest(range(greatest(0, i - 8), i)) AS j
+        |        FROM (SELECT wd, unnest(range(1, length(wd) + 1)) AS i
+        |              FROM words))),
+        |cand AS (
+        |  SELECT wd, i, j,
+        |    coalesce(m.lp, CASE WHEN i - j = 1
+        |      THEN CAST(-100000000 AS BIGINT) END) AS lp
+        |  FROM pos LEFT JOIN model m ON m.piece = pos.piece),
+        |cl AS (
+        |  SELECT wd, i, list({'j': j, 'lp': lp} ORDER BY j) AS cands
+        |  FROM cand WHERE lp IS NOT NULL GROUP BY wd, i),
+        |v AS (
+        |  SELECT wd, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS back
+        |  FROM words
+        |  UNION ALL
+        |  SELECT wd, i,
+        |    list_append(best, pick.v),
+        |    list_append(back, pick.j::INT)
+        |  FROM (
+        |    SELECT v.wd AS wd, cl.i AS i, v.best AS best,
+        |      v.back AS back,
+        |      list_reduce(
+        |        list_transform(cl.cands,
+        |          c -> {'j': c.j,
+        |                'v': v.best[(c.j + 1)::INT] + c.lp}),
+        |        (a, b) -> CASE WHEN b.v > a.v THEN b ELSE a END)
+        |        AS pick
+        |    FROM v JOIN cl ON cl.wd = v.wd AND cl.i = v.i + 1)),
+        |fin AS (SELECT wd, back FROM v WHERE i = length(wd)),
+        |bt AS (
+        |  SELECT wd, length(wd)::INT AS k, back,
+        |    CAST([] AS VARCHAR[]) AS pieces
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT wd, back[k + 1] AS k, back,
+        |    list_prepend(substr(wd, back[k + 1] + 1, k - back[k + 1]),
+        |      pieces)
+        |  FROM bt WHERE k > 0),
+        |wp AS (
+        |  SELECT wd, array_to_string(pieces, ' ') AS ps,
+        |    CAST(len(pieces) AS BIGINT) AS np
+        |  FROM bt WHERE k = 0),
+        |dt AS (
+        |  SELECT doc_id, unnest(tk) AS wd,
+        |    generate_subscripts(tk, 1) AS ord
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ps, ' ' ORDER BY ord) AS stream,
+        |    CAST(sum(np) AS BIGINT) AS n
+        |  FROM dt JOIN wp USING (wd) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_pieces,
+        |  md5(coalesce(stream, '')) AS pieces_md5
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "b2_bpe_encode" -> bpeEncodeSql,
     "b3_token_freq" -> s"""WITH $bpeRoundsCtes,
        |t AS (SELECT unnest(syms) AS token, c FROM s4)

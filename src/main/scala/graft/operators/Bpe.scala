@@ -222,6 +222,111 @@ object Bpe {
       .toDF("piece", "usage", "lp")
   }
 
+  /** Soft-EM unigram training — the FULL Kudo 2018 recipe as an
+    * opt-in beside [[unigramTrain]]'s deterministic hard-EM:
+    *
+    *  1. SEED exactly as hard-EM (same substring table, same initial
+    *     log P).
+    *  2. Soft E-step: forward–backward EXPECTED piece counts over
+    *     each word's whole segmentation lattice
+    *     ([[graft.functions.UnigramExpect]], row-local over the V-row
+    *     word table) weighted by corpus word frequency — every
+    *     lattice path contributes mass, where hard-EM counts only the
+    *     Viterbi path.
+    *  3. M-step: log P = ln(E[usage] / Σ E[usage]), single chars
+    *     pinned at an expected-usage floor of 1 (coverage never
+    *     breaks — the hard-EM convention).
+    *  4. PRUNE by Kudo's loss score instead of raw usage: for each
+    *     multi-char piece on a word's Viterbi path, the likelihood
+    *     drop if that piece were removed
+    *     ([[graft.functions.UnigramPruneLoss]]); summed over a
+    *     deterministic hash-subsampled word set (`pruneSampleRate`
+    *     of distinct words — the seeded-hash sampling convention, so
+    *     the subsample is engine/partitioning/retry-stable). Keep
+    *     single chars plus the `vocabSize`-budget of multi-char
+    *     pieces by (loss DESC, piece ASC); a piece on no Viterbi path
+    *     scores 0 and prunes first.
+    *  5. One final soft round re-normalizes the pruned model.
+    *
+    * Hard-EM stays the oracle-facing default: soft expectations sum
+    * floats across lattice paths and partitions, so cross-engine
+    * bit-stability cannot be promised — this variant is spec-gated
+    * (same vocabulary as hard-EM on separable corpora; per-word
+    * expected-coverage invariant Σ e·len = word length; marginal
+    * likelihood non-decreasing across rounds).
+    *
+    * @return (piece, usage, lp) — usage the final EXPECTED count. */
+  def unigramTrainSoft(df: DataFrame, textCol: String,
+      vocabSize: Int = 1000, seedSize: Int = 4000, rounds: Int = 2,
+      maxPieceLen: Int = 8, pruneSampleRate: Double = 1.0,
+      sampleSeed: String = "unigram-prune"): DataFrame = {
+    require(vocabSize >= 1 && seedSize >= 1 && rounds >= 1)
+    require(pruneSampleRate > 0 && pruneSampleRate <= 1,
+      s"pruneSampleRate must be in (0,1], got $pruneSampleRate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Iter.materialize(
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
+    val seed = unigramSeedFromWords(words, seedSize, maxPieceLen)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total0 = seed.map(_._2).sum.toDouble
+    var model: Map[String, Double] =
+      seed.map { case (p, f) => p -> math.log(f / total0) }.toMap
+
+    def expectations(m: Map[String, Double]): Array[(String, Double)] = {
+      val eCol = org.apache.spark.sql.GraftColumns.column(
+        graft.functions.UnigramExpect(
+          org.apache.spark.sql.GraftColumns.expression(col("w")),
+          m.toSeq.sortBy(_._1), maxPieceLen))
+      words.select(col("c"), explode(eCol).as("x"))
+        .groupBy(col("x.piece").as("piece"))
+        .agg(sum(col("c").cast("double") * col("x.v")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+    }
+    def mStep(exp: Array[(String, Double)]): Map[String, Double] = {
+      val used = exp.toMap
+      val pinned = model.keys.filter(_.length == 1)
+        .map(p => p -> math.max(used.getOrElse(p, 0.0), 1.0)).toMap
+      val kept = used.filter { case (p, e) =>
+        p.length > 1 && e > 0.0 } ++ pinned
+      val tot = kept.values.sum
+      kept.map { case (p, e) => p -> math.log(e / tot) }
+    }
+    for (_ <- 1 to rounds) model = mStep(expectations(model))
+
+    // prune by summed Viterbi-path loss over the subsampled words
+    val lossCol = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.UnigramPruneLoss(
+        org.apache.spark.sql.GraftColumns.expression(col("w")),
+        model.toSeq.sortBy(_._1), maxPieceLen))
+    val sampled =
+      if (pruneSampleRate >= 1.0) words
+      else words.filter(Curation.sampleDraw(sampleSeed, col("w")) <
+        lit((pruneSampleRate * 10000).toInt))
+    val losses = sampled.select(col("c"), explode(lossCol).as("x"))
+      .groupBy(col("x.piece").as("piece"))
+      .agg(sum(col("c").cast("double") * col("x.v")).as("loss"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val budget = math.max(0, vocabSize - charPieces.size)
+    val keptMulti = model.keys.filter(_.length > 1).toSeq
+      .map(p => (p, losses.getOrElse(p, 0.0)))
+      .sortBy { case (p, l) => (-l, p) }
+      .take(budget).map(_._1).toSet
+    model = model.filter { case (p, _) =>
+      p.length == 1 || keptMulti.contains(p) }
+    model = mStep(expectations(model))
+
+    val finalE = expectations(model).toMap
+    Iter.release(words)
+    model.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, finalE.getOrElse(p, 0.0), lp) }
+      .toDF("piece", "usage", "lp")
+  }
+
   /** Segment `textCol` with a trained unigram vocabulary — the encode
     * half: whitespace words each Viterbi-segmented row-locally (the
     * [[bpeEncode]] zero-shuffle shape; the model rides as expression

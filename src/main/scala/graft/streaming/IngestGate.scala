@@ -114,14 +114,15 @@ object IngestGate {
     * set). A saturated key space costs lookup work, never wrong
     * drops.
     *
-    * State is a broadcast key → fingerprint-list literal map (bands
-    * entries per lake fingerprint, ~tens of MB per million images) —
-    * the projection stays stateless/codegen'd: two nested array
-    * `exists` over `bit_count(xor)`. Per-image work is bands map
-    * lookups × the colliding buckets' sizes (lake/2^16 average per
-    * bucket at 4 bands). Beyond broadcast budget (~10⁷ fingerprints),
-    * shard the lake across gates or fall back to the periodic exact
-    * batch reconciliation. */
+    * State is the banded fingerprint index shipped as expression
+    * literals backing a per-instance HASH map
+    * ([[graft.functions.PhashNearDup]] — bands entries per lake
+    * fingerprint, ~tens of MB per million images); the projection
+    * stays stateless/codegen'd. Per-image work is bands O(1) lookups
+    * × the colliding buckets' sizes (lake/2^16 average per bucket at
+    * 4 bands). Beyond broadcast budget (~10⁷ fingerprints), shard the
+    * lake across gates or fall back to the periodic exact batch
+    * reconciliation. */
   def phashGateExact(hashes: DataFrame, corpusHashes: DataFrame,
       hashCol: String = "phash", bands: Int = 4,
       maxDist: Int = 3): DataFrame = {
@@ -132,15 +133,18 @@ object IngestGate {
       .groupBy(col("key")).agg(collect_list(col("fp")).as("fps"))
       .collect()
     require(keyed.nonEmpty, "empty corpus: nothing to gate against")
-    val index: Map[Long, Seq[Long]] =
-      keyed.map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    val mapCol = typedLit(index)
+    // index literals back a REAL per-instance hash map
+    // (graft.functions.PhashNearDup) — a typedLit map would be
+    // scanned linearly per lookup (no hash index on literal MapData;
+    // the KnScore lesson), turning a 10⁶-image lake into ~10⁷ key
+    // comparisons per arriving image
+    val index: Seq[(Long, Seq[Long])] =
+      keyed.map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
     hashes
-      .withColumn("__dup",
-        exists(Dedup.bandKeys64(col(hashCol), bands), k =>
-          exists(
-            coalesce(element_at(mapCol, k), typedLit(Seq.empty[Long])),
-            g => bit_count(col(hashCol).bitwiseXOR(g)) <= lit(maxDist))))
+      .withColumn("__dup", org.apache.spark.sql.GraftColumns.column(
+        graft.functions.PhashNearDup(
+          org.apache.spark.sql.GraftColumns.expression(col(hashCol)),
+          index, bands, maxDist)))
       .filter(!col("__dup"))
       .drop("__dup")
   }

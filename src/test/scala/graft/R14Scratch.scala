@@ -92,6 +92,24 @@ object R14Scratch {
         }).min
         println(f"knsweep $d corpus=$nC batch=$nB kept=$kept " +
           f"train(min2)=$tTrain%.2f s gate(min5)=$tGate%.3f s")
+      case "phashsweep" =>
+        // phashGateExact at a synthetic 10^6-fingerprint lake: the
+        // literal-map form scanned ~4e6 keys per band lookup; the
+        // native hash index should gate a 1e5-image stream in O(s)
+        import graft.streaming.IngestGate
+        import spark.implicits._
+        val nLake = if (args.length > 1) args(1).toInt else 1000000
+        val nStream = if (args.length > 2) args(2).toInt else 100000
+        val lake = spark.range(nLake.toLong)
+          .select(xxhash64(col("id")).as("phash"))
+        val stream = spark.range(nStream.toLong)
+          .select(xxhash64(col("id") + lit(500000000L)).as("phash"))
+        var kept = 0L
+        val t = (1 to 3).map(_ => time {
+          kept = IngestGate.phashGateExact(stream, lake).count()
+        }).min
+        println(f"phashsweep lake=$nLake stream=$nStream kept=$kept " +
+          f"gate(min3)=$t%.2f s")
       case other =>
         System.err.println(s"unknown scratch target '$other'")
         sys.exit(2)

@@ -1222,9 +1222,28 @@ object Curation {
     * tail). No second corpus shuffle beyond d20's own.
     * @return (idCol, n_chars, kept_chars, clean_md5). */
   def stripExactSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 35): DataFrame = {
-    val spans = graft.operators.Dedup
-      .exactDupSpans(docs, idCol, textCol, minLen)
+      minLen: Int = 35): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      graft.operators.Dedup.exactDupSpans(docs, idCol, textCol, minLen))
+
+  /** KEEP-FIRST exact-span stripping — the C4/Raffel "discard all but
+    * one" rewrite: strips only the NON-canonical occurrences
+    * ([[graft.operators.Dedup.exactDupSpansKeepFirst]]), so exactly
+    * one copy of every duplicated run survives in the corpus, where
+    * [[stripExactSpans]] (x23) removes every copy. kept_chars here is
+    * therefore ≥ x23's for every document, with equality exactly on
+    * documents holding no canonical copy. */
+  def stripExactSpansKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 35): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      graft.operators.Dedup.exactDupSpansKeepFirst(docs, idCol,
+        textCol, minLen))
+
+  /** The shared excision tail of the exact-span strip family: remove
+    * the given (start, span_len) intervals from each document with a
+    * row-local sorted fold, keep everything else byte-for-byte. */
+  private def exciseSpans(docs: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame = {
     val spanList = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("start"), col("span_len")))).as("sp"))

@@ -762,6 +762,40 @@ object Dedup {
     runMergeSpans(pos.join(dup, Seq("h"), "left_semi"), idCol, minLen)
   }
 
+  /** KEEP-FIRST exact duplicated-substring spans — the C4-flavored
+    * variant of [[exactDupSpans]] (Raffel et al. 2020 §2.2 discard
+    * "all but one" of any duplicated span; Lee et al. likewise dedup
+    * to one canonical copy): for every duplicated `minLen`-gram the
+    * occurrence with the smallest (id, position) is the CANONICAL
+    * keeper, and only the other occurrences are marked — so stripping
+    * these spans leaves exactly one copy of each duplicated run in
+    * the corpus, where [[exactDupSpans]]' marks (and x23's strip)
+    * remove every copy.
+    *
+    * Scale shape: the keeper is a partial-combining
+    * min(struct(id, pos)) per gram hash — an aggregate, not a
+    * per-hash window sort, so a million-occurrence hash costs one
+    * combiner row per task — followed by the same hash-keyed join the
+    * count pass already shuffles for, then the family's per-document
+    * run-merge. No pair stage, linear at any duplication rate.
+    *
+    * @return (idCol, start, span_len) over NON-canonical occurrences. */
+  def exactDupSpansKeepFirst(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 35): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val pos = gramPositions(df, idCol, textCol, minLen)
+    val canon = pos.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("i"))).as("keep"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("keep"))
+    val marked = pos.join(canon, Seq("h"))
+      .filter(!(col(idCol) === col("keep").getField(idCol) &&
+        col("i") === col("keep").getField("i")))
+      .select(col(idCol), col("i"))
+    runMergeSpans(marked, idCol, minLen)
+  }
+
   /** Per-position gram-hash rows (id, i, h), 1-based positions — the
     * shared front of the exact-substring family. */
   private def gramPositions(df: DataFrame, idCol: String,

@@ -1100,6 +1100,16 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X24 — KEEP-FIRST exact-span stripping (C4/Raffel "discard all
+    // but one"): the smallest-(doc,pos) occurrence of each duplicated
+    // 35-char run is canonical and survives; every other occurrence
+    // strips. kept_chars >= x23's per doc by construction.
+    "x24_strip_keep_first" -> ((s, d) => {
+      Curation.stripExactSpansKeepFirst(Tables.documents(s, d),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // D12 — winnowed duplicate-span pairs: documents sharing >= 2
     // winnowed fingerprints, i.e. provably sharing >= 35-char verbatim
     // runs (k=24, w=12). The oracle recomputes the 60-bit md5-prefix
@@ -3779,6 +3789,65 @@ object ScaleQueries {
         |        FROM documents)),
         |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
         |m AS (SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM dup)),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |           <= 35
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS grp
+        |  FROM r),
+        |sp AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 35 AS e
+        |  FROM g GROUP BY doc_id, grp),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+        |      AS gs,
+        |    s AS ge
+        |  FROM sp),
+        |mids AS (
+        |  SELECT sg.doc_id,
+        |    string_agg(substr(d.text, sg.gs::INT, (sg.ge - sg.gs)::INT),
+        |      '' ORDER BY sg.gs) AS mid
+        |  FROM segs sg JOIN documents d ON sg.doc_id = d.doc_id
+        |  GROUP BY 1),
+        |tails AS (SELECT doc_id, max(e) AS ts FROM sp GROUP BY 1),
+        |cleaned AS (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN t.ts IS NULL THEN d.text
+        |         ELSE coalesce(m.mid, '') || substr(d.text, t.ts::INT)
+        |    END AS clean
+        |  FROM documents d
+        |  LEFT JOIN tails t ON d.doc_id = t.doc_id
+        |  LEFT JOIN mids m ON d.doc_id = m.doc_id)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(clean) AS BIGINT) AS kept_chars,
+        |  md5(clean) AS clean_md5
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    // x24: x23's replay with KEEP-FIRST marking — the smallest
+    // (doc, pos) occurrence per duplicated gram is canonical (rn = 1
+    // over (doc_id, i) within the hash) and never marked
+    "x24_strip_keep_first" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT doc_id, i::INT AS i,
+        |    ('0x' || substr(md5(substr(text, i::INT, 35)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-34, 1)+1)) AS i
+        |        FROM documents)),
+        |m AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, i)
+        |        AS rn
+        |    FROM pos)
+        |  WHERE rn >= 2),
         |r AS (
         |  SELECT doc_id, i,
         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)

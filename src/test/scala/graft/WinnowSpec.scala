@@ -196,6 +196,43 @@ class WinnowSpec extends AnyFunSuite {
       got(3L)._3 == md5("completely unique and untouched"))
   }
 
+  test("keep-first spans: the canonical copy survives, every other strips") {
+    import spark.implicits._
+    val ctxA = "quick brown foxes jump over entirely lazy sleeping dogs"
+    val ctxB = "pack my box with five dozen assorted liquor jugs today"
+    val ctxC = "sphinx of black quartz judge my vow said the curator"
+    val docs = Seq(
+      (1L, s"$ctxA $shared $ctxB"),
+      (2L, s"$ctxC $shared $ctxC"),
+      (3L, "completely unique and untouched")).toDF("doc_id", "text")
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc 1 holds the smallest-(doc,pos) occurrence of the shared run
+    // — it keeps it whole; doc 2's copy strips. x23 strips BOTH.
+    val spans = graft.operators.Dedup
+      .exactDupSpansKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.forall(_._1 == 2L), spans.mkString(","))
+    val got = graft.operators.Curation
+      .stripExactSpansKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._2 == got(1L)._1 &&
+      got(1L)._3 == md5(s"$ctxA $shared $ctxB"), got(1L))
+    assert(got(2L)._2 < got(2L)._1, got(2L))
+    assert(got(3L)._2 == got(3L)._1)
+    // keep-first keeps at least as much as the strip-all form,
+    // document for document
+    val all = graft.operators.Curation
+      .stripExactSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, kept, _)) =>
+      assert(kept >= all(id), s"doc $id: $kept < ${all(id)}")
+    }
+  }
+
   test("exactDupSpans: identical short documents mark each other whole") {
     import spark.implicits._
     val docs = Seq((1L, "short text"), (2L, "short text"),

@@ -651,6 +651,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("KN perplexity gate (e11): one native projection, zero shuffles") {
+    val model = graft.operators.Curation.KnGateModel(
+      Map("a b" -> -1.0), -5.0, 0.75)
+    val p = plan(graft.streaming.IngestGate.knGate(
+      graft.util.Tables.documents(spark, sf), model, "text", 3410000L))
+    assert(p.contains("kn_score"),
+      "scoring runs through the native hash-lookup expression")
+    assert(!p.contains("Exchange"),
+      "the gate is a stateless narrow filter — nothing shuffles\n" +
+        p.take(1500))
+  }
+
+  test("keep-first spans (x24): keeper via aggregate, only the run-merge windows") {
+    val p = plan(graft.operators.Dedup.exactDupSpansKeepFirst(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the canonical occurrence comes from a partial-combining
+    // min(struct) AGGREGATE — a per-hash window sort would move every
+    // occurrence of a hot hash through one task's sort. The only two
+    // Window nodes are the per-document run-merge's lag + cumsum.
+    assert(count(p, "Window ") == 2,
+      "only the per-document run-merge may window\n" + p.take(2000))
+    assert(!p.contains("windowspecdefinition(h#"),
+      "no window may partition by the gram hash\n" + p.take(2000))
+    assert(p.contains("gram_hashes"),
+      "positions hash through the native expression")
+  }
+
+  test("phash exact gate: native hash-index lookup, stream side never shuffles") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // parquet-backed sides so the optimizer cannot constant-fold the
+    // whole stream into a LocalTableScan
+    val fps = graft.util.Tables.documents(spark, sf)
+      .select(xxhash64(col("doc_id")).as("phash"))
+    val lake = fps.filter(col("phash") % 5 =!= 0)
+    val stream = fps.filter(col("phash") % 5 === 0)
+    val p = plan(graft.streaming.IngestGate.phashGateExact(stream, lake))
+    assert(p.contains("phash_near_dup"),
+      "membership runs through the native hash-index expression")
+    assert(!p.contains("Exchange"),
+      "the gate is a stateless narrow filter\n" + p.take(1500))
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

@@ -1048,6 +1048,20 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // E12 — streaming embedding near-dup gate: the lake banded once
+    // under d17's seeded hyperplane geometry, the index shipped into
+    // the stream as literals backing a hash map, arriving vectors
+    // dropped on band collision + exact cosine >= 0.35 — the batch
+    // d17 rule made row-local (spec pins gate == batch survivors).
+    "e12_embed_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.streaming.IngestGate.embedGate(
+        e.filter(col("vec_id") % 5 === 0),
+        e.filter(col("vec_id") % 5 =!= 0), "embedding", 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -1375,7 +1389,11 @@ object ScaleQueries {
     // and at fpp = 1e-6 no false positive flips a verdict on this
     // corpus — so the exact d13 replay IS the oracle, and a driver
     // mismatch would mean a REAL gate regression, not Bloom noise
-    ("e6_winnow_gate" -> sqlMore("d13_incremental_winnow"))
+    ("e6_winnow_gate" -> sqlMore("d13_incremental_winnow")) +
+    // e12 is the streaming row-local form of d17's banded-cosine cut
+    // (same geometry, same exact cosine confirm, uncapped on this
+    // corpus) — the batch replay IS the oracle, the e6 convention
+    ("e12_embed_gate" -> sqlCore("d17_embed_indexed"))
 
   private lazy val sqlCore: Map[String, String] = Map(
     "d1_exact_dedup" ->

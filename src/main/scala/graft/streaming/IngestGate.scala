@@ -284,6 +284,68 @@ object IngestGate {
         exp(logw - lit(model.maxLogw)) * lit(10000.0))
   }
 
+  /** Streaming EMBEDDING near-dup gate — the vector sibling of
+    * [[phashGateExact]] and the row-local form of the d17 batch path
+    * ([[graft.operators.Similarity.incrementalEmbedNewIndexed]]): the
+    * lake's vectors are banded once under the SAME seeded
+    * random-hyperplane geometry the batch family uses, the banded
+    * index ships into the stream as expression literals backing a
+    * per-instance hash map ([[graft.functions.EmbedNearDup]]), and an
+    * arriving vector is dropped iff it shares a band with some lake
+    * vector whose EXACT cosine reaches `threshold` — precisely the
+    * batch match rule (band collision + cosine confirm, the same
+    * index-order double arithmetic), made stateless: no join, no
+    * state store, no shuffle.
+    *
+    * Contract: survivor set ≡ the uncapped batch path's on the same
+    * geometry (spec-pinned); like every banding family here, a true
+    * near-dup colliding in NO band is missed at the published
+    * per-pair recall — size (bands, bits) with
+    * [[graft.operators.Similarity.rhpGeometry]]. State is
+    * vectors + bands×(long,int) entries (a 64-dim float lake vector
+    * costs 256 B + 16×12 B at the 16×4 default — ~450 MB per million
+    * vectors); beyond broadcast budget shard the lake across gates or
+    * fall back to the periodic batch d17 reconciliation. Vectors with
+    * null elements or a non-`dim` length produce no band keys and
+    * SURVIVE, matching the batch probe's no-rows behavior. */
+  def embedGate(stream: DataFrame, lakeVecs: DataFrame,
+      vecCol: String, threshold: Double, bands: Int = 16,
+      bits: Int = 4, dim: Int = 64,
+      seed: String = "graft-rhp"): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.GraftColumns
+    val planes = Similarity.hyperplanes(bands, bits, dim, seed)
+    val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, bits))
+    val keyed = lakeVecs.select(col(vecCol).as("v"))
+      .select(col("v"), keysCol.as("ks"))
+      .filter(col("ks").isNotNull)
+      .collect() // bounded: the gate's broadcast index (see scaladoc)
+    require(keyed.nonEmpty, "empty lake: nothing to gate against")
+    val vecs = new Array[Array[Float]](keyed.length)
+    val entryKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val entryVec = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < keyed.length) {
+      vecs(i) = keyed(i).getSeq[Float](0).toArray
+      val ks = keyed(i).getSeq[Long](1)
+      var b = 0
+      while (b < ks.length) {
+        entryKeys += (b.toLong << bits) | ks(b)
+        entryVec += i
+        b += 1
+      }
+      i += 1
+    }
+    stream
+      .withColumn("__dup", GraftColumns.column(
+        graft.functions.EmbedNearDup(
+          GraftColumns.expression(col(vecCol)), planes, bits,
+          entryKeys.toArray, entryVec.toArray, vecs, threshold)))
+      .filter(!col("__dup"))
+      .drop("__dup")
+  }
+
   /** Row-local (n_bigrams, xent_e6) under a bounded
     * [[graft.operators.Curation.KnGateModel]] — the streaming twin of
     * [[graft.operators.Curation.knBigramScore]]'s scoring (t13/t14's

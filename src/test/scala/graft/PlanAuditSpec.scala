@@ -695,6 +695,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "the gate is a stateless narrow filter\n" + p.take(1500))
   }
 
+  test("embed gate (e12): one native projection, stream side never shuffles") {
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val p = plan(graft.streaming.IngestGate.embedGate(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0),
+      "embedding", 0.35))
+    assert(p.contains("embed_near_dup"),
+      "membership runs through the native banded-cosine expression")
+    assert(!p.contains("Exchange"),
+      "the gate is a stateless narrow filter\n" + p.take(1500))
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

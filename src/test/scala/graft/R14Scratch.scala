@@ -110,6 +110,39 @@ object R14Scratch {
         }).min
         println(f"phashsweep lake=$nLake stream=$nStream kept=$kept " +
           f"gate(min3)=$t%.2f s")
+      case "embedsweep" =>
+        // e12 gate: index BUILD (lake band + collect) vs per-ingest
+        // GATE pass over a 64-dim synthetic lake
+        import graft.streaming.IngestGate
+        val nLake = if (args.length > 1) args(1).toInt else 100000
+        val nStream = if (args.length > 2) args(2).toInt else 10000
+        def vecs(n: Int, off: Long) = {
+          val base = spark.range(n.toLong)
+            .select((col("id") + lit(off)).as("vec_id"))
+          base.select(col("vec_id"),
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.sequence(lit(1), lit(64)),
+              k => (org.apache.spark.sql.functions
+                .xxhash64(col("vec_id"), k) % 1000).cast("float"))
+              .as("embedding"))
+        }
+        val lake = graft.util.Iter.materialize(vecs(nLake, 0L))
+        val stream = graft.util.Iter.materialize(
+          vecs(nStream, 1000000000L))
+        // size the banding like the batch family does — a fixed 16x4
+        // saturates its 16-key bands at 10^5 vectors and degenerates
+        // to brute force
+        val (bands, bits) =
+          graft.operators.Similarity.rhpGeometry(nLake.toLong, 0.95)
+        var kept = 0L
+        val t = (1 to 3).map(_ => time {
+          kept = IngestGate.embedGate(stream, lake, "embedding", 0.95,
+            bands = bands, bits = bits)
+            .count()
+        }).min
+        println(f"embedsweep lake=$nLake stream=$nStream " +
+          f"bands=$bands bits=$bits kept=$kept " +
+          f"gate_incl_index(min3)=$t%.2f s")
       case other =>
         System.err.println(s"unknown scratch target '$other'")
         sys.exit(2)

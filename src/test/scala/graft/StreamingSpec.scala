@@ -317,6 +317,47 @@ class StreamingSpec extends AnyFunSuite {
       "the split must exercise both keeps and drops")
   }
 
+  test("embed ingest gate: streamed survivors == batch banded-cosine cut") {
+    import graft.operators.Similarity
+    import graft.streaming.IngestGate
+    val e = Tables.embeddings(spark, sf)
+    val lake = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    // the batch reference: the d17 indexed path, uncapped
+    Similarity.writeRhpIndex(lake, "vec_id", "embedding",
+      "spec_e12_rhp_idx", bands = 16, bits = 4)
+    val direct = Similarity.incrementalEmbedNewIndexed(spark,
+      "spec_e12_rhp_idx", batch, "vec_id", "embedding",
+      threshold = 0.35, maxBucket = Int.MaxValue)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gated = IngestGate.embedGate(batch, lake, "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gated == direct,
+      s"extra=${gated -- direct} missing=${direct -- gated}")
+    assert(direct.nonEmpty && direct.size < batch.count(),
+      "the split must exercise both keeps and drops")
+    // streamed == static
+    val dir = java.nio.file.Files.createTempDirectory("embed-stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(dir.toString)
+    val q = IngestGate.embedGate(stream, lake, "embedding", 0.35)
+      .select("vec_id").writeStream.outputMode("append")
+      .format("memory").queryName("embedgate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("embedgate").collect()
+      .map(_.getLong(0)).toSet == direct)
+    // a wrong-dimension vector produces no band keys and survives —
+    // the batch probe's no-rows behavior
+    import spark.implicits._
+    val odd = Seq((900001L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    assert(IngestGate.embedGate(odd, lake, "embedding", 0.35)
+      .count() == 1L)
+  }
+
   test("kn perplexity gate: bounded model only raises xent; full-coverage == batch scoring") {
     import graft.operators.Curation
     import graft.streaming.IngestGate

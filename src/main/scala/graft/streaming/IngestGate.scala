@@ -310,8 +310,8 @@ object IngestGate {
     * SURVIVE, matching the batch probe's no-rows behavior. */
   def embedGate(stream: DataFrame, lakeVecs: DataFrame,
       vecCol: String, threshold: Double, bands: Int = 16,
-      bits: Int = 4, dim: Int = 64,
-      seed: String = "graft-rhp"): DataFrame = {
+      bits: Int = 4, dim: Int = 64, seed: String = "graft-rhp",
+      maxAvgBucket: Int = 256): DataFrame = {
     import graft.operators.Similarity
     import org.apache.spark.sql.GraftColumns
     val planes = Similarity.hyperplanes(bands, bits, dim, seed)
@@ -322,6 +322,16 @@ object IngestGate {
       .filter(col("ks").isNotNull)
       .collect() // bounded: the gate's broadcast index (see scaladoc)
     require(keyed.nonEmpty, "empty lake: nothing to gate against")
+    // the phashGate saturation refusal, vector edition: each band has
+    // only 2^bits keys, so an under-sized geometry piles the lake
+    // into every bucket and the "gate" degenerates to brute-force
+    // cosine per arriving vector (measured 18x at 10^5 lake vectors
+    // on the 16x4 default — BENCH_NOTES round 14)
+    require(keyed.length.toDouble / (1L << bits) <= maxAvgBucket,
+      f"embedGate: ${keyed.length} lake vectors over ${1L << bits} " +
+        f"keys/band averages ${keyed.length.toDouble / (1L << bits)}%.0f " +
+        f"per bucket (cap $maxAvgBucket) — size (bands, bits) with " +
+        "Similarity.rhpGeometry for this lake")
     val vecs = new Array[Array[Float]](keyed.length)
     val entryKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
     val entryVec = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -356,6 +356,12 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(IngestGate.embedGate(odd, lake, "embedding", 0.35)
       .count() == 1L)
+    // an under-sized geometry is REFUSED, not silently brute-forced
+    val ex = intercept[IllegalArgumentException] {
+      IngestGate.embedGate(batch, lake, "embedding", 0.35,
+        maxAvgBucket = 10)
+    }
+    assert(ex.getMessage.contains("rhpGeometry"), ex.getMessage)
   }
 
   test("kn perplexity gate: bounded model only raises xent; full-coverage == batch scoring") {

@@ -35,7 +35,12 @@ import graft.operators.{Curation, Dedup}
   *                         x11 rules, failing rule = audit reason
   *   [--ppl-cut]           CCNet tail cut (t14): drop each language's
   *                         worst KN-perplexity tertile
-  *   [--strip-spans]       corpus-wide duplicated-span stripping
+  *   [--strip-spans[=keep-first]]  corpus-wide duplicated-span
+  *                         stripping: bare, the x18 winnow rewrite
+  *                         (every duplicated span leaves every doc);
+  *                         =keep-first, the x24 exact rewrite (one
+  *                         canonical copy survives, Raffel's
+  *                         "all but one")
   *                         (x18's rewrite) over the deduped
   *                         survivors; a doc stripped to nothing is
   *                         dropped, not shipped empty
@@ -73,8 +78,8 @@ object CurateCli {
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
       chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
-      stripSpans: Boolean = false, gopher: Boolean = false,
-      pplCut: Boolean = false)
+      stripSpans: Boolean = false, stripKeepFirst: Boolean = false,
+      gopher: Boolean = false, pplCut: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -96,6 +101,8 @@ object CurateCli {
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
       dsirTargetDir = m.get("dsir-target").flatten,
       stripSpans = m.contains("strip-spans"),
+      stripKeepFirst =
+        m.get("strip-spans").flatten.contains("keep-first"),
       gopher = m.contains("gopher"),
       pplCut = m.contains("ppl-cut"))
   }
@@ -128,8 +135,8 @@ object CurateCli {
       embeds: Option[DataFrame] = None,
       semanticTau: Double = 0.35,
       dsirTarget: Option[DataFrame] = None,
-      stripSpans: Boolean = false, gopher: Boolean = false,
-      pplCut: Boolean = false): Frames = {
+      stripSpans: Boolean = false, stripKeepFirst: Boolean = false,
+      gopher: Boolean = false, pplCut: Boolean = false): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
@@ -259,7 +266,20 @@ object CurateCli {
     // other); a doc stripped to nothing is dropped with an audit row,
     // never shipped empty
     val (kept3x, droppedStrip) =
-      if (!stripSpans)
+      if (stripKeepFirst) {
+        // x24's variant: exact keep-first spans — ONE canonical copy
+        // of every duplicated run survives somewhere in the corpus,
+        // the rest is excised from the text (Raffel's "all but one")
+        val st = materialize(Curation.exciseSpansText(kept3s, "doc_id",
+          "text", graft.operators.Dedup.exactDupSpansKeepFirst(
+            kept3s, "doc_id", "text")))
+        (kept3s.drop("text")
+          .join(st.filter(length(trim(col("clean"))) > 0)
+            .select(col("doc_id"), col("clean").as("text")), "doc_id"),
+          st.filter(length(trim(col("clean"))) === 0)
+            .select(col("doc_id"), lit("strip_spans").as("stage"),
+              lit("fully_duplicated").as("reason")))
+      } else if (!stripSpans)
         (kept3s, spark.emptyDataFrame
           .withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
@@ -318,7 +338,8 @@ object CurateCli {
       semanticTau = args.semanticTau,
       dsirTarget = args.dsirTargetDir.map(dt =>
         graft.util.Tables.documents(spark, dt)),
-      stripSpans = args.stripSpans, gopher = args.gopher,
+      stripSpans = args.stripSpans,
+      stripKeepFirst = args.stripKeepFirst, gopher = args.gopher,
       pplCut = args.pplCut)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;

@@ -1243,6 +1243,17 @@ object Curation {
     * the given (start, span_len) intervals from each document with a
     * row-local sorted fold, keep everything else byte-for-byte. */
   private def exciseSpans(docs: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame =
+    exciseSpansText(docs, idCol, textCol, spans)
+      .select(col(idCol), col("n_chars"),
+        length(col("clean")).cast("bigint").as("kept_chars"),
+        md5(col("clean")).as("clean_md5"))
+
+  /** [[exciseSpans]] with the cleaned TEXT kept — (idCol, n_chars,
+    * clean) — for rewrite consumers ([[graft.cli.CurateCli]]'s
+    * keep-first strip stage) where the digest forms above feed the
+    * oracle rows. */
+  def exciseSpansText(docs: DataFrame, idCol: String,
       textCol: String, spans: DataFrame): DataFrame = {
     val spanList = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(
@@ -1263,9 +1274,6 @@ object Curation {
       .select(col(idCol),
         length(t).cast("bigint").as("n_chars"),
         when(col("sp").isNull, t).otherwise(excised).as("clean"))
-      .select(col(idCol), col("n_chars"),
-        length(col("clean")).cast("bigint").as("kept_chars"),
-        md5(col("clean")).as("clean_md5"))
   }
 
   /** Corpus-wide duplicated-span STRIPPING — the rewrite twin of

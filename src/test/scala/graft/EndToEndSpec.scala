@@ -388,6 +388,58 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s2.strippedEmpty == 0L && s2.curated == 4L)
   }
 
+  test("CurateCli --strip-spans=keep-first: one canonical copy survives") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    // S and T are EXACTLY 35 chars (9 three-char words): a 35-char
+    // shared run yields exactly ONE full winnow window, hence exactly
+    // one shared fingerprint — below minShared=2, so near-dup dedup
+    // is deterministically blind and the spans reach the strip stage.
+    val s35 = (1 to 9).map("qa" + _).mkString(" ")
+    val t35 = (1 to 9).map("zb" + _).mkString(" ")
+    assert(s35.length == 35 && t35.length == 35)
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val inDir = java.nio.file.Files.createTempDirectory("e2e-kf")
+      .toString
+    val u35 = (1 to 9).map("xc" + _).mkString(" ")
+    assert(u35.length == 35)
+    val rows = Seq(
+      (1L, s"${words("u", 22)} $s35"), // canonical copy of S
+      (2L, s"${words("w", 22)} $u35"), // canonical copy of U
+      // self-repeat behind distinct filler (entropy stays above the
+      // quality cut): first T kept, second strips
+      (3L, s"${words("v", 14)} $t35 $t35"),
+      // both spans' canonicals live elsewhere → stripped to
+      // whitespace → dropped; 18 distinct words clear the entropy cut
+      (5L, s"$s35 $u35"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("e2e-kf-out")
+      .toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$inDir", s"--output-dir=$out", "--shards=2",
+      "--min-words=5", "--strip-spans=keep-first")))
+    assert(s.strippedEmpty == 1L, s.toString)
+    assert(s.lowQuality == 0L && s.exactDups == 0L && s.nearDups == 0L)
+    assert(s.curated == 3L)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    assert(dropped.filter(col("stage") === "strip_spans")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val curated = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the canonical copies survive IN PLACE; only non-canonical
+    // occurrences left the text
+    assert(curated(1L) == s"${words("u", 22)} $s35", curated(1L))
+    assert(curated(2L) == s"${words("w", 22)} $u35")
+    // the space before the second T is itself inside a duplicated
+    // gram (" T[0:34]" occurs before BOTH copies), so it strips with
+    // the copy — the canonical first T keeps its leading space
+    assert(curated(3L) == s"${words("v", 14)} $t35", curated(3L))
+  }
+
   test("parseConfig accepts both documented and shipped key spellings") {
     val a = Discover.parseConfig(
       """{"aliases": {"GDL": ""}, "exclude_aliases": ["IMP"], "year_only": true}""")

@@ -186,4 +186,81 @@ object Graph {
     throw new IllegalStateException(
       s"pageRank did not converge to $tol within $maxIter rounds")
   }
+
+  /** Exact TRIANGLE COUNT of the undirected simple graph spanned by
+    * `edges` — the classic forward/compact-forward algorithm
+    * (Latapy 2008; Suri & Vassilvitskii 2011's MapReduce form)
+    * expressed as three relational passes:
+    *
+    *  1. canonicalize: undirected simple edges (min, max), self-loops
+    *     and multiplicity dropped;
+    *  2. ORIENT each edge from its lower-(degree, id) endpoint to the
+    *     higher — every triangle then has exactly ONE wedge whose
+    *     center precedes both tips, so each is counted once, and the
+    *     orientation bounds out-degree: Σ C(outdeg, 2) ≤ O(m^{3/2})
+    *     regardless of skew (a 10⁶-degree hub ORIENTS ALL ITS EDGES
+    *     INWARD unless the neighbor is even hotter — the naive
+    *     undirected wedge count would explode as C(10⁶, 2));
+    *  3. wedges (center → tip₁ < tip₂) semi-joined against the
+    *     oriented edge set — the closing edge's existence IS the
+    *     triangle.
+    *
+    * Scale shape: two degree-keyed shuffles (degree + orientation
+    * join), one self-join on the wedge center, one closing join on
+    * the (tip₁, tip₂) pair — all partial-aggregating counts, no
+    * driver-side state, no window. Returns per-NODE triangle
+    * participation (node, n_triangles) — the local clustering
+    * numerator — with the global count = Σ/3.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient from lower (deg, id) to higher; the tip's degree rides
+    // along because the WEDGE must order its tips by the same
+    // (deg, id) total order — then the closing edge, if it exists, is
+    // oriented exactly tip₁ → tip₂ (ordering tips by raw id instead
+    // would probe the wrong direction whenever id order disagrees
+    // with degree order — e.g. a hub with a larger id than its rim)
+    val oriented = Iter.materialize(e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.dv").as("dv")))
+    val e1 = oriented.select(col("u"), col("v").as("t1"),
+      col("dv").as("d1"))
+    val e2 = oriented.select(col("u"), col("v").as("t2"),
+      col("dv").as("d2"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("t1") < col("t2")))
+    val closing = oriented
+      .select(col("u").as("cu"), col("v").as("cv"))
+    val tri = wedges.join(closing,
+        col("t1") === col("cu") && col("t2") === col("cv"), "left_semi")
+      .select(col("u").as("n1"), col("t1").as("n2"), col("t2").as("n3"))
+    val perNode = tri.select(col("n1").as("node"))
+      .unionAll(tri.select(col("n2").as("node")))
+      .unionAll(tri.select(col("n3").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).cast("bigint")
+          .as("n_triangles"))
+  }
 }

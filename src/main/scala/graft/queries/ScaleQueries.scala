@@ -870,6 +870,30 @@ object ScaleQueries {
     // oracle unrolls the iterations as chained CTEs with the exact
     // double arithmetic ((1.0 - 0.85) mirrored as a subtraction, not a
     // 0.15 literal — the two differ by 1 ulp), e12 decimal cut.
+    // G3 — exact triangle count over the CO-SUPPLIER graph (suppliers
+    // sharing an order — each order's supplier set is a clique, so
+    // the graph is triangle-rich): the forward algorithm's
+    // degree-ordered orientation bounds the wedge explosion at
+    // O(m^1.5) regardless of hub skew. Per-node participation out;
+    // global count = sum/3.
+    "g3_triangles" -> ((s, d) => {
+      // a 10% order sample: the full co-supplier graph is output-
+      // dense by construction (supplier count grows 10x slower than
+      // orders, so avg degree ~n_orders/n_supp·7 — 124M triangles and
+      // a 76 s row at sf0.1; the sweep records the full-graph walls)
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      Graph.triangleCount(e, "s1", "s2")
+        .select(col("node").cast("bigint").as("node"),
+          col("n_triangles"))
+        .orderBy(col("node"))
+    }),
+
     "g1_pagerank" -> ((s, d) => {
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -2152,6 +2176,55 @@ object ScaleQueries {
          |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
          |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // g3: the same canonical co-supplier edges, the same
+    // degree-ordered orientation (ties by id), wedge self-join on the
+    // center, EXISTS for the closing edge — each triangle counted at
+    // its unique lowest-ordered wedge center in both engines
+    "g3_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |co AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT x AS node FROM co
+        |        UNION ALL SELECT y AS node FROM co)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN co.x ELSE co.y END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN co.y ELSE co.x END AS v,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN db.d ELSE da.d END AS dv
+        |  FROM co
+        |  JOIN deg da ON da.node = co.x
+        |  JOIN deg db ON db.node = co.y),
+        |w AS (
+        |  SELECT e1.u AS u, e1.v AS t1, e2.v AS t2
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+        |tri AS (
+        |  SELECT w.u AS n1, w.t1 AS n2, w.t2 AS n3
+        |  FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |                WHERE o.u = w.t1 AND o.v = w.t2)),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT n1 AS node FROM tri
+        |        UNION ALL SELECT n2 AS node FROM tri
+        |        UNION ALL SELECT n3 AS node FROM tri)
+        |  GROUP BY 1)
+        |SELECT CAST(d.node AS BIGINT) AS node,
+        |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

@@ -139,4 +139,32 @@ class GraphSpec extends AnyFunSuite {
         maxIter = 3)
     }
   }
+
+  test("triangleCount: K4, a square, and canonicalization noise") {
+    import spark.implicits._
+    // K4 on {1..4} (4 triangles, 3 per node), a 4-cycle on {5..8}
+    // (0 triangles), plus duplicate / reversed / self-loop edges that
+    // canonicalization must absorb
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (1L, 1L), // noise: reversed dups, self-loop
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)
+    ).toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L), got.toString)
+    // global count = sum / 3
+    assert(got.values.sum / 3 == 4)
+    // a skew-shaped star plus one closing rim edge: exactly 1
+    // triangle, and the hub participates once — the orientation sends
+    // the hub's edges inward, so no C(hubdeg, 2) wedge explosion is
+    // needed to find it (the plan-shape claim; here just correctness)
+    val star = (1L to 50L).map(i => (0L, i)) :+ (7L, 9L)
+    val got2 = Graph.triangleCount(star.toDF("src", "dst"),
+      "src", "dst").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got2(0L) == 1L && got2(7L) == 1L && got2(9L) == 1L)
+    assert(got2.values.sum == 3L)
+  }
 }

@@ -143,6 +143,22 @@ object R14Scratch {
         println(f"embedsweep lake=$nLake stream=$nStream " +
           f"bands=$bands bits=$bits kept=$kept " +
           f"gate_incl_index(min3)=$t%.2f s")
+      case "g3sweep" =>
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val li = Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("s1"),
+            col("b.l_suppkey").as("s2"))
+        var total = 0L
+        val t = (1 to 2).map(_ => time {
+          total = graft.operators.Graph.triangleCount(e, "s1", "s2")
+            .agg(sum(col("n_triangles"))).head().getLong(0) / 3
+        }).min
+        println(f"g3sweep $d triangles=$total wall(min2)=$t%.2f s")
       case other =>
         System.err.println(s"unknown scratch target '$other'")
         sys.exit(2)

@@ -101,8 +101,16 @@ object CurateCli {
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
       dsirTargetDir = m.get("dsir-target").flatten,
       stripSpans = m.contains("strip-spans"),
-      stripKeepFirst =
-        m.get("strip-spans").flatten.contains("keep-first"),
+      stripKeepFirst = m.get("strip-spans").flatten match {
+        case Some("keep-first") => true
+        case Some(other) => // a typo must not silently run the
+          // strip-EVERY-copy rewrite on a corpus that asked for
+          // keep-one-canonical
+          throw new IllegalArgumentException(
+            s"--strip-spans=$other: the only mode value is " +
+              "'keep-first' (bare --strip-spans = winnow strip)")
+        case None => false
+      },
       gopher = m.contains("gopher"),
       pplCut = m.contains("ppl-cut"))
   }

@@ -286,12 +286,18 @@ object Bpe {
         .agg(sum(col("c").cast("double") * col("x.v")).as("e"))
         .collect().map(r => r.getString(0) -> r.getDouble(1))
     }
+    // "single char" means one CODE POINT throughout soft-EM —
+    // UnigramPruneLoss's candidate filter is codePointCount-based, so
+    // a UTF-16-length partition would hand astral single-char pieces
+    // a guaranteed loss of 0 and prune them first
+    def isChar(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
     def mStep(exp: Array[(String, Double)]): Map[String, Double] = {
       val used = exp.toMap
-      val pinned = model.keys.filter(_.length == 1)
+      val pinned = model.keys.filter(isChar)
         .map(p => p -> math.max(used.getOrElse(p, 0.0), 1.0)).toMap
       val kept = used.filter { case (p, e) =>
-        p.length > 1 && e > 0.0 } ++ pinned
+        !isChar(p) && e > 0.0 } ++ pinned
       val tot = kept.values.sum
       kept.map { case (p, e) => p -> math.log(e / tot) }
     }
@@ -310,14 +316,14 @@ object Bpe {
       .groupBy(col("x.piece").as("piece"))
       .agg(sum(col("c").cast("double") * col("x.v")).as("loss"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val charPieces = model.keys.filter(isChar).toSeq
     val budget = math.max(0, vocabSize - charPieces.size)
-    val keptMulti = model.keys.filter(_.length > 1).toSeq
+    val keptMulti = model.keys.filterNot(isChar).toSeq
       .map(p => (p, losses.getOrElse(p, 0.0)))
       .sortBy { case (p, l) => (-l, p) }
       .take(budget).map(_._1).toSet
     model = model.filter { case (p, _) =>
-      p.length == 1 || keptMulti.contains(p) }
+      isChar(p) || keptMulti.contains(p) }
     model = mStep(expectations(model))
 
     val finalE = expectations(model).toMap

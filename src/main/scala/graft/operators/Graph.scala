@@ -214,11 +214,15 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges
+    // materialized: e feeds the degree pass (twice via unionAll), the
+    // orientation join, and the final node list — left live, an
+    // expensive upstream edge construction (g3's lineitem self-join)
+    // re-runs ~5x per action (the pageRank prepare lesson)
+    val e = Iter.materialize(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -1079,9 +1079,17 @@ object ScaleQueries {
     // d17 rule made row-local (spec pins gate == batch survivors).
     "e12_embed_gate" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      val lake = e.filter(col("vec_id") % 5 =!= 0)
+      // geometry sized to the lake (the d6 convention): at the
+      // sf0.01 oracle scale (lake 400) this reproduces exactly the
+      // 16x4 geometry the DuckDB mirror hardcodes, and at bigger SFs
+      // the row keeps running instead of tripping the saturation
+      // refusal the fixed default would hit
+      val (bands, bits) =
+        Similarity.rhpGeometry(lake.count(), threshold = 0.35)
       graft.streaming.IngestGate.embedGate(
         e.filter(col("vec_id") % 5 === 0),
-        e.filter(col("vec_id") % 5 =!= 0), "embedding", 0.35)
+        lake, "embedding", 0.35, bands = bands, bits = bits)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),

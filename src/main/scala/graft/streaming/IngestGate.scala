@@ -347,11 +347,15 @@ object IngestGate {
       }
       i += 1
     }
+    // coalesce: a whole-NULL vector short-circuits the unary
+    // expression to NULL, and filter(!NULL) would DROP the row — the
+    // batch probe produces no band rows for it and keeps it
     stream
-      .withColumn("__dup", GraftColumns.column(
+      .withColumn("__dup", coalesce(GraftColumns.column(
         graft.functions.EmbedNearDup(
           GraftColumns.expression(col(vecCol)), planes, bits,
-          entryKeys.toArray, entryVec.toArray, vecs, threshold)))
+          entryKeys.toArray, entryVec.toArray, vecs, threshold)),
+        lit(false)))
       .filter(!col("__dup"))
       .drop("__dup")
   }

@@ -438,6 +438,13 @@ class EndToEndSpec extends AnyFunSuite {
     // gram (" T[0:34]" occurs before BOTH copies), so it strips with
     // the copy — the canonical first T keeps its leading space
     assert(curated(3L) == s"${words("v", 14)} $t35", curated(3L))
+    // a typo'd mode value is rejected, never silently downgraded to
+    // the strip-every-copy rewrite
+    val ex = intercept[IllegalArgumentException] {
+      CurateCli.parseArgs(Array(s"--input-dir=$inDir",
+        s"--output-dir=$out", "--strip-spans=keepfirst"))
+    }
+    assert(ex.getMessage.contains("keep-first"), ex.getMessage)
   }
 
   test("parseConfig accepts both documented and shipped key spellings") {

@@ -350,12 +350,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("embedgate").collect()
       .map(_.getLong(0)).toSet == direct)
     // a wrong-dimension vector produces no band keys and survives —
-    // the batch probe's no-rows behavior
+    // the batch probe's no-rows behavior; a whole-NULL vector must
+    // survive the same way (filter(!NULL) would silently drop it)
     import spark.implicits._
-    val odd = Seq((900001L, Array(1.0f, 2.0f)))
+    val odd = Seq((900001L, Array(1.0f, 2.0f)),
+      (900002L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding")
     assert(IngestGate.embedGate(odd, lake, "embedding", 0.35)
-      .count() == 1L)
+      .count() == 2L)
     // an under-sized geometry is REFUSED, not silently brute-forced
     val ex = intercept[IllegalArgumentException] {
       IngestGate.embedGate(batch, lake, "embedding", 0.35,

@@ -231,6 +231,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(sub == hard, s"extra=${sub -- hard} missing=${hard -- sub}")
   }
 
+  test("soft-EM prune: an astral single-code-point piece is pinned, never a loss-0 prune victim") {
+    import spark.implicits._
+    // U+1D11E is one code point but TWO UTF-16 chars: a length-based
+    // char/multi partition would file it as a prune CANDIDATE, and
+    // since UnigramPruneLoss never emits losses for 1-code-point
+    // pieces it would prune first with a guaranteed 0
+    val astral = new String(Character.toChars(0x1D11E))
+    val docs = Seq((1L, s"$astral$astral kato kato kato $astral kato"))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.unigramTrainSoft(docs, "text", vocabSize = 6,
+        seedSize = 10, rounds = 1, maxPieceLen = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab.contains(astral), vocab.toString)
+  }
+
   test("soft-EM marginal likelihood is non-decreasing across rounds") {
     import spark.implicits._
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -261,10 +261,19 @@ object Graph {
       .unionAll(tri.select(col("n2").as("node")))
       .unionAll(tri.select(col("n3").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("node"))
-      .join(perNode, Seq("node"), "left")
+    // cc = 2·t / (deg·(deg−1)) — the LOCAL CLUSTERING COEFFICIENT,
+    // free once degree and triangle participation exist; e6-floored
+    // (the standing decimal-cut convention), 0 for degree-1 nodes
+    deg.join(perNode, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).cast("bigint")
-          .as("n_triangles"))
+          .as("n_triangles"),
+        col("deg").cast("bigint").as("deg"))
+      .withColumn("cc_e6",
+        when(col("deg") >= 2,
+          floor(col("n_triangles").cast("double") * 2000000.0 /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+            .cast("bigint"))
+          .otherwise(lit(0L)))
   }
 }

@@ -890,7 +890,7 @@ object ScaleQueries {
         .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
       Graph.triangleCount(e, "s1", "s2")
         .select(col("node").cast("bigint").as("node"),
-          col("n_triangles"))
+          col("n_triangles"), col("deg"), col("cc_e6"))
         .orderBy(col("node"))
     }),
 
@@ -2230,7 +2230,12 @@ object ScaleQueries {
         |        UNION ALL SELECT n3 AS node FROM tri)
         |  GROUP BY 1)
         |SELECT CAST(d.node AS BIGINT) AS node,
-        |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(d.d AS BIGINT) AS deg,
+        |  CASE WHEN d.d >= 2 THEN
+        |    CAST(floor(coalesce(pn.n_triangles, 0)::DOUBLE * 2000000
+        |      / (d.d * (d.d - 1))::DOUBLE) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS cc_e6
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
 

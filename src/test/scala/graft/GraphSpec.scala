@@ -150,12 +150,18 @@ class GraphSpec extends AnyFunSuite {
       (2L, 1L), (3L, 1L), (1L, 1L), // noise: reversed dups, self-loop
       (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)
     ).toDF("src", "dst")
-    val got = Graph.triangleCount(edges, "src", "dst")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = rows.view.mapValues(_._1).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L), got.toString)
     // global count = sum / 3
     assert(got.values.sum / 3 == 4)
+    // K4 clustering coefficient is exactly 1 (2·3/(3·2)); the square's
+    // is 0; degrees carried through canonicalization
+    assert(rows(1L) == ((3L, 3L, 1000000L)), rows(1L).toString)
+    assert(rows(5L) == ((0L, 2L, 0L)))
     // a skew-shaped star plus one closing rim edge: exactly 1
     // triangle, and the hub participates once — the orientation sends
     // the hub's edges inward, so no C(hubdeg, 2) wedge explosion is

@@ -276,4 +276,43 @@ object Graph {
             .cast("bigint"))
           .otherwise(lit(0L)))
   }
+
+  /** APPROXIMATE global triangle count by deterministic edge
+    * sampling — DOULION (Tsourakakis et al., KDD 2009): keep each
+    * canonical edge independently with probability `p` (a seeded
+    * md5 hash gate on the edge pair, so the "coin" is
+    * engine/partitioning/retry-stable and the DuckDB oracle replays
+    * it bit-for-bit), count triangles EXACTLY on the sampled graph
+    * ([[triangleCount]]'s O(m_s^{1.5}) forward pass on p·m edges),
+    * and scale by 1/p³ — each surviving triangle needed all three of
+    * its edges kept. E[estimate] = T exactly (unbiased); DOULION's
+    * variance bound is T·(1/p³ − 1) + 2k·(1/p − 1)/p² over
+    * edge-sharing triangle pairs k, shrinking as p³ work falls.
+    * This is the 100 TB path where the EXACT count's own output is
+    * the wall (the co-supplier sweep: 1.24 B triangles at sf1) —
+    * p = 0.1 does ~0.1^1.5 = 3% of the wedge work.
+    *
+    * @return one row (sampled_edges, sampled_triangles,
+    *         est_triangles = floor(sampled/p³)). */
+  def triangleCountApprox(edges: DataFrame, srcCol: String,
+      dstCol: String, p: Double,
+      seed: String = "doulion"): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .filter(Curation.sampleDraw(seed,
+        concat_ws("-", col("a"), col("b"))) <
+        lit(math.round(p * 10000).toInt))
+    val tri = triangleCount(e, "a", "b")
+    val edgeCount = e.count()
+    tri.agg(coalesce((sum(col("n_triangles")) / 3).cast("bigint"),
+        lit(0L)).as("sampled_triangles"))
+      .select(lit(edgeCount).as("sampled_edges"),
+        col("sampled_triangles"),
+        floor(col("sampled_triangles").cast("double") /
+          lit(p * p * p)).cast("bigint").as("est_triangles"))
+  }
 }

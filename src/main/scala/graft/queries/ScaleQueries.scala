@@ -894,6 +894,34 @@ object ScaleQueries {
         .orderBy(col("node"))
     }),
 
+    // G4 — DOULION approximate triangle count on g3's graph: a
+    // deterministic md5 edge gate at p = 0.5, exact counting on the
+    // sample, 1/p³ scale-up. Exact count priced in-row (the sk1
+    // envelope convention: estimate AND truth on one row, with the
+    // relative-error verdict as a column the oracle replays
+    // bit-for-bit — the gate is a hash, not a coin, so the estimate
+    // is a fixed fact of the corpus).
+    "g4_triangle_estimate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      val exact = Graph.triangleCount(e, "s1", "s2")
+        .agg((sum(col("n_triangles")) / 3).cast("bigint")
+          .as("exact_triangles"))
+      Graph.triangleCountApprox(e, "s1", "s2", p = 0.5, seed = "g4")
+        .crossJoin(exact)
+        .select(col("exact_triangles"), col("sampled_edges"),
+          col("sampled_triangles"), col("est_triangles"),
+          (abs(col("est_triangles") - col("exact_triangles"))
+            .cast("double") <=
+            col("exact_triangles").cast("double") * lit(0.25))
+            .as("within_25pct"))
+    }),
+
     "g1_pagerank" -> ((s, d) => {
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -2238,6 +2266,77 @@ object ScaleQueries {
         |  ELSE CAST(0 AS BIGINT) END AS cc_e6
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
+
+    // g4: g3's CTE pipeline run twice — exact, and on the md5-gated
+    // edge sample ('g4:a-b' draw < 5000) — with the same DOULION
+    // scale-up and the same verdict arithmetic
+    "g4_triangle_estimate" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |co AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT x AS node FROM co
+        |        UNION ALL SELECT y AS node FROM co) GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN co.x ELSE co.y END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN co.y ELSE co.x END AS v,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND co.x < co.y)
+        |      THEN db.d ELSE da.d END AS dv
+        |  FROM co
+        |  JOIN deg da ON da.node = co.x
+        |  JOIN deg db ON db.node = co.y),
+        |texact AS (
+        |  SELECT count(*) AS t FROM (
+        |    SELECT e1.u FROM o e1
+        |    JOIN o e2 ON e1.u = e2.u
+        |     AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        |    WHERE EXISTS (SELECT 1 FROM o
+        |                  WHERE o.u = e1.v AND o.v = e2.v))),
+        |sco AS (
+        |  SELECT x, y FROM co
+        |  WHERE CAST('0x' || substr(md5('g4:' || x || '-' || y), 1, 8)
+        |          AS BIGINT) % 10000 < 5000),
+        |sdeg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT x AS node FROM sco
+        |        UNION ALL SELECT y AS node FROM sco) GROUP BY 1),
+        |so AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND sco.x < sco.y)
+        |      THEN sco.x ELSE sco.y END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND sco.x < sco.y)
+        |      THEN sco.y ELSE sco.x END AS v,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND sco.x < sco.y)
+        |      THEN db.d ELSE da.d END AS dv
+        |  FROM sco
+        |  JOIN sdeg da ON da.node = sco.x
+        |  JOIN sdeg db ON db.node = sco.y),
+        |ts AS (
+        |  SELECT count(*) AS t FROM (
+        |    SELECT e1.u FROM so e1
+        |    JOIN so e2 ON e1.u = e2.u
+        |     AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        |    WHERE EXISTS (SELECT 1 FROM so
+        |                  WHERE so.u = e1.v AND so.v = e2.v))),
+        |se AS (SELECT count(*) AS n FROM sco)
+        |SELECT
+        |  CAST(texact.t AS BIGINT) AS exact_triangles,
+        |  CAST(se.n AS BIGINT) AS sampled_edges,
+        |  CAST(ts.t AS BIGINT) AS sampled_triangles,
+        |  CAST(floor(ts.t::DOUBLE / 0.125) AS BIGINT) AS est_triangles,
+        |  abs(CAST(floor(ts.t::DOUBLE / 0.125) AS BIGINT)
+        |      - texact.t)::DOUBLE <= texact.t::DOUBLE * 0.25
+        |    AS within_25pct
+        |FROM texact CROSS JOIN ts CROSS JOIN se""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

@@ -173,4 +173,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got2(0L) == 1L && got2(7L) == 1L && got2(9L) == 1L)
     assert(got2.values.sum == 3L)
   }
+
+  test("triangleCountApprox: p=1 is exact, the gate is deterministic, scale-up is 1/p^3") {
+    import spark.implicits._
+    // a clique union: K5 on {1..5} (10 triangles) + K4 on {10..13}
+    // (4 triangles)
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val k4 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = (k5 ++ k4).toDF("src", "dst")
+    val full = Graph.triangleCountApprox(edges, "src", "dst", p = 1.0)
+      .head()
+    assert(full.getLong(0) == k5.size + k4.size) // all edges kept
+    assert(full.getLong(1) == 14L && full.getLong(2) == 14L)
+    // p = 0.5: the md5 gate is a hash, not a coin — two runs agree
+    // row for row, and the estimate is exactly sampled/p^3
+    val a = Graph.triangleCountApprox(edges, "src", "dst", 0.5).head()
+    val b = Graph.triangleCountApprox(edges, "src", "dst", 0.5).head()
+    assert(a == b)
+    assert(a.getLong(2) == math.floor(a.getLong(1) / 0.125).toLong)
+    assert(a.getLong(0) < k5.size + k4.size,
+      "the gate must actually drop edges on this graph")
+    // empty sample degenerates to a 0 estimate, never a crash
+    val none = Graph.triangleCountApprox(edges, "src", "dst", 0.0001)
+      .head()
+    assert(none.getLong(1) == 0L && none.getLong(2) == 0L)
+  }
 }

@@ -159,6 +159,28 @@ object R14Scratch {
             .agg(sum(col("n_triangles"))).head().getLong(0) / 3
         }).min
         println(f"g3sweep $d triangles=$total wall(min2)=$t%.2f s")
+      case "g4sweep" =>
+        // DOULION at p on the FULL co-supplier graph — the scale path
+        // where g3's exact output is itself the wall (g3sweep: 1.24B
+        // triangles / 193 s at sf1)
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        val p = if (args.length > 2) args(2).toDouble else 0.1
+        val li = Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("s1"),
+            col("b.l_suppkey").as("s2"))
+        var row: org.apache.spark.sql.Row = null
+        val t = (1 to 2).map(_ => time {
+          row = graft.operators.Graph
+            .triangleCountApprox(e, "s1", "s2", p).head()
+        }).min
+        println(f"g4sweep $d p=$p sampled_edges=${row.getLong(0)} " +
+          f"sampled_tri=${row.getLong(1)} est=${row.getLong(2)} " +
+          f"wall(min2)=$t%.2f s")
       case other =>
         System.err.println(s"unknown scratch target '$other'")
         sys.exit(2)

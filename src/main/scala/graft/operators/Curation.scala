@@ -1530,6 +1530,39 @@ object Curation {
       m.key(r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap)
   }
 
+  /** Persist a [[KnGateModel]] as tables — `<table>` holds the
+    * (w1, w2, lnp) transitions and `<table>_meta` one row of
+    * (ln_unseen, discount): the d14/t9 write-once economics applied
+    * to GATE state, so a stream restart loads the artifact instead of
+    * re-running the full corpus KN model build (the sf10 train wall
+    * is 11 s; the load is a topN-row read). */
+  def writeKnGateModel(spark: org.apache.spark.sql.SparkSession,
+      model: KnGateModel, table: String): Unit = {
+    import spark.implicits._
+    model.bigrams.toSeq
+      .map { case (k, lp) =>
+        val i = k.indexOf(' ')
+        (k.substring(0, i), k.substring(i + 1), lp)
+      }
+      .toDF("w1", "w2", "lnp")
+      .write.mode("overwrite").saveAsTable(table)
+    Seq((model.lnUnseen, model.discount))
+      .toDF("ln_unseen", "discount")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Load a [[writeKnGateModel]] artifact — round-trips exactly
+    * (spec-pinned): the gate under the loaded model is the gate under
+    * the trained one. */
+  def loadKnGateModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): KnGateModel = {
+    val meta = spark.table(s"${table}_meta").head()
+    val m = KnGateModel(Map.empty, meta.getDouble(0), meta.getDouble(1))
+    m.copy(bigrams = spark.table(table).collect()
+      .map(r => m.key(r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap)
+  }
+
   def charLmScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.CharLmImpl.register(df.sparkSession)

@@ -321,6 +321,62 @@ object IngestGate {
       .select(col("v"), keysCol.as("ks"))
       .filter(col("ks").isNotNull)
       .collect() // bounded: the gate's broadcast index (see scaladoc)
+    applyEmbedGate(stream, vecCol, threshold, planes, bits,
+      maxAvgBucket, keyed.map(r =>
+        (r.getSeq[Float](0).toArray, r.getSeq[Long](1))))
+  }
+
+  /** Persist the [[embedGate]] index — `<table>` holds one
+    * (v, ks) row per lake vector (its band-key array alongside, so
+    * vectors are stored ONCE, not once per band) and `<table>_meta`
+    * the (bands, bits, dim, seed) geometry it was banded under: the
+    * d14/t9 write-once economics for gate state — a stream restart
+    * loads the banded artifact instead of re-projecting the whole
+    * lake (the sf1 banding pass is the 20 s wall in BENCH_NOTES'
+    * embedsweep; the load reads lake-count rows). */
+  def writeEmbedGateIndex(spark: org.apache.spark.sql.SparkSession,
+      lakeVecs: DataFrame, vecCol: String, table: String,
+      bands: Int = 16, bits: Int = 4, dim: Int = 64,
+      seed: String = "graft-rhp"): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.GraftColumns
+    val planes = Similarity.hyperplanes(bands, bits, dim, seed)
+    val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, bits))
+    lakeVecs.select(col(vecCol).as("v"))
+      .select(col("v"), keysCol.as("ks"))
+      .filter(col("ks").isNotNull)
+      .write.mode("overwrite").saveAsTable(table)
+    import spark.implicits._
+    Seq((bands, bits, dim, seed)).toDF("bands", "bits", "dim", "seed")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** [[embedGate]] against a [[writeEmbedGateIndex]] table —
+    * survivor-identical by contract (spec-pinned): geometry comes
+    * from the artifact's meta row, so the gate cannot be probed with
+    * planes the index was not banded under. */
+  def embedGateIndexed(stream: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      vecCol: String, threshold: Double,
+      maxAvgBucket: Int = 256): DataFrame = {
+    import graft.operators.Similarity
+    val meta = spark.table(s"${table}_meta").head()
+    val (bands, bits, dim, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2),
+        meta.getString(3))
+    val planes = Similarity.hyperplanes(bands, bits, dim, seed)
+    val keyed = spark.table(table).collect()
+    applyEmbedGate(stream, vecCol, threshold, planes, bits,
+      maxAvgBucket, keyed.map(r =>
+        (r.getSeq[Float](0).toArray, r.getSeq[Long](1))))
+  }
+
+  private def applyEmbedGate(stream: DataFrame, vecCol: String,
+      threshold: Double, planes: Array[Array[Float]], bits: Int,
+      maxAvgBucket: Int,
+      keyed: Array[(Array[Float], Seq[Long])]): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
     require(keyed.nonEmpty, "empty lake: nothing to gate against")
     // the phashGate saturation refusal, vector edition: each band has
     // only 2^bits keys, so an under-sized geometry piles the lake
@@ -337,8 +393,8 @@ object IngestGate {
     val entryVec = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < keyed.length) {
-      vecs(i) = keyed(i).getSeq[Float](0).toArray
-      val ks = keyed(i).getSeq[Long](1)
+      vecs(i) = keyed(i)._1
+      val ks = keyed(i)._2
       var b = 0
       while (b < ks.length) {
         entryKeys += (b.toLong << bits) | ks(b)

@@ -414,6 +414,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted gate artifacts round-trip: loaded KN model and embed index gate identically") {
+    import graft.operators.Curation
+    import graft.streaming.IngestGate
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val trained = Curation.knGateModel(corpus, "doc_id", "text",
+      topN = 500)
+    Curation.writeKnGateModel(spark, trained, "spec_kn_model")
+    val loaded = Curation.loadKnGateModel(spark, "spec_kn_model")
+    assert(loaded == trained) // map, unseen floor, discount — exact
+    val cut = 3500000L
+    assert(
+      IngestGate.knGate(batch, loaded, "text", cut)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      IngestGate.knGate(batch, trained, "text", cut)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // embed index: persisted geometry + vectors gate identically to
+    // the direct lake path
+    val e = Tables.embeddings(spark, sf)
+    val lake = e.filter(col("vec_id") % 5 =!= 0)
+    val vbatch = e.filter(col("vec_id") % 5 === 0)
+    IngestGate.writeEmbedGateIndex(spark, lake, "embedding",
+      "spec_embed_idx")
+    val direct = IngestGate.embedGate(vbatch, lake, "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaIdx = IngestGate.embedGateIndexed(vbatch, spark,
+        "spec_embed_idx", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaIdx == direct,
+      s"extra=${viaIdx -- direct} missing=${direct -- viaIdx}")
+  }
+
   test("kn perplexity gate: streamed survivors == static gate; short docs pass") {
     import graft.operators.Curation
     import graft.streaming.IngestGate

@@ -183,7 +183,14 @@ object Bpe {
     var model: Map[String, Double] =
       seed.map { case (p, f) => p -> math.log(f / total0) }.toMap
 
-    // 2-4. EM rounds + prune + one re-normalizing round
+    // 2-4. EM rounds + prune + one re-normalizing round.
+    // "single char" = one CODE POINT throughout (the seed's chars are
+    // code-point-1 pieces — Spark length() counts code points — and
+    // the Viterbi/segment expressions are code-point DPs; a UTF-16
+    // partition would leave astral chars unpinned and prunable,
+    // breaking the coverage guarantee for supplementary-plane text)
+    def isChar(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
     def eStep(m: Map[String, Double]): Array[(String, Long)] = {
       val segCol = org.apache.spark.sql.GraftColumns.column(
         graft.functions.UnigramSegment(
@@ -196,23 +203,23 @@ object Bpe {
     def mStep(usages: Array[(String, Long)]): Map[String, Double] = {
       val used = usages.toMap
       // single chars pinned at a usage floor so coverage never breaks
-      val pinned = model.keys.filter(_.length == 1)
+      val pinned = model.keys.filter(isChar)
         .map(p => p -> math.max(used.getOrElse(p, 0L), 1L)).toMap
-      val kept = used.filter { case (p, _) => p.length > 1 } ++ pinned
+      val kept = used.filter { case (p, _) => !isChar(p) } ++ pinned
       val tot = kept.values.sum.toDouble
       kept.map { case (p, u) => p -> math.log(u / tot) }
     }
     for (_ <- 1 to rounds) model = mStep(eStep(model))
     // prune: chars first, then heaviest multi-char pieces
     val lastUsage = eStep(model).toMap
-    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val charPieces = model.keys.filter(isChar).toSeq
     val budget = math.max(0, vocabSize - charPieces.size)
-    val keptMulti = model.keys.filter(_.length > 1).toSeq
+    val keptMulti = model.keys.filterNot(isChar).toSeq
       .map(p => (p, lastUsage.getOrElse(p, 0L)))
       .sortBy { case (p, u) => (-u, p) }
       .take(budget).map(_._1).toSet
     model = model.filter { case (p, _) =>
-      p.length == 1 || keptMulti.contains(p) }
+      isChar(p) || keptMulti.contains(p) }
     model = mStep(eStep(model))
 
     val finalUsage = eStep(model).toMap

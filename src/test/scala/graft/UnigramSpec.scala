@@ -48,6 +48,9 @@ class UnigramSpec extends AnyFunSuite {
     val seed = (chars ++ multi).toMap
     val tot0 = seed.values.sum.toDouble
     var model = seed.map { case (p, f) => p -> math.log(f / tot0) }
+    // the trainer's "single char" is one CODE POINT — replicated here
+    def isChar(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
     def eStep(m: Map[String, Double]): Map[String, Long] = {
       val u = scala.collection.mutable.Map.empty[String, Long]
       for ((w, c) <- wc; p <- handViterbi(w, m, maxLen))
@@ -55,21 +58,21 @@ class UnigramSpec extends AnyFunSuite {
       u.toMap
     }
     def mStep(u: Map[String, Long]): Map[String, Double] = {
-      val pinned = model.keys.filter(_.length == 1)
+      val pinned = model.keys.filter(isChar)
         .map(p => p -> math.max(u.getOrElse(p, 0L), 1L)).toMap
-      val kept = u.filter(_._1.length > 1) ++ pinned
+      val kept = u.filter { case (p, _) => !isChar(p) } ++ pinned
       val tot = kept.values.sum.toDouble
       kept.map { case (p, c) => p -> math.log(c / tot) }
     }
     for (_ <- 1 to rounds) model = mStep(eStep(model))
     val lastU = eStep(model)
-    val charPieces = model.keys.filter(_.length == 1).toSeq
+    val charPieces = model.keys.filter(isChar).toSeq
     val budget = math.max(0, vocabSize - charPieces.size)
-    val keptMulti = model.keys.filter(_.length > 1).toSeq
+    val keptMulti = model.keys.filterNot(isChar).toSeq
       .map(p => (p, lastU.getOrElse(p, 0L)))
       .sortBy { case (p, u) => (-u, p) }.take(budget).map(_._1).toSet
     model = model.filter { case (p, _) =>
-      p.length == 1 || keptMulti.contains(p) }
+      isChar(p) || keptMulti.contains(p) }
     model = mStep(eStep(model))
     (model, eStep(model))
   }
@@ -229,6 +232,17 @@ class UnigramSpec extends AnyFunSuite {
         pruneSampleRate = 0.8)
       .collect().map(_.getString(0)).toSet
     assert(sub == hard, s"extra=${sub -- hard} missing=${hard -- sub}")
+  }
+
+  test("hard-EM: an astral single-code-point piece is pinned through pruning") {
+    import spark.implicits._
+    val astral = new String(Character.toChars(0x1D11E))
+    val docs = Seq((1L, s"$astral$astral kato kato kato $astral kato"))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.unigramTrain(docs, "text", vocabSize = 6,
+        seedSize = 10, rounds = 1, maxPieceLen = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab.contains(astral), vocab.toString)
   }
 
   test("soft-EM prune: an astral single-code-point piece is pinned, never a loss-0 prune victim") {

@@ -196,7 +196,8 @@ object IngestGate {
     * of CurateCli's first stages, one fused narrow projection chain
     * (quality → optional Gopher/C4/KN-perplexity rules → optional
     * classifier score → optional DSIR resampling
-    * → winnow span-dedup → optional image phash), no state
+    * → winnow span-dedup → optional image phash → optional embedding
+    * near-dup), no state
     * store, no shuffle, no watermark: a document survives iff it
     * passes the row-local x11 rules ([[qualityKeep]]), shares fewer
     * than `minShared` winnowed fingerprints with the corpus Bloom
@@ -217,7 +218,10 @@ object IngestGate {
       idCol: String = "doc_id", gopher: Boolean = false,
       c4: Boolean = false,
       knModel: Option[(graft.operators.Curation.KnGateModel, Long)] =
-        None): DataFrame = {
+        None,
+      embedLake: Option[DataFrame] = None,
+      embedCol: String = "embedding", embedTau: Double = 0.35,
+      embedBands: Int = 16, embedBits: Int = 4): DataFrame = {
     val q0 = stream.filter(qualityKeep(textCol, minWords))
     // the Gopher and C4 batteries ride the SAME expression trees as
     // the batch x19/x22 frames (Curation.gopherCols/c4Cols), so
@@ -245,9 +249,17 @@ object IngestGate {
     }
     val wg = winnowGate(ds, corpusFps, textCol, minShared = minShared,
       fpp = fpp)
-    corpusHashes match {
+    val ph = corpusHashes match {
       case Some(ch) => phashGate(wg, ch, hashCol, fpp = fpp)
       case None => wg
+    }
+    // semantic near-dup over the stream's embedding sidecar column
+    // (the CurateCli --semantic stage's streaming position; size the
+    // geometry with rhpGeometry — the gate refuses saturation)
+    embedLake match {
+      case Some(lake) => embedGate(ph, lake, embedCol, embedTau,
+        bands = embedBands, bits = embedBits)
+      case None => ph
     }
   }
 

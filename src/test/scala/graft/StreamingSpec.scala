@@ -686,6 +686,26 @@ class StreamingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"gate must stay shuffle-free:\n${plan.take(1500)}")
+    // with the embedding sidecar joined on, the optional embed stage
+    // composes in and stays a narrow projection: survivors = the
+    // composed chain ∩ the e12 gate's own keep set
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val withVecs = arriving.join(
+      e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val lake = e.filter(col("vec_id") % 5 =!= 0)
+    val composed = IngestGate.curateGate(withVecs,
+        Dedup.winnowedFingerprints(corpus, "doc_id", "text"), "text",
+        embedLake = Some(lake))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val embedOnly = IngestGate.embedGate(withVecs, lake,
+        "embedding", 0.35)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = withVecs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(composed == (batchKeep & base & embedOnly),
+      s"composed=${composed.size} expected=${(batchKeep & base & embedOnly).size}")
+    assert(embedOnly.size < base.size,
+      "the embed stage must drop something here")
   }
 
   test("dsir gate: survivors == the batch resampling epoch's keep set, stateless plan") {

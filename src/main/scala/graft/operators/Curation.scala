@@ -1539,6 +1539,10 @@ object Curation {
   def writeKnGateModel(spark: org.apache.spark.sql.SparkSession,
       model: KnGateModel, table: String): Unit = {
     import spark.implicits._
+    // a previous session's location is invisible to this catalog but
+    // still fails CTAS (the writeBucketed lesson)
+    Bucketing.dropTableAndLocation(spark, table)
+    Bucketing.dropTableAndLocation(spark, s"${table}_meta")
     model.bigrams.toSeq
       .map { case (k, lp) =>
         val i = k.indexOf(' ')

@@ -355,6 +355,10 @@ object IngestGate {
     val planes = Similarity.hyperplanes(bands, bits, dim, seed)
     val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
       GraftColumns.expression(col("v")), planes, bits))
+    // stale-location cleanup (the writeBucketed lesson)
+    graft.operators.Bucketing.dropTableAndLocation(spark, table)
+    graft.operators.Bucketing.dropTableAndLocation(spark,
+      s"${table}_meta")
     lakeVecs.select(col(vecCol).as("v"))
       .select(col("v"), keysCol.as("ks"))
       .filter(col("ks").isNotNull)

@@ -1122,6 +1122,20 @@ object ScaleQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // E13 — stateless language gate: the t3 heuristic as an
+    // allowlist cut with a stopword-hit confidence floor (one-hit
+    // identifications are noise; 'und' never passes). Same expression
+    // tree as t3, so gate ≡ batch by construction.
+    "e13_lang_gate" -> ((s, d) => {
+      graft.streaming.IngestGate.langGate(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        Set("en"), "text", minHits = 2)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.langId(col("text"))
+            .as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -2090,6 +2104,42 @@ object ScaleQueries {
         |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
         |    ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // e13: t3's scoring CTE with the %5 split, the allowlist, and
+    // the confidence floor
+    "e13_lang_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\bthe\b')) +
+        |      len(regexp_extract_all(lower(text), '\band\b')) +
+        |      len(regexp_extract_all(lower(text), '\bof\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\bder\b')) +
+        |      len(regexp_extract_all(lower(text), '\bdie\b')) +
+        |      len(regexp_extract_all(lower(text), '\bund\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\bel\b')) +
+        |      len(regexp_extract_all(lower(text), '\blos\b')) +
+        |      len(regexp_extract_all(lower(text), '\bque\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\ble\b')) +
+        |      len(regexp_extract_all(lower(text), '\bla\b')) +
+        |      len(regexp_extract_all(lower(text), '\bet\b')) AS s_fr
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (
+        |  SELECT doc_id,
+        |    greatest(s_en, s_de, s_es, s_fr) AS conf,
+        |    CASE
+        |      WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+        |        AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |      WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+        |        AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |      WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+        |        AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |      WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+        |        AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM s)
+        |SELECT doc_id, lang_pred FROM p
+        |WHERE lang_pred IN ('en') AND conf >= 2
+        |ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

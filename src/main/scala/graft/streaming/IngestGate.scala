@@ -194,7 +194,8 @@ object IngestGate {
 
   /** End-to-end streaming curation gate — the stateless composition
     * of CurateCli's first stages, one fused narrow projection chain
-    * (quality → optional Gopher/C4/KN-perplexity rules → optional
+    * (optional language allowlist → quality → optional
+    * Gopher/C4/KN-perplexity rules → optional
     * classifier score → optional DSIR resampling
     * → winnow span-dedup → optional image phash → optional embedding
     * near-dup), no state
@@ -221,8 +222,16 @@ object IngestGate {
         None,
       embedLake: Option[DataFrame] = None,
       embedCol: String = "embedding", embedTau: Double = 0.35,
-      embedBands: Int = 16, embedBits: Int = 4): DataFrame = {
-    val q0 = stream.filter(qualityKeep(textCol, minWords))
+      embedBands: Int = 16, embedBits: Int = 4,
+      langAllow: Option[Set[String]] = None,
+      langMinHits: Int = 1): DataFrame = {
+    // language first: the cheapest cut, and every downstream signal
+    // (perplexity, classifier, stopword quality) is language-bound
+    val q00 = langAllow match {
+      case Some(langs) => langGate(stream, langs, textCol, langMinHits)
+      case None => stream
+    }
+    val q0 = q00.filter(qualityKeep(textCol, minWords))
     // the Gopher and C4 batteries ride the SAME expression trees as
     // the batch x19/x22 frames (Curation.gopherCols/c4Cols), so
     // gate ≡ batch by construction. The C4 gate is verdict-only —
@@ -479,6 +488,31 @@ object IngestGate {
       model: graft.operators.Curation.KnGateModel, textCol: String,
       maxXentE6: Long): DataFrame =
     stream.filter(knScoreCols(model, textCol)._2 <= maxXentE6)
+
+  /** Stateless LANGUAGE gate — keep a document iff the t3 n-gram
+    * language heuristic ([[graft.functions.TextAnalysis.langId]] —
+    * the SAME expression tree as the batch signal, so gate ≡ batch by
+    * construction) lands in `allowed` AND its winning stopword-hit
+    * count clears `minHits` (the confidence floor: a one-hit
+    * "identification" on a thousand-word page is noise; "und" scores
+    * 0 and never passes). Entirely row-local — one alternation scan
+    * per language, no join, no state, no shuffle. */
+  def langGate(stream: DataFrame, allowed: Set[String],
+      textCol: String, minHits: Int = 1): DataFrame = {
+    import graft.functions.TextAnalysis
+    require(allowed.nonEmpty, "langGate: empty allowed set")
+    require(allowed.subsetOf(
+      TextAnalysis.LangStopwords.map(_._1).toSet),
+      s"langGate: unknown language(s) " +
+        (allowed -- TextAnalysis.LangStopwords.map(_._1).toSet))
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val t = coalesce(col(textCol), lit(""))
+    val conf = greatest(TextAnalysis.LangStopwords.map { case (l, _) =>
+      TextAnalysis.langScore(t, l) }: _*)
+    stream.filter(
+      TextAnalysis.langId(t).isInCollection(allowed) &&
+        conf >= minHits)
+  }
 
   /** Stateless classifier gate: keep a document iff its distilled
     * quality score σ(w·x) — [[graft.operators.LogReg]] weights as

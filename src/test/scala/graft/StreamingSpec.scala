@@ -414,6 +414,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("language gate: survivors == the batch t3 allowlist + confidence cut") {
+    import graft.functions.TextAnalysis
+    import graft.streaming.IngestGate
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs
+      .select(col("doc_id"), TextAnalysis.langId(col("text"))
+        .as("pred"),
+        greatest(TextAnalysis.LangStopwords.map { case (l, _) =>
+          TextAnalysis.langScore(col("text"), l) }: _*).as("conf"))
+      .filter(col("pred").isin("en", "de") && col("conf") >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gated = IngestGate.langGate(docs, Set("en", "de"), "text",
+        minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == batch)
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "the corpus must exercise both keeps and drops")
+    // null text scores 0 everywhere -> 'und' -> dropped, never a crash
+    val edge = Seq((1L, null.asInstanceOf[String]),
+      (2L, "the cat and the dog of the house"))
+      .toDF("doc_id", "text")
+    assert(IngestGate.langGate(edge, Set("en"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // unknown languages are refused, not silently never-matched
+    val ex = intercept[IllegalArgumentException] {
+      IngestGate.langGate(docs, Set("xx"), "text")
+    }
+    assert(ex.getMessage.contains("unknown language"), ex.getMessage)
+  }
+
   test("persisted gate artifacts round-trip: loaded KN model and embed index gate identically") {
     import graft.operators.Curation
     import graft.streaming.IngestGate

@@ -225,49 +225,65 @@ object IngestGate {
       embedBands: Int = 16, embedBits: Int = 4,
       langAllow: Option[Set[String]] = None,
       langMinHits: Int = 1): DataFrame = {
+    // per-stage OBSERVABILITY (the d19 overflow-audit convention
+    // applied to the ingest chain): each applied stage's surviving
+    // row count rides the plan as an observe() metric — a streaming
+    // run reads them from StreamingQueryProgress.observedMetrics, so
+    // per-stage drop rates are visible per micro-batch instead of
+    // opaque until the periodic batch reconciliation. Counting is a
+    // partial-aggregated metric on rows already flowing; no extra
+    // pass, no shuffle.
+    def tap(df: DataFrame, stage: String): DataFrame =
+      df.observe(s"gate_$stage", count(lit(1)).as("rows"))
+    val in = tap(stream, "in")
     // language first: the cheapest cut, and every downstream signal
     // (perplexity, classifier, stopword quality) is language-bound
     val q00 = langAllow match {
-      case Some(langs) => langGate(stream, langs, textCol, langMinHits)
-      case None => stream
+      case Some(langs) =>
+        tap(langGate(in, langs, textCol, langMinHits), "lang")
+      case None => in
     }
-    val q0 = q00.filter(qualityKeep(textCol, minWords))
+    val q0 = tap(q00.filter(qualityKeep(textCol, minWords)), "quality")
     // the Gopher and C4 batteries ride the SAME expression trees as
     // the batch x19/x22 frames (Curation.gopherCols/c4Cols), so
     // gate ≡ batch by construction. The C4 gate is verdict-only —
     // the rewrite half stays a batch concern.
     val q1 = if (gopher)
-      q0.filter(graft.operators.Curation.gopherKeep(textCol)) else q0
+      tap(q0.filter(graft.operators.Curation.gopherKeep(textCol)),
+        "gopher")
+      else q0
     val q2 = if (c4)
-      q1.filter(graft.operators.Curation.c4Keep(textCol)) else q1
+      tap(q1.filter(graft.operators.Curation.c4Keep(textCol)), "c4")
+      else q1
     // the CCNet perplexity cut sits with the other quality signals,
     // before classifier scoring — (model, maxXentE6)
     val q = knModel match {
-      case Some((m, cut)) => knGate(q2, m, textCol, cut)
+      case Some((m, cut)) => tap(knGate(q2, m, textCol, cut), "kn")
       case None => q2
     }
     val s = scoreWeights match {
-      case Some(w) => scoreGate(q, w, textCol, minScoreE6)
+      case Some(w) => tap(scoreGate(q, w, textCol, minScoreE6), "score")
       case None => q
     }
     // distribution shaping between the row-local rules and dedup —
     // the CurateCli --dsir-target stage's streaming position
     val ds = dsirModel match {
-      case Some(m) => dsirGate(s, m, idCol, textCol)
+      case Some(m) => tap(dsirGate(s, m, idCol, textCol), "dsir")
       case None => s
     }
-    val wg = winnowGate(ds, corpusFps, textCol, minShared = minShared,
-      fpp = fpp)
+    val wg = tap(winnowGate(ds, corpusFps, textCol,
+      minShared = minShared, fpp = fpp), "winnow")
     val ph = corpusHashes match {
-      case Some(ch) => phashGate(wg, ch, hashCol, fpp = fpp)
+      case Some(ch) => tap(phashGate(wg, ch, hashCol, fpp = fpp),
+        "phash")
       case None => wg
     }
     // semantic near-dup over the stream's embedding sidecar column
     // (the CurateCli --semantic stage's streaming position; size the
     // geometry with rhpGeometry — the gate refuses saturation)
     embedLake match {
-      case Some(lake) => embedGate(ph, lake, embedCol, embedTau,
-        bands = embedBands, bits = embedBits)
+      case Some(lake) => tap(embedGate(ph, lake, embedCol, embedTau,
+        bands = embedBands, bits = embedBits), "embed")
       case None => ph
     }
   }

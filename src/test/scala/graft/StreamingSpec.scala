@@ -705,10 +705,23 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("curategate")
       .trigger(Trigger.AvailableNow()).start()
     sq.processAllAvailable()
+    val metrics = sq.recentProgress.toSeq
+      .flatMap(p => scala.jdk.CollectionConverters
+        .MapHasAsScala(p.observedMetrics).asScala)
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2.getLong(0)).sum }
     sq.stop()
     val streamed = spark.table("curategate")
       .collect().map(_.getLong(0)).toSet
     assert(streamed == batchKeep)
+    // per-stage drop accounting rides the stream's progress events:
+    // rows in == the arriving split, each stage monotonically
+    // non-increasing, the last tap == the survivor count
+    assert(metrics("gate_in") == arriving.count(), metrics.toString)
+    assert(metrics("gate_quality") <= metrics("gate_in"))
+    assert(metrics("gate_winnow") <= metrics("gate_quality"))
+    assert(metrics("gate_winnow") == streamed.size.toLong,
+      metrics.toString)
     assert(batchKeep.nonEmpty && batchKeep.size < arriving.count(),
       "the corpus must exercise both keeps and drops")
     // the gate is one narrow chain: no exchange, no state store

@@ -393,6 +393,29 @@ object IngestGate {
       .write.mode("overwrite").saveAsTable(s"${table}_meta")
   }
 
+  /** APPEND newly-ingested vectors to a [[writeEmbedGateIndex]]
+    * artifact — the l3 lake economics applied to gate state: the new
+    * vectors are banded under the TABLE'S OWN meta geometry (never a
+    * caller-supplied one — an index probed or extended with foreign
+    * planes is silently wrong) and appended, so refreshing the gate
+    * after an ingest batch costs one batch-sized banding pass instead
+    * of re-projecting the whole lake. Result-identical to rebuilding
+    * from the union (spec-pinned). */
+  def appendEmbedGateIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, vecCol: String, table: String): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.GraftColumns
+    val meta = spark.table(s"${table}_meta").head()
+    val planes = Similarity.hyperplanes(meta.getInt(0), meta.getInt(1),
+      meta.getInt(2), meta.getString(3))
+    val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, meta.getInt(1)))
+    newVecs.select(col(vecCol).as("v"))
+      .select(col("v"), keysCol.as("ks"))
+      .filter(col("ks").isNotNull)
+      .write.mode("append").saveAsTable(table)
+  }
+
   /** [[embedGate]] against a [[writeEmbedGateIndex]] table —
     * survivor-identical by contract (spec-pinned): geometry comes
     * from the artifact's meta row, so the gate cannot be probed with

@@ -476,6 +476,20 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(viaIdx == direct,
       s"extra=${viaIdx -- direct} missing=${direct -- viaIdx}")
+    // incremental refresh: index(half) + append(other half) gates
+    // identically to index(whole) — banded under the table's OWN meta
+    // geometry, so the artifact can never mix planes
+    val half1 = lake.filter(col("vec_id") % 2 === 0)
+    val half2 = lake.filter(col("vec_id") % 2 =!= 0)
+    IngestGate.writeEmbedGateIndex(spark, half1, "embedding",
+      "spec_embed_idx2")
+    IngestGate.appendEmbedGateIndex(spark, half2, "embedding",
+      "spec_embed_idx2")
+    val viaAppend = IngestGate.embedGateIndexed(vbatch, spark,
+        "spec_embed_idx2", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaAppend == direct,
+      s"extra=${viaAppend -- direct} missing=${direct -- viaAppend}")
   }
 
   test("kn perplexity gate: streamed survivors == static gate; short docs pass") {

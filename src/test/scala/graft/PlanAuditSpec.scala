@@ -707,6 +707,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "the gate is a stateless narrow filter\n" + p.take(1500))
   }
 
+  test("triangle count (g3/g4): keyed joins only, keeper/orientation via aggregates") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val e = graft.util.Tables.orders(spark, sf)
+      .select(xxhash64(col("o_orderkey")).as("src"),
+        xxhash64(col("o_custkey")).as("dst"))
+    val p = plan(graft.operators.Graph.triangleCount(e, "src", "dst"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "orientation and counting are aggregates, never windows\n" +
+        p.take(2000))
+    val pa = plan(graft.operators.Graph.triangleCountApprox(
+      e, "src", "dst", 0.5))
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"), pa.take(2000))
+  }
+
+  test("language gate (e13): one narrow filter, zero shuffles") {
+    val p = plan(graft.streaming.IngestGate.langGate(
+      graft.util.Tables.documents(spark, sf), Set("en"), "text"))
+    assert(!p.contains("Exchange"),
+      "the gate is a stateless narrow filter\n" + p.take(1500))
+  }
+
   test("gap fill (w10): events compact to buckets before the grid, window after compaction") {
     val p = plan(graft.operators.EventOps.resampleFill(
       graft.util.Tables.events(spark, sf)))

@@ -81,6 +81,16 @@ case class EmbedNearDup(child: Expression, planes: Array[Array[Float]],
     extends UnaryExpression {
 
   require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+  // the band-QUALIFIED key is (band << bits) | key: the highest band
+  // index (bands−1) must fit above the key's `bits` without touching
+  // the sign bit, or keys ALIAS across bands — an aliased collision
+  // plus a genuine ≥-threshold cosine would drop a stream vector the
+  // batch path keeps, breaking the gate ≡ batch contract (the
+  // PhashNearDup bands-divides-64 constraint, generalized)
+  require(bits + 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(planes.length - 1, 1).toLong) <= 63,
+    s"band-qualified keys overflow a long: ${planes.length} bands x " +
+      s"$bits bits alias across bands")
   require(entryKeys.length == entryVec.length,
     "entryKeys and entryVec must be parallel")
 

@@ -318,7 +318,7 @@ object Bpe {
     val sampled =
       if (pruneSampleRate >= 1.0) words
       else words.filter(Curation.sampleDraw(sampleSeed, col("w")) <
-        lit((pruneSampleRate * 10000).toInt))
+        lit(math.round(pruneSampleRate * 10000).toInt))
     val losses = sampled.select(col("c"), explode(lossCol).as("x"))
       .groupBy(col("x.piece").as("piece"))
       .agg(sum(col("c").cast("double") * col("x.v")).as("loss"))

@@ -298,21 +298,38 @@ object Graph {
       dstCol: String, p: Double,
       seed: String = "doulion"): DataFrame = {
     require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
-    val e = edges
+    // the edge coin is an integer gate on [0, 10000) — quantize p
+    // ONCE and derive BOTH the draw threshold and the 1/p³ scale-up
+    // from the same quantized probability: scaling by the unquantized
+    // p would bias the estimator for any p off the 1e-4 grid, and a
+    // p below the grid's resolution would silently keep zero edges
+    // and report est_triangles = 0
+    val q = math.round(p * 10000).toInt
+    require(q >= 1,
+      s"p = $p quantizes to a zero draw gate; smallest supported p is 1e-4")
+    val pq = q / 10000.0
+    // materialized ONCE: the sampled frame feeds triangleCount (whose
+    // own eager materialization would re-derive it — including
+    // whatever join produced `edges` upstream) AND the sampled_edges
+    // count — two executions of the full canonicalize+hash-gate scan
+    // where one suffices (the pageRank-prepare lesson). Released once
+    // both consumers have run: triangleCount checkpoints its own
+    // derived frames eagerly, so nothing downstream re-reads this one.
+    val e = Iter.materialize(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .filter(Curation.sampleDraw(seed,
-        concat_ws("-", col("a"), col("b"))) <
-        lit(math.round(p * 10000).toInt))
+        concat_ws("-", col("a"), col("b"))) < lit(q)))
     val tri = triangleCount(e, "a", "b")
     val edgeCount = e.count()
+    Iter.release(e)
     tri.agg(coalesce((sum(col("n_triangles")) / 3).cast("bigint"),
         lit(0L)).as("sampled_triangles"))
       .select(lit(edgeCount).as("sampled_edges"),
         col("sampled_triangles"),
         floor(col("sampled_triangles").cast("double") /
-          lit(p * p * p)).cast("bigint").as("est_triangles"))
+          lit(pq * pq * pq)).cast("bigint").as("est_triangles"))
   }
 }

@@ -222,7 +222,8 @@ object IngestGate {
         None,
       embedLake: Option[DataFrame] = None,
       embedCol: String = "embedding", embedTau: Double = 0.35,
-      embedBands: Int = 16, embedBits: Int = 4,
+      embedBands: Int = 16, embedBits: Int = 4, embedDim: Int = 64,
+      embedSeed: String = "graft-rhp",
       langAllow: Option[Set[String]] = None,
       langMinHits: Int = 1): DataFrame = {
     // per-stage OBSERVABILITY (the d19 overflow-audit convention
@@ -281,9 +282,13 @@ object IngestGate {
     // semantic near-dup over the stream's embedding sidecar column
     // (the CurateCli --semantic stage's streaming position; size the
     // geometry with rhpGeometry — the gate refuses saturation)
+    // dim/seed thread through with the band geometry: a lake whose
+    // vectors are not embedDim-dimensional would band every vector to
+    // null and the gate would abort with a misleading "empty lake"
     embedLake match {
       case Some(lake) => tap(embedGate(ph, lake, embedCol, embedTau,
-        bands = embedBands, bits = embedBits), "embed")
+        bands = embedBands, bits = embedBits, dim = embedDim,
+        seed = embedSeed), "embed")
       case None => ph
     }
   }
@@ -358,6 +363,14 @@ object IngestGate {
       .select(col("v"), keysCol.as("ks"))
       .filter(col("ks").isNotNull)
       .collect() // bounded: the gate's broadcast index (see scaladoc)
+    // a non-`dim` lake bands EVERY vector to null — distinguish that
+    // from a genuinely empty lake, or the "empty lake" require below
+    // misleads the caller into checking the wrong thing
+    if (keyed.isEmpty && !lakeVecs.isEmpty)
+      throw new IllegalArgumentException(
+        s"embedGate: every lake vector banded to null — the lake is " +
+          s"not $dim-dimensional (pass embedDim/dim matching the " +
+          "lake's vectors)")
     applyEmbedGate(stream, vecCol, threshold, planes, bits,
       maxAvgBucket, keyed.map(r =>
         (r.getSeq[Float](0).toArray, r.getSeq[Long](1))))

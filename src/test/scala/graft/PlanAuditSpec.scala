@@ -724,6 +724,33 @@ class PlanAuditSpec extends AnyFunSuite {
       !pa.contains("BroadcastNestedLoopJoin"), pa.take(2000))
   }
 
+  test("triangle estimate (g4): the upstream edge derivation executes exactly once") {
+    // triangleCountApprox's sampled frame feeds BOTH the internal
+    // exact count and the sampled_edges count — without the single
+    // materialization, whatever join produced the edges upstream
+    // (g4's lineitem self-join) re-executes per consumer. The probe:
+    // an accumulator-bumping identity mapPartitions on the edge
+    // frame counts upstream executions in TASKS; the full approx run
+    // must cost exactly one scan's worth.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val acc = spark.sparkContext.longAccumulator("g4-edge-scans")
+    import spark.implicits._
+    val base = graft.util.Tables.orders(spark, sf)
+      .select(xxhash64(col("o_orderkey")).as("src"),
+        xxhash64(col("o_custkey")).as("dst"))
+      .as[(Long, Long)]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("src", "dst")
+    base.count()
+    val perScan = acc.value
+    acc.reset()
+    graft.operators.Graph.triangleCountApprox(base, "src", "dst", 0.5)
+      .collect()
+    assert(acc.value == perScan,
+      s"edge derivation ran ${acc.value}/$perScan task-scans — " +
+        "the sampled frame is being re-derived per consumer")
+  }
+
   test("language gate (e13): one narrow filter, zero shuffles") {
     val p = plan(graft.streaming.IngestGate.langGate(
       graft.util.Tables.documents(spark, sf), Set("en"), "text"))

@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * one — "aaaa" under (a,a) → [aa][aa], "aaa" → [aa][a]. BpeSpec pins
   * native ≡ HOF on golden words and on corpus text.
   */
-class BpeEncoder(merges: Array[(String, String)]) extends Serializable {
+class BpeEncoder(merges: Array[(String, String)],
+    byteLevel: Boolean = false) extends Serializable {
 
   // per-task after deserialization (tasks are single-threaded), so an
   // unsynchronized map is safe; bounded so adversarial vocabularies
@@ -70,15 +71,34 @@ class BpeEncoder(merges: Array[(String, String)]) extends Serializable {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
 
+  private val HexDigits = "0123456789ABCDEF"
+
   private def encodeWord(w: String): Array[UTF8String] = {
-    // code-point symbols — the unit Spark's length/substr use
     var syms = new java.util.ArrayList[String]()
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      val n = Character.charCount(cp)
-      syms.add(w.substring(i, i + n))
-      i += n
+    if (byteLevel) {
+      // UTF-8 byte symbols as two-char uppercase hex — the GPT-2
+      // byte-fallback alphabet rendered replayably: 256 possible base
+      // symbols, so NO word can contain an out-of-vocabulary unit
+      // (where code-point BPE meets unseen characters, byte BPE meets
+      // at worst unseen SEQUENCES). Hex (Spark's hex(binary) casing)
+      // keeps the DuckDB oracle's replay byte-for-byte identical.
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        syms.add(new String(Array(HexDigits.charAt(b >> 4),
+          HexDigits.charAt(b & 0xf))))
+        i += 1
+      }
+    } else {
+      // code-point symbols — the unit Spark's length/substr use
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        syms.add(w.substring(i, i + n))
+        i += n
+      }
     }
     // superset of symbols ever present — false positives only cost a
     // scan, so merged-away symbols are never removed
@@ -116,11 +136,14 @@ class BpeEncoder(merges: Array[(String, String)]) extends Serializable {
   }
 }
 
-/** `bpe_encode_tokens(text): array<string>` — see [[BpeEncoder]]. */
+/** `bpe_encode_tokens(text): array<string>` — see [[BpeEncoder]].
+  * `byteLevel` switches the base alphabet from code points to UTF-8
+  * bytes (hex-pair symbols, the b7 vocabulary). */
 case class BpeEncodeTokens(child: Expression,
-    merges: Seq[(String, String)]) extends UnaryExpression {
+    merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends UnaryExpression {
 
-  private val encoder = new BpeEncoder(merges.toArray)
+  private val encoder = new BpeEncoder(merges.toArray, byteLevel)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

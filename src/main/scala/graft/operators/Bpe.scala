@@ -41,15 +41,46 @@ object Bpe {
   def bpeMerges(df: DataFrame, textCol: String,
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = df.sparkSession
+    mergeRounds(
+      wordFreq(df, textCol).select(col("c"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms")),
+      numMerges)
+  }
+
+  /** BYTE-level BPE merges — [[bpeMerges]] over the GPT-2
+    * byte-fallback alphabet: words split to their UTF-8 BYTES
+    * (rendered as two-char uppercase hex symbols so the merge table
+    * and the DuckDB oracle replay are plain strings), then the
+    * identical merge loop. The base vocabulary is ≤ 256 symbols by
+    * construction, so NO text can contain an out-of-vocabulary unit —
+    * the coverage guarantee char BPE only gets by carrying every
+    * observed code point. Same determinism contract, same V-row
+    * economics (the hex projection runs on the word table, never the
+    * corpus). */
+  def bpeMergesBytes(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val h = hex(encode(col("w"), "UTF-8"))
+    mergeRounds(
+      wordFreq(df, textCol).select(col("c"),
+        transform(sequence(lit(1), length(h), lit(2)),
+          i => h.substr(i, lit(2))).as("syms")),
+      numMerges)
+  }
+
+  private def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** The shared merge loop over a (c, syms) word table — see
+    * [[bpeMerges]] for the semantics and determinism contract. */
+  private def mergeRounds(words0: DataFrame,
+      numMerges: Int): DataFrame = {
+    val spark = words0.sparkSession
     import spark.implicits._
-    var words = Iter.materialize(
-      df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .select(col("c"),
-          transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))).as("syms")))
+    var words = Iter.materialize(words0)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var k = 1
     var exhausted = false
@@ -383,6 +414,20 @@ object Bpe {
       graft.functions.BpeEncodeTokens(
         org.apache.spark.sql.GraftColumns.expression(col(textCol)),
         merges)))
+
+  /** [[bpeEncode]] under a [[bpeMergesBytes]] vocabulary: words split
+    * to UTF-8-byte hex symbols, the trained merges applied in rank
+    * order — the same native one-call-per-document shape, so the
+    * byte alphabet costs no extra plan weight. Every emitted token is
+    * a concatenation of hex pairs: decoding is unhex of the
+    * concatenated token stream per word, and coverage is total by
+    * construction (no unknown symbols exist). */
+  def bpeEncodeBytes(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BpeEncodeTokens(
+        org.apache.spark.sql.GraftColumns.expression(col(textCol)),
+        merges, byteLevel = true)))
 
   /** The declarative formulation of [[bpeEncode]] — one
     * `transform`+`aggregate` HOF pass per merge. Reference semantics

@@ -1252,6 +1252,35 @@ object ScaleQueries {
         .orderBy(col("rank"))
     }),
 
+    // B7 — BYTE-level BPE merges (the GPT-2 byte-fallback alphabet):
+    // words split to UTF-8 bytes as hex-pair symbols, then the b1
+    // merge rounds verbatim — ≤ 256 base symbols, so no text can
+    // contain an out-of-vocabulary unit. The oracle replays the same
+    // four rounds over hex(encode(w)) split pairwise.
+    "b7_byte_bpe" -> ((s, d) => {
+      graft.operators.Bpe.bpeMergesBytes(Tables.documents(s, d),
+        "text", 4)
+        .orderBy(col("rank"))
+    }),
+
+    // B8 — byte-level corpus encode under the b7 vocabulary: the b2
+    // convention (train in-row, tokenize every document with the
+    // native one-call fold, md5 the space-joined token stream) on the
+    // byte alphabet — one misplaced merge boundary anywhere flips the
+    // doc's hash.
+    "b8_byte_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.bpeMergesBytes(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.bpeEncodeBytes(docs.select("doc_id", "text"),
+          "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // B5 — the unigram-LM trainer's seed vocabulary (Kudo 2018):
     // every <= 8-char substring of every corpus word, frequency-
     // weighted, cut to all single chars + the 200 heaviest multi-char
@@ -2391,6 +2420,8 @@ object ScaleQueries {
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,
     "b1_bpe_merges" -> bpeSql,
+    "b7_byte_bpe" -> byteBpeSql,
+    "b8_byte_encode" -> byteBpeEncodeSql,
 
     // b5: substring explode bounded at 8 chars, freq-weighted, single
     // chars unioned with the top-200 multi-char cut on the same
@@ -2831,7 +2862,11 @@ object ScaleQueries {
     * (n DESC, l, r) argmax, leftmost-greedy replay via run-parity
     * windows). b1 reads the four m_k argmax rows; b2 reads the final
     * s4 word→symbols table. */
-  private lazy val bpeRoundsCtes: String = {
+  /** The four BPE training rounds as chained CTEs over a caller-chosen
+    * s0 symbol table — shared by the char rows (b1–b4, code-point
+    * symbols) and the byte rows (b7/b8, UTF-8 hex-pair symbols): the
+    * merge mechanics are alphabet-agnostic, only s0 differs. */
+  private def bpeRoundsCtesWith(s0: String): String = {
     val rounds = (1 to 4).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
@@ -2868,20 +2903,36 @@ object ScaleQueries {
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents)
        |  WHERE w <> '' GROUP BY 1),
-       |s0 AS (SELECT w, c,
-       |  list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
-       |  FROM words),
+       |$s0,
        |$rounds""".stripMargin
   }
 
-  private lazy val bpeSql: String =
-    s"""WITH $bpeRoundsCtes
+  private lazy val bpeRoundsCtes: String = bpeRoundsCtesWith(
+    """s0 AS (SELECT w, c,
+      |  list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      |  FROM words)""".stripMargin)
+
+  /** b7/b8's s0: each word's UTF-8 bytes as two-char uppercase hex
+    * symbols — hex(encode(w)) split pairwise, matching Spark's
+    * hex(encode(w, 'UTF-8')) casing exactly. */
+  private lazy val byteRoundsCtes: String = bpeRoundsCtesWith(
+    """s0 AS (SELECT w, c,
+      |  list_transform(generate_series(1, length(h), 2),
+      |    i -> substring(h, i, 2)) AS syms
+      |  FROM (SELECT w, c, hex(encode(w)) AS h FROM words))""".stripMargin)
+
+  private def bpeMergesSelect(ctes: String): String =
+    s"""WITH $ctes
        |SELECT * FROM (
        |  SELECT 1 AS rank, l AS "left", r AS "right", n FROM m1
        |  UNION ALL SELECT 2, l, r, n FROM m2
        |  UNION ALL SELECT 3, l, r, n FROM m3
        |  UNION ALL SELECT 4, l, r, n FROM m4)
        |ORDER BY rank""".stripMargin
+
+  private lazy val bpeSql: String = bpeMergesSelect(bpeRoundsCtes)
+
+  private lazy val byteBpeSql: String = bpeMergesSelect(byteRoundsCtes)
 
   /** lr1: features and heuristic labels, then three unrolled GD
     * rounds — each a gradient CTE (the same per-row σ(w·x)−y terms
@@ -2978,8 +3029,15 @@ object ScaleQueries {
     * The final LEFT JOIN from `documents` keeps zero-token documents
     * (empty/whitespace-only text) in the result exactly as the Spark
     * side emits them: n_tokens 0, md5 of the empty string. */
-  private lazy val bpeEncodeSql: String =
-    s"""WITH $bpeRoundsCtes,
+  private lazy val bpeEncodeSql: String = bpeEncodeSelect(bpeRoundsCtes)
+
+  /** b8: the b2 encode replay on the BYTE vocabulary — identical
+    * shape; the s4 symbol table just holds hex-pair concatenations. */
+  private lazy val byteBpeEncodeSql: String =
+    bpeEncodeSelect(byteRoundsCtes)
+
+  private def bpeEncodeSelect(ctes: String): String =
+    s"""WITH $ctes,
        |docw AS (
        |  SELECT doc_id, i, w FROM (
        |    SELECT doc_id,

@@ -160,4 +160,47 @@ class BpeSpec extends AnyFunSuite {
     assert(render(Bpe.bpeEncode(corpus, "text", trained)) ==
       render(Bpe.bpeEncodeHof(corpus, "text", trained)))
   }
+
+  test("bpeMergesBytes: hand-computed rounds over astral UTF-8 bytes") {
+    import spark.implicits._
+    // 😀 = F0 9F 98 80 (4 bytes, supplementary plane); words "😀a"×2,
+    // "😀b"×1 share the emoji's 3 internal byte pairs at n=3 — every
+    // round is a 3-way tie broken lexicographically on (l, r), so the
+    // emoji reassembles inside-out: (98,80), then (9F,9880), then
+    // (F0,9F9880), and round 4's top pair is the full emoji + 'a'
+    val df = Seq((1L, "😀a 😀a 😀b"))
+      .toDF("doc_id", "text")
+    val m = Bpe.bpeMergesBytes(df, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (1, "98", "80", 3L), (2, "9F", "9880", 3L),
+      (3, "F0", "9F9880", 3L), (4, "F09F9880", "61", 2L)))
+  }
+
+  test("bpeEncodeBytes: hex round-trip, total coverage by construction") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = Seq("😀a 😀a 😀b")
+      .toDF("text")
+    val merges = Bpe.bpeMergesBytes(corpus, "text", 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // unseen word "éx" (C3 A9 78): no trained merge applies, yet every
+    // base symbol exists — byte BPE cannot meet an unknown unit, only
+    // unknown sequences (char BPE would emit é as an OOV symbol here)
+    val got = Bpe.bpeEncodeBytes(
+        Seq("😀a éx").toDF("text"), "text", merges)
+      .select(col("tokens")).collect()(0).getSeq[String](0)
+    assert(got == Seq("F09F988061", "C3", "A9", "78"))
+    // lossless: concatenated tokens unhex back to the original bytes
+    val hexStream = got.mkString
+    val bytes = hexStream.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8) == "😀aéx")
+    // every token is whole hex pairs drawn from the 256-value alphabet
+    assert(got.forall(t => t.length % 2 == 0 &&
+      t.forall(c => c.isDigit || ('A' to 'F').contains(c))))
+  }
 }

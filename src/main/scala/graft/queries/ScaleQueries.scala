@@ -1136,6 +1136,25 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // E14 — TRIEST-style streaming triangle estimate: a bounded
+    // bottom-m seeded-priority edge reservoir (order-independent, so
+    // the batch fold here IS the state any micro-batch split reaches
+    // — spec-pinned), exact count on the reservoir, unbiased
+    // t(t-1)(t-2)/(m(m-1)(m-2)) scale-up. Same co-supplier graph as
+    // g3/g4; m = 1000 of ~4.4k edges at the oracle SF, so the
+    // sampling path (not the t <= m exact path) is what's checked.
+    "e14_triangle_stream" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      graft.streaming.TriangleStream.triangleEstimateReservoir(
+        e, "s1", "s2", m = 1000, seed = "e14")
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -2416,6 +2435,61 @@ object ScaleQueries {
         |      - texact.t)::DOUBLE <= texact.t::DOUBLE * 0.25
         |    AS within_25pct
         |FROM texact CROSS JOIN ts CROSS JOIN se""".stripMargin,
+
+    // e14: the deterministic bottom-m priority reservoir replayed
+    // verbatim — the reservoir is ORDER BY (priority, x, y) LIMIT m
+    // over the same 60-bit md5 priorities the Spark side draws, then
+    // g3's exact triangle pipeline over the reservoir and the
+    // left-associative double scale-up mirrored term for term
+    "e14_triangle_stream" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |co AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey),
+        |t AS (SELECT count(*) AS n FROM co),
+        |res AS (
+        |  SELECT x, y FROM (
+        |    SELECT x, y,
+        |      CAST('0x' || substr(md5('e14:' || x || '-' || y), 1, 15)
+        |        AS BIGINT) AS pr
+        |    FROM co)
+        |  ORDER BY pr, x, y LIMIT 1000),
+        |sdeg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT x AS node FROM res
+        |        UNION ALL SELECT y AS node FROM res) GROUP BY 1),
+        |so AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND res.x < res.y)
+        |      THEN res.x ELSE res.y END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND res.x < res.y)
+        |      THEN res.y ELSE res.x END AS v,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND res.x < res.y)
+        |      THEN db.d ELSE da.d END AS dv
+        |  FROM res
+        |  JOIN sdeg da ON da.node = res.x
+        |  JOIN sdeg db ON db.node = res.y),
+        |ts AS (
+        |  SELECT count(*) AS t FROM (
+        |    SELECT e1.u FROM so e1
+        |    JOIN so e2 ON e1.u = e2.u
+        |     AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        |    WHERE EXISTS (SELECT 1 FROM so
+        |                  WHERE so.u = e1.v AND so.v = e2.v)))
+        |SELECT
+        |  CAST(t.n AS BIGINT) AS seen_edges,
+        |  CAST(least(t.n, 1000) AS BIGINT) AS reservoir_edges,
+        |  CAST(ts.t AS BIGINT) AS sampled_triangles,
+        |  CASE WHEN t.n <= 1000 THEN CAST(ts.t AS BIGINT)
+        |    ELSE CAST(floor(ts.t::DOUBLE *
+        |      (t.n::DOUBLE * (t.n - 1)::DOUBLE * (t.n - 2)::DOUBLE /
+        |       (1000.0::DOUBLE * 999.0::DOUBLE * 998.0::DOUBLE)))
+        |      AS BIGINT) END AS est_triangles
+        |FROM t CROSS JOIN ts""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

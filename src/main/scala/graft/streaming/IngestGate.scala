@@ -120,26 +120,74 @@ object IngestGate {
     * fingerprint, ~tens of MB per million images); the projection
     * stays stateless/codegen'd. Per-image work is bands O(1) lookups
     * × the colliding buckets' sizes (lake/2^16 average per bucket at
-    * 4 bands). Beyond broadcast budget (~10⁷ fingerprints), shard the
-    * lake across gates or fall back to the periodic exact batch
-    * reconciliation. */
+    * 4 bands). Beyond broadcast budget (~10⁷ fingerprints), compose
+    * [[phashGateExactSharded]] (each gate carries 1/N of the lake;
+    * survivors are identical by construction) and lean on the
+    * periodic exact batch reconciliation (d14) as the long-term
+    * path. */
   def phashGateExact(hashes: DataFrame, corpusHashes: DataFrame,
       hashCol: String = "phash", bands: Int = 4,
       maxDist: Int = 3): DataFrame = {
+    val index = bandFingerprints(corpusHashes, hashCol, bands)
+    require(index.nonEmpty, "empty corpus: nothing to gate against")
+    applyPhashGate(hashes, hashCol, index, bands, maxDist)
+  }
+
+  /** [[phashGateExact]] against an N-way hash-sharded lake — the
+    * beyond-broadcast-budget composition: each gate carries 1/N of
+    * the lake's banded fingerprints, and because the gates PARTITION
+    * the lake and the drop rule is "∃ some lake fingerprint within
+    * `maxDist`", chaining them drops exactly the union of the
+    * per-shard drops — survivors ≡ the unsharded gate's, spec-pinned.
+    * Each filter stays a stateless narrow projection; the price is N
+    * expression evaluations per arriving image (band probes are O(1)
+    * each, so the chain costs what ONE gate over the whole lake
+    * costs — the memory ceiling splits, the work does not). Shards
+    * with no fingerprints (tiny lakes, skewed hashing) contribute an
+    * identity stage and are skipped. Beyond what sharding buys,
+    * the periodic batch reconciliation (d14) remains the long-term
+    * path. */
+  def phashGateExactSharded(hashes: DataFrame, corpusHashes: DataFrame,
+      nShards: Int, hashCol: String = "phash", bands: Int = 4,
+      maxDist: Int = 3): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    var out = hashes
+    var nonEmpty = 0
+    for (i <- 0 until nShards) {
+      val index = bandFingerprints(
+        corpusHashes.filter(
+          pmod(xxhash64(col(hashCol)), lit(nShards)) === i),
+        hashCol, bands)
+      if (index.nonEmpty) {
+        nonEmpty += 1
+        out = applyPhashGate(out, hashCol, index, bands, maxDist)
+      }
+    }
+    require(nonEmpty > 0, "empty corpus: nothing to gate against")
+    out
+  }
+
+  /** One gate's broadcast index: band key → the lake fingerprints in
+    * that bucket. */
+  private def bandFingerprints(corpusHashes: DataFrame, hashCol: String,
+      bands: Int): Seq[(Long, Seq[Long])] = {
     import graft.operators.Dedup
-    val keyed = corpusHashes
+    corpusHashes
       .select(explode(Dedup.bandKeys64(col(hashCol), bands)).as("key"),
         col(hashCol).as("fp"))
       .groupBy(col("key")).agg(collect_list(col("fp")).as("fps"))
       .collect()
-    require(keyed.nonEmpty, "empty corpus: nothing to gate against")
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+  }
+
+  private def applyPhashGate(hashes: DataFrame, hashCol: String,
+      index: Seq[(Long, Seq[Long])], bands: Int,
+      maxDist: Int): DataFrame = {
     // index literals back a REAL per-instance hash map
     // (graft.functions.PhashNearDup) — a typedLit map would be
     // scanned linearly per lookup (no hash index on literal MapData;
     // the KnScore lesson), turning a 10⁶-image lake into ~10⁷ key
     // comparisons per arriving image
-    val index: Seq[(Long, Seq[Long])] =
-      keyed.map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
     hashes
       .withColumn("__dup", org.apache.spark.sql.GraftColumns.column(
         graft.functions.PhashNearDup(
@@ -346,8 +394,10 @@ object IngestGate {
     * [[graft.operators.Similarity.rhpGeometry]]. State is
     * vectors + bands×(long,int) entries (a 64-dim float lake vector
     * costs 256 B + 16×12 B at the 16×4 default — ~450 MB per million
-    * vectors); beyond broadcast budget shard the lake across gates or
-    * fall back to the periodic batch d17 reconciliation. Vectors with
+    * vectors); beyond broadcast budget compose [[embedGateSharded]]
+    * (survivor-identical, 1/N memory per gate) and lean on the
+    * periodic batch d17 reconciliation as the long-term path.
+    * Vectors with
     * null elements or a non-`dim` length produce no band keys and
     * SURVIVE, matching the batch probe's no-rows behavior. */
   def embedGate(stream: DataFrame, lakeVecs: DataFrame,
@@ -355,14 +405,8 @@ object IngestGate {
       bits: Int = 4, dim: Int = 64, seed: String = "graft-rhp",
       maxAvgBucket: Int = 256): DataFrame = {
     import graft.operators.Similarity
-    import org.apache.spark.sql.GraftColumns
     val planes = Similarity.hyperplanes(bands, bits, dim, seed)
-    val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
-      GraftColumns.expression(col("v")), planes, bits))
-    val keyed = lakeVecs.select(col(vecCol).as("v"))
-      .select(col("v"), keysCol.as("ks"))
-      .filter(col("ks").isNotNull)
-      .collect() // bounded: the gate's broadcast index (see scaladoc)
+    val keyed = bandLake(lakeVecs, vecCol, planes, bits)
     // a non-`dim` lake bands EVERY vector to null — distinguish that
     // from a genuinely empty lake, or the "empty lake" require below
     // misleads the caller into checking the wrong thing
@@ -372,8 +416,62 @@ object IngestGate {
           s"not $dim-dimensional (pass embedDim/dim matching the " +
           "lake's vectors)")
     applyEmbedGate(stream, vecCol, threshold, planes, bits,
-      maxAvgBucket, keyed.map(r =>
-        (r.getSeq[Float](0).toArray, r.getSeq[Long](1))))
+      maxAvgBucket, keyed)
+  }
+
+  /** [[embedGate]] against an N-way hash-sharded lake — the
+    * beyond-broadcast-budget composition (the phash sibling is
+    * [[phashGateExactSharded]]): the lake partitions by a hash of the
+    * vector itself, each shard bands under the SAME seeded geometry,
+    * and the chained gates drop exactly the union of per-shard drops
+    * — survivors ≡ the unsharded gate's (spec-pinned), because "is a
+    * near-dup of the lake" is "∃ shard whose sub-lake matches". Each
+    * gate's index (and its saturation accounting via `maxAvgBucket`)
+    * covers lake/N vectors, so memory per gate divides by N while
+    * per-vector work stays what one full-lake gate costs (band
+    * probes are O(1); only genuine bucket collisions pay cosine).
+    * Empty shards are identity stages and are skipped. Beyond what
+    * sharding buys, the periodic batch reconciliation (d17) remains
+    * the long-term path. */
+  def embedGateSharded(stream: DataFrame, lakeVecs: DataFrame,
+      vecCol: String, threshold: Double, nShards: Int,
+      bands: Int = 16, bits: Int = 4, dim: Int = 64,
+      seed: String = "graft-rhp", maxAvgBucket: Int = 256): DataFrame = {
+    import graft.operators.Similarity
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val planes = Similarity.hyperplanes(bands, bits, dim, seed)
+    var out = stream
+    var nonEmpty = 0
+    for (i <- 0 until nShards) {
+      val keyed = bandLake(
+        lakeVecs.filter(pmod(xxhash64(col(vecCol)), lit(nShards)) === i),
+        vecCol, planes, bits)
+      if (keyed.nonEmpty) {
+        nonEmpty += 1
+        out = applyEmbedGate(out, vecCol, threshold, planes, bits,
+          maxAvgBucket, keyed)
+      }
+    }
+    require(nonEmpty > 0,
+      "empty lake: nothing to gate against (or a dimension mismatch " +
+        s"banded every vector to null — gate dim is $dim)")
+    out
+  }
+
+  /** Band the lake once under `planes` and collect one gate's
+    * broadcast index — (vector, band-key array) per lake vector;
+    * vectors of the wrong dimension band to null and drop out. */
+  private def bandLake(lakeVecs: DataFrame, vecCol: String,
+      planes: Array[Array[Float]],
+      bits: Int): Array[(Array[Float], Seq[Long])] = {
+    import org.apache.spark.sql.GraftColumns
+    val keysCol = GraftColumns.column(graft.functions.RhpBandKeys(
+      GraftColumns.expression(col("v")), planes, bits))
+    lakeVecs.select(col(vecCol).as("v"))
+      .select(col("v"), keysCol.as("ks"))
+      .filter(col("ks").isNotNull)
+      .collect() // bounded: the gate's broadcast index (see scaladoc)
+      .map(r => (r.getSeq[Float](0).toArray, r.getSeq[Long](1)))
   }
 
   /** Persist the [[embedGate]] index — `<table>` holds one
@@ -427,6 +525,28 @@ object IngestGate {
       .select(col("v"), keysCol.as("ks"))
       .filter(col("ks").isNotNull)
       .write.mode("append").saveAsTable(table)
+  }
+
+  /** Target-size COMPACTION for a long-lived [[writeEmbedGateIndex]]
+    * artifact: every [[appendEmbedGateIndex]] lands at least one new
+    * parquet file, so a frequently-refreshed index decays into the
+    * small-files regime — each gate restart then pays per-file
+    * listing/open/footer cost on hundreds of shards (the l2 lesson
+    * applied to gate state). Rewrites the index at ~`targetBytes` per
+    * file via a narrow shuffle-free coalesce; rows and the pinned
+    * `_meta` geometry are untouched, so the compacted index is
+    * result-identical to the uncompacted survivors (spec-pinned).
+    * The frame is materialized BEFORE the table drop (it is
+    * gate-sized by contract — the gate collects it wholesale), so
+    * the rewrite never reads a location it just deleted. */
+  def compactEmbedGateIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, targetBytes: Long = 128L << 20): Unit = {
+    val compacted = graft.util.Iter.materialize(
+      graft.operators.Layout.compactToSize(spark.table(table),
+        targetBytes))
+    graft.operators.Bucketing.dropTableAndLocation(spark, table)
+    compacted.write.mode("overwrite").saveAsTable(table)
+    graft.util.Iter.release(compacted)
   }
 
   /** [[embedGate]] against a [[writeEmbedGateIndex]] table —

@@ -911,4 +911,88 @@ class StreamingSpec extends AnyFunSuite {
     assert((20000L until 20002L).forall(!got.contains(_)))
     assert((30000L until 30005L).forall(got.contains))
   }
+
+  test("sharded gates: N-way lake split gates identically to one gate") {
+    import graft.streaming.IngestGate
+    // embed: "near-dup of the lake" = "∃ shard whose sub-lake
+    // matches", so the chained per-shard gates drop exactly the
+    // union of the per-shard drops — the unsharded keep set
+    val e = Tables.embeddings(spark, sf)
+    val lake = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val direct = IngestGate.embedGate(batch, lake, "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sharded = IngestGate.embedGateSharded(batch, lake,
+        "embedding", 0.35, nShards = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sharded == direct,
+      s"extra=${sharded -- direct} missing=${direct -- sharded}")
+    // more shards than a tiny lake can populate: the empty shards
+    // are identity stages, not "empty lake" aborts
+    val tiny = lake.limit(3)
+    val tinyDirect = IngestGate.embedGate(batch, tiny, "embedding",
+        0.35).select("vec_id").collect().map(_.getLong(0)).toSet
+    val tinySharded = IngestGate.embedGateSharded(batch, tiny,
+        "embedding", 0.35, nShards = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tinySharded == tinyDirect)
+    // phash sibling, on the saturated-lake fixture the exact gate
+    // exists for
+    val plake = spark.range(2000)
+      .select(xxhash64(col("id")).as("phash"))
+    val arriving = spark.range(3)
+        .select((col("id") + 10000L).as("media_id"),
+          xxhash64(col("id")).as("phash"))
+      .unionByName(spark.range(5)
+        .select((col("id") + 30000L).as("media_id"),
+          xxhash64(col("id") + 999888L).as("phash")))
+    val pDirect = IngestGate.phashGateExact(arriving, plake,
+        maxDist = 3).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    val pSharded = IngestGate.phashGateExactSharded(arriving, plake,
+        nShards = 4, maxDist = 3).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pSharded == pDirect,
+      s"extra=${pSharded -- pDirect} missing=${pDirect -- pSharded}")
+    assert(pDirect.nonEmpty && pDirect.size < 8,
+      "the fixture must exercise both keeps and drops")
+  }
+
+  test("gate index compaction: files collapse, survivors and meta identical") {
+    import graft.streaming.IngestGate
+    val e = Tables.embeddings(spark, sf)
+    val lake = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    // an append-churned artifact: base + 4 incremental refreshes
+    IngestGate.writeEmbedGateIndex(spark,
+      lake.filter(col("vec_id") % 5 === 1), "embedding",
+      "spec_embed_cmp")
+    (2 to 4).foreach { r =>
+      IngestGate.appendEmbedGateIndex(spark,
+        lake.filter(col("vec_id") % 5 === r), "embedding",
+        "spec_embed_cmp")
+    }
+    def files(): Seq[java.io.File] = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), "spec_embed_cmp")
+      .listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    val before = files().size
+    val metaBefore = spark.table("spec_embed_cmp_meta").collect().toSeq
+    val survBefore = IngestGate.embedGateIndexed(batch, spark,
+        "spec_embed_cmp", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    IngestGate.compactEmbedGateIndex(spark, "spec_embed_cmp")
+    assert(files().size < before,
+      s"compaction did not reduce files: $before -> ${files().size}")
+    assert(files().size == 1, "index fits one target-size file here")
+    val survAfter = IngestGate.embedGateIndexed(batch, spark,
+        "spec_embed_cmp", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survAfter == survBefore)
+    assert(spark.table("spec_embed_cmp_meta").collect().toSeq ==
+      metaBefore, "compaction must never touch the pinned geometry")
+    // and the artifact still matches the direct lake gate
+    assert(survAfter == IngestGate.embedGate(batch, lake, "embedding",
+      0.35).select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -12,6 +12,13 @@ import graft.operators.{Curation, Dedup}
   *
   * {{{
   * graft.cli.CurateCli --input-dir=DIR --output-dir=DIR
+  *   [--lang=fr,de]        language allowlist (t3 heuristic) as the
+  *                         FIRST stage — the cheapest cut, and every
+  *                         downstream signal (perplexity, classifier,
+  *                         stopword quality) is language-bound; the
+  *                         SAME expression tree as the streaming e13
+  *                         gate, so gate ≡ batch by construction
+  *   [--lang-min-hits=1]   e13's stopword confidence floor
   *   [--eval-dir=DIR]      decontaminate against this eval corpus (d8)
   *   [--min-words=20]      x11 quality-rule floor
   *   [--max-overlap=2]     drop docs sharing >= this many eval shingles
@@ -79,7 +86,8 @@ object CurateCli {
       tarShards: Boolean = false, distill: Boolean = false,
       chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
       stripSpans: Boolean = false, stripKeepFirst: Boolean = false,
-      gopher: Boolean = false, pplCut: Boolean = false)
+      gopher: Boolean = false, pplCut: Boolean = false,
+      langAllow: Option[Set[String]] = None, langMinHits: Int = 1)
 
   def parseArgs(argv: Array[String]): Args = {
     val kv = "--([a-z-]+)(?:=(.*))?".r
@@ -112,7 +120,16 @@ object CurateCli {
         case None => false
       },
       gopher = m.contains("gopher"),
-      pplCut = m.contains("ppl-cut"))
+      pplCut = m.contains("ppl-cut"),
+      langAllow = m.get("lang").flatten
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .map { s =>
+          if (s.isEmpty) throw new IllegalArgumentException(
+            "--lang= needs at least one language code")
+          s
+        },
+      langMinHits =
+        m.get("lang-min-hits").flatten.map(_.toInt).getOrElse(1))
   }
 
   case class Summary(
@@ -121,7 +138,8 @@ object CurateCli {
       splits: Map[String, Long],
       distillWeights: Option[Seq[Double]] = None,
       dsirDropped: Long = 0L, strippedEmpty: Long = 0L,
-      gopherDropped: Long = 0L, pplTailDropped: Long = 0L)
+      gopherDropped: Long = 0L, pplTailDropped: Long = 0L,
+      langDropped: Long = 0L)
 
   /** The stage frames of one pipeline pass: survivors with their
     * leak-safe split, and the per-document audit rows. */
@@ -144,18 +162,45 @@ object CurateCli {
       semanticTau: Double = 0.35,
       dsirTarget: Option[DataFrame] = None,
       stripSpans: Boolean = false, stripKeepFirst: Boolean = false,
-      gopher: Boolean = false, pplCut: Boolean = false): Frames = {
+      gopher: Boolean = false, pplCut: Boolean = false,
+      langAllow: Option[Set[String]] = None,
+      langMinHits: Int = 1): Frames = {
     // Each stage is materialized before fan-out: the summary counts,
     // the audit union and the curated write all re-reference these
     // frames, and an un-materialized near-dup stage (the dominant
     // cost) would re-run winnowing + clustering per reference.
     import graft.util.Iter.materialize
 
+    // 0. language allowlist (optional) — the FIRST cut: one narrow
+    // row-local filter (the t3 n-gram heuristic with e13's stopword
+    // confidence floor), the cheapest signal in the pipeline, and
+    // every downstream stage is language-bound. EXACTLY the streaming
+    // e13 gate's expression tree (IngestGate.langGate), so the batch
+    // stage and the ingest gate agree by construction; the audit
+    // reason carries the heuristic's verdict so "why was this
+    // dropped" names the detected language.
+    val (kept0, droppedLang) = langAllow match {
+      case Some(langs) =>
+        val kl = materialize(
+          graft.streaming.IngestGate.langGate(docs, langs, "text",
+            langMinHits).select(col("doc_id")))
+        (docs.join(kl, Seq("doc_id"), "left_semi"),
+          docs.join(kl, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit("lang").as("stage"),
+              concat(lit("lang_"), graft.functions.TextAnalysis
+                .langId(coalesce(col("text"), lit(""))))
+                .as("reason")))
+      case None =>
+        (docs, spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"), lit("").as("stage"), lit("").as("reason")))
+    }
+
     // 1. quality filter — keep the reason for the audit frame
-    val qf = Curation.qualityFilter(docs, "doc_id", "text",
+    val qf = Curation.qualityFilter(kept0, "doc_id", "text",
         minWords = minWords)
       .select(col("doc_id"), col("reason"), col("keep"))
-    val q1 = materialize(docs.join(qf, "doc_id"))
+    val q1 = materialize(kept0.join(qf, "doc_id"))
     val droppedQuality = q1.filter(!col("keep"))
       .select(col("doc_id"), lit("quality").as("stage"), col("reason"))
     val kept1q = q1.filter(col("keep")).drop("keep", "reason")
@@ -327,7 +372,8 @@ object CurateCli {
     val k4 = materialize(kept4)
     Frames(
       curated = k4.join(split, "doc_id"),
-      dropped = droppedQuality.union(droppedGopher).union(droppedPpl)
+      dropped = droppedLang.union(droppedQuality).union(droppedGopher)
+        .union(droppedPpl)
         .union(droppedDsir).union(droppedExact)
         .union(droppedNear)
         .union(droppedSem).union(droppedStrip).union(droppedContam))
@@ -348,7 +394,8 @@ object CurateCli {
         graft.util.Tables.documents(spark, dt)),
       stripSpans = args.stripSpans,
       stripKeepFirst = args.stripKeepFirst, gopher = args.gopher,
-      pplCut = args.pplCut)
+      pplCut = args.pplCut, langAllow = args.langAllow,
+      langMinHits = args.langMinHits)
 
     // 6. shard-numbered, split-partitioned write (x2's seeded layout;
     // shard/pos join back on id so payload columns ride along)
@@ -440,6 +487,7 @@ object CurateCli {
       strippedEmpty = stageCount("strip_spans"),
       gopherDropped = stageCount("gopher"),
       pplTailDropped = stageCount("ppl"),
+      langDropped = stageCount("lang"),
       splits = curated.groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
@@ -458,6 +506,7 @@ object CurateCli {
       "exact_dups" -> JInt(s.exactDups), "near_dups" -> JInt(s.nearDups),
       "semantic_dups" -> JInt(s.semanticDups),
       "contaminated" -> JInt(s.contaminated),
+      "lang_dropped" -> JInt(s.langDropped),
       "dsir_dropped" -> JInt(s.dsirDropped),
       "stripped_empty" -> JInt(s.strippedEmpty),
       "curated" -> JInt(s.curated),

@@ -217,6 +217,42 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s2 == s)
   }
 
+  test("CurateCli --lang: the allowlist is the first stage and matches the e13 gate") {
+    import graft.cli.CurateCli
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("e2e-lang").toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--lang=en,fr", "--lang-min-hits=2")))
+    assert(s.langDropped > 0, s.toString)
+    // per-stage accounting closes with the new first stage
+    assert(s.input == s.curated + s.langDropped + s.lowQuality +
+      s.exactDups + s.nearDups + s.contaminated, s.toString)
+    val dropped = spark.read.parquet(s"$out/dropped")
+    val langDrops = dropped.filter(col("stage") === "lang")
+    assert(langDrops.count() == s.langDropped)
+    // the audit reason names the heuristic's verdict
+    assert(langDrops.select("reason").collect()
+      .forall(_.getString(0).startsWith("lang_")))
+    // batch stage ≡ the streaming e13 gate on the same corpus — the
+    // same expression tree, so the drop sets are identical
+    val docs = graft.util.Tables.documents(spark, sf)
+    val allIds = docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val gateKeep = graft.streaming.IngestGate
+      .langGate(docs, Set("en", "fr"), "text", minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(langDrops.collect().map(_.getLong(0)).toSet ==
+      allIds -- gateKeep)
+    // and the stage ran FIRST: no document outside the gate's keep
+    // set reached any later stage's audit or the curated output
+    val later = dropped.filter(col("stage") =!= "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curatedIds = spark.read.parquet(s"$out/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((later ++ curatedIds).subsetOf(gateKeep))
+  }
+
   test("CurateCli --tar-shards: curated splits round-trip from manifested tar shards") {
     import graft.cli.CurateCli
     import org.apache.spark.sql.functions.col

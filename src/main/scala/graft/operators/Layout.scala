@@ -153,4 +153,59 @@ object Layout {
           .when(col("__ha").isNull, lit("removed"))
           .otherwise(lit("changed")).as("change"): _*)
   }
+
+  /** Greedy next-fit sequence packing: assign each document to a
+    * fixed-length-budget pack — the delivery stage of a training-data
+    * pipeline, where examples are concatenated into fixed-length
+    * model sequences and every padding token is wasted compute.
+    *
+    * Scale shape: ONE hash shuffle on `shardCol` plus an in-partition
+    * sort, then a streaming O(1)-state fold — no group
+    * materialization, no window, no driver state. Shard count is the
+    * parallelism knob; packing is independent per shard by
+    * construction (the fold resets on shard change), so the result is
+    * identical under any partition count, AQE coalescing, or retry.
+    * Next-fit (not best-fit) is deliberate at scale: it needs no
+    * lookahead and no bin state beyond the open pack, and its fill
+    * loss vs optimal is AUDITABLE, not guessed — `fill_after` on the
+    * last row of a pack is that pack's used budget.
+    *
+    * Contract: docs pack in ascending `idCol` order within a shard; a
+    * doc appends to the open pack unless `fill + len` would exceed
+    * `budget`, in which case a new pack opens. A doc longer than
+    * `budget` occupies its own overflowing pack (`fill_after >
+    * budget` flags it) and never blocks its successors. Output: one
+    * row per input doc — (shard, id, len, pack_seq, pos_in_pack,
+    * fill_after); a pack is the composite key (shard, pack_seq). */
+  def packSequences(df: DataFrame, idCol: String, lenCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // one open pack per shard is the entire state; shards arrive
+        // contiguously (sorted) so a shard change resets the fold
+        var shard = 0L; var pack = 0L; var fill = 0L; var pos = 0L
+        var started = false
+        it.map { case (s, id, n) =>
+          require(n >= 0, s"negative length $n for id $id")
+          if (!started || s != shard) {
+            shard = s; pack = 1L; fill = 0L; pos = 0L; started = true
+          }
+          if (fill > 0 && fill + n > budget) {
+            pack += 1L; fill = 0L; pos = 0L
+          }
+          fill += n; pos += 1L
+          (s, id, n, pack, pos, fill)
+        }
+      }
+      .toDF("shard", "id", "len", "pack_seq", "pos_in_pack",
+        "fill_after")
+  }
 }

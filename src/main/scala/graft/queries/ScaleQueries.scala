@@ -1300,6 +1300,24 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // L5 — greedy next-fit sequence packing (the delivery stage of a
+    // training pipeline): docs shard by doc_id % 8 and pack into a
+    // 90-token budget in doc_id order — a budget below the corpus max
+    // so BOTH rules are exercised: multi-doc packs and the own-pack
+    // overflow for oversized docs. The oracle replays the fold per
+    // shard as a recursive CTE advancing one doc per step (all shards
+    // in parallel), so every pack boundary is checked exactly.
+    "l5_seq_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      graft.operators.Layout.packSequences(
+          docs, "doc_id", "len", "shard", budget = 90L)
+        .select(col("shard"), col("id").as("doc_id"), col("len"),
+          col("pack_seq"), col("pos_in_pack"), col("fill_after"))
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // B5 — the unigram-LM trainer's seed vocabulary (Kudo 2018):
     // every <= 8-char substring of every corpus word, frequency-
     // weighted, cut to all single chars + the 200 heaviest multi-char
@@ -2496,6 +2514,39 @@ object ScaleQueries {
     "b1_bpe_merges" -> bpeSql,
     "b7_byte_bpe" -> byteBpeSql,
     "b8_byte_encode" -> byteBpeEncodeSql,
+
+    // l5: the next-fit fold replayed exactly — a recursive CTE
+    // advances every shard one doc per step; the CASE triple is the
+    // open-pack/new-pack/own-pack-overflow rule
+    "l5_seq_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS len
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT shard, doc_id, len,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |      AS rn
+        |  FROM docs
+        |), rec AS (
+        |  SELECT shard, rn, doc_id, len,
+        |    CAST(1 AS BIGINT) AS pack_seq, len AS fill_after,
+        |    CAST(1 AS BIGINT) AS pos_in_pack
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.len,
+        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+        |         THEN r.pack_seq + 1 ELSE r.pack_seq END,
+        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+        |         THEN o.len ELSE r.fill_after + o.len END,
+        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+        |         THEN CAST(1 AS BIGINT) ELSE r.pos_in_pack + 1 END
+        |  FROM rec r
+        |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, doc_id, len, pack_seq, pos_in_pack, fill_after
+        |FROM rec ORDER BY shard, doc_id""".stripMargin,
 
     // b5: substring explode bounded at 8 chars, freq-weighted, single
     // chars unioned with the top-200 multi-char cut on the same

@@ -158,4 +158,73 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // and an identical null row is NOT a change
     assert(Layout.snapshotDiff(e1, e1, Seq("k")).collect().isEmpty)
   }
+
+  test("packSequences: next-fit fold matches a hand example incl. overflow rules") {
+    import spark.implicits._
+    // shard 0: 40+50 fill pack 1 exactly (90), 30 opens pack 2, the
+    // oversized 120 gets its OWN pack 3 (fill 120 > 90 flags it),
+    // then 10+0+80 fill pack 4 (zero-length docs take a position but
+    // no budget); shard 1 is independent (its own pack_seq space)
+    val docs = Seq(
+      (0L, 10L, 40L), (0L, 11L, 50L), (0L, 12L, 30L), (0L, 13L, 120L),
+      (0L, 14L, 10L), (0L, 15L, 0L), (0L, 16L, 80L),
+      (1L, 20L, 90L), (1L, 21L, 1L)
+    ).toDF("shard", "doc_id", "len")
+    val got = Layout.packSequences(docs, "doc_id", "len", "shard", 90L)
+      .orderBy("shard", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 10L, 1L, 1L, 40L), (0L, 11L, 1L, 2L, 90L),
+      (0L, 12L, 2L, 1L, 30L), (0L, 13L, 3L, 1L, 120L),
+      (0L, 14L, 4L, 1L, 10L), (0L, 15L, 4L, 2L, 10L),
+      (0L, 16L, 4L, 3L, 90L),
+      (1L, 20L, 1L, 1L, 90L), (1L, 21L, 2L, 1L, 1L)))
+  }
+
+  test("packSequences: deterministic under any input partitioning; every doc exactly once") {
+    import spark.implicits._
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 7).as("shard"),
+        (pmod(col("id") * 37 + 11, lit(100))).as("len"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Layout.packSequences(df, "doc_id", "len", "shard", 128L)
+        .orderBy("shard", "id")
+        .collect().map(_.toSeq).toSeq
+    val a = run(docs.repartition(32))
+    val b = run(docs.repartition(1))
+    val c = run(docs.orderBy(col("doc_id").desc).repartition(5))
+    assert(a == b && b == c, "fold must not depend on input layout")
+    assert(a.length == 500 &&
+      a.map(_(1)).distinct.length == 500, "every doc exactly once")
+    // no pack exceeds budget unless it is a single oversized doc
+    val byPack = a.groupBy(r => (r(0), r(3)))
+    byPack.foreach { case ((_, _), rows) =>
+      val fill = rows.map(_(2).asInstanceOf[Long]).sum
+      assert(fill <= 128L || rows.length == 1,
+        s"overfull multi-doc pack: $rows")
+    }
+    // pos_in_pack is contiguous from 1 within each pack
+    byPack.foreach { case (_, rows) =>
+      assert(rows.map(_(4).asInstanceOf[Long]).sorted ==
+        (1L to rows.length).toSeq)
+    }
+  }
+
+  test("packSequences: one shuffle (the shard repartition), nothing after the fold") {
+    import spark.implicits._
+    val docs = spark.range(0, 100)
+      .select(col("id").as("doc_id"), (col("id") % 4).as("shard"),
+        lit(10L).as("len"))
+    val plan = Layout.packSequences(docs, "doc_id", "len", "shard", 64L)
+      .queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.length == 1,
+      s"expected exactly the shard exchange, got ${shuffles.length}")
+    intercept[IllegalArgumentException] {
+      Layout.packSequences(docs, "doc_id", "len", "shard", 0L)
+    }
+  }
 }

@@ -509,4 +509,137 @@ object Bpe {
       .withColumn("fertility",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
   }
+
+  /** WordPiece symbolization: a word's first code point bare, every
+    * following code point prefixed "##" — the BERT continuation
+    * convention. A merged token inherits its LEFT symbol's prefix and
+    * strips the right's ("a"+"##b" → "ab", "##a"+"##b" → "##ab"), so
+    * word-initial and word-internal pieces never pool counts. */
+  private def wordpieceSyms: org.apache.spark.sql.Column =
+    transform(sequence(lit(1), length(col("w"))),
+      i => when(i === lit(1), col("w").substr(i, lit(1)))
+        .otherwise(concat(lit("##"), col("w").substr(i, lit(1)))))
+
+  /** A merged WordPiece token: left || right-without-its-## marker.
+    * Classification rule (shared verbatim with the DuckDB oracle): a
+    * symbol is a continuation iff it starts with "##" AND has content
+    * after the marker — corpora whose words contain literal '#' can
+    * alias the marker, the standard WordPiece ambiguity. */
+  private def wpMerged(l: String, r: String): String =
+    l + (if (r.startsWith("##") && r.length > 2) r.substring(2) else r)
+
+  /** WordPiece vocabulary induction (Schuster & Nakajima 2012, ICASSP
+    * — "Japanese and Korean voice search"; the BERT tokenizer's
+    * trainer as published in the HuggingFace tokenizers library):
+    * [[bpeMerges]]'s round structure, but each round merges the
+    * adjacent pair maximizing the LIKELIHOOD score
+    * n(l,r) / (n(l)·n(r)) — the pair count over the product of the
+    * unit counts — rather than the raw pair count, so a pair of
+    * individually-rare symbols beats a pair of ubiquitous ones.
+    *
+    * Scale shape: identical to [[bpeMerges]] (the corpus collapses to
+    * the V-row word-frequency table once; every round runs on V rows)
+    * plus one extra V-bounded aggregate per round for the unit counts
+    * and two broadcast-sized joins to attach them to the pair table.
+    *
+    * Determinism / oracle replay: the score is compared as the IEEE
+    * double n / (ul·ur) — one long→double conversion per operand, one
+    * multiply, one divide, each single-rounded round-to-nearest in
+    * both Spark and DuckDB, so the per-round argmax replays
+    * bit-exactly; ties break (l ASC, r ASC).
+    *
+    * @return (rank, left, right, merged, n, ul, ur, score_e12) —
+    *         counts corpus-weighted, score exported as
+    *         floor(score·1e12) per the e-cut convention. */
+  def wordpieceMerges(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = Iter.materialize(
+      wordFreq(df, textCol).select(col("c"), wordpieceSyms.as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long, Long, Long, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val units = words
+        .select(col("c"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("c")).as("u"))
+      val top = words
+        .filter(size(col("syms")) > 1)
+        .select(col("c"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .join(units.select(col("s").as("l"), col("u").as("ul")), Seq("l"))
+        .join(units.select(col("s").as("r"), col("u").as("ur")), Seq("r"))
+        .select(col("l"), col("r"), col("n"), col("ul"), col("ur"),
+          (col("n").cast("double") /
+            (col("ul").cast("double") * col("ur").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        val n = top(0).getLong(2)
+        val ul = top(0).getLong(3); val ur = top(0).getLong(4)
+        val score = top(0).getDouble(5)
+        val merged = wpMerged(l, r)
+        merges += ((k, l, r, merged, n, ul, ur,
+          math.floor(score * 1e12).toLong))
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(merged))))
+            .otherwise(concat(acc, array(x))))
+        val next = Iter.materialize(
+          words.select(col("c"), applied.as("syms")))
+        Iter.release(words)
+        words = next
+        k += 1
+      }
+    }
+    Iter.release(words)
+    merges.toSeq.toDF("rank", "left", "right", "merged", "n",
+      "ul", "ur", "score_e12")
+  }
+
+  /** The WordPiece ENCODE vocabulary implied by a training run: every
+    * base symbol the corpus symbolizes to, plus every merge product,
+    * as driver-bounded strings (the unigramEncode convention — a
+    * vocabulary is model state, never a join side). */
+  def wordpieceVocab(df: DataFrame, textCol: String,
+      merges: Seq[String]): Seq[String] = {
+    val base = wordFreq(df, textCol)
+      .select(explode(wordpieceSyms).as("piece"))
+      .distinct().collect().map(_.getString(0))
+    (base ++ merges).distinct.sorted
+  }
+
+  /** Segment `textCol` with a WordPiece vocabulary: greedy
+    * longest-match-first per word (BERT's WordPieceTokenizer) — at
+    * the word start the longest vocab piece matching a prefix, then
+    * the longest "##"-continuation piece at each subsequent position;
+    * a position with NO matching piece collapses the whole word to
+    * ["[UNK]"]. Encoding the training corpus never hits [UNK] (every
+    * base symbol is in the vocabulary by construction).
+    *
+    * Scale shape: occurrence-local like [[bpeEncode]] — ZERO
+    * shuffles, the vocabulary rides as a native-expression literal
+    * with a per-instance hash set (one probe per candidate length,
+    * longest first), plus the bounded per-task word memo. Returns the
+    * input plus a `tokens` array column. */
+  def wordpieceEncode(df: DataFrame, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+      graft.functions.WordPieceEncodeTokens(
+        org.apache.spark.sql.GraftColumns.expression(col(textCol)),
+        vocab.distinct.sorted)))
 }

@@ -1300,6 +1300,40 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // B9 — WordPiece vocabulary induction (Schuster & Nakajima 2012;
+    // the BERT trainer): the b1 round structure under ##-continuation
+    // symbols, but each round's argmax is the LIKELIHOOD score
+    // n(l,r)/(n(l)·n(r)) — pair count over the product of the unit
+    // counts. The score is one IEEE-double divide of exact longs in
+    // both engines, so the oracle replays the argmax bit-exactly.
+    "b9_wordpiece" -> ((s, d) => {
+      graft.operators.Bpe.wordpieceMerges(Tables.documents(s, d),
+        "text", 4)
+        .orderBy(col("rank"))
+    }),
+
+    // B10 — WordPiece ENCODE: greedy longest-match-first per word
+    // under the b9 vocabulary (base symbols + merge products) — NOT
+    // the training fixpoint: longest-match can split differently
+    // than merge-order application, which is exactly what the oracle
+    // checks (it follows the longest-match chain per word as a
+    // recursive CTE over a precomputed best-piece-at-position table).
+    // Export is the b2 convention: per-doc token count + md5 of the
+    // space-joined stream.
+    "b10_wordpiece_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = graft.operators.Bpe.wordpieceMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
+      val vocab = graft.operators.Bpe.wordpieceVocab(docs, "text",
+        merged)
+      graft.operators.Bpe.wordpieceEncode(
+          docs.select("doc_id", "text"), "text", vocab)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L5 — greedy next-fit sequence packing (the delivery stage of a
     // training pipeline): docs shard by doc_id % 8 and pack into a
     // 90-token budget in doc_id order — a budget below the corpus max
@@ -2514,6 +2548,8 @@ object ScaleQueries {
     "b1_bpe_merges" -> bpeSql,
     "b7_byte_bpe" -> byteBpeSql,
     "b8_byte_encode" -> byteBpeEncodeSql,
+    "b9_wordpiece" -> wordpieceSql,
+    "b10_wordpiece_encode" -> wordpieceEncodeSql,
 
     // l5: the next-fit fold replayed exactly — a recursive CTE
     // advances every shard one doc per step; the CASE triple is the
@@ -3160,6 +3196,173 @@ object ScaleQueries {
     * shape; the s4 symbol table just holds hex-pair concatenations. */
   private lazy val byteBpeEncodeSql: String =
     bpeEncodeSelect(byteRoundsCtes)
+
+  /** b9/b10's training rounds: the b1 round mechanics under
+    * ##-continuation symbols with the WordPiece LIKELIHOOD argmax —
+    * per round a unit-count CTE (u_k), the pair table joined to it,
+    * and score = CAST(n AS DOUBLE)/(CAST(ul AS DOUBLE)·CAST(ur AS
+    * DOUBLE)) ordered (score DESC, l, r). The merged token strips the
+    * right's ## marker (continuation iff LIKE '##%' with content —
+    * the rule [[graft.operators.Bpe]] shares verbatim), and the
+    * leftmost-greedy replay is the b1 run-parity window with the
+    * merged spelling threaded through as mg. */
+  private lazy val wpRoundsCtes: String = {
+    val merged =
+      "l || (CASE WHEN r LIKE '##%' AND length(r) > 2 THEN r[3:] ELSE r END)"
+    val rounds = (1 to 4).map { k =>
+      s"""u$k AS (
+         |  SELECT s, CAST(sum(c) AS BIGINT) AS u
+         |  FROM (SELECT c, unnest(syms) AS s FROM s${k - 1}) GROUP BY 1),
+         |p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, syms, unnest(range(1, greatest(len(syms), 1))) AS i
+         |        FROM s${k - 1})
+         |  GROUP BY 1, 2),
+         |m$k AS (
+         |  SELECT l, r, n, ul, ur, score, $merged AS mg
+         |  FROM (
+         |    SELECT p.l, p.r, p.n, a.u AS ul, b.u AS ur,
+         |      CAST(p.n AS DOUBLE) / (CAST(a.u AS DOUBLE) * CAST(b.u AS DOUBLE))
+         |        AS score
+         |    FROM p$k p JOIN u$k a ON a.s = p.l JOIN u$k b ON b.s = p.r)
+         |  ORDER BY score DESC, l, r LIMIT 1),
+         |s$k AS (
+         |  SELECT w, c, list(tok ORDER BY i) AS syms FROM (
+         |    SELECT w, c, i, CASE WHEN merged THEN mg ELSE sym END AS tok,
+         |      merged,
+         |      coalesce(lag(merged) OVER (PARTITION BY w ORDER BY i), false)
+         |        AS prevm
+         |    FROM (
+         |      SELECT w, c, i, sym, l, r, mg,
+         |        mtch AND (l <> r OR row_number() OVER (
+         |          PARTITION BY w, isl, mtch ORDER BY i) % 2 = 1) AS merged
+         |      FROM (
+         |        SELECT w, c, i, sym, l, r, mg, mtch,
+         |          i - sum(CASE WHEN mtch THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY w ORDER BY i) AS isl
+         |        FROM (
+         |          SELECT b.w, b.c, b.i, b.syms[b.i] AS sym, m.l, m.r, m.mg,
+         |            coalesce(b.syms[b.i] = m.l AND b.syms[b.i+1] = m.r
+         |              AND b.i < len(b.syms), false) AS mtch
+         |          FROM (SELECT w, c, syms,
+         |                  unnest(range(1, len(syms) + 1)) AS i
+         |                FROM s${k - 1}) b CROSS JOIN m$k m))))
+         |  WHERE NOT prevm
+         |  GROUP BY w, c)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |s0 AS (SELECT w, c,
+       |  list_transform(generate_series(1, length(w)),
+       |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS syms
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val wordpieceSql: String = {
+    val rows = (1 to 4).map { k =>
+      val sel = if (k == 1)
+        s"""SELECT 1 AS rank, l AS "left", r AS "right", mg AS merged,
+           |    n, ul, ur,
+           |    CAST(floor(score * 1000000000000) AS BIGINT) AS score_e12
+           |  FROM m1""".stripMargin
+      else
+        s"""SELECT $k, l, r, mg, n, ul, ur,
+           |    CAST(floor(score * 1000000000000) AS BIGINT) FROM m$k""".stripMargin
+      sel
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $wpRoundsCtes
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** b10: the greedy longest-match chain replayed exactly. The
+    * vocabulary is s0's distinct symbols plus the four merge
+    * products; `best` precomputes, for every (word, position), the
+    * LONGEST matching piece (word-initial pieces at position 1,
+    * ##-continuations after — the same classification rule as
+    * training); the recursion then just follows the best chain, one
+    * piece per step, collapsing to ['[UNK]'] if a position has no
+    * match (dead here by construction — every base symbol is in the
+    * vocabulary — but the rule is part of the contract). Doc rows
+    * aggregate per the b2 convention. */
+  private lazy val wordpieceEncodeSql: String =
+    s"""WITH RECURSIVE $wpRoundsCtes,
+       |vocab AS (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT unnest(syms) AS piece FROM s0
+       |    UNION ALL SELECT mg FROM m1
+       |    UNION ALL SELECT mg FROM m2
+       |    UNION ALL SELECT mg FROM m3
+       |    UNION ALL SELECT mg FROM m4)),
+       |vinit AS (SELECT piece FROM vocab
+       |          WHERE NOT (piece LIKE '##%' AND length(piece) > 2)),
+       |vcont AS (SELECT piece[3:] AS sub FROM vocab
+       |          WHERE piece LIKE '##%' AND length(piece) > 2),
+       |mx AS (SELECT greatest(
+       |    coalesce((SELECT max(length(piece)) FROM vinit), 1),
+       |    coalesce((SELECT max(length(sub)) FROM vcont), 1)) AS m),
+       |dwords AS (SELECT DISTINCT w AS wd FROM words),
+       |posl AS (
+       |  SELECT wd, i, L, substr(wd, i::INT, L::INT) AS sub
+       |  FROM (SELECT wd, i,
+       |          unnest(range(1, least((SELECT m FROM mx),
+       |            length(wd) - i + 1) + 1)) AS L
+       |        FROM (SELECT wd, unnest(range(1, length(wd) + 1)) AS i
+       |              FROM dwords))),
+       |cand AS (
+       |  SELECT p.wd, p.i, p.L, p.sub
+       |  FROM posl p JOIN vinit v ON v.piece = p.sub WHERE p.i = 1
+       |  UNION ALL
+       |  SELECT p.wd, p.i, p.L, p.sub
+       |  FROM posl p JOIN vcont v ON v.sub = p.sub WHERE p.i > 1),
+       |best AS (
+       |  SELECT wd, i, arg_max(sub, L) AS sub, max(L) AS L
+       |  FROM cand GROUP BY wd, i),
+       |step AS (
+       |  SELECT q.wd, q.i,
+       |    CASE WHEN b.L IS NULL THEN CAST(0 AS BIGINT)
+       |         ELSE q.i + b.L END AS nxt,
+       |    CASE WHEN b.L IS NULL THEN NULL
+       |         WHEN q.i = 1 THEN b.sub ELSE '##' || b.sub END AS tok
+       |  FROM (SELECT wd, unnest(range(1, length(wd) + 1)) AS i
+       |        FROM dwords) q
+       |  LEFT JOIN best b ON b.wd = q.wd AND b.i = q.i),
+       |rec AS (
+       |  SELECT wd, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS toks,
+       |    false AS unk
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT r.wd, s.nxt,
+       |    CASE WHEN s.nxt = 0 THEN ['[UNK]']
+       |         ELSE list_append(r.toks, s.tok) END,
+       |    s.nxt = 0
+       |  FROM rec r JOIN step s ON s.wd = r.wd AND s.i = r.i
+       |  WHERE NOT r.unk),
+       |wtoks AS (
+       |  SELECT wd, array_to_string(toks, ' ') AS ts,
+       |    CAST(len(toks) AS BIGINT) AS nt
+       |  FROM rec WHERE unk OR i = length(wd) + 1),
+       |docw AS (
+       |  SELECT doc_id, i, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+       |      unnest(range(1,
+       |        len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS i
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |agg AS (
+       |  SELECT d.doc_id, CAST(sum(t.nt) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(t.ts, ' ' ORDER BY d.i)) AS tok_md5
+       |  FROM docw d JOIN wtoks t ON d.w = t.wd GROUP BY d.doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.tok_md5, md5('')) AS tok_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def bpeEncodeSelect(ctes: String): String =
     s"""WITH $ctes,

@@ -203,4 +203,94 @@ class BpeSpec extends AnyFunSuite {
     assert(got.forall(t => t.length % 2 == 0 &&
       t.forall(c => c.isDigit || ('A' to 'F').contains(c))))
   }
+
+  test("wordpieceMerges: likelihood argmax beats raw count argmax") {
+    import spark.implicits._
+    // "ab" x3, "xy" x1 → units a=3, ##b=3, x=1, ##y=1.
+    // pair (a,##b): n=3, score 3/9 = 0.333…; pair (x,##y): n=1,
+    // score 1/1 = 1.0 — raw-count BPE would merge (a,##b) first;
+    // WordPiece's likelihood score picks the rarer-but-perfectly-
+    // coupled (x,##y). Round 2 then merges (a,##b).
+    val df = Seq("ab ab ab xy").toDF("text")
+    val m = Bpe.wordpieceMerges(df, "text", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(m(0) == ((1, "x", "##y", "xy", 1L, 1L, 1L, 1000000000000L)))
+    assert(m(1) == ((2, "a", "##b", "ab", 3L, 3L, 3L, 333333333333L)))
+  }
+
+  test("wordpieceMerges: continuation merges keep their ## prefix") {
+    import spark.implicits._
+    // "aab" x2 → [a, ##a, ##b]: pairs (a,##a) and (##a,##b) tie at
+    // n=2, score 2/4; the (l, r) tie-break picks ##a < a, and the
+    // merged token strips only the RIGHT's marker: ##a + ##b → ##ab
+    val df = Seq("aab aab").toDF("text")
+    val m = Bpe.wordpieceMerges(df, "text", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(m(0) == ((1, "##a", "##b", "##ab")))
+    // round 2: [a, ##ab] x2 → a + ##ab → aab (word-initial keeps
+    // its bare spelling)
+    assert(m(1) == ((2, "a", "##ab", "aab")))
+  }
+
+  test("wordpieceEncode: greedy longest-match-first, UNK on dead ends") {
+    import spark.implicits._
+    val vocab = Seq("a", "ab", "b", "##c", "##bc")
+    def enc(w: String): Seq[String] =
+      Bpe.wordpieceEncode(Seq(w).toDF("text"), "text", vocab)
+        .select("tokens").collect()(0).getSeq[String](0)
+    // longest init piece wins: ab beats a
+    assert(enc("abc") == Seq("ab", "##c"))
+    assert(enc("abbc") == Seq("ab", "##bc"))
+    // no ##a continuation → the WHOLE word collapses to [UNK]
+    assert(enc("ba") == Seq("[UNK]"))
+    // ##c is continuation-only; c cannot start a word
+    assert(enc("cab") == Seq("[UNK]"))
+    // greedy is NOT Viterbi: "ab" consumes two chars, strands ##c?
+    // no — here it matches; but under a vocab where the greedy
+    // prefix strands the tail, WordPiece UNKs even though a
+    // segmentation exists (the published BERT behavior)
+    val vocab2 = Seq("a", "ab", "##bc")
+    val got2 = Bpe.wordpieceEncode(Seq("abc").toDF("text"), "text",
+        vocab2)
+      .select("tokens").collect()(0).getSeq[String](0)
+    assert(got2 == Seq("[UNK]")) // greedy "ab" + no ##c → dead end
+  }
+
+  test("wordpieceEncode: code-point matching (astral), training corpus never UNKs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // astral pieces: lengths count code points, not UTF-16 units
+    val v = Seq("😀", "##😀", "##a")
+    val got = Bpe.wordpieceEncode(
+        Seq("😀😀a").toDF("text"), "text", v)
+      .select("tokens").collect()(0).getSeq[String](0)
+    assert(got == Seq("😀", "##😀", "##a"))
+    // self-encoding: the b9 vocab covers every base symbol, so no
+    // word of the training corpus can UNK, and stripping the ##
+    // markers reassembles each word exactly
+    val corpus = Seq("hello world", "hello there 😀")
+      .toDF("text")
+    val merged = Bpe.wordpieceMerges(corpus, "text", 3)
+      .orderBy("rank").collect().map(_.getString(3)).toSeq
+    val vocab = Bpe.wordpieceVocab(corpus, "text", merged)
+    val toks = Bpe.wordpieceEncode(corpus, "text", vocab)
+      .select(col("text"), col("tokens")).collect()
+    toks.foreach { r =>
+      val words = r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+      val stream = r.getSeq[String](1)
+      assert(!stream.contains("[UNK]"))
+      // tokens reassemble the words in order
+      val rebuilt = stream.foldLeft(List.empty[String]) {
+        case (acc, t) if t.startsWith("##") && t.length > 2 =>
+          acc.init :+ (acc.last + t.substring(2))
+        case (acc, t) => acc :+ t
+      }
+      assert(rebuilt == words.toList, s"rebuilt $rebuilt vs $words")
+    }
+  }
 }

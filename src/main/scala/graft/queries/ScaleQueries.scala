@@ -1155,6 +1155,25 @@ object ScaleQueries {
         e, "s1", "s2", m = 1000, seed = "e14")
     }),
 
+    // E15 — streaming heavy-hitter gate: count-min counters (pure
+    // additive — order/merge/retry-independent, unlike Misra-Gries,
+    // which stays envelope-only as sk4) folded per day-epoch; each
+    // epoch emits its keys whose sketch estimate clears the exact
+    // integer threshold est·1000 ≥ 8·n_prefix. d=4×w=256 over 150
+    // user keys: collisions exist (est ≥ exact is the spec envelope)
+    // but the decision replays bit-exactly from the md5 cell hashes.
+    "e15_hh_gate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        dayofmonth(col("ts")).cast("long").as("batch"),
+        col("user_id"))
+      graft.streaming.HeavyHitterStream.heavyHittersBatch(
+          ev, "user_id", "batch",
+          d = 4, w = 256, thetaPermille = 8, seed = "e15")
+        .select(col("batch"), col("key").cast("bigint").as("user_id"),
+          col("est"), col("n_prefix"))
+        .orderBy(col("batch"), col("user_id"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -2542,6 +2561,45 @@ object ScaleQueries {
         |       (1000.0::DOUBLE * 999.0::DOUBLE * 998.0::DOUBLE)))
         |      AS BIGINT) END AS est_triangles
         |FROM t CROSS JOIN ts""".stripMargin,
+
+    // e15: the count-min fold replayed from the same md5 cell hashes
+    // — per (row, cell, batch) increments, cumulative sums as the
+    // prefix state (additive counters: the prefix multiset IS the
+    // state), each epoch's distinct keys probed at min-over-rows and
+    // gated on the exact integer threshold est·1000 >= 8·n_prefix
+    "e15_hh_gate" ->
+      """WITH ev AS (
+        |  SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS batch,
+        |    CAST(user_id AS VARCHAR) AS key
+        |  FROM events),
+        |cells AS (
+        |  SELECT batch, key, j,
+        |    CAST('0x' || substr(md5('e15:' || CAST(j AS VARCHAR)
+        |        || ':' || key), 1, 15) AS BIGINT) % 256 AS cell
+        |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |bc AS (SELECT j, cell, batch, CAST(count(*) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1, 2, 3),
+        |cum AS (SELECT j, cell, batch,
+        |          sum(c) OVER (PARTITION BY j, cell ORDER BY batch)
+        |            AS cum
+        |        FROM bc),
+        |np AS (
+        |  SELECT batch, sum(nb) OVER (ORDER BY batch) AS n_prefix
+        |  FROM (SELECT batch, CAST(count(*) AS BIGINT) AS nb
+        |        FROM ev GROUP BY 1)),
+        |cand AS (SELECT DISTINCT batch, key, j, cell FROM cells),
+        |est AS (
+        |  SELECT k.batch, k.key, min(cu.cum) AS est
+        |  FROM cand k
+        |  JOIN cum cu ON cu.j = k.j AND cu.cell = k.cell
+        |    AND cu.batch = k.batch
+        |  GROUP BY 1, 2)
+        |SELECT e.batch, CAST(e.key AS BIGINT) AS user_id,
+        |  CAST(e.est AS BIGINT) AS est,
+        |  CAST(np.n_prefix AS BIGINT) AS n_prefix
+        |FROM est e JOIN np USING (batch)
+        |WHERE e.est * 1000 >= 8 * np.n_prefix
+        |ORDER BY e.batch, user_id""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

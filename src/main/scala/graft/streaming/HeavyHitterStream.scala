@@ -1,0 +1,192 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters as a bounded-state ingest signal (e15):
+  * "which keys are hot on this stream, right now" — top domains /
+  * hosts / users on an ingest feed, the per-source quota alarm a
+  * 100 TB crawl pipeline watches while it runs.
+  *
+  * Determinism (the replay convention every gate here follows):
+  * Misra–Gries/SpaceSaving summaries are ARRIVAL-ORDER-dependent —
+  * the same multiset folded in two orders keeps different survivor
+  * sets, so no exact replay could pin their emissions (the batch sk4
+  * row handles that family with the envelope pattern instead). This
+  * gate's state is a count-min sketch: d·w pure ADDITIVE counters —
+  * commutative, associative, mergeable — so the state after any
+  * prefix depends only on the prefix MULTISET, never on arrival
+  * order, micro-batch boundaries, shuffles, retries, or the merge
+  * tree. Per batch it emits every key OF THAT BATCH whose sketch
+  * estimate clears an exact integer threshold,
+  * `est · 1000 ≥ θ‰ · n_prefix` — no float anywhere in the decision,
+  * so the DuckDB oracle replays emissions bit-exactly from the same
+  * md5 cell hashes.
+  *
+  * Guarantees (CMS): `est ≥ true_count` always (hash collisions only
+  * ADD), and `est ≤ true_count + εN` with probability 1−δ for
+  * w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉ — so no true heavy hitter is ever
+  * missed; collisions can only promote a near-threshold key, and the
+  * spec pins the over-count envelope. State is d·w longs + one total
+  * regardless of key cardinality or stream length — the property
+  * that makes this deployable where an exact per-key count table
+  * (unbounded keys) is not.
+  *
+  * Batch semantics: `batchCol` is a DATA-derived epoch (a day, an
+  * ingest file id) — not the trigger's micro-batch id — so emissions
+  * are replayable. The streaming form folds whatever epochs a
+  * micro-batch carries in ascending order; for the per-epoch
+  * `n_prefix` to mean "everything up to this epoch", feed epochs
+  * non-decreasing (the event-time ordered ingest the rest of this
+  * package assumes). The FINAL state is order-independent regardless
+  * — additive counters cannot disagree about the union.
+  */
+object HeavyHitterStream extends Serializable {
+
+  /** One emission: `key` was flagged hot after folding epoch `batch`;
+    * `est` its sketch count over the prefix, `n_prefix` the prefix
+    * total. */
+  case class HeavyHit(batch: Long, key: String, est: Long,
+      n_prefix: Long)
+
+  // private[streaming], NOT private: an unqualified-private member of
+  // an object compiles to accessors Janino-generated encoder code
+  // cannot resolve ("no applicable method cells()"); the qualified
+  // form keeps them public in bytecode (the ResState convention)
+  private[streaming] case class HhState(n: Long, cells: Seq[Long])
+
+  /** Row-j cell of `key`: 60 bits of md5("seed:j:key") mod w — the
+    * seeded-draw construction ([[TriangleStream]]'s priority, the
+    * sampleDraw family), replayable in DuckDB as
+    * `CAST('0x' || substr(md5(seed||':'||j||':'||key), 1, 15) AS
+    * BIGINT) % w`. */
+  private def cellCol(seed: String, j: Int, w: Int,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"$seed:$j:"), key)), 1, 15),
+      16, 10).cast("long") % w
+
+  private def cellJvm(seed: String, j: Int, w: Int, key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$seed:$j:$key".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % w).toInt
+  }
+
+  /** BATCH form — the oracle-facing replay of the streaming gate:
+    * fold epochs in `batchCol` order, emit each epoch's flagged keys.
+    * Identical emissions to the streamed fold on any epoch-ordered
+    * split (spec-pinned; the counters are additive so the state can
+    * never diverge).
+    *
+    * Scale shape: ONE corpus-sized exchange — the (j, cell, batch)
+    * increment partial-agg (d rows per event map-side, combined
+    * before the shuffle). Everything downstream is sketch-sized:
+    * the cumulative window runs over ≤ d·w·B rows, the per-epoch
+    * totals over B rows (both corpus-independent), and both join back
+    * broadcast. The candidate frame (distinct (batch, key)) is the
+    * second exchange — it is what "keys of that batch" means and is
+    * bounded by the epoch's distinct-key count, not the event count. */
+  def heavyHittersBatch(events: DataFrame, keyCol: String,
+      batchCol: String, d: Int, w: Int, thetaPermille: Int,
+      seed: String): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    require(thetaPermille >= 1 && thetaPermille <= 1000,
+      s"thetaPermille in [1,1000], got $thetaPermille")
+    val ev = events.select(col(batchCol).cast("long").as("batch"),
+      col(keyCol).cast("string").as("key"))
+    // d (j, cell) pairs per event in ONE scan
+    val cells = ev.select(col("batch"), col("key"),
+        explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"),
+            cellCol(seed, j, w, col("key")).as("cell"))): _*)).as("p"))
+      .select(col("batch"), col("key"), col("p.j").as("j"),
+        col("p.cell").as("cell"))
+    val bc = cells.groupBy(col("j"), col("cell"), col("batch"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("j"), col("cell"))
+      .orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bc.select(col("j"), col("cell"), col("batch"),
+      sum(col("c")).over(wCum).as("cum"))
+    // per-epoch totals and the prefix total: B rows — the
+    // single-partition window is over the EPOCH COUNT, never the data
+    val wNp = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val np = ev.groupBy(col("batch")).agg(count(lit(1)).as("nb"))
+      .select(col("batch"), sum(col("nb")).over(wNp).as("n_prefix"))
+    val cand = cells.distinct()
+    cand.join(broadcast(cum), Seq("j", "cell", "batch"))
+      .groupBy(col("batch"), col("key"))
+      .agg(min(col("cum")).as("est"))
+      .join(broadcast(np), Seq("batch"))
+      .filter(col("est") * lit(1000L) >=
+        lit(thetaPermille.toLong) * col("n_prefix"))
+      .select(col("batch"), col("key"), col("est"), col("n_prefix"))
+  }
+
+  /** STREAMING form: fold each micro-batch's epochs (ascending) into
+    * the checkpointed d·w counters and emit that epoch's flagged
+    * keys. State is EXACTLY d·w longs + the prefix total — bounded
+    * for any stream length and key cardinality.
+    *
+    * The single merge group is the documented funnel (the e14 shape);
+    * the scale-out path is the additive counters' mergeability:
+    * per-partition sketch partials merge associatively upstream of
+    * the merge point, the same partial-combine the batch form's
+    * groupBy already executes. */
+  def heavyHittersStream(events: DataFrame, keyCol: String,
+      batchCol: String, d: Int, w: Int, thetaPermille: Int,
+      seed: String): Dataset[HeavyHit] = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    require(thetaPermille >= 1 && thetaPermille <= 1000,
+      s"thetaPermille in [1,1000], got $thetaPermille")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(g: Int, rows: Iterator[(Long, String)],
+        state: GroupState[HhState]): Iterator[HeavyHit] = {
+      val st = state.getOption.getOrElse(
+        HhState(0L, Vector.fill(d * w)(0L)))
+      var n = st.n
+      val cells = st.cells.toArray
+      val out = scala.collection.mutable.ArrayBuffer[HeavyHit]()
+      rows.toArray.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+        case (b, evs) =>
+          val counts = scala.collection.mutable.HashMap[String, Long]()
+          evs.foreach { case (_, k) =>
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          }
+          counts.foreach { case (k, c) =>
+            var j = 0
+            while (j < d) {
+              cells(j * w + cellJvm(seed, j, w, k)) += c
+              j += 1
+            }
+          }
+          n += evs.length
+          counts.keysIterator.toSeq.sorted.foreach { k =>
+            var est = Long.MaxValue
+            var j = 0
+            while (j < d) {
+              est = math.min(est, cells(j * w + cellJvm(seed, j, w, k)))
+              j += 1
+            }
+            if (est * 1000L >= thetaPermille.toLong * n)
+              out += HeavyHit(b, k, est, n)
+          }
+      }
+      state.update(HhState(n, cells.toVector))
+      out.iterator
+    }
+
+    events.select(col(batchCol).cast("long").as("batch"),
+        col(keyCol).cast("string").as("key"))
+      .as[(Long, String)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

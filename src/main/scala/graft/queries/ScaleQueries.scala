@@ -922,6 +922,29 @@ object ScaleQueries {
             .as("within_25pct"))
     }),
 
+    // G5 — connected components as a first-class graph row: the
+    // part co-occurrence graph (parts sharing an order, l_orderkey %
+    // 80 — 53 components over 615 nodes at the oracle SF, a giant
+    // component plus a long small tail) labeled by pointer-doubling
+    // min-propagation, emitted as per-component sizes. The oracle
+    // computes min-reachable-node per node via a recursive
+    // transitive-closure CTE — exact, feasible at oracle scale
+    // because components are node-bounded.
+    "g5_components" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 80 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct()
+      Graph.connectedComponents(e, "p1", "p2")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).cast("bigint").as("n_members"))
+        .orderBy(col("component"))
+    }),
+
     "g1_pagerank" -> ((s, d) => {
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -2506,6 +2529,31 @@ object ScaleQueries {
         |      - texact.t)::DOUBLE <= texact.t::DOUBLE * 0.25
         |    AS within_25pct
         |FROM texact CROSS JOIN ts CROSS JOIN se""".stripMargin,
+
+    // g5: components as min-reachable-node — an exact recursive
+    // transitive closure (UNION dedups, so it terminates), node-count
+    // bounded at oracle scale; the Spark side's pointer-doubling
+    // labels must land on exactly the same (component = min member)
+    "g5_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 80 = 0),
+        |co AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS src, y AS dst FROM co
+        |      UNION ALL SELECT y, x FROM co),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT re.node, e.dst AS r
+        |  FROM reach re JOIN e ON e.src = re.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
 
     // e14: the deterministic bottom-m priority reservoir replayed
     // verbatim — the reservoir is ORDER BY (priority, x, y) LIMIT m

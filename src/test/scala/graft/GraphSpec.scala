@@ -198,4 +198,24 @@ class GraphSpec extends AnyFunSuite {
       .head()
     assert(none.getLong(1) == 0L && none.getLong(2) == 0L)
   }
+
+  test("connectedComponents: min-label components, path diameter, singletons absent") {
+    import spark.implicits._
+    // component {1,2,3} (triangle), component {10..15} (a path — the
+    // diameter case pointer-doubling exists for), component {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (21L, 20L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L),
+      (15L, 10L),
+      (20L, 20L), (21L, 20L)))
+    // a node with no edges never appears: components are defined over
+    // the edge list's nodes (callers union isolated ids if needed)
+    assert(!got.map(_._1).contains(99L))
+  }
 }

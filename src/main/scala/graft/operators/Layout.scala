@@ -159,6 +159,14 @@ object Layout {
     * pipeline, where examples are concatenated into fixed-length
     * model sequences and every padding token is wasted compute.
     *
+    * Policy siblings: [[graft.operators.Curation.packSequences]] (x3)
+    * is the ONE-WINDOW contiguous policy — bins may overflow by one
+    * straddling document, trailing bins run short — right when a
+    * boundary-crossing doc is acceptable (loss-masked packing).
+    * This operator (l5) is STRICT next-fit: no multi-doc pack ever
+    * exceeds the budget (only a single oversized doc can), the
+    * invariant required when sequences are hard-truncated.
+    *
     * Scale shape: ONE hash shuffle on `shardCol` plus an in-partition
     * sort, then a streaming O(1)-state fold — no group
     * materialization, no window, no driver state. Shard count is the

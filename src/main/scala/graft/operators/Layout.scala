@@ -216,4 +216,65 @@ object Layout {
       .toDF("shard", "id", "len", "pack_seq", "pos_in_pack",
         "fill_after")
   }
+
+  /** Materialized next-fit packs: one row per [[packSequences]] pack
+    * with the member documents' payloads concatenated in pack order
+    * (`\n` boundary — the EOS stand-in, [[graft.operators.Curation
+    * .packedPayloads]]'s convention) — the training-shard payload
+    * under the STRICT budget policy, emitted by the SAME
+    * single-exchange fold: the concat buffer is the open pack
+    * (bounded by `budget` characters-worth of members, plus the one
+    * oversized doc), completed packs stream out as the fold passes
+    * them, and nothing is ever grouped or windowed. Pack numbering is
+    * identical to [[packSequences]] by construction (one rule, two
+    * emitters — spec-pinned).
+    *
+    * @return (shard, pack_seq, n_docs, n_tokens, payload). */
+  def packPayloads(df: DataFrame, idCol: String, lenCol: String,
+      textCol: String, shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"),
+        col(textCol).cast("string").as("text"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long, String)]
+      .mapPartitions { it =>
+        var shard = 0L; var pack = 0L; var fill = 0L; var nDocs = 0L
+        var buf = new java.lang.StringBuilder
+        var started = false
+        def emit(): (Long, Long, Long, Long, String) =
+          (shard, pack, nDocs, fill, buf.toString)
+        def reset(): Unit = { fill = 0L; nDocs = 0L
+          buf = new java.lang.StringBuilder }
+        val completed = it.flatMap { case (s, id, n, text) =>
+          require(n >= 0, s"negative length $n for id $id")
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, String)]
+          if (!started) { started = true; shard = s; pack = 1L }
+          else if (s != shard) {
+            out += emit(); shard = s; pack = 1L; reset()
+          } else if (fill > 0 && fill + n > budget) {
+            out += emit(); pack += 1L; reset()
+          }
+          if (nDocs > 0) buf.append('\n')
+          buf.append(text); fill += n; nDocs += 1L
+          out
+        }
+        // the open pack flushes AFTER the element stream is exhausted
+        // (Iterator ++ is lazy; hasNext reads the fold state then)
+        val tail = new Iterator[(Long, Long, Long, Long, String)] {
+          private var done = false
+          def hasNext: Boolean = started && !done
+          def next(): (Long, Long, Long, Long, String) = {
+            done = true; emit()
+          }
+        }
+        completed ++ tail
+      }
+      .toDF("shard", "pack_seq", "n_docs", "n_tokens", "payload")
+  }
 }

@@ -1394,6 +1394,23 @@ object ScaleQueries {
         .orderBy(col("shard"), col("doc_id"))
     }),
 
+    // L6 — the l5 packs MATERIALIZED: member payloads newline-joined
+    // in doc order by the same single-exchange fold (the concat
+    // buffer is the open pack, completed packs stream out — nothing
+    // grouped or windowed). Payload md5'd per the b2 convention: one
+    // misplaced boundary or member anywhere flips a pack's hash.
+    "l6_pack_payloads" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"),
+        col("text"))
+      graft.operators.Layout.packPayloads(
+          docs, "doc_id", "len", "text", "shard", budget = 90L)
+        .select(col("shard"), col("pack_seq"), col("n_docs"),
+          col("n_tokens"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("shard"), col("pack_seq"))
+    }),
+
     // B5 — the unigram-LM trainer's seed vocabulary (Kudo 2018):
     // every <= 8-char substring of every corpus word, frequency-
     // weighted, cut to all single chars + the 200 heaviest multi-char
@@ -2661,34 +2678,24 @@ object ScaleQueries {
     // advances every shard one doc per step; the CASE triple is the
     // open-pack/new-pack/own-pack-overflow rule
     "l5_seq_pack" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
-        |      AS BIGINT) AS len
-        |  FROM documents
-        |), ordered AS (
-        |  SELECT shard, doc_id, len,
-        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
-        |      AS rn
-        |  FROM docs
-        |), rec AS (
-        |  SELECT shard, rn, doc_id, len,
-        |    CAST(1 AS BIGINT) AS pack_seq, len AS fill_after,
-        |    CAST(1 AS BIGINT) AS pos_in_pack
-        |  FROM ordered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.shard, o.rn, o.doc_id, o.len,
-        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
-        |         THEN r.pack_seq + 1 ELSE r.pack_seq END,
-        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
-        |         THEN o.len ELSE r.fill_after + o.len END,
-        |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
-        |         THEN CAST(1 AS BIGINT) ELSE r.pos_in_pack + 1 END
-        |  FROM rec r
-        |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
-        |)
+      s"""WITH RECURSIVE $packRecCtes
         |SELECT shard, doc_id, len, pack_seq, pos_in_pack, fill_after
         |FROM rec ORDER BY shard, doc_id""".stripMargin,
+
+    // l6: the SAME fold's pack assignments joined back to text and
+    // collapsed one row per pack — payload = members newline-joined
+    // in doc order (md5'd per the b2 convention), n_tokens = the
+    // pack's fill
+    "l6_pack_payloads" ->
+      s"""WITH RECURSIVE $packRecCtes
+        |SELECT r.shard, r.pack_seq,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(r.len) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(d.text, chr(10) ORDER BY r.doc_id))
+        |    AS payload_md5
+        |FROM rec r JOIN documents d USING (doc_id)
+        |GROUP BY r.shard, r.pack_seq
+        |ORDER BY r.shard, r.pack_seq""".stripMargin,
 
     // b5: substring explode bounded at 8 chars, freq-weighted, single
     // chars unioned with the top-200 multi-char cut on the same
@@ -3302,6 +3309,39 @@ object ScaleQueries {
     * shape; the s4 symbol table just holds hex-pair concatenations. */
   private lazy val byteBpeEncodeSql: String =
     bpeEncodeSelect(byteRoundsCtes)
+
+  /** l5/l6's shared pack-assignment recursion: token lengths, the
+    * per-shard doc ordering, and the next-fit fold advanced one doc
+    * per step (the CASE triple = open-pack / new-pack /
+    * own-pack-overflow). Ends in `rec(shard, rn, doc_id, len,
+    * pack_seq, fill_after, pos_in_pack)`. */
+  private lazy val packRecCtes: String =
+    """docs AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |      AS BIGINT) AS len
+      |  FROM documents
+      |), ordered AS (
+      |  SELECT shard, doc_id, len,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+      |      AS rn
+      |  FROM docs
+      |), rec AS (
+      |  SELECT shard, rn, doc_id, len,
+      |    CAST(1 AS BIGINT) AS pack_seq, len AS fill_after,
+      |    CAST(1 AS BIGINT) AS pos_in_pack
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.len,
+      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |         THEN r.pack_seq + 1 ELSE r.pack_seq END,
+      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |         THEN o.len ELSE r.fill_after + o.len END,
+      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |         THEN CAST(1 AS BIGINT) ELSE r.pos_in_pack + 1 END
+      |  FROM rec r
+      |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+      |)""".stripMargin
 
   /** b9/b10's training rounds: the b1 round mechanics under
     * ##-continuation symbols with the WordPiece LIKELIHOOD argmax —

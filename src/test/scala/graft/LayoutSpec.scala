@@ -212,6 +212,43 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("packPayloads: payloads join members in order; packs == packSequences exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 10L, 40L, "A"), (0L, 11L, 50L, "B"), (0L, 12L, 30L, "C"),
+      (0L, 13L, 120L, "D"), (0L, 14L, 10L, "E"), (0L, 15L, 0L, "F"),
+      (0L, 16L, 80L, "G"), (1L, 20L, 90L, "H"), (1L, 21L, 1L, "I")
+    ).toDF("shard", "doc_id", "len", "text")
+    val got = Layout.packPayloads(docs, "doc_id", "len", "text",
+        "shard", 90L)
+      .orderBy("shard", "pack_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // same boundaries as the packSequences hand example; the open
+    // trailing pack of each shard flushes at iterator end
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 90L, "A\nB"), (0L, 2L, 1L, 30L, "C"),
+      (0L, 3L, 1L, 120L, "D"), (0L, 4L, 3L, 90L, "E\nF\nG"),
+      (1L, 1L, 1L, 90L, "H"), (1L, 2L, 1L, 1L, "I")))
+    // one rule, two emitters: pack keys and sizes agree with
+    // packSequences on a bigger randomized frame
+    val big = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 7).as("shard"),
+        pmod(col("id") * 37 + 11, lit(100)).as("len"),
+        concat(lit("d"), col("id")).as("text"))
+    val assign = Layout.packSequences(big, "doc_id", "len", "shard",
+        128L)
+      .groupBy("shard", "pack_seq")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_tokens"))
+      .orderBy("shard", "pack_seq").collect().map(_.toSeq).toSeq
+    val pay = Layout.packPayloads(big, "doc_id", "len", "text",
+        "shard", 128L)
+      .select(col("shard"), col("pack_seq"),
+        col("n_docs").cast("long"), col("n_tokens"))
+      .orderBy("shard", "pack_seq").collect().map(_.toSeq).toSeq
+    assert(pay == assign)
+  }
+
   test("packSequences: one shuffle (the shard repartition), nothing after the fold") {
     import spark.implicits._
     val docs = spark.range(0, 100)

@@ -1376,6 +1376,54 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // B11 — the tokenizer SELECTION table: all four families trained
+    // and run over one corpus in one frame (char BPE, byte BPE,
+    // unigram-LM, WordPiece), each priced in-row per the t9 build
+    // convention, compared on corpus-weighted fertility — the table a
+    // training pipeline actually reads before committing to a
+    // vocabulary. The oracle embeds each family's full replay as a
+    // scoped subquery over one shared word count.
+    "b11_tokenizer_eval" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val nWords = docs.select(explode(filter(
+          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+        .count()
+      def fert(t: Long): Long =
+        math.floor(t.toDouble / nWords.toDouble * 1e6).toLong
+      val mc = graft.operators.Bpe.bpeMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tChar = graft.operators.Bpe.bpeEncode(
+          docs.select("text"), "text", mc)
+        .agg(sum(size(col("tokens")))).head().getLong(0)
+      val mb = graft.operators.Bpe.bpeMergesBytes(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tByte = graft.operators.Bpe.bpeEncodeBytes(
+          docs.select("text"), "text", mb)
+        .agg(sum(size(col("tokens")))).head().getLong(0)
+      val seed = graft.operators.Bpe.unigramSeed(docs, "text",
+        seedSize = 200).collect()
+      val total = seed.map(_.getLong(1)).sum.toDouble
+      val uv = seed.map(r => r.getString(0) ->
+        math.floor(math.log(r.getLong(1).toDouble / total) * 1e6))
+        .toSeq
+      val tUni = graft.operators.Bpe.unigramEncode(docs, "text", uv)
+        .agg(sum(size(col("pieces")))).head().getLong(0)
+      val mw = graft.operators.Bpe.wordpieceMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
+      val wv = graft.operators.Bpe.wordpieceVocab(docs, "text", mw)
+      val tWp = graft.operators.Bpe.wordpieceEncode(
+          docs.select("text"), "text", wv)
+        .agg(sum(size(col("tokens")))).head().getLong(0)
+      Seq(("bpe_byte", tByte), ("bpe_char", tChar),
+          ("unigram", tUni), ("wordpiece", tWp))
+        .map { case (n, t) => (n, nWords, t, fert(t)) }
+        .toDF("tokenizer", "n_words", "n_tokens", "fertility_e6")
+        .orderBy(col("tokenizer"))
+    }),
+
     // L5 — greedy next-fit sequence packing (the delivery stage of a
     // training pipeline): docs shard by doc_id % 8 and pack into a
     // 90-token budget in doc_id order — a budget below the corpus max
@@ -2673,6 +2721,7 @@ object ScaleQueries {
     "b8_byte_encode" -> byteBpeEncodeSql,
     "b9_wordpiece" -> wordpieceSql,
     "b10_wordpiece_encode" -> wordpieceEncodeSql,
+    "b11_tokenizer_eval" -> tokenizerEvalSql,
 
     // l5: the next-fit fold replayed exactly — a recursive CTE
     // advances every shard one doc per step; the CASE triple is the
@@ -2733,95 +2782,7 @@ object ScaleQueries {
     // recursions in DuckDB — join-then-list sidesteps it). Backtrack
     // is a second bounded recursion; documents reassemble their word
     // streams by position and hash them.
-    "b6_unigram_encode" ->
-      """WITH RECURSIVE
-        |w AS (
-        |  SELECT wd, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
-        |          AS wd FROM documents)
-        |  WHERE wd <> '' GROUP BY 1),
-        |subs AS (
-        |  SELECT substr(wd, i::INT, l::INT) AS piece, c
-        |  FROM (
-        |    SELECT wd, c, i,
-        |      unnest(range(1, least(8, length(wd) - i + 1) + 1)) AS l
-        |    FROM (SELECT wd, c, unnest(range(1, length(wd) + 1)) AS i
-        |          FROM w))),
-        |pf AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq
-        |       FROM subs GROUP BY 1),
-        |multi AS (
-        |  SELECT piece, freq FROM pf WHERE length(piece) > 1
-        |  ORDER BY freq DESC, piece ASC LIMIT 200),
-        |seed AS (
-        |  SELECT piece, freq FROM pf WHERE length(piece) = 1
-        |  UNION ALL SELECT piece, freq FROM multi),
-        |tot AS (SELECT sum(freq)::DOUBLE AS t FROM seed),
-        |model AS (
-        |  SELECT piece, CAST(floor(ln(freq / t) * 1000000) AS BIGINT)
-        |    AS lp
-        |  FROM seed CROSS JOIN tot),
-        |words AS (SELECT DISTINCT wd FROM w),
-        |pos AS (
-        |  SELECT wd, i, j,
-        |    substr(wd, (j + 1)::INT, (i - j)::INT) AS piece
-        |  FROM (SELECT wd, i, unnest(range(greatest(0, i - 8), i)) AS j
-        |        FROM (SELECT wd, unnest(range(1, length(wd) + 1)) AS i
-        |              FROM words))),
-        |cand AS (
-        |  SELECT wd, i, j,
-        |    coalesce(m.lp, CASE WHEN i - j = 1
-        |      THEN CAST(-100000000 AS BIGINT) END) AS lp
-        |  FROM pos LEFT JOIN model m ON m.piece = pos.piece),
-        |cl AS (
-        |  SELECT wd, i, list({'j': j, 'lp': lp} ORDER BY j) AS cands
-        |  FROM cand WHERE lp IS NOT NULL GROUP BY wd, i),
-        |v AS (
-        |  SELECT wd, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS back
-        |  FROM words
-        |  UNION ALL
-        |  SELECT wd, i,
-        |    list_append(best, pick.v),
-        |    list_append(back, pick.j::INT)
-        |  FROM (
-        |    SELECT v.wd AS wd, cl.i AS i, v.best AS best,
-        |      v.back AS back,
-        |      list_reduce(
-        |        list_transform(cl.cands,
-        |          c -> {'j': c.j,
-        |                'v': v.best[(c.j + 1)::INT] + c.lp}),
-        |        (a, b) -> CASE WHEN b.v > a.v THEN b ELSE a END)
-        |        AS pick
-        |    FROM v JOIN cl ON cl.wd = v.wd AND cl.i = v.i + 1)),
-        |fin AS (SELECT wd, back FROM v WHERE i = length(wd)),
-        |bt AS (
-        |  SELECT wd, length(wd)::INT AS k, back,
-        |    CAST([] AS VARCHAR[]) AS pieces
-        |  FROM fin
-        |  UNION ALL
-        |  SELECT wd, back[k + 1] AS k, back,
-        |    list_prepend(substr(wd, back[k + 1] + 1, k - back[k + 1]),
-        |      pieces)
-        |  FROM bt WHERE k > 0),
-        |wp AS (
-        |  SELECT wd, array_to_string(pieces, ' ') AS ps,
-        |    CAST(len(pieces) AS BIGINT) AS np
-        |  FROM bt WHERE k = 0),
-        |dt AS (
-        |  SELECT doc_id, unnest(tk) AS wd,
-        |    generate_subscripts(tk, 1) AS ord
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |            x -> x <> '') AS tk
-        |        FROM documents)),
-        |agg AS (
-        |  SELECT doc_id, string_agg(ps, ' ' ORDER BY ord) AS stream,
-        |    CAST(sum(np) AS BIGINT) AS n
-        |  FROM dt JOIN wp USING (wd) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(n, 0) AS BIGINT) AS n_pieces,
-        |  md5(coalesce(stream, '')) AS pieces_md5
-        |FROM documents d LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "b6_unigram_encode" -> unigramEncodeSql,
 
     "b2_bpe_encode" -> bpeEncodeSql,
     "b3_token_freq" -> s"""WITH $bpeRoundsCtes,
@@ -3309,6 +3270,130 @@ object ScaleQueries {
     * shape; the s4 symbol table just holds hex-pair concatenations. */
   private lazy val byteBpeEncodeSql: String =
     bpeEncodeSelect(byteRoundsCtes)
+
+  /** b6: the unigram-LM Viterbi encode under the seed-normalized
+    * model, replayed as bounded recursive CTEs (one DP level per
+    * iteration; backtrack a second bounded recursion). Extracted to a
+    * val so b11 can embed it as one of its four scoped subqueries. */
+  private lazy val unigramEncodeSql: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT wd, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |          AS wd FROM documents)
+      |  WHERE wd <> '' GROUP BY 1),
+      |subs AS (
+      |  SELECT substr(wd, i::INT, l::INT) AS piece, c
+      |  FROM (
+      |    SELECT wd, c, i,
+      |      unnest(range(1, least(8, length(wd) - i + 1) + 1)) AS l
+      |    FROM (SELECT wd, c, unnest(range(1, length(wd) + 1)) AS i
+      |          FROM w))),
+      |pf AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+      |       FROM subs GROUP BY 1),
+      |multi AS (
+      |  SELECT piece, freq FROM pf WHERE length(piece) > 1
+      |  ORDER BY freq DESC, piece ASC LIMIT 200),
+      |seed AS (
+      |  SELECT piece, freq FROM pf WHERE length(piece) = 1
+      |  UNION ALL SELECT piece, freq FROM multi),
+      |tot AS (SELECT sum(freq)::DOUBLE AS t FROM seed),
+      |model AS (
+      |  SELECT piece, CAST(floor(ln(freq / t) * 1000000) AS BIGINT)
+      |    AS lp
+      |  FROM seed CROSS JOIN tot),
+      |words AS (SELECT DISTINCT wd FROM w),
+      |pos AS (
+      |  SELECT wd, i, j,
+      |    substr(wd, (j + 1)::INT, (i - j)::INT) AS piece
+      |  FROM (SELECT wd, i, unnest(range(greatest(0, i - 8), i)) AS j
+      |        FROM (SELECT wd, unnest(range(1, length(wd) + 1)) AS i
+      |              FROM words))),
+      |cand AS (
+      |  SELECT wd, i, j,
+      |    coalesce(m.lp, CASE WHEN i - j = 1
+      |      THEN CAST(-100000000 AS BIGINT) END) AS lp
+      |  FROM pos LEFT JOIN model m ON m.piece = pos.piece),
+      |cl AS (
+      |  SELECT wd, i, list({'j': j, 'lp': lp} ORDER BY j) AS cands
+      |  FROM cand WHERE lp IS NOT NULL GROUP BY wd, i),
+      |v AS (
+      |  SELECT wd, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS back
+      |  FROM words
+      |  UNION ALL
+      |  SELECT wd, i,
+      |    list_append(best, pick.v),
+      |    list_append(back, pick.j::INT)
+      |  FROM (
+      |    SELECT v.wd AS wd, cl.i AS i, v.best AS best,
+      |      v.back AS back,
+      |      list_reduce(
+      |        list_transform(cl.cands,
+      |          c -> {'j': c.j,
+      |                'v': v.best[(c.j + 1)::INT] + c.lp}),
+      |        (a, b) -> CASE WHEN b.v > a.v THEN b ELSE a END)
+      |        AS pick
+      |    FROM v JOIN cl ON cl.wd = v.wd AND cl.i = v.i + 1)),
+      |fin AS (SELECT wd, back FROM v WHERE i = length(wd)),
+      |bt AS (
+      |  SELECT wd, length(wd)::INT AS k, back,
+      |    CAST([] AS VARCHAR[]) AS pieces
+      |  FROM fin
+      |  UNION ALL
+      |  SELECT wd, back[k + 1] AS k, back,
+      |    list_prepend(substr(wd, back[k + 1] + 1, k - back[k + 1]),
+      |      pieces)
+      |  FROM bt WHERE k > 0),
+      |wp AS (
+      |  SELECT wd, array_to_string(pieces, ' ') AS ps,
+      |    CAST(len(pieces) AS BIGINT) AS np
+      |  FROM bt WHERE k = 0),
+      |dt AS (
+      |  SELECT doc_id, unnest(tk) AS wd,
+      |    generate_subscripts(tk, 1) AS ord
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |            x -> x <> '') AS tk
+      |        FROM documents)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(ps, ' ' ORDER BY ord) AS stream,
+      |    CAST(sum(np) AS BIGINT) AS n
+      |  FROM dt JOIN wp USING (wd) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_pieces,
+      |  md5(coalesce(stream, '')) AS pieces_md5
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** b11: the tokenizer selection table — each family's corpus token
+    * total is one scoped subquery embedding that family's full
+    * training+encode replay (DuckDB allows WITH [RECURSIVE] inside a
+    * derived table), over one shared word count. */
+  private lazy val tokenizerEvalSql: String =
+    s"""WITH w AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_words
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |          AS wd FROM documents)
+       |  WHERE wd <> '')
+       |SELECT t.tokenizer, w.n_words, t.n_tokens,
+       |  CAST(floor(CAST(t.n_tokens AS DOUBLE)
+       |      / CAST(w.n_words AS DOUBLE) * 1000000) AS BIGINT)
+       |    AS fertility_e6
+       |FROM (
+       |  SELECT 'bpe_byte' AS tokenizer,
+       |    (SELECT CAST(sum(n_tokens) AS BIGINT)
+       |     FROM ($byteBpeEncodeSql)) AS n_tokens
+       |  UNION ALL SELECT 'bpe_char',
+       |    (SELECT CAST(sum(n_tokens) AS BIGINT)
+       |     FROM ($bpeEncodeSql))
+       |  UNION ALL SELECT 'unigram',
+       |    (SELECT CAST(sum(n_pieces) AS BIGINT)
+       |     FROM ($unigramEncodeSql))
+       |  UNION ALL SELECT 'wordpiece',
+       |    (SELECT CAST(sum(n_tokens) AS BIGINT)
+       |     FROM ($wordpieceEncodeSql))) t
+       |CROSS JOIN w
+       |ORDER BY t.tokenizer""".stripMargin
 
   /** l5/l6's shared pack-assignment recursion: token lengths, the
     * per-shard doc ordering, and the next-fit fold advanced one doc

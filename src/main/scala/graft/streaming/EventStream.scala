@@ -163,6 +163,70 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** [[sessionize]] with EVENT-TIME TIMEOUT eviction — the stateful
+    * shape the gap rule alone cannot express: a session whose user
+    * never returns closes anyway once the WATERMARK passes
+    * `last + gap` (no on-time event can extend it past that point, so
+    * the close is final and Append-safe). Without this, abandoned
+    * sessions pin state forever — at 100 TB of users, state size
+    * becomes the corpus's key cardinality instead of its ACTIVE-key
+    * cardinality, which is the difference between a long-running job
+    * and an OOM.
+    *
+    * Emissions are CLOSED sessions only (gap-closed or
+    * timeout-closed); no per-batch open echo is needed because
+    * timeout guarantees eventual closure of every session. State per
+    * user is one (start, last, n) triple, removed at timeout — the
+    * bounded-active-state contract.
+    *
+    * Contract vs batch: on a finite corpus whose watermark is pushed
+    * past every `last + gap` (a sentinel event or stream end-of-life),
+    * the closed set is row-identical to
+    * [[graft.operators.EventOps.sessionize]] (StreamingSpec pins it).
+    * Input rows older than the watermark are dropped by the stateful
+    * operator's late-row filter, so a closed session can never be
+    * resurrected or double-emitted. */
+  def sessionizeTimeout(events: DataFrame, gapMinutes: Int,
+      watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(
+          SessionUpdate(userId, st.n, st.start, st.last, closed = true))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var out = List.empty[SessionUpdate]
+        var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+        for (e <- sorted) {
+          val us = micros(e.ts)
+          if (st.n == 0) st = SessionState(us, us, 1)
+          else if (us - st.last > gapUs) {
+            out ::= SessionUpdate(userId, st.n, st.start, st.last,
+              closed = true)
+            st = SessionState(us, us, 1)
+          } else st = SessionState(st.start, us, st.n + 1)
+        }
+        state.update(st)
+        // fire when the watermark passes the gap horizon (millis API)
+        state.setTimeoutTimestamp((st.last + gapUs) / 1000L)
+        out.reverseIterator
+      }
+    }
+
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class FillEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, value: Double)
   case class FillState(bucket: Long, n: Long, value: Double,

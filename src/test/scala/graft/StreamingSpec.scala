@@ -265,6 +265,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(sTotals == bTotals)
   }
 
+  test("event-time timeout closes abandoned sessions; closed set == batch once the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("sesstmo").toString
+    // f0: user 1 (2 events), user 2 (1 event); f1: user 2 returns
+    // after the gap (gap-closes session 1); f2: a sentinel user far
+    // in the future pushes the watermark past every horizon — user
+    // 1's session must close by TIMEOUT (no successor event exists,
+    // the case plain sessionize keeps open forever)
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+        (2L, ts("2024-01-01 10:05:00"), 1L),
+        (3L, ts("2024-01-01 10:00:00"), 2L)),
+      Seq((4L, ts("2024-01-01 11:00:00"), 2L)),
+      Seq((5L, ts("2024-01-01 13:00:00"), 99L)))
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      evs.toDF("event_id", "ts", "user_id").coalesce(1)
+        .write.parquet(s"$dir/f$i")
+      Thread.sleep(5)
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = EventStream.sessionizeTimeout(stream, gapMinutes = 30,
+        watermark = "1 minute")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sesstmo")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sesstmo")
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    // every emission is a CLOSED session (no open echoes)
+    assert(closed.forall(_._3))
+    // user 1: timeout-closed (n=2, never had a successor event);
+    // user 2: session 1 gap-closed, session 2 timeout-closed; the
+    // sentinel's own session is still inside its horizon — open,
+    // unemitted
+    assert(closed.map(c => (c._1, c._2)).toSeq ==
+      Seq((1L, 2), (2L, 1), (2L, 1)))
+    // closed set == the batch sessionization of the non-sentinel
+    // corpus (timeout closure converges to the batch answer)
+    val batch = EventOps.sessionize(
+        batches.flatten.filter(_._3 != 99L)
+          .toDF("event_id", "ts", "user_id"), 30)
+      .orderBy("user_id", "start_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(batch.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
   test("stateful streaming gap fill replays to the batch resample exactly") {
     val stream = EventStream.readEvents(spark, eventsPath)
     val filled = EventStream.gapFill(stream)

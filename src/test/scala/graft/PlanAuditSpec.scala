@@ -156,6 +156,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") == 1)
   }
 
+  test("next-fit pack payloads (l5/l6): the shard exchange is the only one") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, sf).select(
+      col("doc_id"), (col("doc_id") % 8).as("shard"),
+      graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("len"), col("text"))
+    val p = plan(graft.operators.Layout.packPayloads(
+      docs, "doc_id", "len", "text", "shard", 2048L))
+    // the fold emits completed packs in-stream: no group-by, no
+    // window — a second exchange would mean payload bytes crossed
+    // the network twice
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    assert(!p.contains("Window") && count(p, "HashAggregate") == 0,
+      "the fold must not be planned as a grouped aggregation\n" +
+        p.take(2000))
+  }
+
+  test("heavy-hitter fold (e15): sketch sides ride broadcast, no cartesian") {
+    import org.apache.spark.sql.functions.{col, dayofmonth}
+    val ev = graft.util.Tables.events(spark, sf).select(
+      dayofmonth(col("ts")).cast("long").as("batch"), col("user_id"))
+    val p = plan(graft.streaming.HeavyHitterStream.heavyHittersBatch(
+      ev, "user_id", "batch", d = 4, w = 256, thetaPermille = 8,
+      seed = "e15"))
+    // cumulative cell counts (≤ d·w·B rows) and per-epoch totals
+    // (B rows) are sketch-sized — both join back broadcast; the only
+    // corpus-sized exchanges are the increment partial-agg and the
+    // candidate distinct
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("wordpiece encode (b10): occurrence-local, zero shuffles") {
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val p = plan(graft.operators.Bpe.wordpieceEncode(docs, "text",
+      Seq("a", "##b", "ab")))
+    assert(!p.contains("Exchange"),
+      "the encode is row-local; the vocabulary rides as a literal\n" +
+        p.take(1500))
+  }
+
   test("decontamination joins broadcast eval-side md5 keys, scans each corpus once") {
     val docs = graft.util.Tables.documents(spark, sf)
     val p = plan(graft.operators.Curation.contamination(

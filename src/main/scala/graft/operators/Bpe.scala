@@ -74,6 +74,22 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
+  /** ONE leftmost-greedy non-overlapping merge pass over a symbol
+    * array: the accumulator's last symbol joins the incoming one as
+    * `merged` when they form (l, r) — "aaaa" under (a,a) →
+    * [aa][aa], "aaa" → [aa][a]. The single fold shared by every
+    * trainer round (BPE, byte BPE, WordPiece — which differ only in
+    * the merged SPELLING) and the declarative encode forms, so the
+    * greedy semantics can never diverge between them. */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String,
+      r: String, merged: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+
   /** The shared merge loop over a (c, syms) word table — see
     * [[bpeMerges]] for the semantics and determinism contract. */
   private def mergeRounds(words0: DataFrame,
@@ -100,18 +116,9 @@ object Bpe {
         val (l, r, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, l, r, n))
-        // leftmost-greedy merge: fold each word's symbols, joining
-        // the accumulator's last symbol with the incoming one when
-        // they form the winning pair
-        val applied = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
         val next = Iter.materialize(
-          words.select(col("c"), applied.as("syms")))
+          words.select(col("c"),
+            mergeFold(col("syms"), l, r, l + r).as("syms")))
         // drop the prior round's checkpointed copy once the new one is
         // live — a real training run is thousands of merges, and
         // without the release storage grows linearly with numMerges
@@ -439,13 +446,7 @@ object Bpe {
       filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""),
       w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
     val encoded = merges.foldLeft(syms) { case (cur, (l, r)) =>
-      transform(cur, word =>
-        aggregate(word, array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x)))))
+      transform(cur, word => mergeFold(word, l, r, l + r))
     }
     df.withColumn("tokens", flatten(encoded))
   }
@@ -465,12 +466,7 @@ object Bpe {
     val syms0 = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     val syms = merges.foldLeft(syms0) { case (cur, (l, r)) =>
-      aggregate(cur, array().cast("array<string>"),
-        (acc, x) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
+      mergeFold(cur, l, r, l + r)
     }
     words.select(col("c"), explode(syms).as("token"))
       .groupBy(col("token")).agg(sum(col("c")).as("n"))
@@ -493,12 +489,7 @@ object Bpe {
     val syms0 = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     val folded = merges.foldLeft(syms0) { case (cur, (l, r)) =>
-      aggregate(cur, array().cast("array<string>"),
-        (acc, x) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
+      mergeFold(cur, l, r, l + r)
     }
     val wordLens = byWord.select(col("w")).distinct()
       .select(col("w"), size(folded).cast("bigint").as("tl"))
@@ -591,16 +582,9 @@ object Bpe {
         val merged = wpMerged(l, r)
         merges += ((k, l, r, merged, n, ul, ur,
           math.floor(score * 1e12).toLong))
-        val applied = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(merged))))
-            .otherwise(concat(acc, array(x))))
         val next = Iter.materialize(
-          words.select(col("c"), applied.as("syms")))
+          words.select(col("c"),
+            mergeFold(col("syms"), l, r, merged).as("syms")))
         Iter.release(words)
         words = next
         k += 1

@@ -206,7 +206,10 @@ object Layout {
           if (!started || s != shard) {
             shard = s; pack = 1L; fill = 0L; pos = 0L; started = true
           }
-          if (fill > 0 && fill + n > budget) {
+          // occupancy (pos), not fill, guards the new-pack rule: a
+          // zero-length doc OCCUPIES the open pack at fill 0, and an
+          // oversized successor must still take its own pack
+          if (pos > 0 && fill + n > budget) {
             pack += 1L; fill = 0L; pos = 0L
           }
           fill += n; pos += 1L
@@ -257,7 +260,8 @@ object Layout {
           if (!started) { started = true; shard = s; pack = 1L }
           else if (s != shard) {
             out += emit(); shard = s; pack = 1L; reset()
-          } else if (fill > 0 && fill + n > budget) {
+          } else if (nDocs > 0 && fill + n > budget) {
+            // occupancy, not fill — see packSequences' guard
             out += emit(); pack += 1L; reset()
           }
           if (nDocs > 0) buf.append('\n')

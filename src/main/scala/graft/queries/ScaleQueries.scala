@@ -3418,11 +3418,11 @@ object ScaleQueries {
       |  FROM ordered WHERE rn = 1
       |  UNION ALL
       |  SELECT o.shard, o.rn, o.doc_id, o.len,
-      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |    CASE WHEN r.fill_after + o.len > 90
       |         THEN r.pack_seq + 1 ELSE r.pack_seq END,
-      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |    CASE WHEN r.fill_after + o.len > 90
       |         THEN o.len ELSE r.fill_after + o.len END,
-      |    CASE WHEN r.fill_after > 0 AND r.fill_after + o.len > 90
+      |    CASE WHEN r.fill_after + o.len > 90
       |         THEN CAST(1 AS BIGINT) ELSE r.pos_in_pack + 1 END
       |  FROM rec r
       |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1

@@ -16,7 +16,10 @@ import graft.util.Tables.dec
   * `flatMapGroupsWithState`, sharing window/gap rules with the batch
   * forms in [[graft.operators.EventOps]].
   */
-object EventStream {
+// Serializable: the flatMapGroupsWithState update closures call the
+// shared foldGap, so tasks capture this (stateless) module reference
+// — the TriangleStream convention
+object EventStream extends Serializable {
 
   /** File-stream over the events parquet, normalizing `ts` to a
     * micro-precision UTC TimestampType EXACTLY as the batch reader
@@ -130,6 +133,27 @@ object EventStream {
   case class SessionUpdate(user_id: Long, n_events: Int, start_us: Long,
       last_us: Long, closed: Boolean)
 
+  /** The gap fold shared by [[sessionize]] and [[sessionizeTimeout]]:
+    * a micro-batch's events in (ts, event_id) order either extend the
+    * open session or close it and open a new one. Returns the closed
+    * sessions (chronological) and the final open state — ONE rule,
+    * two emission policies, so the gap semantics can never diverge. */
+  private def foldGap(userId: Long, rows: Iterator[Event],
+      st0: SessionState, gapUs: Long): (List[SessionUpdate], SessionState) = {
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var out = List.empty[SessionUpdate]
+    var st = st0
+    for (e <- sorted) {
+      val us = micros(e.ts)
+      if (st.n == 0) st = SessionState(us, us, 1)
+      else if (us - st.last > gapUs) {
+        out ::= SessionUpdate(userId, st.n, st.start, st.last, closed = true)
+        st = SessionState(us, us, 1)
+      } else st = SessionState(st.start, us, st.n + 1)
+    }
+    (out.reverse, st)
+  }
+
   /** Stateful gap sessionization with `flatMapGroupsWithState`: emits an
     * update per user per micro-batch; a session closes when the gap rule
     * fires, mirroring EventOps.sessionize. */
@@ -140,20 +164,12 @@ object EventStream {
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionUpdate] = {
-      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var out = List.empty[SessionUpdate]
-      var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
-      for (e <- sorted) {
-        val us = micros(e.ts)
-        if (st.n == 0) st = SessionState(us, us, 1)
-        else if (us - st.last > gapUs) {
-          out ::= SessionUpdate(userId, st.n, st.start, st.last, closed = true)
-          st = SessionState(us, us, 1)
-        } else st = SessionState(st.start, us, st.n + 1)
-      }
+      val (closed, st) = foldGap(userId, rows,
+        state.getOption.getOrElse(SessionState(-1, -1, 0)), gapUs)
       state.update(st)
-      (SessionUpdate(userId, st.n, st.start, st.last, closed = false) :: out)
-        .reverseIterator
+      (closed :+
+        SessionUpdate(userId, st.n, st.start, st.last, closed = false))
+        .iterator
     }
 
     events.select(col("event_id"), col("ts"), col("user_id"))
@@ -200,22 +216,12 @@ object EventStream {
         Iterator.single(
           SessionUpdate(userId, st.n, st.start, st.last, closed = true))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-        var out = List.empty[SessionUpdate]
-        var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
-        for (e <- sorted) {
-          val us = micros(e.ts)
-          if (st.n == 0) st = SessionState(us, us, 1)
-          else if (us - st.last > gapUs) {
-            out ::= SessionUpdate(userId, st.n, st.start, st.last,
-              closed = true)
-            st = SessionState(us, us, 1)
-          } else st = SessionState(st.start, us, st.n + 1)
-        }
+        val (closed, st) = foldGap(userId, rows,
+          state.getOption.getOrElse(SessionState(-1, -1, 0)), gapUs)
         state.update(st)
         // fire when the watermark passes the gap horizon (millis API)
         state.setTimeoutTimestamp((st.last + gapUs) / 1000L)
-        out.reverseIterator
+        closed.iterator
       }
     }
 

@@ -40,8 +40,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batch carries in ascending order; for the per-epoch
   * `n_prefix` to mean "everything up to this epoch", feed epochs
   * non-decreasing (the event-time ordered ingest the rest of this
-  * package assumes). The FINAL state is order-independent regardless
-  * — additive counters cannot disagree about the union.
+  * package assumes). Emission identity with the batch fold
+  * additionally needs micro-batches EPOCH-ALIGNED (an epoch never
+  * straddles two triggers — one ingest file per epoch, the spec's
+  * convention): if a trigger boundary splits an epoch, that epoch's
+  * keys emit once per slice at the partial prefix each slice saw —
+  * monotonically growing (est, n_prefix), so a downstream
+  * keep-LAST-per-(batch, key) collapses them to exactly the batch
+  * fold's row. The FINAL state is order-independent regardless —
+  * additive counters cannot disagree about the union.
   */
 object HeavyHitterStream extends Serializable {
 
@@ -81,14 +88,18 @@ object HeavyHitterStream extends Serializable {
     * split (spec-pinned; the counters are additive so the state can
     * never diverge).
     *
-    * Scale shape: ONE corpus-sized exchange — the (j, cell, batch)
-    * increment partial-agg (d rows per event map-side, combined
-    * before the shuffle). Everything downstream is sketch-sized:
-    * the cumulative window runs over ≤ d·w·B rows, the per-epoch
-    * totals over B rows (both corpus-independent), and both join back
-    * broadcast. The candidate frame (distinct (batch, key)) is the
-    * second exchange — it is what "keys of that batch" means and is
-    * bounded by the epoch's distinct-key count, not the event count. */
+    * Scale shape: ONE corpus-sized exchange — the per-(epoch, key,
+    * row, cell) count partial-agg (d rows per event map-side,
+    * combined before the shuffle), MATERIALIZED once because three
+    * frames derive from it (the g4 single-derivation lesson): the
+    * cell increments, the per-epoch totals (its j=0 slice — each
+    * event lands exactly once per sketch row), and the candidate
+    * keys. Everything downstream is key- or sketch-bounded: the
+    * cumulative window runs over ≤ d·w·B rows, the epoch totals over
+    * B rows, both join back broadcast. The materialized frame is
+    * distinct-(epoch, key)-bounded, never event-bounded, and is left
+    * checkpointed (a localCheckpoint cannot be recomputed after
+    * release while the caller still holds the result). */
   def heavyHittersBatch(events: DataFrame, keyCol: String,
       batchCol: String, d: Int, w: Int, thetaPermille: Int,
       seed: String): DataFrame = {
@@ -97,15 +108,18 @@ object HeavyHitterStream extends Serializable {
       s"thetaPermille in [1,1000], got $thetaPermille")
     val ev = events.select(col(batchCol).cast("long").as("batch"),
       col(keyCol).cast("string").as("key"))
-    // d (j, cell) pairs per event in ONE scan
-    val cells = ev.select(col("batch"), col("key"),
-        explode(array((0 until d).map(j =>
-          struct(lit(j).as("j"),
-            cellCol(seed, j, w, col("key")).as("cell"))): _*)).as("p"))
-      .select(col("batch"), col("key"), col("p.j").as("j"),
-        col("p.cell").as("cell"))
-    val bc = cells.groupBy(col("j"), col("cell"), col("batch"))
-      .agg(count(lit(1)).as("c"))
+    // d (j, cell) pairs per event in ONE scan, collapsed to
+    // per-(epoch, key) counts in the single corpus-sized exchange
+    val kc = graft.util.Iter.materialize(
+      ev.select(col("batch"), col("key"),
+          explode(array((0 until d).map(j =>
+            struct(lit(j).as("j"),
+              cellCol(seed, j, w, col("key")).as("cell"))): _*)).as("p"))
+        .groupBy(col("batch"), col("key"), col("p.j").as("j"),
+          col("p.cell").as("cell"))
+        .agg(count(lit(1)).as("cnt")))
+    val bc = kc.groupBy(col("j"), col("cell"), col("batch"))
+      .agg(sum(col("cnt")).as("c"))
     val wCum = Window.partitionBy(col("j"), col("cell"))
       .orderBy(col("batch"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,9 +129,11 @@ object HeavyHitterStream extends Serializable {
     // single-partition window is over the EPOCH COUNT, never the data
     val wNp = Window.orderBy(col("batch"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val np = ev.groupBy(col("batch")).agg(count(lit(1)).as("nb"))
+    val np = kc.filter(col("j") === 0)
+      .groupBy(col("batch")).agg(sum(col("cnt")).as("nb"))
       .select(col("batch"), sum(col("nb")).over(wNp).as("n_prefix"))
-    val cand = cells.distinct()
+    val cand = kc.select(col("batch"), col("key"), col("j"),
+      col("cell"))
     cand.join(broadcast(cum), Seq("j", "cell", "batch"))
       .groupBy(col("batch"), col("key"))
       .agg(min(col("cum")).as("est"))

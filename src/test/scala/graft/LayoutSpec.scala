@@ -168,7 +168,12 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val docs = Seq(
       (0L, 10L, 40L), (0L, 11L, 50L), (0L, 12L, 30L), (0L, 13L, 120L),
       (0L, 14L, 10L), (0L, 15L, 0L), (0L, 16L, 80L),
-      (1L, 20L, 90L), (1L, 21L, 1L)
+      (1L, 20L, 90L), (1L, 21L, 1L),
+      // shard 2: a ZERO-LENGTH doc occupies pack 1 at fill 0; the
+      // oversized successor must still take its own pack (occupancy,
+      // not fill, guards the new-pack rule), and the next doc opens
+      // pack 3
+      (2L, 30L, 0L), (2L, 31L, 120L), (2L, 32L, 5L)
     ).toDF("shard", "doc_id", "len")
     val got = Layout.packSequences(docs, "doc_id", "len", "shard", 90L)
       .orderBy("shard", "id")
@@ -180,14 +185,18 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       (0L, 12L, 2L, 1L, 30L), (0L, 13L, 3L, 1L, 120L),
       (0L, 14L, 4L, 1L, 10L), (0L, 15L, 4L, 2L, 10L),
       (0L, 16L, 4L, 3L, 90L),
-      (1L, 20L, 1L, 1L, 90L), (1L, 21L, 2L, 1L, 1L)))
+      (1L, 20L, 1L, 1L, 90L), (1L, 21L, 2L, 1L, 1L),
+      (2L, 30L, 1L, 1L, 0L), (2L, 31L, 2L, 1L, 120L),
+      (2L, 32L, 3L, 1L, 5L)))
   }
 
   test("packSequences: deterministic under any input partitioning; every doc exactly once") {
     import spark.implicits._
+    // lens 0..149 straddle the 128 budget so the invariant below
+    // exercises zero-length docs AND oversized own-pack docs
     val docs = spark.range(0, 500)
       .select(col("id").as("doc_id"), (col("id") % 7).as("shard"),
-        (pmod(col("id") * 37 + 11, lit(100))).as("len"))
+        (pmod(col("id") * 37 + 11, lit(150))).as("len"))
     def run(df: org.apache.spark.sql.DataFrame) =
       Layout.packSequences(df, "doc_id", "len", "shard", 128L)
         .orderBy("shard", "id")
@@ -234,7 +243,7 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // packSequences on a bigger randomized frame
     val big = spark.range(0, 500)
       .select(col("id").as("doc_id"), (col("id") % 7).as("shard"),
-        pmod(col("id") * 37 + 11, lit(100)).as("len"),
+        pmod(col("id") * 37 + 11, lit(150)).as("len"),
         concat(lit("d"), col("id")).as("text"))
     val assign = Layout.packSequences(big, "doc_id", "len", "shard",
         128L)

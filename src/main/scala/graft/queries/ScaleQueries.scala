@@ -1197,6 +1197,23 @@ object ScaleQueries {
         .orderBy(col("batch"), col("user_id"))
     }),
 
+    // E16 — streaming distinct-count gate: 64 HLL registers (a
+    // per-bucket MAX — commutative, idempotent, merge-tree-invariant;
+    // duplicates absorbed free) folded per day-epoch, each epoch
+    // emitting the prefix's distinct-user estimate. The float recipe
+    // is pinned (2^-reg terms as exact shift-divide doubles summed in
+    // bucket order, linear-counting branch on integer V), so the
+    // oracle replays every estimate bit-exactly — the e-family's
+    // DISTINCT sibling of e15's additive counts.
+    "e16_hll_gate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        dayofmonth(col("ts")).cast("long").as("batch"),
+        col("user_id"))
+      graft.streaming.CardinalityStream.distinctEstimateBatch(
+          ev, "user_id", "batch", seed = "e16")
+        .orderBy(col("batch"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -2713,6 +2730,60 @@ object ScaleQueries {
         |FROM est e JOIN np USING (batch)
         |WHERE e.est * 1000 >= 8 * np.n_prefix
         |ORDER BY e.batch, user_id""".stripMargin,
+
+    // e16: the register fold replayed from the same md5 hashes —
+    // trailing zeros as bit_count((w-1) & ~w), prefix registers as a
+    // window max over the (epoch × bucket) grid, the estimate's
+    // 2^-reg terms as exact integer-shift doubles left-folded in
+    // bucket order, and the linear-counting branch on integer V
+    "e16_hll_gate" ->
+      """WITH ev AS (
+        |  SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS batch,
+        |    CAST(user_id AS VARCHAR) AS key
+        |  FROM events),
+        |hv AS (
+        |  SELECT batch, v % 64 AS bucket, v >> 6 AS w
+        |  FROM (SELECT batch,
+        |          CAST('0x' || substr(md5('e16:' || key), 1, 15)
+        |            AS BIGINT) AS v
+        |        FROM ev)),
+        |br AS (
+        |  SELECT batch, bucket,
+        |    CAST(max(CASE WHEN w = 0 THEN 55
+        |      ELSE bit_count((w - 1) & ~w) + 1 END) AS INT) AS r,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hv GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.batch, g.bucket
+        |  FROM (SELECT DISTINCT batch FROM br) b
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g),
+        |regs AS (
+        |  SELECT g.batch, g.bucket,
+        |    coalesce(max(br.r) OVER (PARTITION BY g.bucket
+        |      ORDER BY g.batch), 0) AS reg
+        |  FROM grid g LEFT JOIN br
+        |    ON br.batch = g.batch AND br.bucket = g.bucket),
+        |np AS (
+        |  SELECT batch, sum(nb) OVER (ORDER BY batch) AS n_prefix
+        |  FROM (SELECT batch, sum(cnt) AS nb FROM br GROUP BY 1)),
+        |arr AS (
+        |  SELECT batch,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(1.0::DOUBLE / CAST(1::BIGINT << reg AS DOUBLE)
+        |        ORDER BY bucket)),
+        |      (a, b) -> a + b) AS s,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS vz
+        |  FROM regs GROUP BY batch),
+        |fin AS (
+        |  SELECT batch, s, vz,
+        |    0.709::DOUBLE * 4096.0::DOUBLE / s AS raw
+        |  FROM arr)
+        |SELECT f.batch, CAST(np.n_prefix AS BIGINT) AS n_prefix,
+        |  CAST(floor((CASE WHEN f.raw <= 160.0::DOUBLE AND f.vz > 0
+        |    THEN 64.0::DOUBLE * ln(64.0::DOUBLE / CAST(f.vz AS DOUBLE))
+        |    ELSE f.raw END) * 1000000.0::DOUBLE) AS BIGINT) AS est_e6
+        |FROM fin f JOIN np USING (batch)
+        |ORDER BY f.batch""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

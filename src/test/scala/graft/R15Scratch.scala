@@ -125,6 +125,21 @@ object R15Scratch {
         }).min
         println(f"hhsweep $d w=$w theta=$theta emitted=$rows " +
           f"wall(min2)=$t%.2f s")
+      case "hllsweep" =>
+        // e16 distinct gate at corpus scale: one corpus exchange into
+        // 64 registers — the wall should be the scan, nothing else.
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        val ev = Tables.events(spark, d).select(
+          dayofmonth(col("ts")).cast("long").as("batch"),
+          col("user_id"))
+        var rows = 0L
+        val t = (1 to 2).map(_ => time {
+          rows = graft.streaming.CardinalityStream
+            .distinctEstimateBatch(ev, "user_id", "batch", "e16")
+            .count()
+        }).min
+        println(f"hllsweep $d epochs=$rows wall(min2)=$t%.2f s")
       case "g5sweep" =>
         // connected components on the sf1 part co-occurrence graph:
         // wall + structure (components, giant size) + pointer-doubling

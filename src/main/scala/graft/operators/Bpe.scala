@@ -595,6 +595,60 @@ object Bpe {
       "ul", "ur", "score_e12")
   }
 
+  /** Persist a trained BPE merge table as a warehouse artifact — the
+    * model a production tokenization fleet SHIPS: train once (the
+    * corpus-scale cost), encode everywhere (the zero-shuffle
+    * row-local pass), exactly the t9/d17 amortization applied to
+    * tokenizers. Rank order is preserved and a `_meta` row pins the
+    * ALPHABET (char vs byte), so a loaded model can never apply its
+    * merges under the wrong symbolization — the embed-gate
+    * foreign-planes lesson. */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], table: String,
+      byteLevel: Boolean): Unit = {
+    import spark.implicits._
+    Bucketing.dropTableAndLocation(spark, table)
+    Bucketing.dropTableAndLocation(spark, s"${table}_meta")
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").saveAsTable(table)
+    Seq(Tuple1(byteLevel)).toDF("byte_level")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Encode under a persisted [[writeBpeModel]] artifact: the merge
+    * list loads in rank order (model-bounded driver state) and the
+    * TABLE'S OWN meta alphabet picks the symbolization. */
+  def bpeEncodeLoaded(df: DataFrame, textCol: String,
+      table: String): DataFrame = {
+    val spark = df.sparkSession
+    val byteLevel = spark.table(s"${table}_meta").head().getBoolean(0)
+    val merges = spark.table(table).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    if (byteLevel) bpeEncodeBytes(df, textCol, merges)
+    else bpeEncode(df, textCol, merges)
+  }
+
+  /** Persist a WordPiece encode vocabulary ([[wordpieceVocab]]) as a
+    * warehouse artifact — same contract as [[writeBpeModel]]; the
+    * ##-continuation classification is carried by the pieces
+    * themselves, so the artifact is one column. */
+  def writeWordPieceVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String], table: String): Unit = {
+    import spark.implicits._
+    Bucketing.dropTableAndLocation(spark, table)
+    vocab.distinct.sorted.toDF("piece")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Encode under a persisted [[writeWordPieceVocab]] artifact. */
+  def wordpieceEncodeLoaded(df: DataFrame, textCol: String,
+      table: String): DataFrame = {
+    val spark = df.sparkSession
+    val vocab = spark.table(table).collect().map(_.getString(0)).toSeq
+    wordpieceEncode(df, textCol, vocab)
+  }
+
   /** The WordPiece ENCODE vocabulary implied by a training run: every
     * base symbol the corpus symbolizes to, plus every merge product,
     * as driver-bounded strings (the unigramEncode convention — a

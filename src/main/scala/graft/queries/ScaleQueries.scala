@@ -1441,6 +1441,44 @@ object ScaleQueries {
         .orderBy(col("tokenizer"))
     }),
 
+    // B12 — PERSISTED byte-BPE model: train, ship the merge table as
+    // a warehouse artifact with the alphabet pinned in _meta, encode
+    // under the loaded model (the t9/d17 amortized-path convention:
+    // write and probe both priced in-row). Output ≡ b8 by
+    // construction — the oracle is byte-BPE's replay verbatim, so the
+    // row checks the persistence round-trip changes NOTHING.
+    "b12_bpe_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.bpeMergesBytes(docs, "text", 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.writeBpeModel(s, merges, "b12_model",
+        byteLevel = true)
+      graft.operators.Bpe.bpeEncodeLoaded(
+          docs.select("doc_id", "text"), "text", "b12_model")
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // B13 — persisted WordPiece vocabulary, same convention: the b10
+    // encode under the loaded artifact, oracle = the b10 replay.
+    "b13_wordpiece_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = graft.operators.Bpe.wordpieceMerges(docs, "text", 4)
+        .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
+      graft.operators.Bpe.writeWordPieceVocab(s,
+        graft.operators.Bpe.wordpieceVocab(docs, "text", merged),
+        "b13_vocab")
+      graft.operators.Bpe.wordpieceEncodeLoaded(
+          docs.select("doc_id", "text"), "text", "b13_vocab")
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L5 — greedy next-fit sequence packing (the delivery stage of a
     // training pipeline): docs shard by doc_id % 8 and pack into a
     // 90-token budget in doc_id order — a budget below the corpus max
@@ -2793,6 +2831,10 @@ object ScaleQueries {
     "b9_wordpiece" -> wordpieceSql,
     "b10_wordpiece_encode" -> wordpieceEncodeSql,
     "b11_tokenizer_eval" -> tokenizerEvalSql,
+    // b12/b13: persistence round-trips — the loaded-model encode must
+    // equal the in-memory one, so the oracles ARE b8's and b10's
+    "b12_bpe_indexed" -> byteBpeEncodeSql,
+    "b13_wordpiece_indexed" -> wordpieceEncodeSql,
 
     // l5: the next-fit fold replayed exactly — a recursive CTE
     // advances every shard one doc per step; the CASE triple is the

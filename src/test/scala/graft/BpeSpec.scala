@@ -204,6 +204,39 @@ class BpeSpec extends AnyFunSuite {
       t.forall(c => c.isDigit || ('A' to 'F').contains(c))))
   }
 
+  test("persisted models: loaded encode == in-memory encode, alphabet pinned by meta") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import spark.implicits._
+    val corpus = Seq("😀a 😀a ab ab").toDF("text")
+    val probe = Seq("😀a ab xy").toDF("text")
+    def stream(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(concat_ws(" ", col("tokens")).as("s"))
+        .collect().map(_.getString(0)).toSeq
+    // byte model: the artifact's _meta (byte_level=true) must pick
+    // the byte symbolization without the caller saying so
+    val mb = Bpe.bpeMergesBytes(corpus, "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.writeBpeModel(spark, mb, "spec_bpe_model", byteLevel = true)
+    assert(stream(Bpe.bpeEncodeLoaded(probe, "text", "spec_bpe_model"))
+      == stream(Bpe.bpeEncodeBytes(probe, "text", mb)))
+    // char model round-trips under the same API
+    val mc = Bpe.bpeMerges(corpus, "text", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.writeBpeModel(spark, mc, "spec_bpe_model", byteLevel = false)
+    assert(stream(Bpe.bpeEncodeLoaded(probe, "text", "spec_bpe_model"))
+      == stream(Bpe.bpeEncode(probe, "text", mc)))
+    // wordpiece vocab artifact
+    val mw = Bpe.wordpieceMerges(corpus, "text", 2)
+      .orderBy("rank").collect().map(_.getString(3)).toSeq
+    val vocab = Bpe.wordpieceVocab(corpus, "text", mw)
+    Bpe.writeWordPieceVocab(spark, vocab, "spec_wp_vocab")
+    assert(stream(
+      Bpe.wordpieceEncodeLoaded(corpus, "text", "spec_wp_vocab"))
+      == stream(Bpe.wordpieceEncode(corpus, "text", vocab)))
+  }
+
   test("wordpieceMerges: likelihood argmax beats raw count argmax") {
     import spark.implicits._
     // "ab" x3, "xy" x1 → units a=3, ##b=3, x=1, ##y=1.

@@ -32,6 +32,9 @@ import graft.operators.{Curation, Dedup}
   *                         rule verdicts and write per-doc scores —
   *                         the weight vector for the next ingest
   *                         run's streaming scoreGate
+  *   [--pack-budget=N]     write per-split next-fit packed payloads
+  *                         (l6: strict token budget, one row per
+  *                         pack) under packed/SPLIT/
   *   [--chunk-len=N]       write per-split concat-and-chunk manifests
   *                         (x15; stream order = (shard, doc_id), the
   *                         shuffled pack order trainers want)
@@ -84,7 +87,8 @@ object CurateCli {
       maxOverlap: Int = 2, shards: Int = 8,
       semantic: Boolean = false, semanticTau: Double = 0.35,
       tarShards: Boolean = false, distill: Boolean = false,
-      chunkLen: Int = 0, dsirTargetDir: Option[String] = None,
+      chunkLen: Int = 0, packBudget: Long = 0L,
+      dsirTargetDir: Option[String] = None,
       stripSpans: Boolean = false, stripKeepFirst: Boolean = false,
       gopher: Boolean = false, pplCut: Boolean = false,
       langAllow: Option[Set[String]] = None, langMinHits: Int = 1)
@@ -107,6 +111,8 @@ object CurateCli {
       tarShards = m.contains("tar-shards"),
       distill = m.contains("distill"),
       chunkLen = m.get("chunk-len").flatten.map(_.toInt).getOrElse(0),
+      packBudget = m.get("pack-budget").flatten.map(_.toLong)
+        .getOrElse(0L),
       dsirTargetDir = m.get("dsir-target").flatten,
       stripSpans = m.contains("strip-spans"),
       stripKeepFirst = m.get("strip-spans").flatten match {
@@ -449,6 +455,25 @@ object CurateCli {
           .write.mode("overwrite").parquet(s"${args.outputDir}/scores")
         Some(w.toSeq)
       }
+
+    // optional packed-payload delivery (l6): per split, the curated
+    // survivors next-fit-packed into strict token-budget rows — the
+    // trainer-ready payload, one exchange per split, the whole
+    // tokenize → curate → pack → write chain closed in one CLI run
+    if (args.packBudget > 0) {
+      val packable = curated.select(col("doc_id"), col("split"),
+        col("shard"), col("text"),
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      packable.select(col("split")).distinct().collect()
+        .map(_.getString(0)).foreach { sp =>
+          graft.operators.Layout.packPayloads(
+            packable.filter(col("split") === sp),
+            "doc_id", "n_tok", "text", "shard", args.packBudget)
+          .write.mode("overwrite")
+          .parquet(s"${args.outputDir}/packed/$sp")
+        }
+    }
 
     // optional concat-and-chunk manifests (x15): per split, every
     // document's token-range in the (shard, doc_id)-ordered virtual

@@ -158,6 +158,34 @@ class EndToEndSpec extends AnyFunSuite {
     assert(s3 == s2)
   }
 
+  test("CurateCli --pack-budget: per-split packed payloads reconcile with the curated frame") {
+    import org.apache.spark.sql.functions._
+    import graft.cli.CurateCli
+    val out = java.nio.file.Files.createTempDirectory("e2e-pack").toString
+    val s = CurateCli.run(spark, CurateCli.parseArgs(Array(
+      s"--input-dir=$sf", s"--output-dir=$out", "--shards=4",
+      "--pack-budget=256")))
+    val curated = spark.read.parquet(s"$out/curated")
+    val splits = curated.select("split").distinct().collect()
+      .map(_.getString(0))
+    assert(splits.nonEmpty)
+    splits.foreach { sp =>
+      val packs = spark.read.parquet(s"$out/packed/$sp")
+      // every curated doc of the split is in exactly one pack (docs
+      // and token totals reconcile), and no multi-doc pack exceeds
+      // the budget
+      val docsIn = curated.filter(col("split") === sp)
+      val agg = packs.agg(sum("n_docs"), sum("n_tokens")).head()
+      assert(agg.getLong(0) == docsIn.count())
+      val tokTotal = docsIn.select(sum(
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long"))).head().getLong(0)
+      assert(agg.getLong(1) == tokTotal)
+      assert(packs.filter(col("n_tokens") > 256 && col("n_docs") > 1)
+        .count() == 0, s"overfull multi-doc pack in $sp")
+    }
+  }
+
   test("CurateCli --gopher: the rule battery drops with per-rule audit reasons") {
     import graft.cli.CurateCli
     val out = java.nio.file.Files.createTempDirectory("e2e-gopher")

@@ -281,4 +281,31 @@ object Layout {
       }
       .toDF("shard", "pack_seq", "n_docs", "n_tokens", "payload")
   }
+
+  /** Incremental next-fit packing: assign an arriving batch to NEW
+    * packs whose numbering continues each shard's [[packSequences]]
+    * sequence — the d10/d21 incremental convention applied to
+    * delivery. Arriving docs NEVER join the base run's trailing
+    * packs: shipped packs are immutable artifacts (rewriting one
+    * invalidates whatever already trained on it), so the append-only
+    * trade is a little trailing-pack slack per refresh, exactly the
+    * l3 lake economics. Cost is batch-sized: the base contributes
+    * only its per-shard max pack_seq (an aggregate, broadcast-sized),
+    * never its rows.
+    *
+    * @param base a prior [[packSequences]] output (or any frame with
+    *             shard/pack_seq); shards absent from it start at 1.
+    * @return [[packSequences]] schema over the batch only. */
+  def packSequencesIncremental(batch: DataFrame, idCol: String,
+      lenCol: String, shardCol: String, budget: Long,
+      base: DataFrame): DataFrame = {
+    val offsets = base.groupBy(col("shard"))
+      .agg(max(col("pack_seq")).as("pack_off"))
+    packSequences(batch, idCol, lenCol, shardCol, budget)
+      .join(broadcast(offsets), Seq("shard"), "left")
+      .select(col("shard"), col("id"), col("len"),
+        (col("pack_seq") + coalesce(col("pack_off"), lit(0L)))
+          .as("pack_seq"),
+        col("pos_in_pack"), col("fill_after"))
+  }
 }

@@ -1514,6 +1514,27 @@ object ScaleQueries {
         .orderBy(col("shard"), col("pack_seq"))
     }),
 
+    // L7 — INCREMENTAL packing (the d10 split: doc_id % 5 == 0 is the
+    // arriving batch, the rest the already-packed base): batch docs
+    // land in NEW packs continuing each shard's sequence — shipped
+    // packs are immutable artifacts, so the base contributes only its
+    // per-shard max pack_seq (broadcast), never its rows. The oracle
+    // runs BOTH pack recursions and offsets the batch's numbering.
+    "l7_incremental_pack" -> ((s, d) => {
+      val all = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      val base = graft.operators.Layout.packSequences(
+        all.filter(col("doc_id") % 5 =!= 0), "doc_id", "len", "shard",
+        budget = 90L)
+      graft.operators.Layout.packSequencesIncremental(
+          all.filter(col("doc_id") % 5 === 0), "doc_id", "len",
+          "shard", budget = 90L, base)
+        .select(col("shard"), col("id").as("doc_id"), col("len"),
+          col("pack_seq"), col("pos_in_pack"), col("fill_after"))
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // B5 — the unigram-LM trainer's seed vocabulary (Kudo 2018):
     // every <= 8-char substring of every corpus word, frequency-
     // weighted, cut to all single chars + the 200 heaviest multi-char
@@ -2844,6 +2865,21 @@ object ScaleQueries {
         |SELECT shard, doc_id, len, pack_seq, pos_in_pack, fill_after
         |FROM rec ORDER BY shard, doc_id""".stripMargin,
 
+    // l7: both recursions in one WITH (suffixed CTE names), the
+    // batch's pack numbering offset by the base's per-shard max
+    "l7_incremental_pack" ->
+      s"""WITH RECURSIVE ${packRecCtesWith("_b",
+            "WHERE doc_id % 5 <> 0")},
+        |${packRecCtesWith("_n", "WHERE doc_id % 5 = 0")},
+        |off AS (
+        |  SELECT shard, max(pack_seq) AS pack_off
+        |  FROM rec_b GROUP BY 1)
+        |SELECT n.shard, n.doc_id, n.len,
+        |  n.pack_seq + coalesce(o.pack_off, 0) AS pack_seq,
+        |  n.pos_in_pack, n.fill_after
+        |FROM rec_n n LEFT JOIN off o ON o.shard = n.shard
+        |ORDER BY n.shard, n.doc_id""".stripMargin,
+
     // l6: the SAME fold's pack assignments joined back to text and
     // collapsed one row per pack — payload = members newline-joined
     // in doc order (md5'd per the b2 convention), n_tokens = the
@@ -3508,27 +3544,29 @@ object ScaleQueries {
        |CROSS JOIN w
        |ORDER BY t.tokenizer""".stripMargin
 
-  /** l5/l6's shared pack-assignment recursion: token lengths, the
+  /** The pack-assignment recursion (l5/l6/l7): token lengths, the
     * per-shard doc ordering, and the next-fit fold advanced one doc
     * per step (the CASE triple = open-pack / new-pack /
-    * own-pack-overflow). Ends in `rec(shard, rn, doc_id, len,
-    * pack_seq, fill_after, pos_in_pack)`. */
-  private lazy val packRecCtes: String =
-    """docs AS (
+    * own-pack-overflow). `suffix` disambiguates CTE names so two
+    * recursions (l7's base + batch) coexist in one WITH; `where`
+    * filters the documents slice. Ends in `rec$suffix(shard, rn,
+    * doc_id, len, pack_seq, fill_after, pos_in_pack)`. */
+  private def packRecCtesWith(suffix: String, where: String): String =
+    s"""docs$suffix AS (
       |  SELECT doc_id, doc_id % 8 AS shard,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
       |      AS BIGINT) AS len
-      |  FROM documents
-      |), ordered AS (
+      |  FROM documents $where
+      |), ordered$suffix AS (
       |  SELECT shard, doc_id, len,
       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
       |      AS rn
-      |  FROM docs
-      |), rec AS (
+      |  FROM docs$suffix
+      |), rec$suffix AS (
       |  SELECT shard, rn, doc_id, len,
       |    CAST(1 AS BIGINT) AS pack_seq, len AS fill_after,
       |    CAST(1 AS BIGINT) AS pos_in_pack
-      |  FROM ordered WHERE rn = 1
+      |  FROM ordered$suffix WHERE rn = 1
       |  UNION ALL
       |  SELECT o.shard, o.rn, o.doc_id, o.len,
       |    CASE WHEN r.fill_after + o.len > 90
@@ -3537,9 +3575,11 @@ object ScaleQueries {
       |         THEN o.len ELSE r.fill_after + o.len END,
       |    CASE WHEN r.fill_after + o.len > 90
       |         THEN CAST(1 AS BIGINT) ELSE r.pos_in_pack + 1 END
-      |  FROM rec r
-      |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+      |  FROM rec$suffix r
+      |  JOIN ordered$suffix o ON o.shard = r.shard AND o.rn = r.rn + 1
       |)""".stripMargin
+
+  private lazy val packRecCtes: String = packRecCtesWith("", "")
 
   /** b9/b10's training rounds: the b1 round mechanics under
     * ##-continuation symbols with the WordPiece LIKELIHOOD argmax —

@@ -258,6 +258,36 @@ class LayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(pay == assign)
   }
 
+  test("packSequencesIncremental: batch packs continue the base numbering, base untouched") {
+    import spark.implicits._
+    val base = Layout.packSequences(
+      Seq((0L, 1L, 60L), (0L, 2L, 60L), (1L, 3L, 10L))
+        .toDF("shard", "doc_id", "len"),
+      "doc_id", "len", "shard", 90L)
+    // shard 0 base ends at pack 2 (60+60 splits), shard 1 at pack 1
+    val incr = Layout.packSequencesIncremental(
+      Seq((0L, 10L, 50L), (0L, 11L, 50L), (1L, 12L, 5L),
+        (2L, 13L, 7L))
+        .toDF("shard", "doc_id", "len"),
+      "doc_id", "len", "shard", 90L, base)
+      .orderBy("shard", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(incr.toSeq == Seq(
+      (0L, 10L, 3L, 1L), (0L, 11L, 4L, 1L), // continue after base's 2
+      (1L, 12L, 2L, 1L),                    // after base's 1
+      (2L, 13L, 1L, 1L)))                   // shard new to the base
+    // the union's pack keys never collide: every (shard, pack_seq,
+    // pos_in_pack) identifies one doc across both runs
+    val union = base.select("shard", "pack_seq", "pos_in_pack")
+      .union(Layout.packSequencesIncremental(
+        Seq((0L, 10L, 50L), (0L, 11L, 50L), (1L, 12L, 5L),
+          (2L, 13L, 7L)).toDF("shard", "doc_id", "len"),
+        "doc_id", "len", "shard", 90L, base)
+        .select("shard", "pack_seq", "pos_in_pack"))
+    assert(union.distinct().count() == union.count())
+  }
+
   test("packSequences: one shuffle (the shard repartition), nothing after the fold") {
     import spark.implicits._
     val docs = spark.range(0, 100)

@@ -1214,6 +1214,20 @@ object ScaleQueries {
         .orderBy(col("batch"))
     }),
 
+    // E17 — streaming drift gate: each day-epoch's user-bucket
+    // distribution PSI-scored against the FIRST epoch (the pinned
+    // reference — the gate family's only cross-epoch state here).
+    // The x16 Laplace-smoothed terms replayed per bucket, summed as
+    // the e16 ordered left fold; emits (epoch, n, psi_e9, drifted).
+    "e17_psi_gate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        dayofmonth(col("ts")).cast("long").as("batch"),
+        (col("user_id") % 10).cast("int").as("bucket"))
+      graft.streaming.DriftStream.psiGateBatch(ev, "bucket", "batch",
+          nBuckets = 10, psiThreshold = 0.05)
+        .orderBy(col("batch"))
+    }),
+
     "e6_winnow_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.streaming.IngestGate.winnowGate(
@@ -2843,6 +2857,53 @@ object ScaleQueries {
         |    ELSE f.raw END) * 1000000.0::DOUBLE) AS BIGINT) AS est_e6
         |FROM fin f JOIN np USING (batch)
         |ORDER BY f.batch""".stripMargin,
+
+    // e17: per-epoch histograms on the bucket spine, the x16 smoothed
+    // terms per bucket, the e16 ordered-fold sum, e9-cut
+    "e17_psi_gate" ->
+      """WITH ev AS (
+        |  SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS batch,
+        |    CAST(user_id % 10 AS INT) AS bucket
+        |  FROM events
+        |  WHERE user_id % 10 >= 0 AND user_id % 10 < 10),
+        |bc AS (SELECT batch, bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT batch, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM bc GROUP BY 1),
+        |rb AS (SELECT min(batch) AS ref_batch FROM tot),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+        |refh AS (
+        |  SELECT s.bucket, coalesce(b.n, 0) AS ref_n
+        |  FROM spine s CROSS JOIN rb
+        |  LEFT JOIN bc b
+        |    ON b.batch = rb.ref_batch AND b.bucket = s.bucket),
+        |rt AS (SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot FROM refh),
+        |grid AS (
+        |  SELECT t.batch, t.tot, s.bucket,
+        |    coalesce(b.n, 0) AS cur_n, r.ref_n, rt.ref_tot
+        |  FROM tot t CROSS JOIN spine s
+        |  LEFT JOIN bc b ON b.batch = t.batch AND b.bucket = s.bucket
+        |  JOIN refh r ON r.bucket = s.bucket
+        |  CROSS JOIN rt),
+        |arr AS (
+        |  SELECT batch, tot,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(
+        |        ((CAST(cur_n AS DOUBLE) + 1.0)
+        |            / (CAST(tot AS DOUBLE) + 10.0)
+        |          - (CAST(ref_n AS DOUBLE) + 1.0)
+        |            / (CAST(ref_tot AS DOUBLE) + 10.0))
+        |        * ln(((CAST(cur_n AS DOUBLE) + 1.0)
+        |            / (CAST(tot AS DOUBLE) + 10.0))
+        |          / ((CAST(ref_n AS DOUBLE) + 1.0)
+        |            / (CAST(ref_tot AS DOUBLE) + 10.0)))
+        |        ORDER BY bucket)),
+        |      (a, b) -> a + b) AS psi
+        |  FROM grid GROUP BY batch, tot)
+        |SELECT batch, tot AS n_cur,
+        |  CAST(floor(psi * 1000000000.0::DOUBLE) AS BIGINT) AS psi_e9,
+        |  psi > 0.05::DOUBLE AS drifted
+        |FROM arr ORDER BY batch""".stripMargin,
 
     "g1_pagerank" -> pagerankSql,
     "g2_pagerank_redistributed" -> pagerankRedistSql,

@@ -357,4 +357,67 @@ object Graph {
         "a", "b", maxIter)
       .select(col("member_id").as("node"),
         col("cluster_id").as("component"))
+
+  /** k-core: the maximal subgraph in which every node keeps degree
+    * ≥ k — the standard dense-region extractor (spam rings, tight
+    * co-occurrence clusters, the "real" community once hangers-on
+    * are peeled away). Computed by iterative peeling: each round
+    * drops every node whose degree AMONG SURVIVORS fell below k;
+    * dropping a node can only lower its neighbors' degrees, so the
+    * survivor set shrinks monotonically to the unique fixpoint
+    * (Matula & Beck 1983).
+    *
+    * Semantics: EXACTLY `peels` rounds (with a free early stop when a
+    * round removes nothing — post-fixpoint rounds are no-ops by
+    * definition, so exactly-N and until-fixpoint-capped-at-N agree),
+    * which is what lets a round-unrolled SQL replay check the result.
+    * Peeling depth is bounded by the peel sequence's length, in
+    * practice a handful of rounds on organic graphs (3 at the oracle
+    * SF); size `peels` like pagerank's round count.
+    *
+    * Scale shape per round: two survivor semi-joins (node-keyed, the
+    * small side is the shrinking survivor set) + one partial-agg'd
+    * degree count — all bounded by the CURRENT subgraph, monotonically
+    * shrinking; frames are materialized per round (the d7 lineage
+    * lesson).
+    *
+    * @return (node, core_deg) — the k-core's members with their
+    *         degree INSIDE the core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, peels: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(peels >= 1, s"peels must be >= 1, got $peels")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = Iter.materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var surv = Iter.materialize(
+      sym.select(col("src").as("node")).distinct())
+    var survN = surv.count()
+    var done = false
+    var i = 0
+    while (i < peels && !done) {
+      val next = Iter.materialize(
+        sym.join(surv.select(col("node").as("src")), Seq("src"))
+          .join(surv.select(col("node").as("dst")), Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("src").as("node")))
+      val nextN = next.count()
+      // next ⊆ surv always, so equal counts mean equal sets
+      if (nextN == survN) done = true
+      Iter.release(surv)
+      surv = next
+      survN = nextN
+      i += 1
+    }
+    sym.join(surv.select(col("node").as("src")), Seq("src"))
+      .join(surv.select(col("node").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

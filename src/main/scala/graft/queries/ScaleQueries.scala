@@ -945,6 +945,26 @@ object ScaleQueries {
         .orderBy(col("component"))
     }),
 
+    // G6 — k-core of the g5 graph (k=4, 6 peeling rounds — fixpoint
+    // at 3 on this corpus, post-fixpoint rounds are no-ops so
+    // exactly-6 and until-fixpoint agree): the dense-region
+    // extractor, emitted as each core member with its IN-CORE
+    // degree. The oracle unrolls the 6 peels as chained CTEs (the
+    // g1/b1 round convention) — each round two survivor joins + a
+    // HAVING on the recomputed degree.
+    "g6_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 80 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct()
+      Graph.kCore(e, "p1", "p2", k = 4, peels = 6)
+        .orderBy(col("node"))
+    }),
+
     "g1_pagerank" -> ((s, d) => {
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -2709,6 +2729,34 @@ object ScaleQueries {
         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // g6: six peeling rounds unrolled — survivors re-join the edge
+    // list, HAVING keeps degree >= 4; the final round's survivors
+    // emit with their in-core degree
+    "g6_kcore" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""s$i AS (
+           |  SELECT e.src AS node FROM e
+           |  JOIN s${i - 1} a ON a.node = e.src
+           |  JOIN s${i - 1} b ON b.node = e.dst
+           |  GROUP BY 1 HAVING count(*) >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 80 = 0),
+         |co AS (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey),
+         |e AS (SELECT x AS src, y AS dst FROM co
+         |      UNION ALL SELECT y, x FROM co),
+         |s0 AS (SELECT DISTINCT src AS node FROM e),
+         |$rounds
+         |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e JOIN s6 a ON a.node = e.src JOIN s6 b ON b.node = e.dst
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
 
     // e14: the deterministic bottom-m priority reservoir replayed
     // verbatim — the reservoir is ORDER BY (priority, x, y) LIMIT m

@@ -218,4 +218,35 @@ class GraphSpec extends AnyFunSuite {
     // the edge list's nodes (callers union isolated ids if needed)
     assert(!got.map(_._1).contains(99L))
   }
+
+  test("kCore: cascading peel, pendant trees fall, cycles and cliques survive") {
+    import spark.implicits._
+    // K5 (nodes 1-5) with a pendant chain 5-10-11-12: at k=3 the
+    // chain peels away over CASCADING rounds (each removal exposes
+    // the next) and K5 survives with in-core degree 4 everywhere
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val got = Graph.kCore((k5 ++ chain).toDF("src", "dst"),
+        "src", "dst", k = 3, peels = 10)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (1L to 5L).map(n => (n, 4L)))
+    // a pure path has NO 2-core (peels from both ends to nothing);
+    // a cycle IS its own 2-core
+    val path = (0L until 6L).map(i => (i, i + 1))
+    assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst",
+      k = 2, peels = 10).count() == 0)
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val cyc = Graph.kCore(cycle.toDF("src", "dst"), "src", "dst",
+        k = 2, peels = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cyc.length == 6 && cyc.forall(_._2 == 2L))
+    // exactly-N semantics: extra rounds past the fixpoint change
+    // nothing (the free early stop is an equivalence, not a policy)
+    val a = Graph.kCore((k5 ++ chain).toDF("src", "dst"), "src",
+      "dst", 3, peels = 3).orderBy("node").collect().map(_.toSeq).toSeq
+    val b = Graph.kCore((k5 ++ chain).toDF("src", "dst"), "src",
+      "dst", 3, peels = 10).orderBy("node").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -140,6 +140,41 @@ object R15Scratch {
             .count()
         }).min
         println(f"hllsweep $d epochs=$rows wall(min2)=$t%.2f s")
+      case "psisweep" =>
+        // e17 drift gate at corpus scale: one corpus exchange into
+        // per-epoch histograms; grid/fold is histogram-sized.
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        val ev = Tables.events(spark, d).select(
+          dayofmonth(col("ts")).cast("long").as("batch"),
+          (col("user_id") % 10).cast("int").as("bucket"))
+        var rows = 0L
+        val t = (1 to 2).map(_ => time {
+          rows = graft.streaming.DriftStream.psiGateBatch(
+            ev, "bucket", "batch", 10, 0.05).count()
+        }).min
+        println(f"psisweep $d epochs=$rows wall(min2)=$t%.2f s")
+      case "g6sweep" =>
+        // k-core peeling at corpus scale: per-round cost tracks the
+        // SHRINKING subgraph, rounds stay a handful.
+        import graft.util.Tables
+        val d = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+        val kk = if (args.length > 2) args(2).toInt else 4
+        val li = Tables.lineitem(spark, d)
+          .filter(col("l_orderkey") % 80 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("p1"),
+            col("b.l_partkey").as("p2"))
+          .distinct()
+        var core = 0L
+        val t = time {
+          core = graft.operators.Graph
+            .kCore(e, "p1", "p2", kk, peels = 12).count()
+        }
+        println(f"g6sweep $d k=$kk core=$core wall=$t%.2f s")
       case "g5sweep" =>
         // connected components on the sf1 part co-occurrence graph:
         // wall + structure (components, giant size) + pointer-doubling

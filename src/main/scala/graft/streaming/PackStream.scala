@@ -37,6 +37,12 @@ object PackStream extends Serializable {
   case class PackAssign(shard: Long, id: Long, len: Long,
       pack_seq: Long, pos_in_pack: Long, fill_after: Long)
 
+  private[streaming] case class OpenPayload(pack: Long, fill: Long,
+      nDocs: Long, payload: String)
+
+  case class PackPayload(shard: Long, pack_seq: Long, n_docs: Long,
+      n_tokens: Long, payload: String)
+
   def packStream(docs: DataFrame, idCol: String, lenCol: String,
       shardCol: String, budget: Long): Dataset[PackAssign] = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -63,6 +69,58 @@ object PackStream extends Serializable {
         col(idCol).cast("long").as("id"),
         col(lenCol).cast("long").as("len"))
       .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming payload delivery — [[graft.operators.Layout
+    * .packPayloads]]'s l6 twin over an ingest stream: each shard's
+    * state is the OPEN pack's buffered payload (budget-bounded by
+    * construction, plus at most one oversized doc), and a pack's
+    * concatenated payload emits the moment the pack CLOSES (its
+    * successor overflows it) — final and Append-safe, because
+    * next-fit never reopens a pack. The trailing open pack of each
+    * shard rides in state awaiting its closer; flush it by ending the
+    * stream's life with a sentinel epoch or reading the checkpoint
+    * state — the sessionize-family trade, and why the batch operator
+    * (which CAN see the corpus end) is the delivery path for finite
+    * corpora while this gate ships packs continuously.
+    *
+    * Under the [[packStream]] arrival contract, the emitted packs are
+    * row-identical to the batch [[graft.operators.Layout
+    * .packPayloads]] of the union MINUS each shard's trailing open
+    * pack (spec-pinned). */
+  def packPayloadStream(docs: DataFrame, idCol: String,
+      lenCol: String, textCol: String, shardCol: String,
+      budget: Long): Dataset[PackPayload] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def update(shard: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[OpenPayload]): Iterator[PackPayload] = {
+      var st = state.getOption.getOrElse(OpenPayload(1L, 0L, 0L, ""))
+      val out = scala.collection.mutable.ArrayBuffer[PackPayload]()
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, n, text) =>
+        require(n >= 0, s"negative length $n for id $id")
+        if (st.nDocs > 0 && st.fill + n > budget) {
+          out += PackPayload(shard, st.pack, st.nDocs, st.fill,
+            st.payload)
+          st = OpenPayload(st.pack + 1L, 0L, 0L, "")
+        }
+        st = OpenPayload(st.pack, st.fill + n, st.nDocs + 1L,
+          if (st.nDocs > 0) st.payload + "\n" + text else text)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    docs.select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

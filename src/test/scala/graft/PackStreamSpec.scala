@@ -49,6 +49,46 @@ class PackStreamSpec extends AnyFunSuite {
     assert(streamed.map(_(1)).distinct.size == docs.size)
   }
 
+  test("streamed payloads: closed packs emit byte-identical to batch, trailing packs ride in state") {
+    import spark.implicits._
+    val docs = (0 until 120).map { i =>
+      (i % 3L, i.toLong, (i * 37 + 11) % 150L, s"d$i")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("packpay").toString
+    docs.grouped(40).zipWithIndex.foreach { case (es, i) =>
+      es.toDF("shard", "doc_id", "len", "text").coalesce(1)
+        .write.parquet(s"$dir/f$i")
+      Thread.sleep(5)
+    }
+    val schema = StructType(Seq(StructField("shard", LongType),
+      StructField("doc_id", LongType), StructField("len", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = PackStream.packPayloadStream(stream, "doc_id", "len",
+        "text", "shard", budget = 128L)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("packpay")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("packpay")
+      .orderBy("shard", "pack_seq").collect().map(_.toSeq).toSeq
+    val batchAll = Layout.packPayloads(
+        docs.toDF("shard", "doc_id", "len", "text"),
+        "doc_id", "len", "text", "shard", 128L)
+    // per shard, the batch's LAST pack is the stream's open one —
+    // everything before it emitted byte-identically
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+    val batchClosed = batchAll
+      .withColumn("mx", max("pack_seq").over(wLast))
+      .filter(col("pack_seq") < col("mx")).drop("mx")
+      .orderBy("shard", "pack_seq").collect().map(_.toSeq).toSeq
+    assert(streamed == batchClosed,
+      s"streamed $streamed\n != closed $batchClosed")
+  }
+
   test("restart economics: resuming from a base run's max pack equals the incremental operator") {
     import spark.implicits._
     // the state a restarted stream would hold per shard (base's open

@@ -156,14 +156,78 @@ object CardinalityStream extends Serializable {
         floor(est * lit(1e6)).cast("bigint").as("est_e6"))
   }
 
+  /** The gate's register state computed OFFLINE over a finished
+    * corpus — one distributed (bucket, max rank) aggregation; what a
+    * fresh deployment seeds from ([[writeHllGateState]] /
+    * [[loadHllGateState]]), so the stream starts knowing the lake's
+    * distincts. */
+  def hllGateState(events: DataFrame, keyCol: String,
+      seed: String): (Long, Vector[Int]) = {
+    val ev = events.select(col(keyCol).cast("string").as("key"))
+    val rows = ev
+      .select(hashCol(seed, col("key")).as("v"))
+      .select((col("v") % lit(M.toLong)).as("bucket"),
+        shiftright(col("v"), 6).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(55))
+          .otherwise(bit_count((col("w") - lit(1L))
+            .bitwiseAND(bitwise_not(col("w")))) + lit(1))
+          .as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("r"))
+      .collect()
+    val regs = new Array[Int](M)
+    rows.foreach(r => regs(r.getLong(0).toInt) = r.getInt(1))
+    (ev.count(), regs.toVector)
+  }
+
+  /** Persist/load the register state with the seed pinned in `_meta`
+    * (the gate-artifact convention — resuming under a foreign hash
+    * seed is silently wrong, so the load REFUSES a mismatch). */
+  def writeHllGateState(spark: org.apache.spark.sql.SparkSession,
+      n: Long, regs: Seq[Int], seed: String, table: String): Unit = {
+    import spark.implicits._
+    require(regs.length == M, s"need $M registers, got ${regs.length}")
+    graft.operators.Bucketing.dropTableAndLocation(spark, table)
+    graft.operators.Bucketing.dropTableAndLocation(spark,
+      s"${table}_meta")
+    regs.zipWithIndex.map { case (r, i) => (i, r) }
+      .toDF("bucket", "r")
+      .write.mode("overwrite").saveAsTable(table)
+    Seq((n, seed)).toDF("n", "seed")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  def loadHllGateState(spark: org.apache.spark.sql.SparkSession,
+      table: String, seed: String): (Long, Vector[Int]) = {
+    val meta = spark.table(s"${table}_meta").head()
+    require(meta.getString(1) == seed,
+      s"gate state $table was written under seed " +
+        s"'${meta.getString(1)}'; refusing to resume under '$seed'")
+    val regs = new Array[Int](M)
+    spark.table(table).collect().foreach { r =>
+      regs(r.getInt(0)) = r.getInt(1)
+    }
+    (meta.getLong(0), regs.toVector)
+  }
+
   /** STREAMING form: fold each micro-batch's epochs (ascending) into
     * the checkpointed 64-register vector, emit that epoch's prefix
     * estimate. State is EXACTLY 64 small ints + the prefix total —
     * bounded for any stream length and key cardinality; per-shard
     * register vectors merge by element-wise max upstream of the
-    * single merge group (the e15 scale-out shape). */
+    * single merge group (the e15 scale-out shape).
+    *
+    * `initial` (a loaded [[writeHllGateState]] artifact) seeds the
+    * registers so a NEW query resumes warm; idempotent maxes make
+    * seeded-then-stream ≡ streaming the concatenation
+    * (spec-pinned). */
   def distinctEstimateStream(events: DataFrame, keyCol: String,
-      batchCol: String, seed: String): Dataset[CardinalityEstimate] = {
+      batchCol: String, seed: String,
+      initial: Option[(Long, Seq[Int])] = None): Dataset[CardinalityEstimate] = {
+    initial.foreach { case (_, regs) =>
+      require(regs.length == M,
+        s"initial state carries ${regs.length} registers; need $M")
+    }
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -188,11 +252,20 @@ object CardinalityStream extends Serializable {
       out.iterator
     }
 
-    events.select(col(batchCol).cast("long").as("batch"),
+    val grouped = events.select(col(batchCol).cast("long").as("batch"),
         col(keyCol).cast("string").as("key"))
       .as[(Long, String)]
       .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+    initial match {
+      case Some((n0, regs0)) =>
+        val init = spark.createDataset(
+          Seq((0, HllState(n0, regs0.toVector))))
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout, init)(update)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+    }
   }
 }

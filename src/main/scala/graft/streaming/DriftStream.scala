@@ -35,8 +35,11 @@ object DriftStream extends Serializable {
   case class DriftScore(batch: Long, n_cur: Long, psi_e9: Long,
       drifted: Boolean)
 
-  private[streaming] case class RefState(refBatch: Long,
-      refTotal: Long, refCounts: Seq[Long])
+  /** The gate's only cross-epoch state: the pinned reference
+    * histogram (public: [[writePsiGateRef]]/[[loadPsiGateRef]] carry
+    * it across deployments). */
+  case class RefState(refBatch: Long, refTotal: Long,
+      refCounts: Seq[Long])
 
   /** The shared PSI recipe over full `nBuckets` histograms — Laplace
     * smoothing and term shape are [[graft.operators.Curation
@@ -117,13 +120,53 @@ object DriftStream extends Serializable {
         (col("psi") > lit(psiThreshold)).as("drifted"))
   }
 
+  /** Persist/load the pinned reference histogram (the gate's only
+    * cross-epoch state) — the b12/e15/e16 artifact convention, with
+    * the bucket count pinned in `_meta` so a gate can never score
+    * against a foreign-width reference. */
+  def writePsiGateRef(spark: org.apache.spark.sql.SparkSession,
+      refBatch: Long, refTotal: Long, refCounts: Seq[Long],
+      table: String): Unit = {
+    import spark.implicits._
+    graft.operators.Bucketing.dropTableAndLocation(spark, table)
+    graft.operators.Bucketing.dropTableAndLocation(spark,
+      s"${table}_meta")
+    refCounts.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("bucket", "n")
+      .write.mode("overwrite").saveAsTable(table)
+    Seq((refBatch, refTotal, refCounts.length))
+      .toDF("ref_batch", "ref_total", "n_buckets")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  def loadPsiGateRef(spark: org.apache.spark.sql.SparkSession,
+      table: String, nBuckets: Int): RefState = {
+    val meta = spark.table(s"${table}_meta").head()
+    require(meta.getInt(2) == nBuckets,
+      s"reference $table was written with ${meta.getInt(2)} buckets; " +
+        s"refusing to score $nBuckets-bucket epochs against it")
+    val counts = new Array[Long](nBuckets)
+    spark.table(table).collect().foreach { r =>
+      counts(r.getInt(0)) = r.getLong(1)
+    }
+    RefState(meta.getLong(0), meta.getLong(1), counts.toVector)
+  }
+
   /** STREAMING form: the first epoch seen becomes the pinned
     * reference histogram (the ONLY cross-epoch state); every epoch —
-    * the reference included — emits its score as it completes. */
+    * the reference included — emits its score as it completes.
+    * `initial` (a loaded [[writePsiGateRef]] artifact) pins the
+    * reference up front, so a resumed gate scores against the SAME
+    * baseline as its predecessor instead of re-electing one. */
   def psiGateStream(events: DataFrame, bucketCol: String,
-      batchCol: String, nBuckets: Int,
-      psiThreshold: Double): Dataset[DriftScore] = {
+      batchCol: String, nBuckets: Int, psiThreshold: Double,
+      initial: Option[RefState] = None): Dataset[DriftScore] = {
     require(nBuckets > 0, "need nBuckets > 0")
+    initial.foreach { st =>
+      require(st.refCounts.length == nBuckets,
+        s"initial reference carries ${st.refCounts.length} buckets; " +
+          s"need $nBuckets")
+    }
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -149,13 +192,22 @@ object DriftStream extends Serializable {
       out.iterator
     }
 
-    events.select(col(batchCol).cast("long").as("batch"),
+    val grouped = events
+      .select(col(batchCol).cast("long").as("batch"),
         col(bucketCol).cast("int").as("bucket"))
       .filter(col("bucket").isNotNull && col("bucket") >= 0 &&
         col("bucket") < nBuckets)
       .as[(Long, Int)]
       .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+    initial match {
+      case Some(st0) =>
+        val init = spark.createDataset(Seq((0, st0)))
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout, init)(update)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+    }
   }
 }

@@ -143,10 +143,81 @@ object HeavyHitterStream extends Serializable {
       .select(col("batch"), col("key"), col("est"), col("n_prefix"))
   }
 
+  /** The gate's state computed OFFLINE over a finished corpus — the
+    * additive counters make this one distributed aggregation (per
+    * (row, cell) sums + the total), never a sequential replay. What a
+    * fresh gate deployment seeds from ([[writeHhGateState]] persists
+    * it; [[heavyHittersStream]]'s `initialState` resumes from it) so
+    * the stream starts already warm on the lake instead of
+    * re-counting history. */
+  def hhGateState(events: DataFrame, keyCol: String, d: Int, w: Int,
+      seed: String): (Long, Vector[Long]) = {
+    val ev = events.select(col(keyCol).cast("string").as("key"))
+    val cells = ev.select(
+        explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"),
+            cellCol(seed, j, w, col("key")).as("cell"))): _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // ≤ d·w rows — sketch-bounded driver state
+    val counters = new Array[Long](d * w)
+    cells.foreach { r =>
+      counters(r.getInt(0) * w + r.getLong(1).toInt) = r.getLong(2)
+    }
+    // every event contributes to exactly d cells: n = rowSum / d,
+    // but compute it directly for clarity
+    val n = ev.count()
+    (n, counters.toVector)
+  }
+
+  /** Persist a gate state as a warehouse artifact with its geometry
+    * pinned in `_meta` (the embed-gate convention: a gate can never
+    * resume under foreign hashes). */
+  def writeHhGateState(spark: org.apache.spark.sql.SparkSession,
+      n: Long, cells: Seq[Long], d: Int, w: Int, seed: String,
+      table: String): Unit = {
+    import spark.implicits._
+    graft.operators.Bucketing.dropTableAndLocation(spark, table)
+    graft.operators.Bucketing.dropTableAndLocation(spark,
+      s"${table}_meta")
+    cells.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("idx", "c")
+      .write.mode("overwrite").saveAsTable(table)
+    Seq((n, d, w, seed)).toDF("n", "d", "w", "seed")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Load a [[writeHhGateState]] artifact; the caller's (d, w, seed)
+    * must match the table's own pinned geometry or the load REFUSES
+    * (resuming under foreign hashes is silently wrong, never
+    * approximate). */
+  def loadHhGateState(spark: org.apache.spark.sql.SparkSession,
+      table: String, d: Int, w: Int,
+      seed: String): (Long, Vector[Long]) = {
+    val meta = spark.table(s"${table}_meta").head()
+    require(meta.getInt(1) == d && meta.getInt(2) == w &&
+      meta.getString(3) == seed,
+      s"gate state $table was written under geometry " +
+        s"(d=${meta.getInt(1)}, w=${meta.getInt(2)}, " +
+        s"seed=${meta.getString(3)}); refusing to resume under " +
+        s"(d=$d, w=$w, seed=$seed)")
+    val cells = new Array[Long](d * w)
+    spark.table(table).collect().foreach { r =>
+      cells(r.getInt(0)) = r.getLong(1)
+    }
+    (meta.getLong(0), cells.toVector)
+  }
+
   /** STREAMING form: fold each micro-batch's epochs (ascending) into
     * the checkpointed d·w counters and emit that epoch's flagged
     * keys. State is EXACTLY d·w longs + the prefix total — bounded
     * for any stream length and key cardinality.
+    *
+    * `initial` (e.g. a loaded [[writeHhGateState]] artifact) seeds
+    * the counters so a NEW query — changed topology, fresh
+    * checkpoint — resumes warm instead of re-counting the lake;
+    * additivity makes seeded-then-stream ≡ streaming the
+    * concatenation (spec-pinned).
     *
     * The single merge group is the documented funnel (the e14 shape);
     * the scale-out path is the additive counters' mergeability:
@@ -155,10 +226,16 @@ object HeavyHitterStream extends Serializable {
     * groupBy already executes. */
   def heavyHittersStream(events: DataFrame, keyCol: String,
       batchCol: String, d: Int, w: Int, thetaPermille: Int,
-      seed: String): Dataset[HeavyHit] = {
+      seed: String,
+      initial: Option[(Long, Seq[Long])] = None): Dataset[HeavyHit] = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
     require(thetaPermille >= 1 && thetaPermille <= 1000,
       s"thetaPermille in [1,1000], got $thetaPermille")
+    initial.foreach { case (_, cells) =>
+      require(cells.length == d * w,
+        s"initial state carries ${cells.length} counters; " +
+          s"geometry d=$d w=$w needs ${d * w}")
+    }
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -198,11 +275,20 @@ object HeavyHitterStream extends Serializable {
       out.iterator
     }
 
-    events.select(col(batchCol).cast("long").as("batch"),
+    val grouped = events.select(col(batchCol).cast("long").as("batch"),
         col(keyCol).cast("string").as("key"))
       .as[(Long, String)]
       .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+    initial match {
+      case Some((n0, cells0)) =>
+        val init = spark.createDataset(
+          Seq((0, HhState(n0, cells0.toVector))))
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout, init)(update)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+    }
   }
 }

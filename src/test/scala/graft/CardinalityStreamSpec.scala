@@ -59,6 +59,46 @@ class CardinalityStreamSpec extends AnyFunSuite {
     assert(a == b && b == c)
   }
 
+  test("seeded resume: registers persisted, foreign seed refused, tail emissions identical") {
+    import spark.implicits._
+    val es = (0 until 240).map(i => (1L + i % 2, s"u${i % 53}"))
+    val epoch1 = es.filter(_._1 == 1L)
+    val epoch2 = es.filter(_._1 == 2L)
+    val (n0, regs0) = CardinalityStream.hllGateState(
+      evDf(epoch1), "key", "spec")
+    CardinalityStream.writeHllGateState(spark, n0, regs0, "spec",
+      "spec_hll_state")
+    intercept[IllegalArgumentException] {
+      CardinalityStream.loadHllGateState(spark, "spec_hll_state",
+        "other-seed")
+    }
+    val loaded = CardinalityStream.loadHllGateState(spark,
+      "spec_hll_state", "spec")
+    assert(loaded == ((n0, regs0)))
+    def streamOf(evs: Seq[(Long, String)], name: String,
+        init: Option[(Long, Seq[Int])]) = {
+      val dir = java.nio.file.Files.createTempDirectory(name).toString
+      evs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, e) =>
+        e.toDF("batch", "key").coalesce(1).write.parquet(s"$dir/f$b")
+        Thread.sleep(5)
+      }
+      val schema = StructType(Seq(StructField("batch", LongType),
+        StructField("key", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+      val q = CardinalityStream.distinctEstimateStream(stream, "key",
+          "batch", "spec", init)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).orderBy("batch").collect().map(_.toSeq).toSeq
+    }
+    val seeded = streamOf(epoch2, "hllseeded", Some(loaded))
+    val full = streamOf(es, "hllfull", None).filter(_(0) == 2L)
+    assert(seeded == full, s"seeded $seeded != full tail $full")
+  }
+
   test("streamed epoch-aligned micro-batches emit exactly the batch fold's rows") {
     import spark.implicits._
     val es = (0 until 240).map(i => (1L + i % 4, s"u${i % 53}"))

@@ -50,6 +50,40 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("seeded resume: a persisted reference pins the baseline; foreign width refused") {
+    import spark.implicits._
+    import graft.streaming.DriftStream.RefState
+    // persist epoch 1's histogram as the reference
+    val h = Array(90L, 10L, 0L, 0L) // epoch 1's counts at nBuckets=4
+    DriftStream.writePsiGateRef(spark, 1L, 100L, h.toVector,
+      "spec_psi_ref")
+    intercept[IllegalArgumentException] {
+      DriftStream.loadPsiGateRef(spark, "spec_psi_ref", 10)
+    }
+    val loaded = DriftStream.loadPsiGateRef(spark, "spec_psi_ref", 4)
+    assert(loaded == RefState(1L, 100L, h.toVector))
+    // a seeded gate fed ONLY epoch 3 scores it against the loaded
+    // reference — not against epoch 3 itself (which would read 0)
+    val dir = java.nio.file.Files.createTempDirectory("psiseed")
+      .toString
+    evDf(events.filter(_._1 == 3L)).coalesce(1)
+      .write.parquet(s"$dir/f3")
+    val schema = StructType(Seq(StructField("batch", LongType),
+      StructField("bucket", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = DriftStream.psiGateStream(stream, "bucket", "batch", 4,
+        0.25, Some(loaded))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("psiseed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("psiseed").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 1 && got(0)._1 == 3L)
+    assert(got(0)._3 && got(0)._2 > 0L,
+      s"flipped epoch must drift against the SEEDED reference: ${got(0)}")
+  }
+
   test("streamed epoch-aligned micro-batches emit exactly the batch fold's rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("driftgate")

@@ -116,6 +116,55 @@ class HeavyHitterStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("seeded resume: a gate warmed from the persisted state emits the tail of the full stream") {
+    import spark.implicits._
+    val epoch1 = events.filter(_._1 == 1L)
+    val epoch2 = events.filter(_._1 == 2L)
+    // offline state over epoch 1, persisted with geometry pinned
+    val (n0, cells0) = HeavyHitterStream.hhGateState(
+      evDf(epoch1), "key", d = 4, w = 1024, seed = "spec")
+    HeavyHitterStream.writeHhGateState(spark, n0, cells0, 4, 1024,
+      "spec", "spec_hh_state")
+    // foreign geometry refused
+    intercept[IllegalArgumentException] {
+      HeavyHitterStream.loadHhGateState(spark, "spec_hh_state",
+        4, 512, "spec")
+    }
+    val loaded = HeavyHitterStream.loadHhGateState(spark,
+      "spec_hh_state", 4, 1024, "spec")
+    assert(loaded == ((n0, cells0)))
+    // stream ONLY epoch 2, seeded — its emissions must equal the
+    // full-stream run's epoch-2 rows (counters are additive: seeded
+    // state ≡ having streamed epoch 1)
+    def streamOf(es: Seq[(Long, String)], name: String,
+        init: Option[(Long, Seq[Long])]) = {
+      val dir = java.nio.file.Files.createTempDirectory(name).toString
+      es.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, evs) =>
+        evs.toDF("batch", "key").coalesce(1).write.parquet(s"$dir/f$b")
+        Thread.sleep(5)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+      val q = HeavyHitterStream.heavyHittersStream(stream, "key",
+          "batch", 4, 1024, 300, "spec", init)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).orderBy("batch", "key").collect()
+        .map(_.toSeq).toSeq
+    }
+    val seeded = streamOf(epoch2, "hhseeded", Some(loaded))
+    val full = streamOf(events, "hhfull", None)
+      .filter(_(0) == 2L)
+    assert(seeded == full, s"seeded $seeded != full tail $full")
+  }
+
   test("a micro-batch carrying several epochs folds them in epoch order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hhgate2").toString

@@ -173,11 +173,13 @@ object CardinalityStream extends Serializable {
           .otherwise(bit_count((col("w") - lit(1L))
             .bitwiseAND(bitwise_not(col("w")))) + lit(1))
           .as("rank"))
-      .groupBy(col("bucket")).agg(max(col("rank")).as("r"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("r"), count(lit(1)).as("c"))
       .collect()
     val regs = new Array[Int](M)
     rows.foreach(r => regs(r.getLong(0).toInt) = r.getInt(1))
-    (ev.count(), regs.toVector)
+    // the per-bucket counts carry the total — no second source scan
+    (rows.map(_.getLong(2)).sum, regs.toVector)
   }
 
   /** Persist/load the register state with the seed pinned in `_meta`

@@ -164,9 +164,9 @@ object HeavyHitterStream extends Serializable {
     cells.foreach { r =>
       counters(r.getInt(0) * w + r.getLong(1).toInt) = r.getLong(2)
     }
-    // every event contributes to exactly d cells: n = rowSum / d,
-    // but compute it directly for clarity
-    val n = ev.count()
+    // every event contributes to exactly d cells, so the total rides
+    // in the one aggregation — no second source scan
+    val n = cells.map(_.getLong(2)).sum / d
     (n, counters.toVector)
   }
 

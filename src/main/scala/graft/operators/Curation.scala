@@ -1670,12 +1670,22 @@ object Curation {
   /** The B-row Laplace-smoothed log-ratio table ln(p_b/q_b) over the
     * full bucket spine — the DSIR model's only learned state. */
   private def dsirRatio(raw: DataFrame, target: DataFrame,
-      textCol: String, buckets: Int, gram: Int): DataFrame = {
-    val spark = raw.sparkSession
-    val tc = dsirBucketed(target, textCol, buckets, gram)
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val rc = dsirBucketed(raw, textCol, buckets, gram)
-      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      textCol: String, buckets: Int, gram: Int): DataFrame =
+    dsirRatioFromCounts(
+      dsirBucketed(raw, textCol, buckets, gram)
+        .groupBy(col("b")).agg(count(lit(1)).as("rc")),
+      dsirBucketed(target, textCol, buckets, gram)
+        .groupBy(col("b")).agg(count(lit(1)).as("tc")),
+      raw.sparkSession, buckets)
+
+  /** [[dsirRatio]] from prebuilt B-row bucket-count frames — the seam
+    * that lets [[dsirScores]] derive `rc` from the SAME (doc, bucket)
+    * aggregate it scores with, instead of re-tokenizing the raw
+    * corpus. The two totals are bounded driver actions over ≤ B-row
+    * frames. */
+  private def dsirRatioFromCounts(rc: DataFrame, tc: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      buckets: Int): DataFrame = {
     val tTot = tc.agg(sum(col("tc"))).first().getLong(0).toDouble
     val rTot = rc.agg(sum(col("rc"))).first().getLong(0).toDouble
     val spine = spark.range(buckets).select(col("id").as("b"))
@@ -1705,9 +1715,33 @@ object Curation {
     require(buckets > 0 && gram > 0, "need buckets > 0 and gram > 0")
     // gram > 1: space-joined sliding windows (the DSIR paper defaults
     // to bigrams); documents with fewer than `gram` tokens contribute
-    // no features and drop out of the scored frame on both engines
-    dsirScoreWith(raw, dsirRatio(raw, target, textCol, buckets, gram),
-      idCol, textCol, buckets, gram)
+    // no features and drop out of the scored frame on both engines.
+    //
+    // ONE raw tokenize+hash pass, not three (measured: before this the
+    // raw corpus was featurized once for rc inside the ratio's two
+    // total actions, again when the final action re-derived rc — the
+    // totals' first() calls cache nothing — and again for scoring):
+    // the (doc, bucket, count) aggregate is materialized ONCE and
+    // BOTH `rc` (a B-row re-aggregation of it) and the scoring join
+    // read the checkpoint. Its size is ≤ min(doc tokens, B) rows per
+    // document — the same bytes the scoring shuffle already moves, so
+    // the checkpoint adds no new scale ceiling. The target side is
+    // featurized once (its B-row count frame is materialized before
+    // the totals action re-runs it).
+    val rawB = graft.util.Iter.materialize(
+      dsirBucketed(raw, textCol, buckets, gram, col(idCol))
+        .groupBy(col(idCol), col("b"))
+        .agg(count(lit(1)).as("c")))
+    val tc = graft.util.Iter.materialize(
+      dsirBucketed(target, textCol, buckets, gram)
+        .groupBy(col("b")).agg(count(lit(1)).as("tc")))
+    val ratio = dsirRatioFromCounts(
+      rawB.groupBy(col("b")).agg(sum(col("c")).as("rc")),
+      tc, raw.sparkSession, buckets)
+    rawB.join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("bigint").as("n_tok"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
   }
 
   /** DSIR resampling epoch: [[dsirScores]] materialized as a
@@ -1720,7 +1754,12 @@ object Curation {
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 256,
       seed: String = "dsir"): DataFrame = {
-    val scores = dsirScores(raw, target, idCol, textCol, buckets)
+    // materialized: the score frame feeds the max action AND the final
+    // keep/drop projection — left live, the scoring join and doc-keyed
+    // aggregation would run twice (the perplexityBuckets lesson; the
+    // frame is three narrow columns per raw document)
+    val scores = graft.util.Iter.materialize(
+      dsirScores(raw, target, idCol, textCol, buckets))
     val mx = scores.agg(max(col("logw"))).first().getDouble(0)
     scores.select(col(idCol), col("n_tok"),
       (sampleDraw(seed, col(idCol)).cast("double") <

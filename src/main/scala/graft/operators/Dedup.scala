@@ -438,15 +438,19 @@ object Dedup {
     // here and then again in every propagation round. The pairs are
     // tiny relative to the corpus that produced them; the pipeline is
     // not.
+    val sc = pairs.sparkSession.sparkContext
+    sc.setJobDescription("cc: edges")
     val edges = graft.util.Iter.materialize(
       pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     val sym = edges.select(col("a").as("id"), col("b").as("nbr"))
       .union(edges.select(col("b").as("id"), col("a").as("nbr")))
+    sc.setJobDescription("cc: init labels")
     var labels = graft.util.Iter.materialize(sym.groupBy("id")
       .agg(least(min(col("nbr")), first(col("id"))).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      sc.setJobDescription(s"cc: round $iter")
       // neighbor labels: edge (id, nbr) carries label(nbr) to id;
       // `changed` rides along so convergence costs one cheap filter
       // over the already-checkpointed result, not another join
@@ -454,28 +458,48 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "nbr")
           .withColumnRenamed("label", "nbr_label"), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_label"))
-      // pointer-doubling shortcut: chase one hop up the label forest
+      // pointer-doubling shortcut: chase TWO hops up the label forest
       // (labels are always node ids, so the lookup always resolves;
-      // left join guards the component-min's self-label anyway).
-      // Skipped in round 1: initial labels are one-hop minima, so no
-      // label chains exist yet to compress — near-clique graphs (the
-      // common case, 2 rounds total) never pay for the extra join.
+      // left joins guard the component-min's self-label anyway). Two
+      // chases per round quarter the remaining chain depth instead of
+      // halving it — measured on g5's sparse co-occurrence graph at
+      // sf0.1 (520 components, long thin trees): 19 rounds → 10, and
+      // every round is ~8 Spark jobs, so round count is the wall.
+      // Each chase is a V-row broadcast-sized lookup, far cheaper than
+      // a round. Skipped in round 1: initial labels are one-hop
+      // minima, so no label chains exist yet to compress —
+      // near-clique graphs (the common case, 2 rounds total) never
+      // pay for the extra joins.
       val joined = labels.join(nbrMin, "id")
       val withHop = if (iter == 0) joined.withColumn("hop_label",
           lit(null).cast(joined.schema("label").dataType))
-        else joined.join(labels.select(col("id").as("hop_id"),
-          col("label").as("hop_label")), col("label") === col("hop_id"),
-          "left")
+        else {
+          val hop1 = joined.join(labels.select(col("id").as("hop_id"),
+            col("label").as("hop1_label")), col("label") === col("hop_id"),
+            "left").drop("hop_id")
+          hop1.join(labels.select(col("id").as("hop_id"),
+              col("label").as("hop2_label")),
+              col("hop1_label") === col("hop_id"), "left")
+            .select(hop1.columns.map(col) :+
+              least(col("hop1_label"), col("hop2_label"))
+                .as("hop_label"): _*)
+            .drop("hop1_label")
+        }
       val next = graft.util.Iter.materialize(withHop
         .select(col("id"),
           least(col("label"), col("nbr_label"), col("hop_label"))
             .as("label"),
           (least(col("nbr_label"), col("hop_label")) < col("label"))
             .as("changed")))
+      sc.setJobDescription(s"cc: converged? $iter")
       converged = next.filter(col("changed")).isEmpty
+      // round i-1's checkpointed vector is dead once round i is live
+      // (the pageRank release discipline)
+      graft.util.Iter.release(labels)
       labels = next.drop("changed")
       iter += 1
     }
+    sc.setJobDescription(null)
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIter rounds; the pair " +
         "graph has a component of extreme diameter — raise maxIter " +
@@ -877,9 +901,15 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8,
       maxPosting: Int = 1024, denseCut: Int = 64): DataFrame = {
     graft.functions.ShinglesImpl.register(df.sparkSession)
-    val sets = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
-      .select(col("id"), array_distinct(baseHashes(col("shs"))).as("hs"))
+    // materialized: the hash-set frame feeds the posting explode AND
+    // the final per-doc set-size join — left live, the shingling +
+    // per-shingle md5 (the expensive per-row work of this operator)
+    // runs twice over the corpus. The checkpoint holds (id, hs): the
+    // 8-byte hash arrays the posting shuffle moves anyway.
+    val sets = graft.util.Iter.materialize(
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
+        .select(col("id"), array_distinct(baseHashes(col("shs"))).as("hs")))
     val postings = sets.select(col("id"), explode(col("hs")).as("h"))
     val active = postings.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .observe("containment_posting_overflow",

@@ -905,21 +905,45 @@ object ScaleQueries {
       val li = Tables.lineitem(s, d)
         .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_suppkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
-      val exact = Graph.triangleCount(e, "s1", "s2")
-        .agg((sum(col("n_triangles")) / 3).cast("bigint")
-          .as("exact_triangles"))
-      Graph.triangleCountApprox(e, "s1", "s2", p = 0.5, seed = "g4")
-        .crossJoin(exact)
-        .select(col("exact_triangles"), col("sampled_edges"),
-          col("sampled_triangles"), col("est_triangles"),
-          (abs(col("est_triangles") - col("exact_triangles"))
-            .cast("double") <=
-            col("exact_triangles").cast("double") * lit(0.25))
-            .as("within_25pct"))
+      // the co-supplier self-join is the expensive shared front —
+      // materialized ONCE so the exact and sampled passes both read
+      // the checkpoint instead of re-running the join (the g4
+      // double-derivation finding from the r14 verdict, fixed at the
+      // sharing point)
+      val e = graft.util.Iter.materialize(
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("s1"),
+            col("b.l_suppkey").as("s2")))
+      // exact and sampled counts are independent multi-action chains —
+      // overlap them (guide §2.6); each is deterministic, so the
+      // emitted row is unchanged
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try {
+        val fExact = Future {
+          s.sparkContext.setJobDescription("g4: exact count")
+          Graph.triangleCount(e, "s1", "s2")
+            .agg((sum(col("n_triangles")) / 3).cast("bigint")
+              .as("exact_triangles"))
+        }
+        val fApprox = Future {
+          s.sparkContext.setJobDescription("g4: doulion estimate")
+          Graph.triangleCountApprox(e, "s1", "s2", p = 0.5, seed = "g4")
+        }
+        Await.result(fApprox, Duration.Inf)
+          .crossJoin(Await.result(fExact, Duration.Inf))
+          .select(col("exact_triangles"), col("sampled_edges"),
+            col("sampled_triangles"), col("est_triangles"),
+            (abs(col("est_triangles") - col("exact_triangles"))
+              .cast("double") <=
+              col("exact_triangles").cast("double") * lit(0.25))
+              .as("within_25pct"))
+      } finally pool.shutdown()
     }),
 
     // G5 — connected components as a first-class graph row: the
@@ -1437,42 +1461,73 @@ object ScaleQueries {
     "b11_tokenizer_eval" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val nWords = docs.select(explode(filter(
-          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
-        .count()
-      def fert(t: Long): Long =
-        math.floor(t.toDouble / nWords.toDouble * 1e6).toLong
-      val mc = graft.operators.Bpe.bpeMerges(docs, "text", 4)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val tChar = graft.operators.Bpe.bpeEncode(
-          docs.select("text"), "text", mc)
-        .agg(sum(size(col("tokens")))).head().getLong(0)
-      val mb = graft.operators.Bpe.bpeMergesBytes(docs, "text", 4)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val tByte = graft.operators.Bpe.bpeEncodeBytes(
-          docs.select("text"), "text", mb)
-        .agg(sum(size(col("tokens")))).head().getLong(0)
-      val seed = graft.operators.Bpe.unigramSeed(docs, "text",
-        seedSize = 200).collect()
-      val total = seed.map(_.getLong(1)).sum.toDouble
-      val uv = seed.map(r => r.getString(0) ->
-        math.floor(math.log(r.getLong(1).toDouble / total) * 1e6))
-        .toSeq
-      val tUni = graft.operators.Bpe.unigramEncode(docs, "text", uv)
-        .agg(sum(size(col("pieces")))).head().getLong(0)
-      val mw = graft.operators.Bpe.wordpieceMerges(docs, "text", 4)
-        .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
-      val wv = graft.operators.Bpe.wordpieceVocab(docs, "text", mw)
-      val tWp = graft.operators.Bpe.wordpieceEncode(
-          docs.select("text"), "text", wv)
-        .agg(sum(size(col("tokens")))).head().getLong(0)
-      Seq(("bpe_byte", tByte), ("bpe_char", tChar),
-          ("unigram", tUni), ("wordpiece", tWp))
-        .map { case (n, t) => (n, nWords, t, fert(t)) }
-        .toDF("tokenizer", "n_words", "n_tokens", "fertility_e6")
-        .orderBy(col("tokenizer"))
+      // The four tokenizer families (and the shared word count) are
+      // INDEPENDENT train→encode→sum chains of many small driver
+      // actions each; run them as overlapping Spark jobs from a small
+      // thread pool (guide §2.6) so one chain's scheduling gaps are
+      // back-filled by another's tasks. Each chain is deterministic in
+      // isolation, so the result table is byte-identical to the
+      // sequential evaluation.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try {
+        val fWords = Future {
+          s.sparkContext.setJobDescription("b11: word count")
+          docs.select(explode(filter(
+              split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+            .count()
+        }
+        val fChar = Future {
+          s.sparkContext.setJobDescription("b11: char bpe")
+          val mc = graft.operators.Bpe.bpeMerges(docs, "text", 4)
+            .orderBy(col("rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          graft.operators.Bpe.bpeEncode(docs.select("text"), "text", mc)
+            .agg(sum(size(col("tokens")))).head().getLong(0)
+        }
+        val fByte = Future {
+          s.sparkContext.setJobDescription("b11: byte bpe")
+          val mb = graft.operators.Bpe.bpeMergesBytes(docs, "text", 4)
+            .orderBy(col("rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          graft.operators.Bpe.bpeEncodeBytes(
+              docs.select("text"), "text", mb)
+            .agg(sum(size(col("tokens")))).head().getLong(0)
+        }
+        val fUni = Future {
+          s.sparkContext.setJobDescription("b11: unigram")
+          val seed = graft.operators.Bpe.unigramSeed(docs, "text",
+            seedSize = 200).collect()
+          val total = seed.map(_.getLong(1)).sum.toDouble
+          val uv = seed.map(r => r.getString(0) ->
+            math.floor(math.log(r.getLong(1).toDouble / total) * 1e6))
+            .toSeq
+          graft.operators.Bpe.unigramEncode(docs, "text", uv)
+            .agg(sum(size(col("pieces")))).head().getLong(0)
+        }
+        val fWp = Future {
+          s.sparkContext.setJobDescription("b11: wordpiece")
+          val mw = graft.operators.Bpe.wordpieceMerges(docs, "text", 4)
+            .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
+          val wv = graft.operators.Bpe.wordpieceVocab(docs, "text", mw)
+          graft.operators.Bpe.wordpieceEncode(
+              docs.select("text"), "text", wv)
+            .agg(sum(size(col("tokens")))).head().getLong(0)
+        }
+        val nWords = Await.result(fWords, Duration.Inf)
+        def fert(t: Long): Long =
+          math.floor(t.toDouble / nWords.toDouble * 1e6).toLong
+        Seq(("bpe_byte", Await.result(fByte, Duration.Inf)),
+            ("bpe_char", Await.result(fChar, Duration.Inf)),
+            ("unigram", Await.result(fUni, Duration.Inf)),
+            ("wordpiece", Await.result(fWp, Duration.Inf)))
+          .map { case (n, t) => (n, nWords, t, fert(t)) }
+          .toDF("tokenizer", "n_words", "n_tokens", "fertility_e6")
+          .orderBy(col("tokenizer"))
+      } finally pool.shutdown()
     }),
 
     // B12 — PERSISTED byte-BPE model: train, ship the merge table as

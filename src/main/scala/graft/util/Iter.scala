@@ -16,10 +16,47 @@ import org.apache.spark.sql.DataFrame
   *    clusters.
   */
 object Iter {
-  def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+  def materialize(df: DataFrame): DataFrame = {
+    val mat =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    // Replace the checkpoint leaf's stats with the MEASURED size of
+    // what was just materialized. Dataset.checkpoint records the
+    // checkpointed query's ESTIMATED stats; in an iterative loop that
+    // estimate compounds multiplicatively (each round's joins multiply
+    // the previous checkpoint's estimate), so by round ~15 the driver
+    // is multiplying million-digit BigIntegers inside stats estimation
+    // — observed as a hung CC loop. Measured bytes also let the
+    // planner broadcast genuinely small iterated state (rank/label
+    // vectors) and refuse to broadcast genuinely big state — the
+    // scale-adaptive join pick, from truth instead of estimates.
+    measuredSize(mat) match {
+      case Some(bytes) =>
+        org.apache.spark.sql.GraftDatasets.declareStats(mat, bytes)
+      case None => mat
+    }
+  }
+
+  /** Actual byte size of a materialized frame's backing storage:
+    * persisted block sizes for `localCheckpoint`, checkpoint-file
+    * bytes for reliable `checkpoint`. None when neither is visible
+    * (then the caller keeps the recorded stats). */
+  private def measuredSize(df: DataFrame): Option[BigInt] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val sc = df.sparkSession.sparkContext
+        val fromStorage = sc.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+          .filter(_ > 0)
+        fromStorage.orElse(l.rdd.getCheckpointFile.map { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          BigInt(p.getFileSystem(sc.hadoopConfiguration)
+            .getContentSummary(p).getLength)
+        }).map(_.max(BigInt(1)))
+      case _ => None
+    }
 
   /** [[materialize]] for a loop's STATIC table: hash-partition and
     * sort on `keys` first (an EXPLICIT partition count, which AQE

@@ -553,8 +553,19 @@ class PlanAuditSpec extends AnyFunSuite {
         (lit(0.15 / ctx.n) + lit(0.85) * coalesce(col("inb"), lit(0.0)))
           .as("rank"))
     val p = plan(round2)
-    assert(count(p, "Exchange hashpartitioning") == 2,
-      s"steady-state round must exchange ranks twice and edges never:\n$p")
+    // The invariant is about the EDGE side: the E-row contrib
+    // checkpoint is scanned in place — never hash-exchanged, never
+    // re-sorted. How the V-row rank vector moves is size-adaptive now
+    // that checkpoints carry MEASURED stats (Iter.materialize): a
+    // small vector broadcasts into the edge join (1 hash exchange per
+    // round, the dst partial agg), a large one falls back to the
+    // co-partitioned 2-exchange shape. Both are rank-only movement.
+    val exchanges = count(p, "Exchange hashpartitioning")
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"steady-state round must move only the rank vector (1-2 rank " +
+        s"exchanges), got $exchanges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(src#"),
+      s"the edge table must never re-shuffle:\n$p")
     assert(!p.contains("Sort [src#"),
       s"edge side must read pre-sorted, no per-round re-sort:\n$p")
   }

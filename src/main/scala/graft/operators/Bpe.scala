@@ -70,7 +70,12 @@ object Bpe {
   }
 
   private def wordFreq(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    // NOT fanned out (measured): the explode collapses to a V-row
+    // aggregate consumed by a chain of small merge-round actions, and
+    // the added exchange/stage per action costs more than the one-pass
+    // scan parallelism buys (b2 was 2x slower with a fanOut here)
+    df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
@@ -140,13 +145,8 @@ object Bpe {
     * SQL-expressible; the by-hand spec gates those).
     * @return (piece, freq). */
   def unigramSeed(df: DataFrame, textCol: String,
-      seedSize: Int = 4000, maxPieceLen: Int = 8): DataFrame = {
-    val words = df
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    unigramSeedFromWords(words, seedSize, maxPieceLen)
-  }
+      seedSize: Int = 4000, maxPieceLen: Int = 8): DataFrame =
+    unigramSeedFromWords(wordFreq(df, textCol), seedSize, maxPieceLen)
 
   private def unigramSeedFromWords(words: DataFrame, seedSize: Int,
       maxPieceLen: Int): DataFrame = {
@@ -384,7 +384,9 @@ object Bpe {
     * literals). Returns the input plus a `pieces` array column. */
   def unigramEncode(df: DataFrame, textCol: String,
       vocab: Seq[(String, Double)], maxPieceLen: Int = 8): DataFrame =
-    df.withColumn("pieces",
+    // fanOut: the per-document Viterbi DP is the whole cost and the
+    // input is one task on single-row-group scans (guide §2.5)
+    graft.util.Tables.fanOut(df, textCol).withColumn("pieces",
       org.apache.spark.sql.GraftColumns.column(
         graft.functions.UnigramEncodeTokens(
           org.apache.spark.sql.GraftColumns.expression(col(textCol)),
@@ -417,7 +419,7 @@ object Bpe {
     * (tens of thousands of merges) is unplannable that way. */
   def bpeEncode(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+    graft.util.Tables.fanOut(df, textCol).withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
       graft.functions.BpeEncodeTokens(
         org.apache.spark.sql.GraftColumns.expression(col(textCol)),
         merges)))
@@ -431,7 +433,7 @@ object Bpe {
     * construction (no unknown symbols exist). */
   def bpeEncodeBytes(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+    graft.util.Tables.fanOut(df, textCol).withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
       graft.functions.BpeEncodeTokens(
         org.apache.spark.sql.GraftColumns.expression(col(textCol)),
         merges, byteLevel = true)))
@@ -676,7 +678,7 @@ object Bpe {
     * input plus a `tokens` array column. */
   def wordpieceEncode(df: DataFrame, textCol: String,
       vocab: Seq[String]): DataFrame =
-    df.withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
+    graft.util.Tables.fanOut(df, textCol).withColumn("tokens", org.apache.spark.sql.GraftColumns.column(
       graft.functions.WordPieceEncodeTokens(
         org.apache.spark.sql.GraftColumns.expression(col(textCol)),
         vocab.distinct.sorted)))

@@ -705,7 +705,7 @@ object Curation {
     // Column `/` is double division; the +L−1 ceiling stays exact well
     // past any real document, and the cast truncates back to integral
     val nLines = ((size(toks) + lineTokens - 1) / lineTokens).cast("int")
-    val lines = df.select(col(idCol),
+    val lines = graft.util.Tables.fanOut(df, idCol).select(col(idCol),
         posexplode(transform(sequence(lit(0), greatest(nLines, lit(1)) - 1),
           i => array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " ")))
           .as(Seq("pos", "line")))
@@ -1132,7 +1132,7 @@ object Curation {
     def marked(k: Int): Column =
       transform(expr(s"word_shingles($textCol, $k)"),
         g => struct(lit(k).as("k"), g.as("g")))
-    df.select(col(idCol),
+    graft.util.Tables.fanOut(df, idCol).select(col(idCol),
         length(col(textCol)).cast("bigint").as("n_chars"),
         explode(concat(marked(topK), marked(dupK))).as("x"))
       .groupBy(col(idCol), col("n_chars"), col("x.k").as("k"),
@@ -1570,7 +1570,9 @@ object Curation {
   def charLmScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.CharLmImpl.register(df.sparkSession)
-    val grams = df.select(col(idCol),
+    // fanOut: the bigram-count expression is the operator's whole cost
+    // and single-row-group input would run it on one task (guide §2.5)
+    val grams = graft.util.Tables.fanOut(df, idCol).select(col(idCol),
       explode(expr(s"char_bigram_counts($textCol)")).as(Seq("gram", "n")))
     val model = grams.groupBy(col("gram")).agg(sum(col("n")).as("c"))
     // N and V are global aggregates OVER THE MODEL (≤ charset² rows):
@@ -1660,7 +1662,11 @@ object Curation {
     * featurization. */
   private def dsirBucketed(df: DataFrame, textCol: String,
       buckets: Int, gram: Int, cols: Column*): DataFrame =
-    df.select(
+    // fanOut only for gram > 1 (measured at sf0.1): the sliding-window
+    // feature join + per-feature md5 dominates there (ds3 0.61x
+    // fanned); unigram features are too cheap to amortize the extra
+    // exchange (ds1 regressed 2x fanned)
+    (if (gram > 1) graft.util.Tables.fanOut(df, textCol) else df).select(
       (cols :+ explode(dsirFeatures(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""), gram))
         .as("tok")): _*)

@@ -827,7 +827,8 @@ object Dedup {
     import org.apache.spark.sql.GraftColumns
     val hashes = GraftColumns.column(graft.functions.GramHashes(
       GraftColumns.expression(col(textCol)), minLen))
-    df.select(col(idCol), posexplode(hashes).as(Seq("p0", "h")))
+    graft.util.Tables.fanOut(df, idCol)
+      .select(col(idCol), posexplode(hashes).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("i"), col("h"))
   }
 

@@ -104,7 +104,15 @@ object MultimodalQueries {
     // bytes, and the oracle recomputes the integer aspect-fit from the
     // generation formula. Audio/video rows keep the stub truncate.
     "m4_media_resize" -> ((s, d) => {
-      Multimodal.resize(Multimodal.mixedMedia(s, d), 320, 240)
+      // fanOut (guide §2.5 unsplittable-input remedy): the decode →
+      // scale → re-encode round-trip is the row's whole cost and the
+      // single-row-group scan runs it on one task otherwise (measured
+      // 2x at sf0.1). Applied at the consumer, not in the generators:
+      // multi-action consumers (the e7/e9 gates) measured slower with
+      // fanned 32-partition checkpoints.
+      Multimodal.resize(
+          graft.util.Tables.fanOut(Multimodal.mixedMedia(s, d),
+            "media_id"), 320, 240)
         .select(col("media_id"), col("kind"), col("width"), col("height"))
         .orderBy(col("media_id"))
     }),

@@ -58,4 +58,29 @@ object Tables {
 
   /** Exact money: DECIMAL(18,2). Matches DuckDB `CAST(x AS DECIMAL(18,2))`. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Parallelize an unsplittable-input scan before EXPENSIVE per-row
+    * work — the guide §2.5 input-skew remedy ("one huge unsplittable
+    * file … repartition immediately after the read"). The driver's
+    * parquet tables are single-row-group files, so a scan is ONE task
+    * no matter the split config; every per-row-costly operator
+    * (shingle+md5, char-LM counts, gram hashing, image/audio codecs)
+    * was single-threading its most expensive stage on a 32-core
+    * session. A deterministic hash repartition on `key` (never
+    * round-robin — re-run tasks must reproduce the same placement,
+    * SPARK-23207/SPARK-38388) spreads the rows across the session's
+    * default parallelism.
+    *
+    * Self-adapting, not a config: when the frame already carries at
+    * least the session's parallelism (the production case — large
+    * inputs arrive as many splits), this is a NO-OP and no exchange
+    * is added. Call it only on scan-rooted frames (the partition
+    * probe plans the frame; exchange-free plans plan without running
+    * jobs).
+    */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
 }

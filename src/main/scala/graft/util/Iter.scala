@@ -34,23 +34,34 @@ object Iter {
     measuredSize(mat) match {
       case Some(bytes) =>
         org.apache.spark.sql.GraftDatasets.declareStats(mat, bytes)
-      case None => mat
+      case None =>
+        // Never keep the recorded (compounding) estimate: cap it at a
+        // fixed 1 TiB — big enough that nothing is wrongly broadcast,
+        // finite so round-over-round stats can never blow up planning.
+        org.apache.spark.sql.GraftDatasets.declareStats(mat, fallbackStats)
     }
   }
 
+  /** Fallback stat when no measurement is visible: large enough to
+    * disqualify broadcasts, finite so it cannot compound. */
+  private[graft] val fallbackStats: BigInt = BigInt(1) << 40
+
   /** Actual byte size of a materialized frame's backing storage:
-    * persisted block sizes for `localCheckpoint`, checkpoint-file
-    * bytes for reliable `checkpoint`. None when neither is visible
-    * (then the caller keeps the recorded stats). */
-  private def measuredSize(df: DataFrame): Option[BigInt] =
+    * persisted block sizes for `localCheckpoint` (read SYNCHRONOUSLY
+    * from the block-manager master — the listener-driven
+    * `getRDDStorageInfo` lags eager checkpoints under load, which made
+    * the measured-stats path, and so every downstream join shape,
+    * timing-dependent), checkpoint-file bytes for reliable
+    * `checkpoint`. None when neither is visible (the caller then
+    * declares a capped fallback, never the compounding estimate). */
+  private[graft] def measuredSize(df: DataFrame): Option[BigInt] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         val sc = df.sparkSession.sparkContext
-        val fromStorage = sc.getRDDStorageInfo
-          .find(_.id == l.rdd.id)
-          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+        val fromBlocks = Some(org.apache.spark.GraftStorage
+          .rddBlockBytes(sc, l.rdd.id, l.rdd.getNumPartitions))
           .filter(_ > 0)
-        fromStorage.orElse(l.rdd.getCheckpointFile.map { dir =>
+        fromBlocks.orElse(l.rdd.getCheckpointFile.map { dir =>
           val p = new org.apache.hadoop.fs.Path(dir)
           BigInt(p.getFileSystem(sc.hadoopConfiguration)
             .getContentSummary(p).getLength)

@@ -189,14 +189,19 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("wordpiece encode (b10): occurrence-local, zero shuffles") {
+  test("wordpiece encode (b10): occurrence-local, one fan-out exchange") {
     val docs = graft.util.Tables.documents(spark, sf)
       .select("doc_id", "text")
     val p = plan(graft.operators.Bpe.wordpieceEncode(docs, "text",
       Seq("a", "##b", "ab")))
-    assert(!p.contains("Exchange"),
-      "the encode is row-local; the vocabulary rides as a literal\n" +
+    // the encode itself is row-local; the ONLY exchange allowed is the
+    // deterministic fan-out repartition (guide §2.5 unsplittable-input
+    // remedy) that spreads a single-row-group scan before the per-row
+    // native encode — never a key shuffle, join, or sort
+    assert(count(p, "Exchange") == 1 && p.contains("REPARTITION_BY_NUM"),
+      "exactly one fan-out exchange; the vocabulary rides as a literal\n" +
         p.take(1500))
+    assert(!p.contains("Join") && !p.contains("Sort"), p.take(1500))
   }
 
   test("decontamination joins broadcast eval-side md5 keys, scans each corpus once") {
@@ -586,15 +591,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "split assignment must not shuffle\n" + p.take(2000))
   }
 
-  test("BPE encode (b2): zero-shuffle occurrence-local fold") {
+  test("BPE encode (b2): occurrence-local fold, one fan-out exchange") {
     val merges = Seq(("a", "b"), ("ab", "c"))
     val p = plan(graft.operators.Bpe.bpeEncode(
       graft.util.Tables.documents(spark, sf).select("doc_id", "text"),
       "text", merges))
     // the full-corpus tokenization pass is one scan + one narrow
-    // projection: no exchange of any kind, no join, no generate
+    // projection; the ONLY exchange allowed is the deterministic
+    // fan-out repartition (guide §2.5) spreading a single-row-group
+    // scan before the per-row fold — no key shuffle, join or generate
     assert(count(p, "FileScan parquet") == 1)
-    assert(!p.contains("Exchange"), "encode must not shuffle\n" + p.take(2000))
+    assert(count(p, "Exchange") == 1 && p.contains("REPARTITION_BY_NUM"),
+      "exactly one fan-out exchange\n" + p.take(2000))
     assert(!p.contains("Join") && !p.contains("Generate"), p.take(2000))
   }
 
@@ -678,7 +686,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "positions hash through the native expression")
   }
 
-  test("unigram encode (b6): one native call per document, zero shuffles") {
+  test("unigram encode (b6): one native call per document, one fan-out exchange") {
     import spark.implicits._
     val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
     val vocab = Seq("l" -> -1.0, "o" -> -1.0, "w" -> -1.0, "e" -> -1.5,
@@ -686,8 +694,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.operators.Bpe.unigramEncode(
       graft.util.Tables.documents(spark, sf), "text", vocab))
     assert(p.contains("unigram_encode"), "the native expression runs")
-    assert(!p.contains("Exchange"),
-      "encode is a narrow map — the corpus never shuffles\n" + p.take(1500))
+    // the encode is a narrow map; the ONLY exchange allowed is the
+    // deterministic fan-out repartition (guide §2.5) before the
+    // per-document Viterbi DP — never a key shuffle or join
+    assert(count(p, "Exchange") == 1 && p.contains("REPARTITION_BY_NUM"),
+      "exactly one fan-out exchange\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
   }
 
   test("KN bigram score (t13): token-bound aggs, keyed joins, no cartesian") {

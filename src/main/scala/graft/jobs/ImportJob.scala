@@ -81,13 +81,23 @@ object ImportJob {
     // (core.py:402)
     val ok = results.filter(_.error.isEmpty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // parse each document ONCE in its own projection and validate the
+    // parsed struct: the constraint predicates reference the document
+    // ~10 times, and `from_json` (CodegenFallback) re-parses per
+    // reference when inlined — the validation stage was ~75% of the
+    // pipeline's executor time before this split (guide §1.2/§4.1:
+    // don't recompute what several expressions consume)
     val issues = ok.flatMap(r => r.issueJson.map(j => (r.issueId, j)))
       .toDF("issue_id", "json")
-      .withColumn("violations", Validate.issueViolations(col("json")))
+      .withColumn("parsed", Validate.parsedIssue(col("json")))
+      .withColumn("violations", Validate.issueViolationsOf(col("parsed")))
+      .drop("parsed")
     val pages = ok.flatMap(r => r.pages.map { case (pid, j) => (r.issueId, pid, j) })
       .toDF("issue_id", "doc_id", "json")
+      .withColumn("parsed", Validate.parsedPage(col("json")))
       .withColumn("violations",
-        Validate.pageViolations(col("json"), col("issue_id")))
+        Validate.pageViolationsOf(col("parsed"), col("issue_id")))
+      .drop("parsed")
     def partitioned(df: DataFrame): DataFrame = df
       // aliases never contain '-' (the canonical id separator) but may
       // contain '_' (e.g. SwissInfo's SOC_CJ) — match up to the first '-'
@@ -96,22 +106,37 @@ object ImportJob {
       .withColumn("year", regexp_extract(col("issue_id"), "-(\\d{4})-", 1))
       .repartition(col("alias"), col("year"))
       .select(col("json").as("value"), col("alias"), col("year"))
+    // the failed write runs FIRST (its job computes the XML parse and
+    // fills the persist); the issues and pages writes then read the
+    // cache and are independent of each other — distinct sinks, no
+    // shared shuffle — so they run CONCURRENTLY and one write's task
+    // tail back-fills with the other's tasks (guide §2.6)
     issues.filter(size(col("violations")) > 0)
       .select(col("issue_id"), col("issue_id").as("doc_id"),
         col("violations"), col("json"))
       .unionByName(pages.filter(size(col("violations")) > 0)
         .select(col("issue_id"), col("doc_id"), col("violations"), col("json")))
       .write.mode(writeMode).json(s"$outPath/failed")
-    partitioned(issues.filter(size(col("violations")) === 0)
-      .select(col("issue_id"), col("json")))
-      .write.mode(writeMode).partitionBy("alias", "year")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "bzip2").text(s"$outPath/issues")
-    partitioned(pages.filter(size(col("violations")) === 0)
-      .select(col("issue_id"), col("json")))
-      .write.mode(writeMode).partitionBy("alias", "year")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "bzip2").text(s"$outPath/pages")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writes = Seq(
+      Future {
+        partitioned(issues.filter(size(col("violations")) === 0)
+          .select(col("issue_id"), col("json")))
+          .write.mode(writeMode).partitionBy("alias", "year")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "bzip2").text(s"$outPath/issues")
+      },
+      Future {
+        partitioned(pages.filter(size(col("violations")) === 0)
+          .select(col("issue_id"), col("json")))
+          .write.mode(writeMode).partitionBy("alias", "year")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "bzip2").text(s"$outPath/pages")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
     ok.unpersist()
   }
 }

@@ -45,17 +45,45 @@ object Validate {
         StructField("rr", ArrayType(IntegerType)))))))))))
 
   /** Page/record fields the constraints inspect: id plus the nested
-    * region→paragraph→line→token coordinate tree. */
-  private val pageValSchema: StructType =
-    graft.rebuild.RebuildJob.pageSchema
+    * region→paragraph→line→token coordinate tree. Deliberately
+    * NARROWER than the rebuild's full pageSchema (token text and
+    * style fields are dropped): `from_json` still tokenizes the whole
+    * document but materializes only schema fields, and the validation
+    * parse was the import pipeline's hottest expression. */
+  private val pageValSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("r", ArrayType(StructType(Seq(
+      StructField("c", ArrayType(IntegerType)),
+      StructField("pOf", StringType),
+      StructField("p", ArrayType(StructType(Seq(
+        StructField("l", ArrayType(StructType(Seq(
+          StructField("t", ArrayType(StructType(Seq(
+            StructField("c", ArrayType(IntegerType))))))))))))))))))))
 
   private def violationArray(checks: Seq[Column]): Column =
     filter(array(checks: _*), v => v.isNotNull)
 
+  /** `from_json` parse of an issue document against the validation
+    * schema. Compute this ONCE in its own projection and feed the
+    * result to [[issueViolationsOf]]: `from_json` is a CodegenFallback
+    * expression, so the ~10 constraint predicates referencing it
+    * directly would each re-parse the document per row (measured on
+    * i1: the validation stage was ~75% of the pipeline's executor
+    * time). A multiply-referenced non-cheap alias also survives
+    * CollapseProject, so the single parse is stable in the plan. */
+  def parsedIssue(json: Column): Column = from_json(json, issueValSchema)
+
+  /** [[parsedIssue]] for page/record documents. */
+  def parsedPage(json: Column): Column = from_json(json, pageValSchema)
+
   /** Violations of the canonical-issue invariants for a serialized
     * issue JSON column. Empty array = valid. */
-  def issueViolations(json: Column): Column = {
-    val p = from_json(json, issueValSchema)
+  def issueViolations(json: Column): Column =
+    issueViolationsOf(parsedIssue(json))
+
+  /** [[issueViolations]] over an already-parsed document (one
+    * `from_json` per row instead of one per constraint). */
+  def issueViolationsOf(p: Column): Column = {
     // support id of a CI's n-th page/record ref within this issue
     def refId(kind: String, n: Column): Column =
       concat(p("id"), lit(s"-$kind"), lpad(n.cast("string"), 4, "0"))
@@ -88,8 +116,11 @@ object Validate {
 
   /** Violations of the canonical page/record invariants. `issueId` is
     * the id of the issue the page was written under (prefix check). */
-  def pageViolations(json: Column, issueId: Column): Column = {
-    val p = from_json(json, pageValSchema)
+  def pageViolations(json: Column, issueId: Column): Column =
+    pageViolationsOf(parsedPage(json), issueId)
+
+  /** [[pageViolations]] over an already-parsed document. */
+  def pageViolationsOf(p: Column, issueId: Column): Column = {
     def badBox(c: Column): Column = c.isNotNull && size(c) =!= 4
     violationArray(Seq(
       when(p.isNull, lit("malformed_json")),

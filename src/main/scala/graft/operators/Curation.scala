@@ -905,11 +905,13 @@ object Curation {
     // Materialized: the scored frame feeds BOTH the quantile branch
     // and the labeling join — left live, the entire KN model build
     // would run twice (measured: 22.5 s vs t13's 15.5 s at sf10 was
-    // mostly this).
+    // mostly this). `lang` rides knBigramScore's own reattach join
+    // (guide §1.2): the former separate id-keyed join of the scored
+    // frame against a THIRD corpus scan is gone from the plan.
     val scored = graft.util.Iter.materialize(
-      knBigramScore(df, idCol, textCol)
-        .join(df.select(col(idCol),
-          coalesce(col(langCol), lit("")).as("lang")), Seq(idCol)))
+      knBigramScore(df, idCol, textCol,
+        carry = Seq("lang" -> coalesce(col(langCol), lit(""))),
+        materializeBigrams = true))
     val cuts = scored.groupBy(col("lang"))
       .agg(
         percentile(col("xent_e6"), lit(1.0 / 3)).as("p33"),
@@ -1432,20 +1434,43 @@ object Curation {
   }
 
   def knBigramScore(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75,
+      carry: Seq[(String, Column)] = Nil,
+      materializeBigrams: Boolean = false): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0,1)")
-    val db = knDocBigrams(df, idCol, textCol)
+    // the per-document bigram frame feeds BOTH the model aggregation
+    // and the scoring join — left live, the tokenize + bigram-explode
+    // + partial-agg pass over the corpus runs TWICE per invocation
+    // (plan-verified: 3 parquet scans of the corpus in one t13
+    // action, two through the explode). `materializeBigrams`
+    // checkpoints it once — (id, w1, w2, n), the bytes the scoring
+    // join shuffles anyway (guide §1.2). Measured trade at sf0.1: the
+    // checkpoint job chain costs ~0.5 s flat, so the bare t13 row
+    // (one cheap pass) keeps the default false while t14 — whose KN
+    // build is the dominant slice of a multi-stage row — passes true;
+    // at 100 TB-class inputs the second corpus pass always loses to
+    // the checkpoint, so production callers should pass true.
+    val db =
+      if (materializeBigrams)
+        graft.util.Iter.materialize(knDocBigrams(df, idCol, textCol))
+      else knDocBigrams(df, idCol, textCol)
     val p = knModel(db, discount).select(col("w1"), col("w2"),
       col("lnp"))
     val scored = db.join(p, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("m"),
         sum(col("n").cast("double") * col("lnp")).as("s"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
+    // `carry` columns ride the reattach join's left side, so callers
+    // needing extra per-document attributes (t14's language) get them
+    // for free instead of paying a SECOND corpus scan + id-keyed join
+    // against the scored frame (guide §1.2 / §2.4).
+    val left = df.select(col(idCol) +:
+      carry.map { case (n, c) => c.as(n) }: _*)
+    left.join(scored, Seq(idCol), "left")
+      .select(col(idCol) +: (carry.map { case (n, _) => col(n) } ++ Seq(
         coalesce(col("m"), lit(0L)).cast("bigint").as("n_bigrams"),
         coalesce(floor(-col("s") / col("m").cast("double") *
-          lit(1000000.0)).cast("bigint"), lit(0L)).as("xent_e6"))
+          lit(1000000.0)).cast("bigint"), lit(0L)).as("xent_e6"))): _*)
   }
 
   /** The interpolated-KN model over a [[knDocBigrams]] frame:

@@ -1024,15 +1024,30 @@ object Similarity {
       GraftColumns.expression(col("v")), planes, bits))
     val base = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
-    Bucketing.writeBucketed(base, s"${table}_vecs", "vec_id",
-      nBuckets, Seq("vec_id"))
-    Bucketing.writeBucketed(
-      base.select(col("vec_id"), posexplode(keys).as(Seq("band", "key"))),
-      table, "key", nBuckets, Seq("key"))
-    Bucketing.writeBucketed(
-      df.sparkSession.table(table).groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("n")),
-      s"${table}_stats", "key", nBuckets, Seq("key"))
+    // the vecs sidecar and the (index → stats) chain share no sink and
+    // no shuffle, so they run as two CONCURRENT job chains (guide
+    // §2.6): the vecs write's task tail back-fills with the index
+    // explode. The stats write stays sequenced after the index write
+    // it reads back. Measured at sf0.1 the three sequential writes
+    // were pure job-count wall (16 jobs, 5.4 s executor in a 3.2 s row).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val vecsW = Future {
+      Bucketing.writeBucketed(base, s"${table}_vecs", "vec_id",
+        nBuckets, Seq("vec_id"))
+    }
+    val indexW = Future {
+      Bucketing.writeBucketed(
+        base.select(col("vec_id"), posexplode(keys).as(Seq("band", "key"))),
+        table, "key", nBuckets, Seq("key"))
+      Bucketing.writeBucketed(
+        df.sparkSession.table(table).groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n")),
+        s"${table}_stats", "key", nBuckets, Seq("key"))
+    }
+    Await.result(Future.sequence(Seq(vecsW, indexW)), Duration.Inf)
   }
 
   /** Bucket-population telemetry for a [[writeRhpIndex]] table — one

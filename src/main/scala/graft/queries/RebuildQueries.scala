@@ -267,7 +267,11 @@ object RebuildQueries {
         .select(col("doc_id"), col("text"))
         .collect() // bounded: corpus/10 driver rows, the c1 contract
       val base = java.nio.file.Files.createTempDirectory("i1-kb-tree")
-      docs.foreach { r =>
+      // each issue lands in its own directory, so the synthesis is
+      // embarrassingly parallel — serially this driver-side file loop
+      // was a measurable slice of the row (guide §5: keep the driver
+      // out of data work; here the work is unavoidable, so spread it)
+      java.util.Arrays.stream(docs).parallel().forEach { r =>
         writeKbIssue(base, r.getLong(0), r.getString(1))
       }
       val refs = KbImporter.detectIssues(base.toString)

@@ -224,10 +224,17 @@ object RelationalQueries {
     // the bucketed path is RESULT-identical to the plain shuffle join
     // (which is exactly what the oracle runs).
     "j14_bucketed_join" -> ((s, d) => {
+      // project BEFORE the write-time shuffle (guide §2.3): the join
+      // aggregate reads only (key, prio) and (key, qty), so the
+      // bucketed tables carry 2 columns instead of 9/16 — the write
+      // exchange and the probe-time scans shrink ~8x, and the result
+      // is column-for-column what the aggregate computed before
       graft.operators.Bucketing.writeBucketed(
-        Tables.orders(s, d), "j14_orders_b", "o_orderkey", nBuckets = 8)
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "j14_orders_b", "o_orderkey", nBuckets = 8)
       graft.operators.Bucketing.writeBucketed(
-        Tables.lineitem(s, d), "j14_lineitem_b", "l_orderkey", nBuckets = 8)
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "j14_lineitem_b", "l_orderkey", nBuckets = 8)
       graft.operators.Bucketing.bucketedJoin(s,
         "j14_lineitem_b", "j14_orders_b", "l_orderkey", "o_orderkey")
         .groupBy(col("o_orderpriority").as("prio"))

@@ -485,14 +485,21 @@ object Dedup {
                 .as("hop_label"): _*)
             .drop("hop1_label")
         }
+      // the convergence bit rides the checkpoint action as an observed
+      // metric (CollectMetrics), so each round is ONE job — the
+      // separate filter-isEmpty scan this replaces was a whole extra
+      // job per round (rounds × ~0.1 s of pure scheduling at sf0.1,
+      // and an extra pass over the vector at any scale)
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = graft.util.Iter.materialize(withHop
         .select(col("id"),
           least(col("label"), col("nbr_label"), col("hop_label"))
             .as("label"),
           (least(col("nbr_label"), col("hop_label")) < col("label"))
-            .as("changed")))
-      sc.setJobDescription(s"cc: converged? $iter")
-      converged = next.filter(col("changed")).isEmpty
+            .as("changed"))
+        .observe(obs, coalesce(sum(col("changed").cast("long")), lit(0L))
+          .as("n_changed")))
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       // round i-1's checkpointed vector is dead once round i is live
       // (the pageRank release discipline)
       graft.util.Iter.release(labels)
@@ -906,11 +913,22 @@ object Dedup {
     // the final per-doc set-size join — left live, the shingling +
     // per-shingle md5 (the expensive per-row work of this operator)
     // runs twice over the corpus. The checkpoint holds (id, hs): the
-    // 8-byte hash arrays the posting shuffle moves anyway.
+    // 8-byte hash arrays the posting shuffle moves anyway. fanOut
+    // first (guide §2.5): a single-row-group scan otherwise computes
+    // the whole shingle+md5 pass as ONE task AND leaves the checkpoint
+    // single-partitioned, so every downstream stage starts serial
+    // (measured at sf0.1: a 0.84 s one-task checkpoint stage).
     val sets = graft.util.Iter.materialize(
-      df.select(col(idCol).as("id"), col(textCol).as("text"))
+      graft.util.Tables.fanOut(
+          df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
         .withColumn("shs", array_distinct(expr(s"word_shingles(text, $k)")))
         .select(col("id"), array_distinct(baseHashes(col("shs"))).as("hs")))
+    // NOTE (measured, rejected): pinning the posting/pair exchanges
+    // with explicit repartitions to defeat AQE's byte-based coalescing
+    // (which runs these CPU-dense, byte-small reduce stages on 3-16
+    // tasks) tripled executor time — the pin replaced the broadcast
+    // h-join with a full posting shuffle and stripped the pair count's
+    // map-side combine. The coalesced-task wall is the lesser cost.
     val postings = sets.select(col("id"), explode(col("hs")).as("h"))
     val active = postings.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .observe("containment_posting_overflow",

@@ -49,11 +49,16 @@ object Graph {
     // Clustered on node so the per-round rank-update join (node = dst
     // of the freshly aggregated inbound mass) is exchange-free on
     // this side too.
+    // the node count rides the clustering checkpoint as an observed
+    // metric — the separate count() job this replaces re-scanned the
+    // freshly checkpointed node set once per invocation
+    val obsN = new org.apache.spark.sql.Observation("pr_n_nodes")
     val nodes = Iter.materializeClustered(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .distinct(), Seq("node"))
-    val n = nodes.count()
+        .distinct()
+        .observe(obsN, count(lit(1)).as("n")), Seq("node"))
+    val n = obsN.get("n").asInstanceOf[Long]
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // static per-round payload: (src, dst, deg) — materialized ONCE,
     // hash-clustered on src with the layout DECLARED on the
@@ -395,19 +400,26 @@ object Graph {
     val sym = Iter.materialize(
       canon.select(col("a").as("src"), col("b").as("dst"))
         .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    // survivor counts ride each checkpoint action as observed metrics
+    // (the dupClusters convergence trick): one job per peel instead of
+    // two — the separate count() was a full extra job per round
+    val obs0 = new org.apache.spark.sql.Observation("kcore_n_init")
     var surv = Iter.materialize(
-      sym.select(col("src").as("node")).distinct())
-    var survN = surv.count()
+      sym.select(col("src").as("node")).distinct()
+        .observe(obs0, count(lit(1)).as("n")))
+    var survN = obs0.get("n").asInstanceOf[Long]
     var done = false
     var i = 0
     while (i < peels && !done) {
+      val obs = new org.apache.spark.sql.Observation(s"kcore_n_$i")
       val next = Iter.materialize(
         sym.join(surv.select(col("node").as("src")), Seq("src"))
           .join(surv.select(col("node").as("dst")), Seq("dst"))
           .groupBy(col("src")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k)
-          .select(col("src").as("node")))
-      val nextN = next.count()
+          .select(col("src").as("node"))
+          .observe(obs, count(lit(1)).as("n")))
+      val nextN = obs.get("n").asInstanceOf[Long]
       // next ⊆ surv always, so equal counts mean equal sets
       if (nextN == survN) done = true
       Iter.release(surv)

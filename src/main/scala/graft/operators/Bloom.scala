@@ -32,8 +32,13 @@ object Bloom {
   /** Serialized Bloom filter of `df`'s `keyCol` values, sized for the
     * side's exact cardinality at `fpp`. One aggregation job; the
     * result is the only driver state (bounded: n·ln(1/fpp)/ln²2 bits). */
-  def keyBloom(df: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
-    val n = df.count()
+  def keyBloom(df: DataFrame, keyCol: String, fpp: Double = 0.01,
+      knownCount: Long = -1L): Array[Byte] = {
+    // the filter must be SIZED from the key count before the build
+    // aggregate runs, so a caller that already knows the count (e.g.
+    // from an observed metric on a checkpoint) skips a whole pass
+    // over the key derivation
+    val n = if (knownCount >= 0L) knownCount else df.count()
     require(n > 0, "cannot build a Bloom filter of an empty key side")
     val numBits = math.ceil(
       -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -41,6 +46,25 @@ object Bloom {
       new XxHash64(Seq(GraftColumns.expression(col(keyCol)))),
       Literal(n), Literal(numBits)).toAggregateExpression()
     df.select(GraftColumns.column(agg).as("bf")).first().getAs[Array[Byte]](0)
+  }
+
+  /** [[keyBloom]] for an EXPENSIVELY-DERIVED key frame (a corpus
+    * winnow/band-key explode): the frame is checkpointed once with its
+    * count riding the checkpoint action as an observed metric, the
+    * filter builds from the checkpoint, and the blocks are released —
+    * two jobs and ONE derivation where the plain path derived the keys
+    * twice (count + build), three with a caller-side count.
+    * @return (filter bytes, exact key count). */
+  def keyBloomMaterialized(df: DataFrame, keyCol: String,
+      fpp: Double = 0.01): (Array[Byte], Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val mat = graft.util.Iter.materialize(
+      df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")))
+    val n = obs.get("n").asInstanceOf[Long]
+    val bloom = keyBloom(mat, keyCol, fpp, knownCount = n)
+    graft.util.Iter.release(mat)
+    (bloom, n)
   }
 
   /** `might_contain` probe of `key` against a pre-built filter literal. */

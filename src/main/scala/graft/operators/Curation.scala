@@ -1540,15 +1540,19 @@ object Curation {
     require(topN > 0, s"topN must be positive, got $topN")
     // the model frame feeds BOTH the top-N cut and the global min —
     // materialized once (the t14 lesson: left live, the whole model
-    // build runs twice)
+    // build runs twice). The global min rides the checkpoint action
+    // as an observed metric (the dupClusters convergence trick), so
+    // it costs no separate job re-scanning the model.
+    val obsMin = new org.apache.spark.sql.Observation("kn_ln_unseen")
     val p = graft.util.Iter.materialize(
-      knModel(knDocBigrams(df, idCol, textCol), discount))
+      knModel(knDocBigrams(df, idCol, textCol), discount)
+        .observe(obsMin, min(col("lnp")).as("mn")))
     val top = p.orderBy(col("cb").desc, col("w1"), col("w2"))
       .limit(topN)
       .select(col("w1"), col("w2"), col("lnp"))
       .collect() // bounded: topN rows of gate-model state
     require(top.nonEmpty, "knGateModel: corpus has no bigrams")
-    val lnUnseen = p.agg(min(col("lnp"))).head().getDouble(0)
+    val lnUnseen = obsMin.get("mn").asInstanceOf[Double]
     graft.util.Iter.release(p)
     val m = KnGateModel(Map.empty, lnUnseen, discount)
     m.copy(bigrams = top.map(r =>

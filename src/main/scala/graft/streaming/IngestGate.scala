@@ -45,7 +45,9 @@ object IngestGate {
       k: Int = 24, w: Int = 12, minShared: Int = 2,
       fpp: Double = 1e-6): DataFrame = {
     graft.functions.WinnowImpl.register(stream.sparkSession)
-    val bloom = Bloom.keyBloom(corpusFps, "fp", fpp)
+    // materialized build: the corpus fingerprint derivation (a full
+    // winnow explode) runs once, not twice (count + filter aggregate)
+    val (bloom, _) = Bloom.keyBloomMaterialized(corpusFps, "fp", fpp)
     stream
       .withColumn("__matched",
         size(filter(fps(textCol, k, w), x => Bloom.mightContain(bloom, x))))
@@ -88,14 +90,16 @@ object IngestGate {
     val keys = corpusHashes
       .select(explode(Dedup.bandKeys64(col(hashCol), bands)).as("key"))
       .distinct()
-    val nKeys = keys.count()
+    // one materialized build: the key count rides the checkpoint as an
+    // observed metric and sizes the filter — the band explode+distinct
+    // previously ran three times (gate count, keyBloom count, build)
+    val (bloom, nKeys) = Bloom.keyBloomMaterialized(keys, "key", fpp)
     val capacity = bands.toDouble * math.pow(2, 64.0 / bands)
     require(nKeys <= maxSaturation * capacity,
       f"phashGate: lake fills ${nKeys / capacity}%.3f of the " +
         f"$bands-band key space (cap $maxSaturation%.3f) — the " +
         "candidate gate would reject unrelated images; use " +
         "phashGateExact or the batch pair path for lakes this size")
-    val bloom = Bloom.keyBloom(keys, "key", fpp)
     hashes
       .withColumn("__matched",
         size(filter(Dedup.bandKeys64(col(hashCol), bands),

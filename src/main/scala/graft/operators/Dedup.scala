@@ -1028,8 +1028,14 @@ object Dedup {
     * gone). */
   def writeWinnowIndex(df: DataFrame, idCol: String, textCol: String,
       table: String, k: Int = 24, w: Int = 12, nBuckets: Int = 16): Unit =
+    // the probe consumes the corpus as a DISTINCT fingerprint set, so
+    // the index stores exactly that — 8 bytes/row with map-side
+    // partial dedup before the write shuffle (the writeGramIndex
+    // economics; was (id, fp) with per-document duplicates, which also
+    // forced the probe's distinct to chew the full multiset)
     Bucketing.writeBucketed(
-      winnowedFingerprints(df, idCol, textCol, k, w),
+      winnowedFingerprints(df, idCol, textCol, k, w)
+        .select(col("fp")).distinct(),
       table, "fp", nBuckets, Seq("fp"))
 
   /** [[incrementalWinnowNew]] against a [[writeWinnowIndex]] table —

@@ -23,18 +23,20 @@ import graft.util.Iter
   */
 object Graph {
 
-  /** The per-run static state every round rejoins. */
+  /** The per-run static state every round rejoins. `dangling` is only
+    * built when the caller's variant reads it (redistribution). */
   private[graft] case class Ctx(nodes: DataFrame, n: Long, contrib: DataFrame,
-      dangling: DataFrame) {
+      dangling: Option[DataFrame]) {
     /** Free the checkpointed static frames once the final rank vector
       * is materialized — it no longer depends on them. */
     def release(): Unit = {
-      Iter.release(nodes); Iter.release(contrib); Iter.release(dangling)
+      Iter.release(nodes); Iter.release(contrib)
+      dangling.foreach(Iter.release)
     }
   }
 
   private[graft] def prepare(edges: DataFrame, srcCol: String,
-      dstCol: String): Ctx = {
+      dstCol: String, needDangling: Boolean = true): Ctx = {
     // materialized FIRST: nodes, deg, contrib and dangling all derive
     // from the edge frame, and an un-materialized `e` would re-run
     // the caller's edge construction (often a join) once per derived
@@ -70,9 +72,11 @@ object Graph {
     // moves again (plan-gated in PlanAuditSpec; measured at sf10 in
     // BENCH_NOTES).
     val contrib = Iter.materializeClustered(e.join(deg, "src"), Seq("src"))
-    val dangling = Iter.materialize(
+    // only the redistribution variant reads the dangling set — the
+    // leaky default (g1) was paying this checkpoint chain for nothing
+    val dangling = if (!needDangling) None else Some(Iter.materialize(
       nodes.join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti"))
+        Seq("node"), "left_anti")))
     Iter.release(e)
     Ctx(nodes, n, contrib, dangling)
   }
@@ -88,18 +92,31 @@ object Graph {
       .join(ranks, col("src") === col("node"))
       .groupBy(col("dst"))
       .agg(sum(col("rank") / col("deg")).as("inb"))
-    val base =
-      if (!redistributeDangling) (1.0 - damping) / ctx.n
+    val teleport = (1.0 - damping) / ctx.n
+    // the redistribution variant's dangling-mass sum rides the round's
+    // OWN plan as a broadcast 1-row aggregate (a cross join the planner
+    // broadcasts) instead of a separate first() driver action — one
+    // job per round, not two. The double arithmetic keeps the exact
+    // operation order of the former driver-side expression
+    // (teleport + (damping·dm)/n, then + damping·inb), so rank values
+    // are bit-identical to the two-job form.
+    val updated =
+      if (!redistributeDangling)
+        ctx.nodes.join(inbound, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) + lit(damping) *
+              coalesce(col("inb"), lit(0.0))).as("rank"))
       else {
-        val dm = ranks.join(ctx.dangling, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
-        (1.0 - damping) / ctx.n + damping * dm / ctx.n
+        val dmRow = ranks.join(ctx.dangling.get, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        ctx.nodes.join(inbound, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dmRow))
+          .select(col("node"),
+            ((lit(teleport) +
+              lit(damping) * col("__dm") / lit(ctx.n.toDouble)) +
+              lit(damping) * coalesce(col("inb"), lit(0.0))).as("rank"))
       }
-    Iter.materialize(
-      ctx.nodes.join(inbound, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) *
-            coalesce(col("inb"), lit(0.0))).as("rank")))
+    Iter.materialize(updated)
   }
 
   /** Damped PageRank after exactly `iters` power-iteration rounds.
@@ -139,7 +156,8 @@ object Graph {
       iters: Int, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val ctx = prepare(edges, srcCol, dstCol)
+    val ctx = prepare(edges, srcCol, dstCol,
+      needDangling = redistributeDangling)
     var ranks = ctx.nodes.select(col("node"),
       lit(1.0 / ctx.n).as("rank"))
     for (i <- 1 to iters) {
@@ -172,7 +190,8 @@ object Graph {
       tol: Double = 1e-6, maxIter: Int = 100, damping: Double = 0.85,
       redistributeDangling: Boolean = false): (DataFrame, Int) = {
     require(tol > 0 && maxIter >= 1)
-    val ctx = prepare(edges, srcCol, dstCol)
+    val ctx = prepare(edges, srcCol, dstCol,
+      needDangling = redistributeDangling)
     var ranks = Iter.materialize(ctx.nodes.select(col("node"),
       lit(1.0 / ctx.n).as("rank")))
     var it = 0

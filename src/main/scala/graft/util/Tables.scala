@@ -80,7 +80,14 @@ object Tables {
     */
   def fanOut(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // probe the split count from file-index metadata when the frame is
+    // scan-rooted (the common case here) — the `df.rdd` fallback plans
+    // the whole query physically and instantiates its RDD, a pure
+    // driver tax per invocation that grows with input file count at
+    // production scale
+    val partitions = org.apache.spark.sql.GraftScans.scanSplitEstimate(df)
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (partitions >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 }

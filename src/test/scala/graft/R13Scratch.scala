@@ -106,7 +106,7 @@ object R13Scratch {
           val dangling = Iter.materialize(
             nodes.join(e.select(col("src").as("node")).distinct(),
               Seq("node"), "left_anti"))
-          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, Some(dangling))
           var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
           for (_ <- 1 to 5)
             ranks = graft.operators.Graph.round(ctx, ranks, 0.85,
@@ -148,7 +148,7 @@ object R13Scratch {
           val dangling = Iter.materialize(
             nodes.join(e.select(col("src").as("node")).distinct(),
               Seq("node"), "left_anti"))
-          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+          val ctx = graft.operators.Graph.Ctx(nodes, n, contrib, Some(dangling))
           var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
           for (_ <- 1 to 5)
             ranks = graft.operators.Graph.round(ctx, ranks, 0.85, true)
@@ -196,7 +196,7 @@ object R13Scratch {
                 val dangling = Iter.materialize(
                   nodes.join(e.select(col("src").as("node")).distinct(),
                     Seq("node"), "left_anti"))
-                graft.operators.Graph.Ctx(nodes, n, contrib, dangling)
+                graft.operators.Graph.Ctx(nodes, n, contrib, Some(dangling))
               }
           }
           var ranks = ctx.nodes.select(col("node"),
